@@ -1,0 +1,723 @@
+"""Core relational operator suite (SURVEY.md §2.3–§2.7).
+
+Covers: scans+filter pushdown, projections, equi/theta joins (broadcast dims),
+semi/anti joins, aggregations (core + stats + group_concat), GROUP BY/HAVING,
+ROLLUP, window functions (ranking, running frames, lag/lead), ORDER BY/LIMIT
+with deterministic tiebreaks, set operations, CTE/scalar subqueries, CASE/CAST,
+JSON extraction, regexp, string and date functions — each against a DuckDB
+oracle. Reference parity: dsq delegates all of these to SQLite
+(/root/reference/main.go:236-265); here each is an idiomatic DataFrame plan
+that Catalyst optimizes (predicate pushdown, broadcast joins, partial aggs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dsq_spark.queries.base import register, t
+
+# --------------------------------------------------------------------------
+# TPC-H-style analytical queries
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                   AS sum_qty,
+       round(sum(l_extendedprice), 2)                              AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)                                   AS avg_qty,
+       round(avg(l_extendedprice), 4)                              AS avg_price,
+       round(avg(l_discount), 6)                                   AS avg_disc,
+       count(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 pricing summary: full-scan partial-agg; 6 output groups.",
+)
+def q1_pricing_summary(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3: 3-way join (customer broadcast), group, top-10 w/ tiebreak.",
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return (
+        # customer is the small side after the segment filter → broadcast it
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+    doc="TPC-H Q5: 6-way join; region/nation broadcast; revenue per nation.",
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    c, o, l = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
+    s, n, r = t(spark, sf_dir, "supplier"), t(spark, sf_dir, "nation"), t(spark, sf_dir, "region")
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    dim = F.broadcast(n.join(r.filter(F.col("r_name") == "ASIA"), n.n_regionkey == r.r_regionkey))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(dim, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6: pure filter+scalar agg; all predicates push into the scan.",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10: returned-item revenue per customer, top-20 w/ tiebreak.",
+)
+def q10_returned_items(spark, sf_dir):
+    c, o, n = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders"), t(spark, sf_dir, "nation")
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation coverage (SURVEY §2.5): stats aggs, HAVING, distinct aggs,
+# group_concat, ROLLUP.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 4) AS std_price,
+       round(stddev_pop(l_extendedprice), 4)  AS stdp_price,
+       round(quantile_cont(l_quantity, 0.5), 4)  AS median_qty,
+       round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty,
+       round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
+       CAST(mode(l_linenumber) AS BIGINT)     AS mode_linenumber,
+       round(min(l_extendedprice), 2)         AS min_price,
+       round(max(l_extendedprice), 2)         AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Extended stats aggs (stdlib parity: stddev/median/percentile/mode — "
+        "reference README.md:419-425); exact interpolated percentiles.",
+)
+def agg_stats(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.stddev_pop("l_extendedprice"), 4).alias("stdp_price"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("p75_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.95)), 4).alias("p95_qty"),
+        F.mode("l_linenumber").cast("long").alias("mode_linenumber"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "agg_having_distinct",
+    oracle="""
+SELECT o_orderpriority,
+       count(*)                    AS n_orders,
+       count(DISTINCT o_custkey)   AS n_customers,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY o_orderpriority
+HAVING count(*) > 10
+""",
+    doc="GROUP BY + HAVING + COUNT(DISTINCT) (SURVEY A4).",
+)
+def agg_having_distinct(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .filter(F.col("n_orders") > 10)
+    )
+
+
+@register(
+    "agg_group_concat",
+    oracle="""
+SELECT l_returnflag,
+       string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="GROUP_CONCAT parity (SURVEY A2): sorted-distinct concat so the "
+        "result is deterministic under distributed aggregation.",
+)
+def agg_group_concat(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias("statuses"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    doc="ROLLUP hierarchy totals (SURVEY A6 — Spark superset over SQLite).",
+)
+def agg_rollup(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins beyond inner (SURVEY §2.4): outer, semi, anti, cross.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_outer_coverage",
+    oracle="""
+SELECT n.n_name,
+       count(c.c_custkey) AS n_customers,
+       count(s.s_suppkey) AS n_suppliers
+FROM nation n
+LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey AND s.s_acctbal > 5000
+GROUP BY n.n_name
+""",
+    doc="LEFT OUTER joins w/ join-side predicate; counts skip NULLs.",
+)
+def join_outer_coverage(spark, sf_dir):
+    n, c = t(spark, sf_dir, "nation"), t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .join(s, s.s_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"), F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@register(
+    "join_semi_anti",
+    oracle="""
+SELECT n_name,
+       (SELECT count(*) FROM customer c
+         WHERE c.c_nationkey = n.n_nationkey
+           AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 400000)) AS n_big_spenders,
+       (SELECT count(*) FROM customer c
+         WHERE c.c_nationkey = n.n_nationkey
+           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_orderless
+FROM nation n
+""",
+    doc="LEFT SEMI / LEFT ANTI joins (SURVEY J5: EXISTS / NOT EXISTS parity).",
+)
+def join_semi_anti(spark, sf_dir):
+    n, c = t(spark, sf_dir, "nation"), t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000)
+    spenders = (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .groupBy(F.col("c_nationkey").alias("sp_nk"))
+        .agg(F.count("*").alias("n_big_spenders"))
+    )
+    orderless = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("ol_nk"))
+        .agg(F.count("*").alias("n_orderless"))
+    )
+    return (
+        n.join(F.broadcast(spenders), n.n_nationkey == spenders.sp_nk, "left")
+        .join(F.broadcast(orderless), n.n_nationkey == orderless.ol_nk, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_big_spenders", F.lit(0)).alias("n_big_spenders"),
+            F.coalesce("n_orderless", F.lit(0)).alias("n_orderless"),
+        )
+    )
+
+
+@register(
+    "join_cross_theta",
+    oracle="""
+SELECT r1.r_name AS region_a, r2.r_name AS region_b
+FROM region r1 CROSS JOIN region r2
+WHERE r1.r_name < r2.r_name
+""",
+    doc="CROSS JOIN + theta predicate (SURVEY J4): unordered region pairs.",
+)
+def join_cross_theta(spark, sf_dir):
+    r = t(spark, sf_dir, "region")
+    r1 = r.select(F.col("r_name").alias("region_a"))
+    r2 = r.select(F.col("r_name").alias("region_b"))
+    return r1.crossJoin(r2).filter(F.col("region_a") < F.col("region_b"))
+
+
+# --------------------------------------------------------------------------
+# Window functions (SURVEY §2.6).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_topn_per_group",
+    oracle="""
+SELECT * FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rn <= 3
+""",
+    doc="row_number ranking, top-3 per segment (SURVEY W1).",
+)
+def window_topn_per_group(spark, sf_dir):
+    o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice",
+                F.row_number().over(w).cast("long").alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_spend,
+       CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+         AS order_seq
+FROM orders
+WHERE o_custkey < 200
+""",
+    doc="Running-frame aggregate + rank (SURVEY W3/W4: ROWS BETWEEN).",
+)
+def window_running_sum(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+         .alias("running_spend"),
+        F.rank().over(w).cast("long").alias("order_seq"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+SELECT event_id, user_id,
+       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS value_delta,
+       lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)  AS next_event
+FROM events
+WHERE user_id < 50
+""",
+    doc="lag/lead offsets over event streams (SURVEY W2).",
+)
+def window_lag_lead(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("value_delta"),
+        F.lead("event_type").over(w).alias("next_event"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set ops, subqueries, expressions (SURVEY §2.7).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "set_operations",
+    oracle="""
+SELECT 'union_all' AS op, count(*) AS n FROM (
+  SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'intersect' AS op, count(*) AS n FROM (
+  SELECT DISTINCT c_nationkey AS k FROM customer INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'except' AS op, count(*) AS n FROM (
+  SELECT DISTINCT c_nationkey AS k FROM customer EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+""",
+    doc="UNION ALL / INTERSECT / EXCEPT (SURVEY O3).",
+)
+def set_operations(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    u = c.unionAll(s).agg(F.count("*").alias("n")).select(F.lit("union_all").alias("op"), "n")
+    i = c.distinct().intersect(s.distinct()).agg(F.count("*").alias("n")).select(F.lit("intersect").alias("op"), "n")
+    e = c.distinct().exceptAll(s.distinct()).agg(F.count("*").alias("n")).select(F.lit("except").alias("op"), "n")
+    return u.unionAll(i).unionAll(e)
+
+
+@register(
+    "cte_scalar_subquery",
+    oracle="""
+WITH stats AS (SELECT avg(c_acctbal) AS avg_bal FROM customer)
+SELECT c_nationkey,
+       count(*) AS n_above_avg,
+       round(avg(c_acctbal - avg_bal), 4) AS avg_excess
+FROM customer, stats
+WHERE c_acctbal > avg_bal
+GROUP BY c_nationkey
+""",
+    doc="CTE + scalar subquery (SURVEY O4): customers above global avg balance.",
+)
+def cte_scalar_subquery(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    stats = c.agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_above_avg"),
+            F.round(F.avg(F.col("c_acctbal") - F.col("avg_bal")), 4).alias("avg_excess"),
+        )
+    )
+
+
+@register(
+    "case_cast_coalesce",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+            WHEN o_totalprice < 300000 THEN 'medium'
+            ELSE 'large' END AS bucket,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total,
+       CAST(min(CAST(o_orderkey AS VARCHAR)) AS VARCHAR) AS min_key_str,
+       coalesce(nullif(min(o_orderstatus), 'F'), 'fallback') AS status_demo
+FROM orders
+GROUP BY 1
+""",
+    doc="CASE WHEN / CAST / COALESCE / NULLIF expressions (SURVEY O5).",
+)
+def case_cast_coalesce(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.min(F.col("o_orderkey").cast("string")).alias("min_key_str"),
+            F.coalesce(F.nullif(F.min("o_orderstatus"), F.lit("F")), F.lit("fallback")).alias("status_demo"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Function-library coverage (SURVEY §2.8): JSON, regexp, strings, dates.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "json_extraction",
+    oracle="""
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+""",
+    doc="JSON path extraction on string columns (SURVEY P5: -> / json_extract "
+        "parity via get_json_object).",
+)
+def json_extraction(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "regexp_functions",
+    oracle="""
+SELECT CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS BIGINT) AS brand_num,
+       count(*) AS n,
+       count(CASE WHEN regexp_matches(p_type, '^STANDARD') THEN 1 END) AS n_standard,
+       min(regexp_replace(p_name, '[aeiou]', '_', 'g')) AS sample_devoweled
+FROM part
+GROUP BY 1
+""",
+    doc="REGEXP operator + regexp_extract/replace (SURVEY P4, §2.8 regexp).",
+)
+def regexp_functions(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return (
+        p.groupBy(F.regexp_extract("p_brand", r"Brand#([0-9]+)", 1).cast("long").alias("brand_num"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("p_type").rlike("^STANDARD"), 1)).alias("n_standard"),
+            F.min(F.regexp_replace("p_name", "[aeiou]", "_")).alias("sample_devoweled"),
+        )
+    )
+
+
+@register(
+    "string_functions",
+    oracle="""
+SELECT c_mktsegment,
+       min(upper(c_name))                          AS min_upper,
+       max(lower(substr(c_name, 1, 8)))            AS max_lower_prefix,
+       CAST(sum(length(c_name)) AS BIGINT)         AS total_len,
+       min(lpad(CAST(c_custkey AS VARCHAR), 10, '0')) AS min_padded_key,
+       min(split_part(c_name, '#', 2))             AS min_key_part,
+       min(replace(c_mktsegment, 'A', '@'))        AS replaced
+FROM customer
+GROUP BY c_mktsegment
+""",
+    doc="String stdlib parity (SURVEY §2.8): upper/lower/substr/length/lpad/"
+        "split_part/replace.",
+)
+def string_functions(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.min(F.upper("c_name")).alias("min_upper"),
+        F.max(F.lower(F.substring("c_name", 1, 8))).alias("max_lower_prefix"),
+        F.sum(F.length("c_name")).cast("long").alias("total_len"),
+        F.min(F.lpad(F.col("c_custkey").cast("string"), 10, "0")).alias("min_padded_key"),
+        F.min(F.split_part(F.col("c_name"), F.lit("#"), F.lit(2))).alias("min_key_part"),
+        F.min(F.replace(F.col("c_mktsegment"), F.lit("A"), F.lit("@"))).alias("replaced"),
+    )
+
+
+@register(
+    "date_functions",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT)  AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS monthly_total,
+       CAST(min(day(o_orderdate)) AS BIGINT) AS min_day
+FROM orders
+GROUP BY 1, 2
+""",
+    doc="Date-part extraction (SURVEY §2.8 date fns: date_year/month/day).",
+)
+def date_functions(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("monthly_total"),
+            F.min(F.dayofmonth("o_orderdate")).cast("long").alias("min_day"),
+        )
+    )
+
+
+@register(
+    "hash_functions",
+    oracle="""
+SELECT c_mktsegment,
+       min(md5(c_name)) AS min_md5,
+       count(DISTINCT md5(c_name)) AS n_distinct_hashes
+FROM customer
+GROUP BY c_mktsegment
+""",
+    doc="Hash stdlib parity (SURVEY §2.8: md5/sha — md5 is identical across "
+        "Spark and DuckDB so it also underpins the dedup oracles).",
+)
+def hash_functions(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.min(F.md5("c_name")).alias("min_md5"),
+        F.countDistinct(F.md5("c_name")).alias("n_distinct_hashes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization (gaps-and-islands — the batch shape of the streaming
+# session-window operator in dsq_spark.streaming).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, event_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id
+""",
+    doc="Sessionization with a 30-minute inactivity gap (gaps-and-islands: "
+        "lag + conditional cumsum). Exact integer microsecond arithmetic on "
+        "both engines so boundaries can't drift.",
+)
+def sessionize_events(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            (us - F.lag(us).over(w) > 1800 * 1_000_000) | F.lag("ts").over(w).isNull(), 1
+        ).otherwise(0).alias("is_new"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("session_id"),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )

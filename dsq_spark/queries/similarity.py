@@ -1,0 +1,168 @@
+"""Similarity search over the `embeddings` table (array<float>, dim 64).
+
+Brute-force cosine top-k as the exactness baseline, sign-bit (random
+hyperplane) LSH as the scale path, and threshold near-dup pairs. The dot
+products run as Catalyst higher-order functions (zip_with + aggregate) over
+double-cast elements — sequential left-to-right folds on both engines, so the
+oracle matches bit-for-bit before rounding.
+
+Scale notes (100 TB):
+  * top-k brute force is O(Q·N) — fine for small Q (broadcast the queries,
+    never shuffle the corpus; the scan stays pipelined, no wide exchange);
+  * the LSH variant buckets the corpus once (linear), then probes only the
+    query's bucket — the standard recall/cost dial at billions of vectors;
+  * hyperplanes are derived arithmetically ((b·131071 + d·524287) mod 1000003,
+    scaled to [-0.5, 0.5)) so both engines regenerate identical planes with no
+    literal blobs and executors need no broadcast side data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dsq_spark.queries.base import register, t
+
+# double-cast embedding (float32 → float64 is exact; all downstream math is
+# then identical IEEE-754 double arithmetic in both engines)
+VD = "transform(embedding, x -> CAST(x AS DOUBLE))"
+D_VD = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+N_PLANES = 16
+PLANE = "((({b}) * 131071 + d * 524287) % 1000003) / 1000003.0 - 0.5"
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings
+),
+n AS (SELECT vec_id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM v),
+q AS (SELECT vec_id AS q_id, vd AS q_vd, nrm AS q_nrm FROM n WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, n.vec_id,
+         list_dot_product(q.q_vd, n.vd) / (q.q_nrm * n.nrm) AS cos
+  FROM q JOIN n ON n.vec_id != q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT q_id, vec_id, round(cos, 4) AS cosine, rnk
+FROM ranked WHERE rnk <= 10
+""",
+    doc="Brute-force cosine top-10 for 5 query vectors: broadcast queries, "
+        "single corpus scan, per-query row_number — the exact ANN baseline.",
+)
+def sim_topk_bruteforce(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.expr(VD).alias("vd"))
+    n = v.select(
+        "vec_id", "vd",
+        F.sqrt(F.expr(DOT.format(a="vd", b="vd"))).alias("nrm"),
+    )
+    q = (
+        n.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("q_id"), F.col("vd").alias("q_vd"), F.col("nrm").alias("q_nrm"))
+    )
+    scored = (
+        n.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id",
+            (F.expr(DOT.format(a="q_vd", b="vd")) / (F.col("q_nrm") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.select("q_id", "vec_id", "cos", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= 10)
+        .select("q_id", "vec_id", F.round("cos", 4).alias("cosine"), "rnk")
+    )
+
+
+@register(
+    "sim_lsh_buckets",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, {D_VD} AS vd FROM embeddings
+),
+sig AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, {N_PLANES})),
+           (acc, b) -> acc + CASE WHEN
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), range(0, 64)),
+               (s, d) -> s + vd[CAST(d AS INTEGER) + 1] * ({PLANE.format(b="b")})) >= 0
+             THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS bucket
+  FROM v
+)
+SELECT CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets,
+       CAST(sum(c) AS BIGINT) AS n_vectors,
+       CAST(max(c) AS BIGINT) AS max_bucket,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi
+FROM (SELECT bucket, count(*) AS c FROM sig GROUP BY bucket) z
+""",
+    doc="Random-hyperplane (sign-bit) LSH bucketing: 16 arithmetic planes → "
+        "16-bit bucket id; bucket-occupancy stats. The scale path for ANN: "
+        "probe one bucket instead of scanning the corpus.",
+)
+def sim_lsh_buckets(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    sig = e.select(
+        "vec_id",
+        F.expr(
+            f"aggregate(sequence(0, {N_PLANES - 1}), CAST(0 AS BIGINT), (acc, b) -> acc + "
+            f"CASE WHEN aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), "
+            f"(s, d) -> s + CAST(element_at(embedding, d + 1) AS DOUBLE) * ({PLANE.format(b='b')})) >= 0 "
+            f"THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END)"
+        ).alias("bucket"),
+    )
+    occ = sig.groupBy("bucket").agg(F.count("*").alias("c"))
+    return occ.agg(
+        F.countDistinct("bucket").alias("n_buckets"),
+        F.sum("c").alias("n_vectors"),
+        F.max("c").cast("long").alias("max_bucket"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("long").alias("n_multi"),
+    )
+
+
+@register(
+    "sim_cosine_neardup",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings WHERE vec_id < 200
+),
+n AS (SELECT vec_id, label, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM v)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm), 4) AS cosine,
+       CAST(a.label AS BIGINT) AS label_a, CAST(b.label AS BIGINT) AS label_b
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm) >= 0.45
+""",
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.45) over a "
+        "bounded key range; at corpus scale the LSH buckets gate this "
+        "quadratic verify down to candidate pairs.",
+)
+def sim_cosine_neardup(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    n = e.select(
+        "vec_id", "label", F.expr(VD).alias("vd")
+    ).select("vec_id", "label", "vd", F.sqrt(F.expr(DOT.format(a="vd", b="vd"))).alias("nrm"))
+    a = n.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
+                 F.col("vd").alias("vd_a"), F.col("nrm").alias("nrm_a"))
+    b = n.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+                 F.col("vd").alias("vd_b"), F.col("nrm").alias("nrm_b"))
+    cos = F.expr(DOT.format(a="vd_a", b="vd_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.45)
+        .select(
+            "vec_a", "vec_b", F.round(cos, 4).alias("cosine"),
+            F.col("label_a").cast("long").alias("label_a"),
+            F.col("label_b").cast("long").alias("label_b"),
+        )
+    )

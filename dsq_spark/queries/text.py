@@ -1,0 +1,172 @@
+"""Text-analysis operators over the `documents` table.
+
+Training-data-pipeline operators (beyond the reference's surface — see the
+north-star brief): token counting, quality scoring, language-ID heuristic,
+document fingerprinting. All pure JVM-side expressions (higher-order array
+functions, regexp) — no Python UDFs — so they scale linearly with input
+partitions and survive a 100 TB corpus.
+
+Shared normalization: lower-case, collapse whitespace, trim. Both engines
+compute the identical form (DuckDB regexp_replace needs the 'g' flag; Spark's
+is global by default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dsq_spark.queries.base import register, t
+
+# Spark-side normalized text + token expressions (SQL-expression strings keep
+# the whole pipeline in Catalyst higher-order functions).
+NORM = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+TOKENS = f"split({NORM}, ' ')"
+
+# DuckDB-side mirrors.
+D_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+D_TOKENS = f"string_split({D_NORM}, ' ')"
+
+STOPWORDS = "'the','a','of','and','to','in','is','it','on','for'"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(length({D_TOKENS})) AS BIGINT) AS total_tokens,
+       round(avg(length({D_TOKENS})), 4)       AS avg_tokens,
+       round(avg(n_chars), 4)                  AS avg_chars,
+       round(avg(length({D_TOKENS}) * 1.0 / greatest(n_chars, 1)), 6) AS tokens_per_char
+FROM documents
+GROUP BY lang
+""",
+    doc="Whitespace token counting per document, aggregated per language.",
+)
+def text_token_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ntok = F.size(F.expr(TOKENS))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ntok).cast("long").alias("total_tokens"),
+        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(ntok * 1.0 / F.greatest(F.col("n_chars"), F.lit(1))), 6).alias("tokens_per_char"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+WITH scored AS (
+  SELECT source,
+         length({D_TOKENS}) AS n_tokens,
+         length(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / greatest(n_chars, 1) AS punct_ratio,
+         length(list_filter({D_TOKENS}, x -> x IN ({STOPWORDS}))) * 1.0
+           / greatest(length({D_TOKENS}), 1) AS stopword_ratio,
+         n_chars * 1.0 / greatest(length({D_TOKENS}), 1) AS avg_word_len
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(punct_ratio), 6)    AS avg_punct_ratio,
+       round(avg(stopword_ratio), 6) AS avg_stopword_ratio,
+       round(avg(avg_word_len), 4)   AS avg_word_len,
+       count(CASE WHEN n_tokens >= 20 AND stopword_ratio > 0 THEN 1 END) AS n_quality
+FROM scored
+GROUP BY source
+""",
+    doc="Quality scoring: punctuation ratio, stopword ratio, mean word length, "
+        "and a keep/drop gate — the standard pretraining-filter shape.",
+)
+def text_quality_scores(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        F.expr(f"size({TOKENS})").alias("n_tokens"),
+        (F.expr("size(regexp_extract_all(text, '[.,!?;:]', 0))") * 1.0
+         / F.greatest(F.col("n_chars"), F.lit(1))).alias("punct_ratio"),
+        (F.expr(f"size(filter({TOKENS}, x -> x IN ({STOPWORDS})))") * 1.0
+         / F.greatest(F.expr(f"size({TOKENS})"), F.lit(1))).alias("stopword_ratio"),
+        (F.col("n_chars") * 1.0 / F.greatest(F.expr(f"size({TOKENS})"), F.lit(1))).alias("avg_word_len"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+        F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+        F.round(F.avg("avg_word_len"), 4).alias("avg_word_len"),
+        F.count(F.when((F.col("n_tokens") >= 20) & (F.col("stopword_ratio") > 0), 1)).alias("n_quality"),
+    )
+
+
+@register(
+    "text_langid_heuristic",
+    oracle=f"""
+WITH pred AS (
+  SELECT lang,
+         CASE WHEN length(list_filter({D_TOKENS}, x -> x IN ('the','of','and','is'))) >=
+                   length(list_filter({D_TOKENS}, x -> x IN ('la','le','el','de','und','der')))
+              THEN 'en' ELSE 'other' END AS predicted
+  FROM documents
+)
+SELECT lang, predicted, count(*) AS n
+FROM pred
+GROUP BY lang, predicted
+""",
+    doc="N-gram/stopword language-ID heuristic: marker-token vote, confusion "
+        "matrix against the labeled lang column.",
+)
+def text_langid_heuristic(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    en_score = F.expr(f"size(filter({TOKENS}, x -> x IN ('the','of','and','is')))")
+    other_score = F.expr(f"size(filter({TOKENS}, x -> x IN ('la','le','el','de','und','der')))")
+    pred = d.select(
+        "lang",
+        F.when(en_score >= other_score, "en").otherwise("other").alias("predicted"),
+    )
+    return pred.groupBy("lang", "predicted").agg(F.count("*").alias("n"))
+
+
+# Rolling polynomial fingerprint over word-hashes: fp = fold((acc*31 + h) % P).
+# Word hash = first 15 hex digits of md5 (identical in both engines), mod P.
+_P = 1_000_000_007
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+WITH fp AS (
+  SELECT source,
+         md5({D_NORM}) AS exact_fp,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform({D_TOKENS},
+               x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % {_P})),
+           (acc, x) -> (acc * 31 + x) % {_P}) AS rolling_fp
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT exact_fp)   AS n_exact_fp,
+       count(DISTINCT rolling_fp) AS n_rolling_fp,
+       CAST(min(rolling_fp) AS BIGINT) AS min_rolling_fp
+FROM fp
+GROUP BY source
+""",
+    doc="Document fingerprinting: md5 content hash + order-sensitive rolling "
+        "polynomial hash over token hashes (both exact-oracle-checked).",
+)
+def text_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    rolling = F.expr(
+        f"aggregate(transform({TOKENS}, "
+        f"x -> CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT) % {_P}), "
+        f"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % {_P})"
+    )
+    fp = d.select("source", F.md5(F.expr(NORM)).alias("exact_fp"), rolling.alias("rolling_fp"))
+    return fp.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("exact_fp").alias("n_exact_fp"),
+        F.countDistinct("rolling_fp").alias("n_rolling_fp"),
+        F.min("rolling_fp").cast("long").alias("min_rolling_fp"),
+    )

@@ -1,0 +1,143 @@
+"""Query-dialect rewriting: dsq/SQLite SQL → Spark SQL.
+
+The reference's only "planner" is a string rewrite of `{N}` table macros
+(reference main.go:54-88); everything else is passed to SQLite verbatim.
+Spark SQL is a near-superset of the SQLite dialect, so parity needs:
+
+  * `{}` / `{N}` / `{N, "obj.path"}` / `{"obj.path"}` → temp-view names
+    (main.go:56-88, README.md:185-302);
+  * `REGEXP` operator → `RLIKE` (README.md:405-415 — documented syntax
+    delta: Go regexp vs Java regexp);
+  * `col->expr` / `col->>expr` → `get_json_object` (README.md:389-403;
+    both return TEXT, matching SQLite's behavior on dsq's serialized
+    nested arrays);
+  * double-quoted identifiers → backticks (SQLite quotes identifiers with
+    `"`, Spark with backticks);
+  * a handful of SQLite spellings Spark lacks (`IIF` exists in Spark 4;
+    `GROUP_CONCAT` → listagg-equivalent via concat_ws/collect_list is
+    registered as a SQL macro in dsq_spark.functions).
+
+All rewrites are token-aware: single-quoted string literals are never
+touched. This is a string→string transform — Catalyst does the actual
+parsing/optimization downstream.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+# {N}, {}, {N, "path"}, {"path"}, {N, 'path'} — reference regex main.go:54.
+TABLE_MACRO = re.compile(
+    r"\{(?:\s*(\d+)\s*)?(?:,?\s*(?:\"((?:[^\"\\]|\\.)*)\"|'((?:[^'\\]|\\.)*)'))?\s*\}"
+)
+
+
+@dataclass(frozen=True)
+class TableRef:
+    index: int
+    doc_path: str | None
+
+    @property
+    def view_name(self) -> str:
+        if self.doc_path is None:
+            return f"t_{self.index}"
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", self.doc_path)
+        return f"t_{self.index}__{safe}"
+
+
+def _split_on_strings(sql: str):
+    """Yield (is_string_literal, chunk) pieces; literals are single-quoted
+    with '' escapes (SQLite/ANSI)."""
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                elif sql[j] == "'":
+                    j += 1
+                    break
+                else:
+                    j += 1
+            else:
+                j = n
+            out.append((True, sql[i:j]))
+            i = j
+        else:
+            j = sql.find("'", i)
+            if j == -1:
+                j = n
+            out.append((False, sql[i:j]))
+            i = j
+    return out
+
+
+def extract_table_refs(sql: str) -> list[TableRef]:
+    """All `{...}` macros outside string literals, dedup'd, in order."""
+    refs: list[TableRef] = []
+    for is_str, chunk in _split_on_strings(sql):
+        if is_str:
+            continue
+        for m in TABLE_MACRO.finditer(chunk):
+            idx = int(m.group(1)) if m.group(1) is not None else 0
+            path = m.group(2) if m.group(2) is not None else m.group(3)
+            ref = TableRef(idx, path)
+            if ref not in refs:
+                refs.append(ref)
+    return refs
+
+
+def _rewrite_chunk(chunk: str) -> str:
+    # {N[, "path"]} → view name
+    def repl(m: re.Match) -> str:
+        idx = int(m.group(1)) if m.group(1) is not None else 0
+        path = m.group(2) if m.group(2) is not None else m.group(3)
+        return TableRef(idx, path).view_name
+
+    chunk = TABLE_MACRO.sub(repl, chunk)
+    # "quoted identifier" → `quoted identifier`
+    chunk = re.sub(r'"((?:[^"\\]|\\.)*)"', lambda m: "`" + m.group(1) + "`", chunk)
+    # REGEXP operator → RLIKE (word-boundary, case-insensitive)
+    chunk = re.sub(r"\bREGEXP\b", "RLIKE", chunk, flags=re.IGNORECASE)
+    return chunk
+
+
+_ARROW = re.compile(
+    r"([A-Za-z_][\w.]*|`[^`]+`)\s*->(>?)\s*"
+    r"(?:'((?:[^'\\]|\\.)*)'|(\d+)|\"((?:[^\"\\]|\\.)*)\")"
+)
+
+
+def _rewrite_arrows(sql: str) -> str:
+    """col->key / col->>key → get_json_object(col, '$.key' / '$[i]').
+
+    SQLite `->` returns a JSON text representation and `->>` returns SQL
+    text; on dsq's flattened data (arrays of scalars serialized to JSON
+    strings) both surface as TEXT, which is exactly what
+    get_json_object returns (tested in the reference at
+    scripts/test.py:392-398: `c->1` = '2').
+    """
+    def repl(m: re.Match) -> str:
+        col = m.group(1)
+        key = m.group(3) or m.group(5)
+        idx = m.group(4)
+        path = f"$[{idx}]" if idx is not None else f"$.{key}"
+        return f"get_json_object({col}, '{path}')"
+
+    return _ARROW.sub(repl, sql)
+
+
+def rewrite_query(sql: str) -> str:
+    """Full dsq-dialect → Spark SQL rewrite (string literals untouched)."""
+    parts = []
+    for is_str, chunk in _split_on_strings(sql):
+        parts.append(chunk if is_str else _rewrite_chunk(chunk))
+    out = "".join(parts)
+    # arrow rewriting needs the post-quote form (backticked identifiers) but
+    # must still skip string literals:
+    parts = []
+    for is_str, chunk in _split_on_strings(out):
+        parts.append(chunk if is_str else _rewrite_arrows(chunk))
+    return "".join(parts)
