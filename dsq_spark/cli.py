@@ -1,0 +1,241 @@
+"""dsq-compatible CLI (reference main.go:341-432 flags, :463-690 lifecycle).
+
+Usage parity:
+    dsq-spark file.csv "SELECT COUNT(1) FROM {}"
+    dsq-spark f1.csv f2.json "SELECT ... FROM {0} JOIN {1} ..."
+    dsq-spark file.csv                      # query-less conversion dump
+    cat x.csv | dsq-spark -s csv "SELECT ..."
+    dsq-spark --pretty / --schema / -f query.sql / -n / -C / -i
+
+Lifecycle (Spark mapping of SURVEY §3): argv → stdin spooling → per-file
+read via dsq_spark.sources → flatten → temp views t_N → query rewrite
+(dsq_spark.rewrite) → spark.sql → sink (dsq_spark.io_out).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+from dataclasses import dataclass, field
+
+from dsq_spark.cache import ParquetCache
+from dsq_spark.io_out import dump_json, pretty_table, schema_json, schema_pretty
+from dsq_spark.rewrite import TableRef, extract_table_refs, rewrite_query
+from dsq_spark.sources import read_file
+from dsq_spark.sources.flatten import flatten
+
+VERSION = "dsq-spark 0.1.0"
+
+HELP = """dsq-spark - PySpark-native dsq: query files with SQL
+
+Usage: dsq-spark [FLAGS] FILES... [QUERY]
+
+Flags (reference-compatible, main.go:341-432):
+  -s, --stdin TYPE        read stdin as TYPE (csv, json, ...)
+  -f, --file FILE         read query from FILE
+  -p, --pretty            ASCII-table output
+  -c, --schema            dump inferred schema instead of rows
+  -n, --convert-numbers   infer numeric columns in CSV/TSV
+  -C, --cache             cache ingested inputs as Parquet
+  -D, --cache-file        print cache location (implies -C)
+  -i, --interactive       REPL (implies --pretty, --cache)
+      --no-sqlite-writer  accepted for compatibility (no-op)
+      --verbose           verbose logging
+  -v, --version           print version
+  -h, --help              this help
+
+Env: DSQ_CACHE=true, DSQ_CONVERT_NUMBERS=true (reference main.go:344-346).
+"""
+
+
+@dataclass
+class Args:
+    files: list[str] = field(default_factory=list)
+    query: str | None = None
+    piped_mimetype: str | None = None
+    sql_file: str | None = None
+    pretty: bool = False
+    schema: bool = False
+    convert_numbers: bool = False
+    cache: bool = False
+    dump_cache_file: bool = False
+    interactive: bool = False
+    verbose: bool = False
+
+
+def parse_args(argv: list[str]) -> Args | None:
+    a = Args()
+    a.convert_numbers = os.environ.get("DSQ_CONVERT_NUMBERS", "").lower() == "true"
+    a.cache = os.environ.get("DSQ_CACHE", "").lower() == "true"
+    nonflag: list[str] = []
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        if arg in ("-s", "--stdin"):
+            if i == len(argv) - 1:
+                raise SystemExit("Must specify stdin mimetype.")
+            a.piped_mimetype = argv[i + 1]
+            i += 2
+            continue
+        if arg in ("-f", "--file"):
+            if i == len(argv) - 1:
+                raise SystemExit("Must specify a SQL file.")
+            a.sql_file = argv[i + 1]
+            i += 2
+            continue
+        if arg in ("-h", "--help"):
+            print(HELP, file=sys.stderr)
+            return None
+        if arg in ("-v", "--version"):
+            print(VERSION, file=sys.stderr)
+            return None
+        if arg in ("-p", "--pretty"):
+            a.pretty = True
+        elif arg in ("-c", "--schema"):
+            a.schema = True
+        elif arg in ("-n", "--convert-numbers"):
+            a.convert_numbers = True
+        elif arg in ("-C", "--cache"):
+            a.cache = True
+        elif arg in ("-D", "--cache-file"):
+            a.dump_cache_file = a.cache = True
+        elif arg in ("-i", "--interactive"):
+            a.interactive = a.pretty = a.cache = True
+        elif arg == "--no-sqlite-writer":
+            pass  # fast-path toggle is meaningless here (SURVEY U2)
+        elif arg == "--verbose":
+            a.verbose = True
+        else:
+            nonflag.append(arg)
+        i += 1
+
+    # Last non-flag arg is the query ONLY if it contains a space (else it is
+    # a file) — reference heuristic main.go:502-508 (SURVEY U6).
+    if a.sql_file:
+        with open(a.sql_file, encoding="utf-8") as fh:
+            a.query = fh.read().strip()
+        if not a.query:
+            raise SystemExit(f"SQL file {a.sql_file} is empty")
+        a.files = nonflag
+    elif nonflag and " " in nonflag[-1]:
+        a.query = nonflag[-1]
+        a.files = nonflag[:-1]
+    else:
+        a.files = nonflag
+    return a
+
+
+def _spool_stdin(mimetype: str) -> str:
+    suffix = "." + mimetype.split("/")[-1]
+    tmp = tempfile.NamedTemporaryFile("wb", suffix=suffix, delete=False)
+    with tmp as fh:
+        fh.write(sys.stdin.buffer.read())
+    return tmp.name
+
+
+def _ingest(spark, a: Args, refs: list[TableRef]):
+    """Read every referenced (file, doc_path) combination, flatten, register
+    temp views. Returns the view name of panel 0 for dump modes."""
+    cache = ParquetCache(a.files, a.cache)
+    if a.dump_cache_file:
+        print(cache.dir)
+    by_index: dict[int, list[TableRef]] = {}
+    for r in refs:
+        by_index.setdefault(r.index, []).append(r)
+    if not refs:
+        by_index = {0: [TableRef(0, None)]}
+    first_view = None
+    for idx, rlist in sorted(by_index.items()):
+        if idx >= len(a.files):
+            raise SystemExit(f"No input file for table reference {{{idx}}}")
+        for r in rlist:
+            df = cache.get(spark, idx) if r.doc_path is None else None
+            if df is None:
+                df = read_file(
+                    spark, a.files[idx],
+                    mimetype=a.piped_mimetype if idx == 0 and a.piped_mimetype else None,
+                    convert_numbers=a.convert_numbers,
+                    doc_path=r.doc_path,
+                )
+                df = flatten(df)
+                if r.doc_path is None:
+                    df = cache.put(df, idx)
+            df.createOrReplaceTempView(r.view_name)
+            if first_view is None:
+                first_view = r.view_name
+    return first_view
+
+
+def run(argv: list[str], spark=None) -> int:
+    a = parse_args(argv)
+    if a is None:
+        return 0
+    if a.piped_mimetype:
+        a.files.insert(0, _spool_stdin(a.piped_mimetype))
+    if not a.files:
+        print("No input files.", file=sys.stderr)
+        return 1
+
+    if spark is None:
+        from dsq_spark.session import get_spark
+
+        spark = get_spark("dsq-spark-cli")
+    from dsq_spark.functions import register_all
+
+    register_all(spark)
+
+    if a.schema:
+        # Schema dump describes the RAW input shape (pre-flatten), like the
+        # reference's ShapeFromFile (main.go:103-117).
+        raw = read_file(spark, a.files[0], mimetype=a.piped_mimetype,
+                        convert_numbers=a.convert_numbers)
+        (schema_pretty if a.pretty else schema_json)(raw)
+        return 0
+
+    if a.interactive:
+        return _repl(spark, a)
+
+    if a.query is None:
+        # Query-less conversion dump (SURVEY K4, main.go:661-665).
+        df = flatten(read_file(spark, a.files[0], mimetype=a.piped_mimetype,
+                               convert_numbers=a.convert_numbers))
+        (pretty_table if a.pretty else dump_json)(df)
+        return 0
+
+    refs = extract_table_refs(a.query)
+    _ingest(spark, a, refs)
+    df = spark.sql(rewrite_query(a.query))
+    (pretty_table if a.pretty else dump_json)(df)
+    return 0
+
+
+def _repl(spark, a: Args) -> int:
+    """Readline REPL (reference main.go:268-326): ingestion happens once,
+    queries run against the persistent views until `exit`."""
+    _ingest(spark, a, [TableRef(i, None) for i in range(len(a.files))])
+    try:
+        import readline  # noqa: F401 — history/line editing side effect
+    except ImportError:
+        pass
+    while True:
+        try:
+            line = input("dsq> ").strip()
+        except EOFError:
+            return 0
+        if not line:
+            continue
+        if line in ("exit", "quit"):
+            return 0
+        try:
+            pretty_table(spark.sql(rewrite_query(line)))
+        except Exception as e:  # show error, keep looping (main.go:301-306)
+            print(f"Error: {e}", file=sys.stderr)
+
+
+def main() -> None:
+    sys.exit(run(sys.argv[1:]))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""go-sqlite3-stdlib function parity (SURVEY.md §2.8 layer 2).
+
+The reference exposes a fixed extended function library (registered as the
+`sqlite3_extended` driver, reference sqlite.go:28, README.md:417-425 and
+695-698). Here every function is either:
+
+  * a Spark built-in already (strings/math/hash — nothing to do),
+  * a SQL scalar UDF (`CREATE TEMPORARY FUNCTION ... RETURN <expr>`,
+    Spark 4 SQL UDFs) that expands to built-ins — JVM-side, codegen'd,
+    usable from both spark.sql and the CLI; registered by
+    :func:`register_all`,
+  * or an aggregate alias (`percentile_75(x)` → `percentile(x, 0.75)`)
+    that SQL UDFs cannot express — those are rewritten by name in
+    dsq_spark.rewrite (AGG_ALIASES below).
+
+Best-effort date parsing: the reference parses arbitrary timestamp strings
+at query time via araddon/dateparse (README.md:695-698). `best_effort_ts`
+mirrors the common formats with a coalesce of try_to_timestamp calls —
+pure JVM, no Python UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# Formats best_effort_ts tries, in order (first match wins). Mirrors the
+# high-frequency cases of the reference's dateparse dependency.
+_TS_FORMATS = [
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "yyyy-MM-dd'T'HH:mm:ssXXX",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd",
+    "yyyy/MM/dd HH:mm:ss",
+    "yyyy/MM/dd",
+    "MM/dd/yyyy HH:mm:ss",
+    "MM/dd/yyyy",
+    "dd MMM yyyy HH:mm:ss",
+    "dd MMM yyyy",
+    "EEE, dd MMM yyyy HH:mm:ss zzz",
+]
+
+_BEST_EFFORT = "coalesce(" + ", ".join(
+    "try_to_timestamp(s, '{}')".format(f.replace("'", "\\'")) for f in _TS_FORMATS
+) + ", try_to_timestamp(s))"
+
+
+def _sql_udfs() -> list[str]:
+    date_parts = {
+        "date_year": "year", "date_month": "month", "date_day": "day",
+        "date_yearday": "dayofyear", "date_hour": "hour",
+        "date_minute": "minute", "date_second": "second",
+    }
+    stmts = [
+        # URL family → parse_url (covers all six reference url_* functions)
+        "CREATE OR REPLACE TEMPORARY FUNCTION url_scheme(u STRING) RETURNS STRING RETURN lower(parse_url(u, 'PROTOCOL'))",
+        "CREATE OR REPLACE TEMPORARY FUNCTION url_host(u STRING) RETURNS STRING RETURN parse_url(u, 'HOST')",
+        "CREATE OR REPLACE TEMPORARY FUNCTION url_port(u STRING) RETURNS INT RETURN CAST(regexp_extract(parse_url(u, 'AUTHORITY'), ':(\\\\d+)$', 1) AS INT)",
+        "CREATE OR REPLACE TEMPORARY FUNCTION url_path(u STRING) RETURNS STRING RETURN parse_url(u, 'PATH')",
+        "CREATE OR REPLACE TEMPORARY FUNCTION url_param(u STRING, k STRING) RETURNS STRING RETURN parse_url(u, 'QUERY', k)",
+        "CREATE OR REPLACE TEMPORARY FUNCTION url_fragment(u STRING) RETURNS STRING RETURN parse_url(u, 'REF')",
+        # string aliases the stdlib spells differently
+        "CREATE OR REPLACE TEMPORARY FUNCTION replicate(s STRING, n INT) RETURNS STRING RETURN repeat(s, n)",
+        "CREATE OR REPLACE TEMPORARY FUNCTION strpos(s STRING, sub STRING) RETURNS INT RETURN instr(s, sub)",
+        "CREATE OR REPLACE TEMPORARY FUNCTION charindex(sub STRING, s STRING) RETURNS INT RETURN instr(s, sub)",
+        "CREATE OR REPLACE TEMPORARY FUNCTION proper(s STRING) RETURNS STRING RETURN initcap(s)",
+        # hash spellings
+        "CREATE OR REPLACE TEMPORARY FUNCTION sha256(s STRING) RETURNS STRING RETURN sha2(s, 256)",
+        "CREATE OR REPLACE TEMPORARY FUNCTION sha512(s STRING) RETURNS STRING RETURN sha2(s, 512)",
+        # best-effort timestamp parse + date_* extraction family
+        f"CREATE OR REPLACE TEMPORARY FUNCTION best_effort_ts(s STRING) RETURNS TIMESTAMP RETURN {_BEST_EFFORT}",
+        "CREATE OR REPLACE TEMPORARY FUNCTION date_unix(s STRING) RETURNS BIGINT RETURN unix_timestamp(best_effort_ts(s))",
+        "CREATE OR REPLACE TEMPORARY FUNCTION date_rfc3339(s STRING) RETURNS STRING RETURN date_format(best_effort_ts(s), \"yyyy-MM-dd'T'HH:mm:ssXXX\")",
+    ]
+    for name, fn in date_parts.items():
+        stmts.append(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(s STRING) "
+            f"RETURNS INT RETURN {fn}(best_effort_ts(s))"
+        )
+    return stmts
+
+
+def register_all(spark: SparkSession) -> None:
+    """Register the extended function library on this session."""
+    for stmt in _sql_udfs():
+        spark.sql(stmt)
+
+
+# Aggregate-name aliases SQL UDFs can't express; dsq_spark.rewrite rewrites
+# these call sites textually: name(args) → template.format(args=args).
+AGG_ALIASES = {
+    "stdev": "stddev_samp({args})",
+    "stddev": "stddev_samp({args})",
+    "percentile_25": "percentile({args}, 0.25)",
+    "percentile_50": "percentile({args}, 0.50)",
+    "percentile_75": "percentile({args}, 0.75)",
+    "percentile_90": "percentile({args}, 0.90)",
+    "percentile_95": "percentile({args}, 0.95)",
+    "percentile_99": "percentile({args}, 0.99)",
+    "group_concat": "array_join(collect_list(CAST({args} AS STRING)), ',')",
+    "total": "coalesce(sum({args}), 0.0d)",
+}

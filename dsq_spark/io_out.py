@@ -1,0 +1,172 @@
+"""Output sinks (SURVEY.md §2.1 K1-K5).
+
+K1 compact JSON array (default), K2 pretty ASCII table with alphabetical
+columns and an `(N rows)` footer, K3 schema dump in the reference's exact
+pretty/JSON grammar (reference main.go:90-182; goldens pinned at
+scripts/test.py:207-266).
+
+JSON streaming uses toLocalIterator() — one partition in driver memory at a
+time, so a 100 TB result spools without materializing (the collect() path
+is only for the pretty table, which is human-scale output by definition).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+from typing import IO
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def _cell_value(v):
+    """JSON-model rendering of one value (dsq's interchange is JSON)."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v) or math.isinf(v):
+            return None
+        if v.is_integer() and abs(v) < 1e15:
+            return int(v)
+        return v
+    if isinstance(v, (list, dict)):
+        return v
+    if hasattr(v, "isoformat"):  # datetime/date
+        return v.isoformat(sep=" ") if hasattr(v, "hour") else v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return v
+
+
+def dump_json(df: DataFrame, fh: IO[str] = sys.stdout) -> None:
+    """Compact JSON array of objects — the reference's default output
+    (main.go:119-128). Streams partition-by-partition."""
+    fh.write("[")
+    first = True
+    for row in df.toLocalIterator():
+        if not first:
+            fh.write(",\n")
+        fh.write(json.dumps(
+            {k: _cell_value(v) for k, v in row.asDict(recursive=True).items()},
+            default=str))
+        first = False
+    fh.write("]\n")
+
+
+def _render_cell(v) -> str:
+    v = _cell_value(v)
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (list, dict)):
+        return json.dumps(v, separators=(",", ":"), default=str)
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def pretty_table(df: DataFrame, fh: IO[str] = sys.stdout) -> None:
+    """ASCII table, columns alphabetical, numbers right-aligned, header
+    centered, `(N rows)` footer — matching the reference's tablewriter
+    output (goldens scripts/test.py:207-225)."""
+    cols = sorted(df.columns)
+    numeric = {
+        f.name: isinstance(f.dataType, (T.NumericType,))
+        for f in df.schema.fields
+    }
+    rows = [[_render_cell(r[c]) for c in cols] for r in df.select(*cols).collect()]
+    widths = [
+        max(len(c), *(len(row[i]) for row in rows)) if rows else len(c)
+        for i, c in enumerate(cols)
+    ]
+    border = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+
+    def center(s: str, w: int) -> str:
+        pad = w - len(s)
+        left = pad // 2
+        return " " * left + s + " " * (pad - left)
+
+    fh.write(border + "\n")
+    fh.write("|" + "|".join(" " + center(c, w + 1) for c, w in zip(cols, widths)) + "|\n")
+    fh.write(border + "\n")
+    for row in rows:
+        out = []
+        for i, c in enumerate(cols):
+            if numeric.get(c):
+                out.append(" " + row[i].rjust(widths[i]) + " ")
+            else:
+                out.append(" " + row[i].ljust(widths[i]) + " ")
+        fh.write("|" + "|".join(out) + "|\n")
+    fh.write(border + "\n")
+    n = len(rows)
+    fh.write(f"({n} row{'s' if n != 1 else ''})\n")
+
+
+# --------------------------------------------------------------------------
+# Schema dump: Spark types collapsed to the reference's JSON "Shape" kinds
+# (number/string/boolean/null; array/object/varied/unknown — SURVEY §1.2;
+# grammar pinned at scripts/test.py:228-266).
+# --------------------------------------------------------------------------
+
+def _shape(dtype: T.DataType) -> dict:
+    if isinstance(dtype, T.StructType):
+        return {
+            "kind": "object",
+            "object": {f.name: _shape(f.dataType) for f in dtype.fields},
+        }
+    if isinstance(dtype, T.ArrayType):
+        return {"kind": "array", "array": _shape(dtype.elementType)}
+    if isinstance(dtype, T.MapType):
+        return {"kind": "object", "object": {}}
+    if isinstance(dtype, (T.NumericType,)):
+        return {"kind": "scalar", "scalar": "number"}
+    if isinstance(dtype, T.BooleanType):
+        return {"kind": "scalar", "scalar": "boolean"}
+    if isinstance(dtype, T.NullType):
+        return {"kind": "scalar", "scalar": "null"}
+    if isinstance(dtype, (T.StringType, T.TimestampType, T.DateType)):
+        return {"kind": "scalar", "scalar": "string"}
+    return {"kind": "unknown"}
+
+
+def table_shape(df: DataFrame) -> dict:
+    """A table is an Array of Object of columns (the reference's universal
+    data model, SURVEY §1.1)."""
+    return {
+        "kind": "array",
+        "array": {
+            "kind": "object",
+            "object": {f.name: _shape(f.dataType) for f in df.schema.fields},
+        },
+    }
+
+
+def schema_json(df: DataFrame, fh: IO[str] = sys.stdout) -> None:
+    fh.write(json.dumps(table_shape(df), indent=2) + "\n")
+
+
+def _shape_pretty(shape: dict, indent: int, fh: IO[str]) -> None:
+    pad = "  " * indent
+    kind = shape["kind"]
+    if kind == "array":
+        fh.write(pad + "Array of\n")
+        _shape_pretty(shape["array"], indent + 1, fh)
+    elif kind == "object":
+        fh.write(pad + "Object of\n")
+        for name, sub in shape["object"].items():
+            fh.write("  " * (indent + 1) + name + " of\n")
+            _shape_pretty(sub, indent + 2, fh)
+    elif kind == "scalar":
+        fh.write(pad + shape["scalar"] + "\n")
+    elif kind == "varied":
+        fh.write(pad + "Varied of " +
+                 " or ".join(s.get("scalar", s["kind"]) for s in shape["varied"]) + "\n")
+    else:
+        fh.write(pad + "Unknown\n")
+
+
+def schema_pretty(df: DataFrame, fh: IO[str] = sys.stdout) -> None:
+    _shape_pretty(table_shape(df), 0, fh)

@@ -1,25 +1,40 @@
 """Deduplication operators over the `documents` table.
 
 Exact dedup (hash-groupBy), MinHash+LSH near-dup (shingle → minhash → band →
-bucket-join → verify), SimHash, and n-gram Jaccard. Every stage is built from
-Catalyst higher-order array functions + joins — no Python in the hot path —
-so the same plan distributes: the only shuffles are the band-bucket join and
-the verification join, both keyed well-spread by construction (hash keys).
+bucket-join → verify), SimHash, and n-gram Jaccard.
+
+Physical design (verified via .explain — no interpreted higher-order lambdas
+in the hot path):
+  * tokenization is materialized ONCE as a column, then shingles explode out
+    of it — inlining the split() inside a transform() lambda makes Catalyst
+    re-tokenize per element (O(shingles × text) interpreted work; measured
+    25 s → 7 s at sf0.01 for the explode when materialized);
+  * minhash signatures are groupBy(doc_id) MIN aggregates over the exploded
+    (doc_id, shingle-hash) stream — whole-stage-codegen hash aggregation,
+    one shuffle on doc_id, instead of per-row interpreted array folds;
+  * SimHash bit votes are 32 conditional SUM aggregates in the same shape;
+  * band signatures posexplode from a single projection (a 4-way UNION would
+    re-evaluate the whole upstream per branch).
 
 Scale notes (100 TB):
-  * MinHash candidate generation is linear: explode docs × n_bands rows,
-    shuffle on (band, signature) — signatures are uniform, no skew.
-  * Verification joins only candidate pairs (tiny vs the corpus) back to the
-    shingle sets — a broadcast of the pair list when it fits, else a shuffle
-    join on doc_id.
-  * All-pairs n-gram Jaccard is quadratic by nature, so the oracle-checked
-    query bounds it to a key range; at scale the MinHash path replaces it.
+  * candidate generation is linear: n_docs × n_bands rows shuffled on
+    (band, signature) — signatures are uniform md5, no skew;
+  * banding is 4 bands × 3 rows (12 minhashes): candidate probability
+    1-(1-J³)⁴ — steep around J≈0.6, so the verify join only pays for pairs
+    that are plausibly ≥0.5-similar (the corpus here has a 31-word
+    vocabulary; r=2 banding made nearly every pair a candidate);
+  * verification joins candidate pairs back to the shingle stream — at
+    cluster scale the pair list broadcasts when small, else shuffles on
+    doc_id; either way only candidates pay the quadratic cost.
 
 MinHash math (both engines, exact integer arithmetic):
     h(s)     = int(md5(s)[:15 hex]) % P          (identical md5 both sides)
     mh_j     = min over shingles of (A_j * h + B_j) % P
-    band sig = md5(mh_{2t} || '_' || mh_{2t+1})   (b=4 bands, r=2 rows)
+    band sig = md5(mh_{3t} || '_' || mh_{3t+1} || '_' || mh_{3t+2})
 with P = 1_000_000_007 and fixed A_j/B_j literals below (A_j*h < 2^63: safe).
+
+Reference parity note: dsq has no dedup operators (SURVEY.md §2) — this is
+the training-data-pipeline extension surface.
 """
 
 from __future__ import annotations
@@ -29,25 +44,42 @@ import random
 from pyspark.sql import functions as F
 
 from dsq_spark.queries.base import register, t
-from dsq_spark.queries.text import D_NORM, D_TOKENS, NORM, TOKENS
+from dsq_spark.queries.text import D_NORM, D_TOKENS, NORM
 
 P = 1_000_000_007
-N_HASHES = 8
-N_BANDS = 4  # r = 2 rows per band
+N_HASHES = 12
+N_BANDS = 4  # r = 3 rows per band
 _rng = random.Random(42)
 A = [_rng.randrange(1, P) for _ in range(N_HASHES)]
 B = [_rng.randrange(0, P) for _ in range(N_HASHES)]
 
-# --- shared expression builders (Spark dialect / DuckDB dialect) -----------
+# --- shared builders -------------------------------------------------------
 
+# Spark: (doc_id, shingle) stream. Tokens materialize once as a column;
 # 3-word shingles, distinct; docs shorter than 3 tokens fall back to the
 # whole normalized text as a single shingle.
-SHINGLES = (
-    f"CASE WHEN size({TOKENS}) >= 3 THEN array_distinct(transform("
-    f"sequence(0, size({TOKENS}) - 3), i -> concat(element_at({TOKENS}, i + 1), ' ', "
-    f"element_at({TOKENS}, i + 2), ' ', element_at({TOKENS}, i + 3)))) "
-    f"ELSE array({NORM}) END"
+_SH_FROM_TOKS = (
+    "CASE WHEN size(toks) >= 3 THEN array_distinct(transform("
+    "sequence(0, size(toks) - 3), i -> concat(element_at(toks, i + 1), ' ', "
+    "element_at(toks, i + 2), ' ', element_at(toks, i + 3)))) "
+    "ELSE array(norm) END"
 )
+
+
+def shingle_stream(spark, sf_dir, pred=None):
+    """Exploded (doc_id, s) distinct-shingle stream — the shared input of
+    every dedup stage. One codegen'd projection chain, no recompute traps."""
+    d = t(spark, sf_dir, "documents")
+    if pred is not None:
+        d = d.filter(pred)
+    return (
+        d.select("doc_id", F.expr(NORM).alias("norm"))
+        .withColumn("toks", F.split("norm", " "))
+        .select("doc_id", F.explode(F.expr(_SH_FROM_TOKS)).alias("s"))
+    )
+
+
+# DuckDB mirror of the shingle set (list-valued; identical strings).
 D_SHINGLES = (
     f"CASE WHEN length({D_TOKENS}) >= 3 THEN list_distinct(list_transform("
     f"range(0, length({D_TOKENS}) - 2), i -> concat({D_TOKENS}[i + 1], ' ', "
@@ -55,27 +87,9 @@ D_SHINGLES = (
     f"ELSE [{D_NORM}] END"
 )
 
-HASHES = (
-    f"transform({SHINGLES}, s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) % {P})"
-)
-D_HASHES = (
-    f"list_transform({D_SHINGLES}, s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {P})"
-)
-
-
-def _minhash_cols():
-    """Spark: one column per minhash slot."""
-    return [
-        F.expr(f"array_min(transform(hs, h -> ({A[j]} * h + {B[j]}) % {P}))").alias(f"mh{j}")
-        for j in range(N_HASHES)
-    ]
-
-
-def _d_minhash_exprs():
-    return ", ".join(
-        f"list_min(list_transform(hs, h -> ({A[j]} * h + {B[j]}) % {P})) AS mh{j}"
-        for j in range(N_HASHES)
-    )
+# 60-bit md5 prefix → bigint, mod P (identical in both engines).
+H_SPARK = f"CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) % {P}"
+H_DUCK = f"CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {P}"
 
 
 @register(
@@ -102,40 +116,39 @@ def dedup_exact(spark, sf_dir):
     )
 
 
-def _band_sig_exprs():
-    """Spark band-signature columns from mh0..mh{N_HASHES-1}."""
-    return [
-        F.md5(F.concat_ws("_", F.col(f"mh{2 * t}"), F.col(f"mh{2 * t + 1}"))).alias(f"band{t}")
-        for t in range(N_BANDS)
-    ]
+def _d_minhash_exprs():
+    return ", ".join(
+        f"min(({A[j]} * h + {B[j]}) % {P}) AS mh{j}" for j in range(N_HASHES)
+    )
 
 
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
 WITH sh AS (
-  SELECT doc_id, {D_HASHES} AS hs, {D_SHINGLES} AS shingles FROM documents
+  SELECT doc_id, unnest({D_SHINGLES}) AS s FROM documents
 ),
+hashed AS (SELECT doc_id, {H_DUCK} AS h FROM sh),
 mh AS (
-  SELECT doc_id, shingles, {_d_minhash_exprs()} FROM sh
+  SELECT doc_id, {_d_minhash_exprs()} FROM hashed GROUP BY doc_id
 ),
 bands AS (
   {" UNION ALL ".join(
-      f"SELECT doc_id, {tband} AS band_idx, md5(concat(mh{2 * tband}, '_', mh{2 * tband + 1})) AS sig, shingles FROM mh"
-      for tband in range(N_BANDS))}
+      f"SELECT doc_id, {tb} AS band_idx, "
+      f"md5(concat(mh{3 * tb}, '_', mh{3 * tb + 1}, '_', mh{3 * tb + 2})) AS sig FROM mh"
+      for tb in range(N_BANDS))}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc_id < b.doc_id
 ),
-sets AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS i
   FROM cand c
-  JOIN sets sa ON sa.doc_id = c.doc_a
-  JOIN sets sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT c.doc_a, c.doc_b,
@@ -146,33 +159,32 @@ JOIN sizes za ON za.doc_id = c.doc_a
 JOIN sizes zb ON zb.doc_id = c.doc_b
 WHERE coalesce(i.i, 0) * 1.0 / (za.n + zb.n - coalesce(i.i, 0)) >= 0.5
 """,
-    doc="MinHash+LSH near-duplicate pairs: 3-word shingles → 8 minhashes → "
-        "4 bands of 2 → bucket self-join → exact-Jaccard verification ≥ 0.5. "
+    doc="MinHash+LSH near-duplicate pairs: 3-word shingles → 12 minhashes → "
+        "4 bands of 3 → bucket self-join → exact-Jaccard verification ≥ 0.5. "
         "Linear candidate generation; only candidates pay the quadratic cost.",
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.expr(HASHES).alias("hs"), F.expr(SHINGLES).alias("shingles"))
-    mh = sh.select("doc_id", "shingles", *_minhash_cols())
-    bands_cols = _band_sig_exprs()
-    bands = None
-    for tband in range(N_BANDS):
-        piece = mh.select(
-            "doc_id", F.lit(tband).alias("band_idx"), bands_cols[tband].alias("sig"), "shingles"
-        )
-        bands = piece if bands is None else bands.unionAll(piece)
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band_idx", "sig"
+    sh = shingle_stream(spark, sf_dir)
+    hashed = sh.select("doc_id", F.expr(H_SPARK).alias("h"))
+    mh = hashed.groupBy("doc_id").agg(
+        *[F.min((F.lit(A[j]) * F.col("h") + F.lit(B[j])) % F.lit(P)).alias(f"mh{j}")
+          for j in range(N_HASHES)]
     )
-    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("band_idx").alias("band_idx_b"), F.col("sig").alias("sig_b"))
+    sig_arr = F.array(*[
+        F.md5(F.concat_ws("_", f"mh{3 * tb}", f"mh{3 * tb + 1}", f"mh{3 * tb + 2}"))
+        for tb in range(N_BANDS)
+    ])
+    bands = mh.select("doc_id", F.posexplode(sig_arr).alias("band_idx", "sig"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "sig")
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("band_idx").alias("band_idx_b"), F.col("sig").alias("sig_b"))
     cand = (
         a.join(b, (a.band_idx == b.band_idx_b) & (a.sig == b.sig_b) & (a.doc_a < b.doc_b))
         .select("doc_a", "doc_b").distinct()
     )
-    sets = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sizes = sets.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("s_b"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("s_b"))
     inter = (
         cand.join(sa, "doc_a")
         .join(sb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("s_a") == F.col("s_b")))
@@ -212,8 +224,7 @@ WHERE i * 1.0 / (za.n + zb.n - i) >= 0.05
         "the quadratic ground truth the MinHash path approximates.",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    sh = d.select("doc_id", F.explode(F.expr(SHINGLES)).alias("s"))
+    sh = shingle_stream(spark, sf_dir, pred=F.col("doc_id") < 60)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
@@ -231,43 +242,38 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-# SimHash: 32-bit signature from per-token hash bit votes.
-SIMHASH = (
-    f"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) -> acc + "
-    f"CASE WHEN aggregate(hs, CAST(0 AS BIGINT), "
-    f"(v, h) -> v + CASE WHEN (h & shiftleft(CAST(1 AS BIGINT), b)) != 0 THEN 1 ELSE -1 END) > 0 "
-    f"THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END)"
-)
-D_SIMHASH = (
-    f"list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 32)), (acc, b) -> acc + "
-    f"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), hs), "
-    f"(v, h) -> v + CASE WHEN (h & (CAST(1 AS BIGINT) << b)) != 0 THEN 1 ELSE -1 END) > 0 "
-    f"THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)"
-)
-
-# Token hashes for simhash: distinct tokens (set semantics), 60-bit md5 prefix.
-TOKEN_HASHES = (
-    f"transform(array_distinct({TOKENS}), "
-    f"x -> CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT))"
-)
-D_TOKEN_HASHES = (
-    f"list_transform(list_distinct({D_TOKENS}), "
-    f"x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT))"
-)
+# --------------------------------------------------------------------------
+# SimHash: 32-bit signature from per-token hash bit votes. Votes are 32
+# conditional SUM aggregates over the exploded token-hash stream (codegen
+# hash agg, one shuffle) — not per-row interpreted folds.
+# --------------------------------------------------------------------------
 
 
 @register(
     "dedup_simhash",
     oracle=f"""
-WITH sh AS (
-  SELECT doc_id, {D_TOKEN_HASHES} AS hs FROM documents
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({D_TOKENS})) AS s FROM documents
 ),
-sig AS (SELECT doc_id, {D_SIMHASH} AS simhash FROM sh),
-chunks AS (
-  SELECT doc_id, simhash, unnest(range(0, 4)) AS k FROM sig
+hashed AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM tok
+),
+votes AS (
+  SELECT doc_id,
+         {", ".join(
+             f"sum(CASE WHEN (h & ({1 << b})) != 0 THEN 1 ELSE -1 END) AS v{b}"
+             for b in range(32))}
+  FROM hashed GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+         {" + ".join(f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+                     for b in range(32))} AS simhash
+  FROM votes
 ),
 keyed AS (
-  SELECT doc_id, simhash, k, (simhash >> (8 * CAST(k AS INTEGER))) & 255 AS chunk FROM chunks
+  SELECT doc_id, simhash, k, (simhash >> (8 * CAST(k AS INTEGER))) & 255 AS chunk
+  FROM sig, unnest(range(0, 4)) AS u(k)
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -286,9 +292,22 @@ WHERE bit_count(xor(sim_a, sim_b)) <= 6
 )
 def dedup_simhash(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    sig = d.select("doc_id", F.expr(TOKEN_HASHES).alias("hs")).select(
-        "doc_id", F.expr(SIMHASH).alias("simhash")
+    tok = (
+        d.select("doc_id", F.expr(NORM).alias("norm"))
+        .select("doc_id", F.explode(F.array_distinct(F.split("norm", " "))).alias("s"))
     )
+    hashed = tok.select(
+        "doc_id", F.expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("h")
+    )
+    votes = hashed.groupBy("doc_id").agg(
+        *[F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"v{b}")
+          for b in range(32)]
+    )
+    sig_expr = None
+    for b in range(32):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sig = votes.select("doc_id", sig_expr.alias("simhash"))
     keyed = sig.select(
         "doc_id", "simhash", F.explode(F.expr("sequence(0, 3)")).alias("k")
     ).select(

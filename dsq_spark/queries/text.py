@@ -44,8 +44,10 @@ GROUP BY lang
     doc="Whitespace token counting per document, aggregated per language.",
 )
 def text_token_stats(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
-    ntok = F.size(F.expr(TOKENS))
+    # Materialize the token array once per row — inlining the split() into
+    # every aggregate re-tokenizes per expression (see dedup.py module doc).
+    d = t(spark, sf_dir, "documents").withColumn("toks", F.expr(TOKENS))
+    ntok = F.size("toks")
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(ntok).cast("long").alias("total_tokens"),
@@ -80,15 +82,16 @@ GROUP BY source
         "and a keep/drop gate — the standard pretraining-filter shape.",
 )
 def text_quality_scores(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents").withColumn("toks", F.expr(TOKENS))
+    ntok = F.size("toks")
     scored = d.select(
         "source",
-        F.expr(f"size({TOKENS})").alias("n_tokens"),
+        ntok.alias("n_tokens"),
         (F.expr("size(regexp_extract_all(text, '[.,!?;:]', 0))") * 1.0
          / F.greatest(F.col("n_chars"), F.lit(1))).alias("punct_ratio"),
-        (F.expr(f"size(filter({TOKENS}, x -> x IN ({STOPWORDS})))") * 1.0
-         / F.greatest(F.expr(f"size({TOKENS})"), F.lit(1))).alias("stopword_ratio"),
-        (F.col("n_chars") * 1.0 / F.greatest(F.expr(f"size({TOKENS})"), F.lit(1))).alias("avg_word_len"),
+        (F.expr(f"size(filter(toks, x -> x IN ({STOPWORDS})))") * 1.0
+         / F.greatest(ntok, F.lit(1))).alias("stopword_ratio"),
+        (F.col("n_chars") * 1.0 / F.greatest(ntok, F.lit(1))).alias("avg_word_len"),
     )
     return scored.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -117,9 +120,9 @@ GROUP BY lang, predicted
         "matrix against the labeled lang column.",
 )
 def text_langid_heuristic(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
-    en_score = F.expr(f"size(filter({TOKENS}, x -> x IN ('the','of','and','is')))")
-    other_score = F.expr(f"size(filter({TOKENS}, x -> x IN ('la','le','el','de','und','der')))")
+    d = t(spark, sf_dir, "documents").withColumn("toks", F.expr(TOKENS))
+    en_score = F.expr("size(filter(toks, x -> x IN ('the','of','and','is')))")
+    other_score = F.expr("size(filter(toks, x -> x IN ('la','le','el','de','und','der')))")
     pred = d.select(
         "lang",
         F.when(en_score >= other_score, "en").otherwise("other").alias("predicted"),

@@ -129,6 +129,58 @@ def _rewrite_arrows(sql: str) -> str:
     return _ARROW.sub(repl, sql)
 
 
+def _literal_spans(sql: str) -> list[tuple[int, int]]:
+    spans, pos = [], 0
+    for is_str, chunk in _split_on_strings(sql):
+        if is_str:
+            spans.append((pos, pos + len(chunk)))
+        pos += len(chunk)
+    return spans
+
+
+def _rewrite_fn_aliases(sql: str) -> str:
+    """Expand aggregate-alias calls (percentile_75(x) → percentile(x, 0.75)
+    etc. — see dsq_spark.functions.AGG_ALIASES) with balanced-paren arg
+    capture. Runs over the whole statement because an argument list may
+    itself contain string literals; call sites inside literals are skipped
+    via precomputed literal spans."""
+    from dsq_spark.functions import AGG_ALIASES
+
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(n) for n in AGG_ALIASES) + r")\s*\(",
+        re.IGNORECASE,
+    )
+    spans = _literal_spans(sql)
+    out, i = [], 0
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        if any(a <= m.start() < b for a, b in spans):
+            out.append(sql[i:m.end()])
+            i = m.end()
+            continue
+        out.append(sql[i:m.start()])
+        depth, j, n = 1, m.end(), len(sql)
+        in_str = False
+        while j < n and depth:
+            ch = sql[j]
+            if in_str:
+                in_str = ch != "'"
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            j += 1
+        args = sql[m.end():j - 1]
+        out.append(AGG_ALIASES[m.group(1).lower()].format(args=args))
+        i = j
+    return "".join(out)
+
+
 def rewrite_query(sql: str) -> str:
     """Full dsq-dialect → Spark SQL rewrite (string literals untouched)."""
     parts = []
@@ -140,4 +192,4 @@ def rewrite_query(sql: str) -> str:
     parts = []
     for is_str, chunk in _split_on_strings(out):
         parts.append(chunk if is_str else _rewrite_arrows(chunk))
-    return "".join(parts)
+    return _rewrite_fn_aliases("".join(parts))
