@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 import math
 import sys
-from typing import IO
+from typing import IO, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -40,9 +40,10 @@ def _cell_value(v):
     return v
 
 
-def dump_json(df: DataFrame, fh: IO[str] = sys.stdout) -> None:
+def dump_json(df: DataFrame, fh: Optional[IO[str]] = None) -> None:
     """Compact JSON array of objects — the reference's default output
     (main.go:119-128). Streams partition-by-partition."""
+    fh = fh if fh is not None else sys.stdout
     fh.write("[")
     first = True
     for row in df.toLocalIterator():
@@ -68,10 +69,11 @@ def _render_cell(v) -> str:
     return str(v)
 
 
-def pretty_table(df: DataFrame, fh: IO[str] = sys.stdout) -> None:
+def pretty_table(df: DataFrame, fh: Optional[IO[str]] = None) -> None:
     """ASCII table, columns alphabetical, numbers right-aligned, header
     centered, `(N rows)` footer — matching the reference's tablewriter
     output (goldens scripts/test.py:207-225)."""
+    fh = fh if fh is not None else sys.stdout
     cols = sorted(df.columns)
     numeric = {
         f.name: isinstance(f.dataType, (T.NumericType,))
@@ -144,7 +146,8 @@ def table_shape(df: DataFrame) -> dict:
     }
 
 
-def schema_json(df: DataFrame, fh: IO[str] = sys.stdout) -> None:
+def schema_json(df: DataFrame, fh: Optional[IO[str]] = None) -> None:
+    fh = fh if fh is not None else sys.stdout
     fh.write(json.dumps(table_shape(df), indent=2) + "\n")
 
 
@@ -168,5 +171,6 @@ def _shape_pretty(shape: dict, indent: int, fh: IO[str]) -> None:
         fh.write(pad + "Unknown\n")
 
 
-def schema_pretty(df: DataFrame, fh: IO[str] = sys.stdout) -> None:
+def schema_pretty(df: DataFrame, fh: Optional[IO[str]] = None) -> None:
+    fh = fh if fh is not None else sys.stdout
     _shape_pretty(table_shape(df), 0, fh)

@@ -23,6 +23,8 @@ from dsq_spark.queries import core  # noqa: F401,E402
 from dsq_spark.queries import text  # noqa: F401,E402
 from dsq_spark.queries import dedup  # noqa: F401,E402
 from dsq_spark.queries import similarity  # noqa: F401,E402
+from dsq_spark.queries import multimodal_q  # noqa: F401,E402
+from dsq_spark.queries import tpch_extra  # noqa: F401,E402
 
 
 def queries():

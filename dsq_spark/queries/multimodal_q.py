@@ -1,0 +1,93 @@
+"""Multimodal-pipeline queries: binary media columns through mapInPandas.
+
+The media payloads are deterministic fakes built from the documents table
+(see dsq_spark.multimodal — real decoders are stubbed, the Spark plumbing
+is real), so the decode/metadata path is fully oracle-checkable: DuckDB
+recomputes the header fields from the same md5/length arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dsq_spark.multimodal import (
+    attach_fake_media,
+    decode_image_meta,
+    extract_features,
+    sample_frames,
+)
+from dsq_spark.queries.base import register, t
+
+
+@register(
+    "mm_image_meta",
+    oracle="""
+WITH meta AS (
+  SELECT doc_id,
+         (length(text) % 640) + 16 AS width,
+         CAST(concat('0x', substr(md5(text), 17, 8)) AS BIGINT) % 480 + 16 AS height,
+         substr(md5(text), 1, 16) AS content_fp
+  FROM documents
+)
+SELECT CAST(floor(width / 100) AS INTEGER) AS width_bucket,
+       count(*) AS n_images,
+       CAST(min(height) AS INTEGER) AS min_height,
+       CAST(max(height) AS INTEGER) AS max_height,
+       count(DISTINCT content_fp) AS n_distinct
+FROM meta
+GROUP BY 1
+""",
+    doc="Binary media header decode via Arrow-batched mapInPandas (stubbed "
+        "image decoder, real plumbing), aggregated by width bucket. The "
+        "oracle recomputes the deterministic header fields in SQL.",
+)
+def mm_image_meta(spark, sf_dir):
+    media = attach_fake_media(t(spark, sf_dir, "documents"))
+    meta = decode_image_meta(media)
+    return (
+        meta.groupBy(F.floor(F.col("width") / 100).cast("int").alias("width_bucket"))
+        .agg(
+            F.count("*").alias("n_images"),
+            F.min("height").cast("int").alias("min_height"),
+            F.max("height").cast("int").alias("max_height"),
+            F.countDistinct("content_fp").alias("n_distinct"),
+        )
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle=None,  # frame fingerprints hash binary+index inside the Python
+    # kernel — not SQL-expressible; driver records the rows-only check.
+    doc="Video-style frame sampling (flat-map mapInPandas: N rows per "
+        "payload); per-document frame counts.",
+)
+def mm_frame_sample(spark, sf_dir):
+    media = attach_fake_media(t(spark, sf_dir, "documents")).limit(200)
+    frames = sample_frames(media, every_n=4, max_frames=3)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.countDistinct("frame_fp").alias("n_distinct_frames"),
+    )
+
+
+@register(
+    "mm_feature_neighbors",
+    oracle=None,  # md5-seeded float vectors built in Python — rows-only.
+    doc="Stub feature-extraction (mapInPandas) feeding brute-force cosine "
+        "neighbor search — the multimodal → similarity-search hand-off.",
+)
+def mm_feature_neighbors(spark, sf_dir):
+    media = attach_fake_media(t(spark, sf_dir, "documents")).limit(100)
+    feats = extract_features(media)
+    dot = "aggregate(zip_with(f_a, f_b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    a = feats.select(F.col("doc_id").alias("doc_a"), F.col("feature").alias("f_a"))
+    b = feats.select(F.col("doc_id").alias("doc_b"), F.col("feature").alias("f_b"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    sim = F.expr(dot) / (
+        F.sqrt(F.expr(dot.replace("f_b", "f_a"))) * F.sqrt(F.expr(dot.replace("f_a", "f_b")))
+    )
+    return (
+        pairs.select("doc_a", "doc_b", F.round(sim, 4).alias("cosine"))
+        .filter(F.col("cosine") > 0.9)
+    )

@@ -118,8 +118,16 @@ def _rewrite_arrows(sql: str) -> str:
     strings) both surface as TEXT, which is exactly what
     get_json_object returns (tested in the reference at
     scripts/test.py:392-398: `c->1` = '2').
+
+    Runs over the whole statement (the KEY operand is itself a string
+    literal, so per-chunk rewriting would split the match); only matches
+    whose column operand starts inside a literal are skipped.
     """
+    spans = _literal_spans(sql)
+
     def repl(m: re.Match) -> str:
+        if any(a <= m.start(1) < b for a, b in spans):
+            return m.group(0)
         col = m.group(1)
         key = m.group(3) or m.group(5)
         idx = m.group(4)
@@ -186,10 +194,6 @@ def rewrite_query(sql: str) -> str:
     parts = []
     for is_str, chunk in _split_on_strings(sql):
         parts.append(chunk if is_str else _rewrite_chunk(chunk))
-    out = "".join(parts)
-    # arrow rewriting needs the post-quote form (backticked identifiers) but
-    # must still skip string literals:
-    parts = []
-    for is_str, chunk in _split_on_strings(out):
-        parts.append(chunk if is_str else _rewrite_arrows(chunk))
-    return _rewrite_fn_aliases("".join(parts))
+    # arrow + alias rewriting run whole-statement (their matches can span a
+    # literal boundary) with literal-span skipping inside.
+    return _rewrite_fn_aliases(_rewrite_arrows("".join(parts)))

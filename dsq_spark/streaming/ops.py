@@ -1,0 +1,119 @@
+"""Structured Streaming operators (extension surface — SURVEY.md §2.9).
+
+The reference has NO streaming (its only "stream" is spooling stdin to a
+temp file, reference main.go:484-499), so this module is the greenfield
+extension the north-star brief calls for: watermarked event-time windows,
+sliding windows, and session windows over the same `events` schema the
+batch engine queries.
+
+Design for scale:
+  * event-time, not processing-time: every aggregation is keyed on the
+    `ts` column with an explicit watermark, so late data is bounded and
+    state is evicted — mandatory at 100 TB/day ingest;
+  * `F.window` / `F.session_window` are Catalyst-native stateful operators
+    (codegen'd, RocksDB-backed state store on a real cluster) — no Python
+    in the hot path;
+  * each operator takes any DataFrame (batch or streaming) — the SAME
+    plan runs in both modes, which is how we unit-test semantics: run the
+    operator on a batch frame, compare against the windowed batch oracle,
+    then smoke it end-to-end with a file-source stream (tests/test_streaming).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, dir_path: str,
+                       max_files_per_trigger: int = 10) -> DataFrame:
+    """File-source stream of JSONL event files dropped into a directory —
+    the canonical replayable ingest pattern (works identically with Kafka
+    by swapping the source)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(dir_path)
+    )
+
+
+def tumbling_window_agg(events: DataFrame, width: str = "1 hour",
+                        watermark: str = "30 minutes") -> DataFrame:
+    """Per-event-type counts and value sums in tumbling event-time windows.
+
+    Watermark bounds state: windows older than max(event time) - watermark
+    are finalized and evicted.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact COUNT(DISTINCT) is unsupported on streams; the HLL
+            # sketch merges commutatively so batch and stream agree.
+            F.approx_count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type", "n_events", "total_value", "n_users",
+        )
+    )
+
+
+def sliding_window_counts(events: DataFrame, width: str = "1 hour",
+                          slide: str = "15 minutes",
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Overlapping sliding windows — each event lands in width/slide
+    windows; Spark expands them without duplicating input."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"), "n_events")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "30 minutes") -> DataFrame:
+    """Per-user session windows with an inactivity gap — the streaming
+    twin of the batch `sessionize_events` query (gaps-and-islands): same
+    gap semantics, incremental state instead of a global sort."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events", "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(sdf: DataFrame, query_name: str,
+                         timeout_s: float = 60.0):
+    """Drive a streaming DataFrame into an in-memory sink until idle —
+    test/bench harness helper (complete mode, bounded file source)."""
+    q = (
+        sdf.writeStream.format("memory").queryName(query_name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

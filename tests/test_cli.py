@@ -1,0 +1,80 @@
+"""CLI end-to-end tests (reference scripts/test.py golden strategy)."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+from contextlib import redirect_stdout
+
+import pytest
+
+from dsq_spark.cli import parse_args, run
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _run(argv, spark):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = run(argv, spark)
+    return rc, buf.getvalue()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def fixtures(tmp_path_factory):
+    os.makedirs(FIX, exist_ok=True)
+    with open(f"{FIX}/cli_users.csv", "w") as fh:
+        fh.write("id,name\n1,Alice\n2,Bob\n")
+    with open(f"{FIX}/cli_ages.json", "w") as fh:
+        json.dump([{"id": 1, "age": 33}, {"id": 2, "age": 41}], fh)
+
+
+def test_parse_last_arg_heuristic():
+    # last arg with a space = query; without = file (main.go:502-508)
+    a = parse_args(["f.csv", "SELECT 1 FROM {}"])
+    assert a.files == ["f.csv"] and a.query == "SELECT 1 FROM {}"
+    a = parse_args(["f.csv"])
+    assert a.files == ["f.csv"] and a.query is None
+
+
+def test_cross_format_join(spark):
+    rc, out = _run([
+        f"{FIX}/cli_users.csv", f"{FIX}/cli_ages.json",
+        "SELECT {0}.name, {1}.age FROM {0} JOIN {1} ON {0}.id = {1}.id ORDER BY age",
+    ], spark)
+    assert rc == 0
+    assert json.loads(out) == [{"name": "Alice", "age": 33}, {"name": "Bob", "age": 41}]
+
+
+def test_pretty_output(spark):
+    rc, out = _run(["--pretty", f"{FIX}/cli_users.csv",
+                    "SELECT COUNT(1) AS n FROM {}"], spark)
+    assert rc == 0
+    assert out == "+---+\n| n |\n+---+\n| 2 |\n+---+\n(1 row)\n"
+
+
+def test_queryless_dump(spark):
+    rc, out = _run([f"{FIX}/cli_ages.json"], spark)
+    assert json.loads(out) == [{"age": 33, "id": 1}, {"age": 41, "id": 2}]
+
+
+def test_schema_json(spark):
+    rc, out = _run(["--schema", f"{FIX}/cli_ages.json"], spark)
+    shape = json.loads(out)
+    assert shape["kind"] == "array"
+    assert shape["array"]["object"]["age"] == {"kind": "scalar", "scalar": "number"}
+
+
+def test_no_input_files(spark):
+    rc, _ = _run([], spark)
+    assert rc == 1
+
+
+def test_extended_functions_via_cli(spark):
+    rc, out = _run([
+        f"{FIX}/cli_users.csv",
+        "SELECT url_host('https://ex.com/p') AS h, percentile_50(CAST(id AS INT)) AS med FROM {}",
+    ], spark)
+    rows = json.loads(out)
+    assert rows[0]["h"] == "ex.com"

@@ -1,0 +1,64 @@
+"""Unit tests for the dsq-dialect → Spark SQL rewriter (no Spark needed)."""
+
+from __future__ import annotations
+
+from dsq_spark.rewrite import TableRef, extract_table_refs, rewrite_query
+
+
+def test_shorthand_and_indexed():
+    assert rewrite_query("SELECT * FROM {}") == "SELECT * FROM t_0"
+    assert rewrite_query("SELECT * FROM {0} JOIN {1}") == "SELECT * FROM t_0 JOIN t_1"
+
+
+def test_doc_path_refs():
+    sql = 'SELECT * FROM {0, "data.data"}'
+    refs = extract_table_refs(sql)
+    assert refs == [TableRef(0, "data.data")]
+    assert rewrite_query(sql) == "SELECT * FROM t_0__data_data"
+    # bare-path shorthand targets panel 0
+    assert extract_table_refs('SELECT * FROM {"a.b"}') == [TableRef(0, "a.b")]
+
+
+def test_string_literals_untouched():
+    sql = "SELECT '{0} REGEXP \"x\"' AS lit FROM {0}"
+    assert rewrite_query(sql) == "SELECT '{0} REGEXP \"x\"' AS lit FROM t_0"
+    assert extract_table_refs(sql) == [TableRef(0, None)]
+
+
+def test_regexp_to_rlike():
+    assert rewrite_query("SELECT * FROM {} WHERE a REGEXP 'x.*'") == \
+        "SELECT * FROM t_0 WHERE a RLIKE 'x.*'"
+    # case-insensitive keyword
+    assert "RLIKE" in rewrite_query("select * from {} where a regexp 'y'")
+
+
+def test_double_quoted_identifiers():
+    assert rewrite_query('SELECT "location.city" FROM {}') == \
+        "SELECT `location.city` FROM t_0"
+    assert rewrite_query('SELECT " Name " FROM {}') == "SELECT ` Name ` FROM t_0"
+
+
+def test_arrow_operators():
+    assert rewrite_query("SELECT c->1 FROM {}") == \
+        "SELECT get_json_object(c, '$[1]') FROM t_0"
+    assert rewrite_query("SELECT c->>'k' FROM {}") == \
+        "SELECT get_json_object(c, '$.k') FROM t_0"
+    assert rewrite_query('SELECT "a.b"->0 FROM {}') == \
+        "SELECT get_json_object(`a.b`, '$[0]') FROM t_0"
+
+
+def test_agg_aliases():
+    out = rewrite_query("SELECT percentile_75(x), stdev(y) FROM {}")
+    assert "percentile(x, 0.75)" in out
+    assert "stddev_samp(y)" in out
+    # nested parens in args survive
+    out = rewrite_query("SELECT percentile_25(abs(x - 1)) FROM {}")
+    assert "percentile(abs(x - 1), 0.25)" in out
+    # alias name inside a string literal is untouched
+    out = rewrite_query("SELECT 'stdev(x)' AS lit, total(y) FROM {}")
+    assert "'stdev(x)'" in out and "coalesce(sum(y), 0.0d)" in out
+
+
+def test_view_name_dedup():
+    refs = extract_table_refs("SELECT * FROM {0} a JOIN {0} b ON a.x = b.x")
+    assert refs == [TableRef(0, None)]
