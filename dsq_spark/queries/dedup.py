@@ -164,7 +164,12 @@ WHERE coalesce(i.i, 0) * 1.0 / (za.n + zb.n - coalesce(i.i, 0)) >= 0.5
         "Linear candidate generation; only candidates pay the quadratic cost.",
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    sh = shingle_stream(spark, sf_dir)
+    # The shingle stream feeds four consumers (minhash, sizes, and both
+    # sides of the verification join) — persist it so the tokenize+explode
+    # subtree runs once. At cluster scale this is the same call with
+    # StorageLevel.MEMORY_AND_DISK (default): shingles are ~linear in the
+    # corpus and spill cleanly.
+    sh = shingle_stream(spark, sf_dir).persist()
     hashed = sh.select("doc_id", F.expr(H_SPARK).alias("h"))
     mh = hashed.groupBy("doc_id").agg(
         *[F.min((F.lit(A[j]) * F.col("h") + F.lit(B[j])) % F.lit(P)).alias(f"mh{j}")
@@ -224,7 +229,8 @@ WHERE i * 1.0 / (za.n + zb.n - i) >= 0.05
         "the quadratic ground truth the MinHash path approximates.",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    sh = shingle_stream(spark, sf_dir, pred=F.col("doc_id") < 60)
+    # three consumers (sizes + both join sides) → persist (see above)
+    sh = shingle_stream(spark, sf_dir, pred=F.col("doc_id") < 60).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
@@ -243,37 +249,44 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# SimHash: 32-bit signature from per-token hash bit votes. Votes are 32
-# conditional SUM aggregates over the exploded token-hash stream (codegen
-# hash agg, one shuffle) — not per-row interpreted folds.
+# SimHash: 48-bit signature from per-SHINGLE hash bit votes. Shingle
+# features, not unigram tokens: with a small vocabulary the token SETS of
+# any two documents are nearly identical, so unigram simhash collapses
+# (measured: 59k pairs at hamming 0 over 5000 docs); 3-word shingles are
+# discriminative (~20 pairs at hamming 0). Votes are 48 conditional SUM
+# aggregates over the exploded shingle-hash stream (codegen hash agg, one
+# shuffle) — not per-row interpreted folds.
 # --------------------------------------------------------------------------
+
+SIMHASH_BITS = 48
+SIMHASH_CHUNKS = 6  # 6 × 8-bit chunks: any-equal-chunk ⊇ hamming ≤ 5
 
 
 @register(
     "dedup_simhash",
     oracle=f"""
-WITH tok AS (
-  SELECT doc_id, unnest(list_distinct({D_TOKENS})) AS s FROM documents
+WITH sh AS (
+  SELECT doc_id, unnest({D_SHINGLES}) AS s FROM documents
 ),
 hashed AS (
-  SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM tok
+  SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh
 ),
 votes AS (
   SELECT doc_id,
          {", ".join(
              f"sum(CASE WHEN (h & ({1 << b})) != 0 THEN 1 ELSE -1 END) AS v{b}"
-             for b in range(32))}
+             for b in range(SIMHASH_BITS))}
   FROM hashed GROUP BY doc_id
 ),
 sig AS (
   SELECT doc_id,
          {" + ".join(f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
-                     for b in range(32))} AS simhash
+                     for b in range(SIMHASH_BITS))} AS simhash
   FROM votes
 ),
 keyed AS (
   SELECT doc_id, simhash, k, (simhash >> (8 * CAST(k AS INTEGER))) & 255 AS chunk
-  FROM sig, unnest(range(0, 4)) AS u(k)
+  FROM sig, unnest(range(0, {SIMHASH_CHUNKS})) AS u(k)
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -286,30 +299,28 @@ SELECT doc_a, doc_b,
 FROM pairs
 WHERE bit_count(xor(sim_a, sim_b)) <= 6
 """,
-    doc="SimHash near-dup: 32-bit bit-vote signature over token hashes; "
-        "4×8-bit chunk LSH (any-equal-chunk ⊇ hamming≤3 by pigeonhole, "
-        "verified ≤6 here) — linear candidate generation at corpus scale.",
+    doc="SimHash near-dup: 48-bit bit-vote signature over 3-word-shingle "
+        "hashes; 6×8-bit chunk LSH (any-equal-chunk ⊇ hamming≤5 by "
+        "pigeonhole), verified hamming ≤ 6 — linear candidate generation.",
 )
 def dedup_simhash(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
-    tok = (
-        d.select("doc_id", F.expr(NORM).alias("norm"))
-        .select("doc_id", F.explode(F.array_distinct(F.split("norm", " "))).alias("s"))
-    )
-    hashed = tok.select(
+    sh = shingle_stream(spark, sf_dir)
+    hashed = sh.select(
         "doc_id", F.expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("h")
     )
     votes = hashed.groupBy("doc_id").agg(
         *[F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"v{b}")
-          for b in range(32)]
+          for b in range(SIMHASH_BITS)]
     )
     sig_expr = None
-    for b in range(32):
+    for b in range(SIMHASH_BITS):
         term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         sig_expr = term if sig_expr is None else sig_expr + term
-    sig = votes.select("doc_id", sig_expr.alias("simhash"))
+    # one row per doc; persisted because the chunk self-join would otherwise
+    # re-run the shingle→explode→48-sum aggregate for each side.
+    sig = votes.select("doc_id", sig_expr.alias("simhash")).persist()
     keyed = sig.select(
-        "doc_id", "simhash", F.explode(F.expr("sequence(0, 3)")).alias("k")
+        "doc_id", "simhash", F.explode(F.expr(f"sequence(0, {SIMHASH_CHUNKS - 1})")).alias("k")
     ).select(
         "doc_id", "simhash", "k",
         F.expr("shiftright(simhash, 8 * k) & 255").alias("chunk"),
