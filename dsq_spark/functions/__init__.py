@@ -39,7 +39,9 @@ _TS_FORMATS = [
     "MM/dd/yyyy",
     "dd MMM yyyy HH:mm:ss",
     "dd MMM yyyy",
-    "EEE, dd MMM yyyy HH:mm:ss zzz",
+    # (RFC-822 "EEE, dd MMM yyyy HH:mm:ss zzz" is omitted: day-of-week and
+    # zone-name fields raise in Spark's post-3.0 parser rather than
+    # returning NULL, which would break try_to_timestamp's contract.)
 ]
 
 _BEST_EFFORT = "coalesce(" + ", ".join(

@@ -129,6 +129,92 @@ def sim_lsh_buckets(spark, sf_dir):
     )
 
 
+N_CELLS = 8
+
+# IVF centroid component (k = cell, d = dimension): same arithmetic-derived
+# pseudo-random construction as PLANE, so both engines regenerate identical
+# centroids with no broadcast side data.
+CENTROID = "((({k}) * 131071 + d * 524287) % 1000003) / 1000003.0 - 0.5"
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, {D_VD} AS vd FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, vd,
+         list_transform(range(0, {N_CELLS}), k ->
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), range(0, 64)),
+             (s, d) -> s + vd[CAST(d AS INTEGER) + 1] * ({CENTROID.format(k="k")}))) AS dots
+  FROM v
+),
+cells AS (
+  SELECT vec_id, vd,
+         CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS cell
+  FROM assigned
+),
+n AS (SELECT vec_id, vd, cell, sqrt(list_dot_product(vd, vd)) AS nrm FROM cells),
+q AS (SELECT vec_id AS q_id, vd AS q_vd, cell AS q_cell, nrm AS q_nrm FROM n WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, n.vec_id, q.q_cell AS cell,
+         list_dot_product(q.q_vd, n.vd) / (q.q_nrm * n.nrm) AS cos
+  FROM q JOIN n ON n.cell = q.q_cell AND n.vec_id != q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cell, cos,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT q_id, vec_id, CAST(cell AS BIGINT) AS cell, round(cos, 4) AS cosine, rnk
+FROM ranked WHERE rnk <= 10
+""",
+    doc="IVF-style ANN: 8 arithmetic centroids, argmax-dot cell assignment "
+        "(one linear pass), then top-10 cosine probing ONLY the query's "
+        "cell — the standard recall/cost dial: at billions of vectors the "
+        "probe touches 1/n_cells of the corpus instead of all of it.",
+)
+def sim_ivf_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.expr(VD).alias("vd"))
+    dots = F.expr(
+        f"transform(sequence(0, {N_CELLS - 1}), k -> "
+        f"aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), "
+        f"(s, d) -> s + element_at(vd, d + 1) * ({CENTROID.format(k='k')})))"
+    )
+    cells = v.select(
+        "vec_id", "vd", dots.alias("dots")
+    ).select(
+        "vec_id", "vd",
+        (F.expr("array_position(dots, array_max(dots))") - 1).cast("long").alias("cell"),
+    )
+    n = cells.select(
+        "vec_id", "vd", "cell",
+        F.sqrt(F.expr(DOT.format(a="vd", b="vd"))).alias("nrm"),
+    )
+    q = (
+        n.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("q_id"), F.col("vd").alias("q_vd"),
+                F.col("cell").alias("q_cell"), F.col("nrm").alias("q_nrm"))
+    )
+    scored = (
+        n.join(F.broadcast(q), (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")))
+        .select(
+            "q_id", "vec_id", "cell",
+            (F.expr(DOT.format(a="q_vd", b="vd")) / (F.col("q_nrm") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.select("q_id", "vec_id", "cell", "cos",
+                      F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= 10)
+        .select("q_id", "vec_id", F.col("cell").cast("long").alias("cell"),
+                F.round("cos", 4).alias("cosine"), "rnk")
+    )
+
+
 @register(
     "sim_cosine_neardup",
     oracle="""
