@@ -189,10 +189,12 @@ def sim_ivf_topk(spark, sf_dir):
         "vec_id", "vd",
         (F.expr("array_position(dots, array_max(dots))") - 1).cast("long").alias("cell"),
     )
+    # cell assignment (8×64 interpreted lambda ops/row) feeds both the probe
+    # side and the query side — persist so it evaluates once.
     n = cells.select(
         "vec_id", "vd", "cell",
         F.sqrt(F.expr(DOT.format(a="vd", b="vd"))).alias("nrm"),
-    )
+    ).persist()
     q = (
         n.filter(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("q_id"), F.col("vd").alias("q_vd"),

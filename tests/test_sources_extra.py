@@ -1,0 +1,181 @@
+"""Long-tail source readers: Avro OCF (pure-Python decoder), ODS, Apache/
+Nginx logs, ingest cache, REPL, stdin spooling."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zipfile
+import zlib
+
+import pytest
+
+from dsq_spark.cache import ParquetCache, content_hash
+from dsq_spark.sources import read_file
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+# --- Avro: hand-encode an object container file (null + deflate codecs) ---
+
+def _zz(n: int) -> bytes:
+    """zigzag varint encode"""
+    n = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_str(s: str) -> bytes:
+    b = s.encode()
+    return _zz(len(b)) + b
+
+
+def _write_avro(path: str, codec: str) -> None:
+    schema = {
+        "type": "record", "name": "U", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "maybe", "type": ["null", "double"]},
+        ],
+    }
+    rows = [(1, "Alice", None), (2, "Bob", 2.5)]
+    body = b""
+    for rid, name, maybe in rows:
+        body += _zz(rid) + _avro_str(name)
+        body += _zz(0) if maybe is None else _zz(1) + struct.pack("<d", maybe)
+    if codec == "deflate":
+        comp = zlib.compressobj(wbits=-15)
+        body = comp.compress(body) + comp.flush()
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}
+    sync = b"S" * 16
+    with open(path, "wb") as fh:
+        fh.write(b"Obj\x01")
+        fh.write(_zz(len(meta)))
+        for k, v in meta.items():
+            fh.write(_avro_str(k) + _zz(len(v)) + v)
+        fh.write(_zz(0))
+        fh.write(sync)
+        fh.write(_zz(len(rows)) + _zz(len(body)) + body + sync)
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_ocf(spark, tmp_path, codec):
+    p = str(tmp_path / f"u_{codec}.avro")
+    _write_avro(p, codec)
+    df = read_file(spark, p)
+    rows = {r["id"]: (r["name"], r["maybe"]) for r in df.collect()}
+    assert rows == {1: ("Alice", None), 2: ("Bob", 2.5)}
+
+
+# --- ODS ---
+
+def test_ods(spark, tmp_path):
+    cells_hdr = "".join(
+        f'<table:table-cell><text:p>{v}</text:p></table:table-cell>'
+        for v in ("id", "name"))
+    row1 = "".join(
+        f'<table:table-cell><text:p>{v}</text:p></table:table-cell>'
+        for v in ("1", "Ann"))
+    content = (
+        '<office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        '<office:body><office:spreadsheet>'
+        f'<table:table table:name="S1"><table:table-row>{cells_hdr}</table:table-row>'
+        f'<table:table-row>{row1}</table:table-row></table:table>'
+        '</office:spreadsheet></office:body></office:document-content>'
+    )
+    p = str(tmp_path / "u.ods")
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("content.xml", content)
+    df = read_file(spark, p)
+    # spreadsheet cells are untyped text — values stay strings, matching the
+    # reference's excelize/openoffice readers
+    assert [r.asDict() for r in df.collect()] == [{"id": "1", "name": "Ann"}]
+
+
+# --- Apache / Nginx logs ---
+
+APACHE_LINE = ('93.180.71.3 - - [17/May/2015:08:05:32 +0000] '
+               '"GET /downloads/product_1 HTTP/1.1" 304 0 '
+               '"-" "Debian APT-HTTP/1.3 (0.8.16~exp12ubuntu10.21)"')
+
+
+def test_apache_access(spark, tmp_path):
+    p = tmp_path / "a.log"
+    p.write_text(APACHE_LINE + "\n")
+    df = read_file(spark, str(p), mimetype="text/apache2access")
+    r = df.collect()[0]
+    assert r["remote_host"] == "93.180.71.3"
+    assert r["method"] == "GET"
+    assert r["path"] == "/downloads/product_1"
+    assert r["status"] == "304"
+    assert r["agent"].startswith("Debian APT")
+
+
+def test_apache_error(spark, tmp_path):
+    p = tmp_path / "e.log"
+    p.write_text("[Fri Sep 09 10:42:29.902022 2011] [core:error] [pid 35708] "
+                 "[client 72.15.99.187] File does not exist: /usr/local/apache2/htdocs/favicon.ico\n")
+    df = read_file(spark, str(p), mimetype="text/apache2error")
+    r = df.collect()[0]
+    assert r["module"] == "core"
+    assert r["level"] == "error"
+    assert r["pid"] == "35708"
+    assert "favicon" in r["message"]
+
+
+# --- cache ---
+
+def test_parquet_cache_roundtrip(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("DSQ_SPARK_CACHE_DIR", str(tmp_path / "cache"))
+    src = tmp_path / "c.csv"
+    src.write_text("a,b\n1,x\n2,y\n")
+    paths = [str(src)]
+    cache = ParquetCache(paths, enabled=True)
+    assert cache.get(spark, 0) is None  # cold
+    df = read_file(spark, str(src))
+    cached = cache.put(df, 0)
+    assert cached.count() == 2
+    warm = ParquetCache(paths, enabled=True).get(spark, 0)
+    assert warm is not None and warm.count() == 2
+    # invalidation: content change → different hash → different dir
+    h1 = content_hash(paths)
+    src.write_text("a,b\n1,x\n2,y\n3,z\n")
+    assert content_hash(paths) != h1
+    assert ParquetCache(paths, enabled=True).get(spark, 0) is None
+
+
+# --- REPL + stdin ---
+
+def test_repl_loop(spark, tmp_path, monkeypatch, capsys):
+    from dsq_spark import cli
+
+    src = tmp_path / "r.csv"
+    src.write_text("id,v\n1,a\n2,b\n")
+    lines = iter(["SELECT COUNT(1) AS n FROM {0}", "exit"])
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(lines))
+    rc = cli.run(["-i", str(src)], spark)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "| 2 |" in out and "(1 row)" in out
+
+
+def test_stdin_spool(spark, monkeypatch, capsys):
+    from dsq_spark import cli
+
+    monkeypatch.setattr("sys.stdin", type("S", (), {
+        "buffer": io.BytesIO(b"id,v\n1,a\n2,b\n")})())
+    rc = cli.run(["-s", "csv", "SELECT COUNT(1) AS n FROM {}"], spark)
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out) == [{"n": 2}]
