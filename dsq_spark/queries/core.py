@@ -362,6 +362,39 @@ def join_semi_anti(spark, sf_dir):
 
 
 @register(
+    "join_right_full",
+    oracle="""
+SELECT status, n_orders, n_customers FROM (
+  SELECT 'right' AS status, count(o_orderkey) AS n_orders, count(DISTINCT c.c_custkey) AS n_customers
+  FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+  UNION ALL
+  SELECT 'full', count(o_orderkey), count(DISTINCT c.c_custkey)
+  FROM orders o FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+) z
+""",
+    doc="RIGHT and FULL OUTER joins (SURVEY J3) with a join-side predicate; "
+        "null-extended rows excluded from COUNT(col).",
+)
+def join_right_full(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_totalprice > 450000)
+    right = (
+        o.join(c, cond, "right")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.countDistinct("c_custkey").alias("n_customers"))
+        .select(F.lit("right").alias("status"), "n_orders", "n_customers")
+    )
+    full = (
+        o.join(c, cond, "full")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.countDistinct("c_custkey").alias("n_customers"))
+        .select(F.lit("full").alias("status"), "n_orders", "n_customers")
+    )
+    return right.unionAll(full)
+
+
+@register(
     "join_cross_theta",
     oracle="""
 SELECT r1.r_name AS region_a, r2.r_name AS region_b

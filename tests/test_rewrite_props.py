@@ -1,0 +1,63 @@
+"""Property-based rewriter tests (hypothesis): the rewrite must be
+idempotent and must never alter string-literal content, for arbitrary
+query shapes — the classes of bugs a fixed golden corpus misses."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dsq_spark.rewrite import extract_table_refs, rewrite_query
+
+ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True)
+literal_text = st.text(
+    alphabet=st.characters(blacklist_characters="'\\", max_codepoint=0x7E),
+    max_size=12,
+)
+table_ref = st.integers(min_value=0, max_value=3).map(lambda i: f"{{{i}}}")
+
+
+@st.composite
+def sql_query(draw):
+    parts = ["SELECT "]
+    parts.append(draw(ident))
+    if draw(st.booleans()):
+        parts.append(f", \"{draw(ident)}.{draw(ident)}\"")
+    if draw(st.booleans()):
+        parts.append(f", percentile_75({draw(ident)})")
+    parts.append(" FROM ")
+    parts.append(draw(table_ref))
+    if draw(st.booleans()):
+        parts.append(f" WHERE {draw(ident)} REGEXP '{draw(literal_text)}'")
+    if draw(st.booleans()):
+        parts.append(f" AND {draw(ident)} = '{draw(literal_text)}'")
+    return "".join(parts)
+
+
+@given(sql_query())
+@settings(max_examples=200, deadline=None)
+def test_rewrite_idempotent(q):
+    once = rewrite_query(q)
+    assert rewrite_query(once) == once
+
+
+@given(literal_text, literal_text)
+@settings(max_examples=100, deadline=None)
+def test_literals_survive(a, b):
+    q = f"SELECT * FROM {{0}} WHERE x = '{a}' OR y = '{b}'"
+    out = rewrite_query(q)
+    assert f"'{a}'" in out and f"'{b}'" in out
+
+
+@given(st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=5))
+@settings(max_examples=100, deadline=None)
+def test_extract_refs_complete(indexes)	:
+    q = "SELECT * FROM " + " JOIN ".join(f"{{{i}}}" for i in indexes)
+    found = {r.index for r in extract_table_refs(q)}
+    assert found == set(indexes)
+    rewritten = rewrite_query(q)
+    for i in indexes:
+        assert f"t_{i}" in rewritten
+    assert not re.search(r"\{\d+\}", rewritten)

@@ -179,3 +179,14 @@ def test_stdin_spool(spark, monkeypatch, capsys):
     rc = cli.run(["-s", "csv", "SELECT COUNT(1) AS n FROM {}"], spark)
     assert rc == 0
     assert json.loads(capsys.readouterr().out) == [{"n": 2}]
+
+
+# --- ORC round-trip (S7: native reader) ---
+
+def test_orc_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "u_orc")
+    spark.createDataFrame(
+        [(1, "Alice"), (2, "Bob")], "id long, name string"
+    ).write.orc(p)
+    df = read_file(spark, p, mimetype="orc")
+    assert sorted((r["id"], r["name"]) for r in df.collect()) == [(1, "Alice"), (2, "Bob")]

@@ -91,3 +91,47 @@ def test_stream_end_to_end(spark, events, tmp_path):
     )
     q.stop()
     assert got == want
+
+
+def test_stateful_running_totals(spark, events, tmp_path):
+    """applyInPandasWithState: state persists across micro-batches — final
+    per-user totals must equal the batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from dsq_spark.streaming.stateful import running_user_totals
+
+    stream_dir = str(tmp_path / "state_in")
+    os.makedirs(stream_dir)
+    rows = events.filter(events.user_id < 20).limit(300).collect()
+    for i, chunk in enumerate((rows[:150], rows[150:])):
+        with open(f"{stream_dir}/p{i}.jsonl", "w") as fh:
+            for r in chunk:
+                d = r.asDict()
+                d["ts"] = d["ts"].isoformat()
+                fh.write(json.dumps(d, default=str) + "\n")
+
+    batch = spark.createDataFrame(rows)
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    }
+
+    from dsq_spark.streaming import read_events_stream
+
+    sdf = running_user_totals(
+        read_events_stream(spark, stream_dir, max_files_per_trigger=1))
+    q = (
+        sdf.writeStream.format("memory").queryName("state_test")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per (user, batch); keep the LAST emission,
+    # which in this harness is the row with the highest n_events per user
+    emitted = spark.sql(
+        "SELECT user_id, max_by(n_events, n_events) AS n, max_by(total_value, n_events) AS tv "
+        "FROM state_test GROUP BY user_id").collect()
+    q.stop()
+    got = {r["user_id"]: (r["n"], r["tv"]) for r in emitted}
+    assert got == want
