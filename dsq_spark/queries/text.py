@@ -130,6 +130,44 @@ def text_langid_heuristic(spark, sf_dir):
     return pred.groupBy("lang", "predicted").agg(F.count("*").alias("n"))
 
 
+# BPE-ish subword segmentation regex: alpha runs, digit runs, single
+# punctuation — the pre-tokenization split GPT-style BPE vocabularies use
+# (contiguous letters / contiguous digits / one symbol per token).
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\\\s]"
+D_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+@register(
+    "text_bpe_token_counts",
+    oracle=f"""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(length(regexp_extract_all({D_NORM}, '{D_BPE_RE}'))) AS BIGINT) AS total_bpe_tokens,
+       round(avg(length(regexp_extract_all({D_NORM}, '{D_BPE_RE}'))), 4) AS avg_bpe_tokens,
+       round(avg(length(regexp_extract_all({D_NORM}, '{D_BPE_RE}')) * 1.0
+                 / greatest(length({D_TOKENS}), 1)), 4) AS bpe_per_word
+FROM documents
+GROUP BY lang
+""",
+    doc="BPE-style subword pre-tokenization counting (alpha runs / digit "
+        "runs / single symbols) vs whitespace words — the token-budget "
+        "estimator shape for pretraining pipelines. Pure JVM regexp.",
+)
+def text_bpe_token_counts(spark, sf_dir):
+    d = (
+        t(spark, sf_dir, "documents")
+        .withColumn("norm", F.expr(NORM))
+        .withColumn("bpe_n", F.expr(f"size(regexp_extract_all(norm, '{BPE_RE}', 0))"))
+        .withColumn("word_n", F.size(F.split("norm", " ")))
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("bpe_n").cast("long").alias("total_bpe_tokens"),
+        F.round(F.avg("bpe_n"), 4).alias("avg_bpe_tokens"),
+        F.round(F.avg(F.col("bpe_n") * 1.0 / F.greatest(F.col("word_n"), F.lit(1))), 4).alias("bpe_per_word"),
+    )
+
+
 # Rolling polynomial fingerprint over word-hashes: fp = fold((acc*31 + h) % P).
 # Word hash = first 15 hex digits of md5 (identical in both engines), mod P.
 _P = 1_000_000_007

@@ -327,3 +327,118 @@ def asof_join_events(spark, sf_dir):
         .agg(F.max("signup_id").cast("long").alias("last_signup_id"),
              F.count("*").alias("n_prior_signups"))
     )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name <> sn.n_name
+  AND cn.n_name IN ('NATION_0', 'NATION_1')
+  AND sn.n_name IN ('NATION_0', 'NATION_1')
+GROUP BY 1, 2, 3
+""",
+    doc="TPC-H Q7 shape: bilateral trade volume — nation dims joined twice "
+        "under different roles (alias discipline), both broadcast.",
+)
+def q7_volume_shipping(spark, sf_dir):
+    l, o = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
+    c, s = t(spark, sf_dir, "customer"), t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    nations = ["NATION_0", "NATION_1"]
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .filter((F.col("cust_nation") != F.col("supp_nation"))
+                & F.col("cust_nation").isin(nations) & F.col("supp_nation").isin(nations))
+        .groupBy("cust_nation", "supp_nation",
+                 F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+WITH all_rev AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         rn.n_name AS supp_region_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation rn ON s_nationkey = rn.n_nationkey
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_region_nation = 'NATION_0' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share,
+       count(*) AS n_items
+FROM all_rev
+GROUP BY o_year
+""",
+    doc="TPC-H Q8 shape: market-share ratio of one nation's suppliers per "
+        "order year (conditional-sum / total-sum).",
+)
+def q8_market_share(spark, sf_dir):
+    l, o = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
+    s, n = t(spark, sf_dir, "supplier"), t(spark, sf_dir, "nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                vol.alias("volume"), F.col("n_name"))
+    )
+    return j.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("n_name") == "NATION_0", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"), 6).alias("mkt_share"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount) - l_quantity * 10.0), 2) AS profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN part     ON l_partkey = p_partkey
+WHERE p_name LIKE '%a%'
+GROUP BY 1, 2
+""",
+    doc="TPC-H Q9 shape: profit by supplier nation and year with a LIKE "
+        "part filter (fixed 10.0 stand-in for missing partsupp supplycost).",
+)
+def q9_product_profit(spark, sf_dir):
+    l, o = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
+    s, n, p = (t(spark, sf_dir, "supplier"), t(spark, sf_dir, "nation"),
+               t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%")))
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col("l_quantity") * 10.0
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
