@@ -3,12 +3,16 @@ multiprocessio/dsq (reference: /root/reference, see SURVEY.md).
 
 Layout:
     session    — SparkSession construction tuned for local + cluster scale
-    plans      — SQLite-dialect → Spark SQL rewriting ({N} tables, REGEXP, ->)
+    rewrite    — SQLite-dialect → Spark SQL rewriting ({N} tables, REGEXP, ->)
     functions  — extended scalar/agg function registration (url_*, date_*, ...)
     sources    — file-format readers (CSV/TSV/JSON/.../logfmt) → DataFrame
-    operators  — large-scale pipeline operators (dedup, similarity, text, ...)
-    streaming  — Structured Streaming extensions
+    io_out     — JSON / pretty-table / schema sinks (reference output grammar)
+    cache      — content-hash → Parquet ingest cache
+    cli        — dsq-compatible command line + REPL
+    multimodal — binary media columns via Arrow-batched mapInPandas
+    streaming  — Structured Streaming extensions (windows, stateful ops)
     queries    — the benchmark/correctness query suite + DuckDB oracles
+               (dedup, similarity, text analysis, TPC-H patterns, multimodal)
 """
 
 __version__ = "0.1.0"

@@ -139,3 +139,19 @@ def test_logfmt(spark):
 def test_xlsx_sheet_missing(spark):
     with pytest.raises(ValueError, match="sheet"):
         read_file(spark, f"{FIX}/u.xlsx", doc_path="Nope")
+
+
+def test_hostile_headers_survive(spark, tmp_path):
+    """FIXTURES.md §1: header names with leading/trailing/embedded spaces
+    and tabs must survive verbatim and stay queryable via quoted idents."""
+    p = tmp_path / "hostile.csv"
+    p.write_text(' Name ,Phone Number ,Company\t,  Description\n'
+                 'Ann,555,Acme,hi there\n')
+    df = read_file(spark, str(p))
+    assert df.columns == [" Name ", "Phone Number ", "Company\t", "  Description"]
+    from dsq_spark.rewrite import rewrite_query
+
+    df.createOrReplaceTempView("t_0")
+    out = df.sparkSession.sql(
+        rewrite_query('SELECT " Name ", "Company\t" AS co FROM {0}')).collect()
+    assert out[0][" Name "] == "Ann" and out[0]["co"] == "Acme"
