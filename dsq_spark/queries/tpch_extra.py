@@ -416,7 +416,8 @@ def q8_market_share(spark, sf_dir):
     oracle="""
 SELECT n_name AS nation,
        CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount) - l_quantity * 10.0), 2) AS profit
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) - l_quantity * 10.0
+                           AS DECIMAL(18, 4))) AS DOUBLE), 2) AS profit
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -432,7 +433,11 @@ def q9_product_profit(spark, sf_dir):
     l, o = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
     s, n, p = (t(spark, sf_dir, "supplier"), t(spark, sf_dir, "nation"),
                t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%")))
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col("l_quantity") * 10.0
+    # Decimal accumulation: the per-group sums reach ~1e7 where double
+    # addition-order noise crosses the 2dp rounding boundary between
+    # engines; decimal addition is exact and order-independent.
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("l_quantity") * 10.0).cast("decimal(18,4)")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -440,5 +445,5 @@ def q9_product_profit(spark, sf_dir):
         .join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg(F.round(F.sum(profit).cast("double"), 2).alias("profit"))
     )
