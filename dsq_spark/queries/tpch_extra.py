@@ -447,3 +447,66 @@ def q9_product_profit(spark, sf_dir):
                  F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(F.round(F.sum(profit).cast("double"), 2).alias("profit"))
     )
+
+
+@register(
+    "pivot_event_types",
+    oracle="""
+SELECT user_bucket,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
+FROM (SELECT CAST(floor(user_id / 100) AS BIGINT) AS user_bucket, event_type FROM events) z
+GROUP BY user_bucket
+""",
+    doc="PIVOT (long→wide): event-type counts per user bucket via Spark's "
+        "pivot operator — compiles to the same conditional-sum plan the "
+        "oracle spells out, one shuffle.",
+)
+def pivot_event_types(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        e.select(F.floor(F.col("user_id") / 100).cast("long").alias("user_bucket"),
+                 "event_type")
+        .groupBy("user_bucket")
+        .pivot("event_type", types)
+        .count()
+    )
+    # pivot leaves NULL for empty cells; oracle's conditional sums give 0
+    return out.select(
+        "user_bucket",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in types],
+    )
+
+
+@register(
+    "rollup_time_hierarchy",
+    oracle="""
+SELECT CAST(year(ts) AS BIGINT) AS y,
+       CAST(month(ts) AS BIGINT) AS m,
+       CAST(day(ts) AS BIGINT) AS d,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY ROLLUP (year(ts), month(ts), day(ts))
+""",
+    doc="Hypertable-style time-hierarchy rollup: day/month/year/grand-total "
+        "aggregates in ONE pass (ROLLUP grouping sets) — the scale path for "
+        "multi-granularity dashboards: no per-granularity rescans.",
+)
+def rollup_time_hierarchy(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.year("ts").cast("long").alias("y"),
+            F.month("ts").cast("long").alias("m"),
+            F.dayofmonth("ts").cast("long").alias("d"),
+            "value",
+        )
+        .rollup("y", "m", "d")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
