@@ -510,3 +510,36 @@ def rollup_time_hierarchy(spark, sf_dir):
         .agg(F.count("*").alias("n_events"),
              F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value,
+       round(max(value), 2) AS max_value
+FROM events
+GROUP BY event_type
+""",
+    doc="Skew-resistant two-phase aggregation: events.event_type has ~5 "
+        "distinct values (pathological shuffle skew at 100 TB — a handful "
+        "of reducers get everything). Phase 1 pre-aggregates on "
+        "(event_type, salt=crc32(event_id)%32) spreading each hot key over "
+        "32 reducers; phase 2 merges the 5x32 partials. Same result as the "
+        "plain groupBy oracle; partial-agg arithmetic stays exact "
+        "(counts/max exact, sum reassociation absorbed by rounding).",
+)
+def agg_salted_skew(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    salted = (
+        e.withColumn("salt", (F.crc32(F.col("event_id").cast("string")) % 32))
+        .groupBy("event_type", "salt")
+        .agg(F.count("*").alias("pn"), F.sum("value").alias("pv"),
+             F.max("value").alias("pm"))
+    )
+    return salted.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pv"), 2).alias("total_value"),
+        F.round(F.max("pm"), 2).alias("max_value"),
+    )

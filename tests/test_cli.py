@@ -78,3 +78,26 @@ def test_extended_functions_via_cli(spark):
     ], spark)
     rows = json.loads(out)
     assert rows[0]["h"] == "ex.com"
+
+
+def test_query_from_file(spark, tmp_path):
+    sql = tmp_path / "q.sql"
+    sql.write_text("SELECT COUNT(1) AS n FROM {}\n")
+    rc, out = _run(["-f", str(sql), f"{FIX}/cli_users.csv"], spark)
+    assert rc == 0 and json.loads(out) == [{"n": 2}]
+
+
+def test_empty_query_file_errors(tmp_path):
+    sql = tmp_path / "empty.sql"
+    sql.write_text("")
+    with pytest.raises(SystemExit):
+        parse_args(["-f", str(sql), "x.csv"])
+
+
+def test_cache_file_flag(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("DSQ_SPARK_CACHE_DIR", str(tmp_path / "c"))
+    rc, out = _run(["-D", f"{FIX}/cli_users.csv",
+                    "SELECT COUNT(1) AS n FROM {}"], spark)
+    assert rc == 0
+    first = out.splitlines()[0]
+    assert "dsq-cache-" in first  # cache path printed (reference -D)

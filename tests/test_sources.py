@@ -155,3 +155,15 @@ def test_hostile_headers_survive(spark, tmp_path):
     out = df.sparkSession.sql(
         rewrite_query('SELECT " Name ", "Company\t" AS co FROM {0}')).collect()
     assert out[0][" Name "] == "Ann" and out[0]["co"] == "Acme"
+
+
+def test_flatten_escapes_literal_dots(spark, tmp_path):
+    """A literal '.' in a source key is backslash-escaped in the flat name
+    (reference README.md:341-358), so it can't collide with path dots."""
+    import json as _json
+    p = tmp_path / "dots.json"
+    p.write_text(_json.dumps([{"a.b": 1, "a": {"b": 2}}]))
+    df = flatten(read_file(spark, str(p)))
+    assert sorted(df.columns) == ["a.b", "a\\.b"]
+    row = df.collect()[0]
+    assert row["a.b"] == 2 and row["a\\.b"] == 1
