@@ -543,3 +543,199 @@ def agg_salted_skew(spark, sf_dir):
         F.round(F.sum("pv"), 2).alias("total_value"),
         F.round(F.max("pm"), 2).alias("max_value"),
     )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) z
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 shape: order-count-per-customer distribution via a "
+        "LEFT OUTER join (SURVEY J2) and double aggregation. Scale plan: "
+        "pre-aggregate orders by o_custkey BEFORE the join so the shuffle "
+        "carries one partial-count row per customer instead of every order "
+        "row (aggregate-below-join; at 100 TB orders >> customer this cuts "
+        "the join's shuffle volume by the avg orders-per-customer factor). "
+        "coalesce(n,0) reproduces count(o_orderkey)'s null-group semantics "
+        "because o_orderkey is never NULL in a matched row.",
+)
+def q13_customer_distribution(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+""",
+    doc="TPC-H Q15 shape: top supplier(s) by quarterly revenue — scalar "
+        "subquery against an aggregated view. Revenue accumulates in "
+        "decimal so the `= max` comparison is exact and addition-order-"
+        "independent across engines (cf. q9). Spark impl replaces the "
+        "second scan of the view with an unpartitioned window max over the "
+        "already-aggregated (tiny: one row per supplier) set, then "
+        "broadcasts supplier for the name lookup — lineitem is read once.",
+)
+def q15_top_supplier(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .cast("decimal(18,4)")).alias("total_rev")
+    )
+    w = Window.partitionBy()
+    top = rev.withColumn("mx", F.max("total_rev").over(w)).filter(
+        F.col("total_rev") == F.col("mx"))
+    s = t(spark, sf_dir, "supplier")
+    return top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name",
+        F.round(F.col("total_rev").cast("double"), 2).alias("total_revenue"),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey)
+SELECT p_partkey, p_brand, s_name, round(unit_cost, 4) AS unit_cost
+FROM cost
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_size <= 10
+  AND unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+                   WHERE c2.l_partkey = cost.l_partkey)
+""",
+    doc="TPC-H Q2 shape (no partsupp table): cheapest supplier(s) per "
+        "small part, i.e. a correlated min subquery over an aggregated "
+        "view. unit_cost is a deterministic per-row double op (no "
+        "accumulation), so min-selection and the `=` correlation are exact "
+        "in both engines. Spark impl decorrelates with a window min over "
+        "l_partkey — that repartitions only the small aggregated set "
+        "(one row per part-supplier pair), never lineitem itself. part "
+        "is filtered (p_size <= 10) before its broadcast.",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        (F.min(F.col("l_extendedprice") / F.col("l_quantity"))).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("best", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("best"))
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = t(spark, sf_dir, "supplier")
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_brand", "s_name",
+                F.round("unit_cost", 4).alias("unit_cost"))
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%' AND p_size IN (1,2,3,4,5)
+GROUP BY p_brand, p_type, p_size
+""",
+    doc="TPC-H Q16 shape (lineitem stands in for partsupp): distinct-"
+        "supplier variety per (brand, type, size) with negated predicates. "
+        "Exact COUNT(DISTINCT) — Catalyst expands to a two-phase "
+        "aggregation (dedup on the grouping+distinct keys, then count). "
+        "The part filter is applied before the broadcast join, so the "
+        "scan prunes to the 5 sizes up front.",
+)
+def q16_supplier_variety(spark, sf_dir):
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 2, 3, 4, 5))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q21_sole_returner",
+    oracle="""
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+""",
+    doc="TPC-H Q21 shape (l_returnflag='R' stands in for the "
+        "receipt>commit lateness predicate): suppliers who were the SOLE "
+        "returner on multi-supplier finished orders — the classic "
+        "EXISTS + NOT-EXISTS pair of correlated self-joins. Spark impl "
+        "decorrelates BOTH subqueries into one per-order aggregate "
+        "(n_suppliers = countDistinct suppkey, n_ret_suppliers = "
+        "countDistinct suppkey where R): EXISTS(other supplier) == "
+        "n_suppliers >= 2; NOT EXISTS(other R supplier), given l1 is R, "
+        "== n_ret_suppliers == 1. One scan + one shuffle of lineitem "
+        "replaces two correlated probes — at 100 TB this is the "
+        "difference between 3 lineitem shuffles and 1 (plus the "
+        "broadcastable per-order digest).",
+)
+def q21_sole_returner(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    ).filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = t(spark, sf_dir, "supplier")
+    l1 = l.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    return (
+        l1.join(per_order.select("l_orderkey").withColumnRenamed(
+            "l_orderkey", "po_orderkey"),
+            F.col("l_orderkey") == F.col("po_orderkey"), "inner")
+        .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
