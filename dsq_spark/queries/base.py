@@ -31,6 +31,23 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+def rebalance(df: DataFrame) -> DataFrame:
+    """Round-robin re-split a scan that yielded fewer partitions than cores.
+
+    Spark sizes read partitions by BYTES (spark.sql.files.maxPartitionBytes),
+    which undercounts when a small compressed file feeds a CPU-bound
+    transform (tokenize/shingle/hash): a 5 MB parquet of 5k documents scans
+    as ONE partition and the whole pipeline runs on one core. Guarded so it
+    is a no-op at scale — a 100 TB input already has >> cores partitions and
+    must NOT be round-robin shuffled.
+    """
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one of the driver's parquet tables (columnar scan; filters and
     projections push down into the scan).
@@ -46,4 +63,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Integer division — nanos (~1.7e18) overflow double's 53-bit
         # mantissa, so float division would corrupt microseconds.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name in ("documents", "embeddings"):
+        # These tables feed CPU-bound work (tokenize/shingle/hash, 64-dim
+        # vector math) far heavier than their byte size; filters written by
+        # callers still push into the scan below the exchange (verified in
+        # the executed plan).
+        df = rebalance(df)
     return df

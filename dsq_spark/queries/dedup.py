@@ -69,7 +69,7 @@ _SH_FROM_TOKS = (
 def shingle_stream(spark, sf_dir, pred=None):
     """Exploded (doc_id, s) distinct-shingle stream — the shared input of
     every dedup stage. One codegen'd projection chain, no recompute traps."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents")  # t() rebalances documents over cores
     if pred is not None:
         d = d.filter(pred)
     return (

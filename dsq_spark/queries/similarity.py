@@ -254,3 +254,91 @@ def sim_cosine_neardup(spark, sf_dir):
             F.col("label_b").cast("long").alias("label_b"),
         )
     )
+
+
+def _neardup_edges(spark, sf_dir):
+    """Undirected near-dup edge list (u, v) from the cosine >= 0.35 pairs
+    over vec_id < 200 — the same pair set sim_cosine_neardup verifies."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    n = e.select("vec_id", F.expr(VD).alias("vd")).select(
+        "vec_id", "vd", F.sqrt(F.expr(DOT.format(a="vd", b="vd"))).alias("nrm"))
+    a = n.select(F.col("vec_id").alias("vec_a"), F.col("vd").alias("vd_a"),
+                 F.col("nrm").alias("nrm_a"))
+    b = n.select(F.col("vec_id").alias("vec_b"), F.col("vd").alias("vd_b"),
+                 F.col("nrm").alias("nrm_b"))
+    cos = F.expr(DOT.format(a="vd_a", b="vd_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    pairs = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.35)
+        .select("vec_a", "vec_b")
+        # both union branches read from here — persist or the O(n²) scoring
+        # join runs twice (memory lesson: UNION re-evaluates upstream)
+        .persist()
+    )
+    return pairs.select(F.col("vec_a").alias("u"), F.col("vec_b").alias("v")).union(
+        pairs.select(F.col("vec_b").alias("u"), F.col("vec_a").alias("v")))
+
+
+@register(
+    "sim_neardup_components",
+    oracle="""
+WITH RECURSIVE
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+      FROM embeddings WHERE vec_id < 200),
+n AS (SELECT vec_id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM v),
+pairs AS (
+  SELECT a.vec_id AS pu, b.vec_id AS pv
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm) >= 0.35
+),
+edges AS (SELECT pu AS u, pv AS v FROM pairs UNION ALL SELECT pv, pu FROM pairs),
+reach(s, d) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) z
+  UNION
+  SELECT r.s, e.v FROM reach r JOIN edges e ON e.u = r.d
+),
+comp AS (SELECT s AS vec_id, min(d) AS component FROM reach GROUP BY s)
+SELECT vec_id, component,
+       CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+FROM comp
+""",
+    doc="Duplicate-cluster assignment: connected components over the "
+        "embedding near-dup graph (cosine >= 0.35, vec_id < 200) by "
+        "min-label propagation — each node converges to the smallest "
+        "vec_id reachable from it, i.e. the cluster's canonical id, the "
+        "standard keep-one-per-cluster dedup step. Spark has no recursive "
+        "CTE (SURVEY O4); the idiomatic replacement is a driver loop of "
+        "DISTRIBUTED joins: per iteration every node takes "
+        "min(own, neighbours' labels); converges in O(graph diameter) "
+        "iterations. Only a scalar changed-count crosses the driver "
+        "boundary per iteration, and localCheckpoint truncates the "
+        "exponentially-growing lineage — the same Pregel shape GraphX/"
+        "GraphFrames use, so the loop survives a 1000-executor scale-up. "
+        "Oracle: DuckDB WITH RECURSIVE transitive closure, min(d) per s.",
+)
+def sim_neardup_components(spark, sf_dir):
+    edges = _neardup_edges(spark, sf_dir).persist()
+    labels = edges.select("u").distinct().withColumn("comp", F.col("u"))
+    for _ in range(20):  # >= graph diameter; corpus clusters are shallow
+        neigh = (
+            edges.join(labels.withColumnRenamed("u", "v2"),
+                       edges.v == F.col("v2"))
+            .groupBy("u").agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neigh, "u", "left")
+            .select("u", F.least(F.col("comp"),
+                                 F.coalesce(F.col("ncomp"), F.col("comp"))).alias("ncomp"),
+                    "comp")
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("ncomp") != F.col("comp")).count()
+        labels = new_labels.select("u", F.col("ncomp").alias("comp"))
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("label propagation did not converge in 20 iterations")
+    w = Window.partitionBy("comp")
+    return labels.select(
+        F.col("u").alias("vec_id"), F.col("comp").alias("component"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
