@@ -75,6 +75,31 @@ def _sql_udfs() -> list[str]:
         f"CREATE OR REPLACE TEMPORARY FUNCTION best_effort_ts(s STRING) RETURNS TIMESTAMP RETURN {_BEST_EFFORT}",
         "CREATE OR REPLACE TEMPORARY FUNCTION date_unix(s STRING) RETURNS BIGINT RETURN unix_timestamp(best_effort_ts(s))",
         "CREATE OR REPLACE TEMPORARY FUNCTION date_rfc3339(s STRING) RETURNS STRING RETURN date_format(best_effort_ts(s), \"yyyy-MM-dd'T'HH:mm:ssXXX\")",
+        # SQLite layer-1 date/time built-ins (README.md:698). `date()` and
+        # `time()` are Spark built-ins with equivalent output for parseable
+        # strings and cannot be shadowed by SQL UDFs — documented delta.
+        "CREATE OR REPLACE TEMPORARY FUNCTION datetime(s STRING) RETURNS STRING RETURN date_format(best_effort_ts(s), 'yyyy-MM-dd HH:mm:ss')",
+        "CREATE OR REPLACE TEMPORARY FUNCTION julianday(s STRING) RETURNS DOUBLE RETURN unix_timestamp(best_effort_ts(s)) / 86400.0d + 2440587.5d",
+        "CREATE OR REPLACE TEMPORARY FUNCTION unixepoch(s STRING) RETURNS BIGINT RETURN unix_timestamp(best_effort_ts(s))",
+        # strftime: translate the common C codes to Java pattern letters.
+        # Unconverted %-codes and alphabetic literals in the format are a
+        # documented approximation (SQLite embeds a full C strftime).
+        "CREATE OR REPLACE TEMPORARY FUNCTION strftime(f STRING, s STRING) RETURNS STRING RETURN "
+        "date_format(best_effort_ts(s), replace(replace(replace(replace(replace(replace(replace(f, "
+        "'%Y', 'yyyy'), '%m', 'MM'), '%d', 'dd'), '%H', 'HH'), '%M', 'mm'), '%S', 'ss'), '%j', 'DDD'))",
+        # glob: SQLite full-string match with * ? wildcards and [seq]
+        # classes. glob_regex escapes regex metachars except []*? then maps
+        # * → .* and ? → . and anchors; `x GLOB 'pat'` is rewritten to
+        # `x RLIKE glob_regex('pat')` by dsq_spark.rewrite, and glob(pat, s)
+        # mirrors SQLite's function form (pattern first, returns 0/1).
+        "CREATE OR REPLACE TEMPORARY FUNCTION glob_regex(p STRING) RETURNS STRING RETURN "
+        "concat('(?s)^', replace(replace(regexp_replace(p, "
+        "'([.{}()\\\\\\\\^$|+])', '\\\\\\\\$1'), '*', '.*'), '?', '.'), '$')",
+        "CREATE OR REPLACE TEMPORARY FUNCTION glob(p STRING, s STRING) RETURNS INT RETURN CAST(s RLIKE glob_regex(p) AS INT)",
+        # unicode (SQLite core). `quote()` is a non-shadowable Spark builtin
+        # whose escaping differs (backslash vs doubled quote) — documented
+        # delta, same purpose.
+        "CREATE OR REPLACE TEMPORARY FUNCTION unicode(s STRING) RETURNS INT RETURN ascii(s)",
     ]
     for name, fn in date_parts.items():
         stmts.append(

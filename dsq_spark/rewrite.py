@@ -137,6 +137,26 @@ def _rewrite_arrows(sql: str) -> str:
     return _ARROW.sub(repl, sql)
 
 
+_GLOB = re.compile(r"\bGLOB\s*('(?:[^'\\]|\\.|'')*')", re.IGNORECASE)
+
+
+def _rewrite_glob(sql: str) -> str:
+    """`x GLOB 'pat'` → `x RLIKE glob_regex('pat')` (full-match semantics —
+    glob_regex anchors; see dsq_spark.functions). SQLite also exposes the
+    function form glob(pat, s), registered directly. Only literal patterns
+    are rewritten — a non-literal RHS (rare) can use glob() explicitly.
+    Runs whole-statement because the pattern operand IS a literal; GLOB
+    keywords inside literals are skipped via span check."""
+    spans = _literal_spans(sql)
+
+    def repl(m: re.Match) -> str:
+        if any(a <= m.start() < b for a, b in spans):
+            return m.group(0)
+        return f"RLIKE glob_regex({m.group(1)})"
+
+    return _GLOB.sub(repl, sql)
+
+
 def _literal_spans(sql: str) -> list[tuple[int, int]]:
     spans, pos = [], 0
     for is_str, chunk in _split_on_strings(sql):
@@ -194,6 +214,6 @@ def rewrite_query(sql: str) -> str:
     parts = []
     for is_str, chunk in _split_on_strings(sql):
         parts.append(chunk if is_str else _rewrite_chunk(chunk))
-    # arrow + alias rewriting run whole-statement (their matches can span a
-    # literal boundary) with literal-span skipping inside.
-    return _rewrite_fn_aliases(_rewrite_arrows("".join(parts)))
+    # arrow + glob + alias rewriting run whole-statement (their matches can
+    # span a literal boundary) with literal-span skipping inside.
+    return _rewrite_fn_aliases(_rewrite_glob(_rewrite_arrows("".join(parts))))

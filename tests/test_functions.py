@@ -62,3 +62,40 @@ def test_rewritten_aggregates(spark):
     row = spark.sql(sql).collect()[0]
     assert row["md"] == 2
     assert row["p90"] == pytest.approx(7.6)
+
+
+def test_glob_against_real_sqlite(spark):
+    """glob() and the GLOB operator rewrite, oracled against the stdlib
+    sqlite3 module (the very engine the reference embeds)."""
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+    cases = [("a*", "abc"), ("a*", "bac"), ("a?c", "abc"), ("a?c", "abbc"),
+             ("*.txt", "file.txt"), ("*.txt", "file_txt"), ("[ab]c", "bc"),
+             ("[ab]c", "cc"), ("a(b)*", "a(b)x"), ("A*", "abc"), ("*", "")]
+    for pat, s in cases:
+        want = con.execute("SELECT glob(?, ?)", (pat, s)).fetchone()[0]
+        got = one(spark, f"glob('{pat}', '{s}')")
+        assert got == want, (pat, s)
+    # operator form via the rewriter; literals untouched
+    sql = rewrite_query("SELECT 1 AS v WHERE 'file.txt' GLOB '*.txt'")
+    assert "RLIKE glob_regex('*.txt')" in sql
+    assert spark.sql(sql).count() == 1
+    lit = rewrite_query("SELECT 'x GLOB y' AS v")
+    assert "glob_regex" not in lit
+
+
+def test_sqlite_datetime_family(spark):
+    """datetime/julianday/unixepoch/strftime/unicode vs real SQLite."""
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+    for q in ("SELECT datetime('2022-03-05T10:20:30')",
+              "SELECT julianday('2022-03-05 00:00:00')",
+              "SELECT unixepoch('2022-03-05 00:00:00')",
+              "SELECT strftime('%Y-%m-%d %H:%M:%S','2022-03-05 10:20:30')",
+              "SELECT strftime('%d/%m/%Y','2001-12-25')",
+              "SELECT unicode('€x')"):
+        want = con.execute(q).fetchone()[0]
+        got = spark.sql(q + " AS v").collect()[0]["v"]
+        assert str(got) == str(want), q
