@@ -101,14 +101,18 @@ def decode_image_meta(media_df: DataFrame) -> DataFrame:
 
 FEATURE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
-    T.StructField("feature", T.ArrayType(T.FloatType())),
+    T.StructField("feature", T.ArrayType(T.DoubleType())),
 ])
 
 
 def extract_features(media_df: DataFrame, dim: int = 8) -> DataFrame:
     """Fixed-dim feature vector per payload (STUB: md5-seeded pseudo
     embedding; a real build calls a vision encoder here). Demonstrates the
-    wide→narrow mapInPandas shape feeding the similarity-search operators."""
+    wide→narrow mapInPandas shape feeding the similarity-search operators.
+
+    The stub hashes the payload's lowercase hex (not the raw bytes) and
+    emits doubles so a SQL oracle (DuckDB has no md5-over-BLOB) recomputes
+    every component exactly: v_i = int(md5hex[4i:4i+4], 16)/65535 - 0.5."""
 
     def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -116,9 +120,9 @@ def extract_features(media_df: DataFrame, dim: int = 8) -> DataFrame:
             for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
                 if buf is None:
                     continue
-                seed = hashlib.md5(bytes(buf)).digest()
+                h = hashlib.md5(bytes(buf).hex().encode()).hexdigest()
                 vec = [
-                    (int.from_bytes(seed[2 * i:2 * i + 2], "big") / 65535.0) - 0.5
+                    (int(h[4 * i:4 * i + 4], 16) / 65535.0) - 0.5
                     for i in range(dim)
                 ]
                 rows["doc_id"].append(doc_id)
@@ -147,13 +151,15 @@ def sample_frames(media_df: DataFrame, every_n: int = 4,
             for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
                 if buf is None or len(buf) < 16:
                     continue
-                base = bytes(buf[8:16])
+                # fingerprint over hex-string + index (not raw bytes) so a
+                # SQL oracle recomputes it — see extract_features
+                base_hex = bytes(buf[8:16]).hex()
                 for k in range(max_frames):
                     idx = k * every_n
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(idx)
                     rows["frame_fp"].append(
-                        hashlib.md5(base + struct.pack(">I", idx)).hexdigest()[:12])
+                        hashlib.md5(f"{base_hex}:{idx}".encode()).hexdigest()[:12])
             yield pd.DataFrame(rows)
 
     return media_df.mapInPandas(_frames, FRAME_SCHEMA)

@@ -57,28 +57,71 @@ def mm_image_meta(spark, sf_dir):
 
 @register(
     "mm_frame_sample",
-    oracle=None,  # frame fingerprints hash binary+index inside the Python
-    # kernel — not SQL-expressible; driver records the rows-only check.
+    oracle="""
+WITH media AS (
+  SELECT doc_id, substr(md5(text), 1, 16) AS base_hex
+  FROM documents WHERE doc_id < 200
+),
+frames AS (
+  SELECT doc_id, k * 4 AS frame_idx,
+         substr(md5(concat(base_hex, ':', CAST(k * 4 AS VARCHAR))), 1, 12) AS frame_fp
+  FROM media, range(0, 3) r(k)
+)
+SELECT doc_id, count(*) AS n_frames,
+       min(frame_fp) AS first_fp,
+       count(DISTINCT frame_fp) AS n_distinct_frames
+FROM frames GROUP BY doc_id
+""",
     doc="Video-style frame sampling (flat-map mapInPandas: N rows per "
-        "payload); per-document frame counts.",
+        "payload); per-document frame counts + a value-checked fingerprint "
+        "(min over the sampled frames). The stub fingerprints hash "
+        "hex-string + index so the oracle recomputes them in SQL.",
 )
 def mm_frame_sample(spark, sf_dir):
-    media = attach_fake_media(t(spark, sf_dir, "documents")).limit(200)
+    media = attach_fake_media(
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
     frames = sample_frames(media, every_n=4, max_frames=3)
     return frames.groupBy("doc_id").agg(
         F.count("*").alias("n_frames"),
+        F.min("frame_fp").alias("first_fp"),
         F.countDistinct("frame_fp").alias("n_distinct_frames"),
     )
 
 
 @register(
     "mm_feature_neighbors",
-    oracle=None,  # md5-seeded float vectors built in Python — rows-only.
+    oracle="""
+WITH media AS (
+  SELECT doc_id,
+         lower(concat('46414b45',
+           lpad(to_hex((length(text) % 640) + 16), 4, '0'),
+           lpad(to_hex(CAST(concat('0x', substr(md5(text), 17, 8)) AS BIGINT) % 480 + 16), 4, '0'),
+           substr(md5(text), 1, 16))) AS media_hex
+  FROM documents WHERE doc_id < 100
+),
+vecs AS (
+  SELECT doc_id,
+         list_transform(range(0, 8), i ->
+           CAST(concat('0x', substr(md5(media_hex), 4 * CAST(i AS INTEGER) + 1, 4)) AS BIGINT)
+             / 65535.0 - 0.5) AS v
+  FROM media
+),
+scored AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+  FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, cosine FROM scored WHERE cosine > 0.9
+""",
     doc="Stub feature-extraction (mapInPandas) feeding brute-force cosine "
-        "neighbor search — the multimodal → similarity-search hand-off.",
+        "neighbor search — the multimodal → similarity-search hand-off. "
+        "The md5-seeded double vectors are recomputed exactly by the SQL "
+        "oracle (hash of the payload's hex string, 4-hex-digit windows).",
 )
 def mm_feature_neighbors(spark, sf_dir):
-    media = attach_fake_media(t(spark, sf_dir, "documents")).limit(100)
+    media = attach_fake_media(
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
     feats = extract_features(media)
     dot = "aggregate(zip_with(f_a, f_b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     a = feats.select(F.col("doc_id").alias("doc_a"), F.col("feature").alias("f_a"))
