@@ -108,12 +108,34 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
 
 
 def run_stream_to_memory(sdf: DataFrame, query_name: str,
-                         timeout_s: float = 60.0):
+                         timeout_s: float = 60.0,
+                         output_mode: str = "complete"):
     """Drive a streaming DataFrame into an in-memory sink until idle —
-    test/bench harness helper (complete mode, bounded file source)."""
+    test/bench harness helper (bounded file source). complete mode for
+    aggregations; append for row-level operators like dedup."""
     q = (
         sdf.writeStream.format("memory").queryName(query_name)
-        .outputMode("complete").trigger(availableNow=True).start()
+        .outputMode(output_mode).trigger(availableNow=True).start()
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def stream_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Exactly-once event dedup on `event_id` within a watermark horizon —
+    the standard at-least-once → exactly-once repair step in front of a
+    training-data ingest (duplicate deliveries from retries/replays).
+
+    Streaming mode uses dropDuplicatesWithinWatermark: state holds one key
+    per event_id seen inside the horizon and is EVICTED once the watermark
+    passes it — bounded state at any throughput, unlike a plain
+    dropDuplicates whose state grows forever. Batch mode degrades to exact
+    dropDuplicates on the same key, which is how the semantics are
+    unit-tested against the batch oracle.
+    """
+    if events.isStreaming:
+        return (
+            events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+    return events.dropDuplicates(["event_id"])
