@@ -50,7 +50,10 @@ def get_spark(app_name: str = "dsq-spark", master: str | None = None,
         # (dsq_spark.queries.base.t) — DuckDB truncates nanos→micros the
         # same way.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs executors inside the driver JVM: size the heap for
+        # N concurrent tasks + persisted caches, or late-suite full GCs
+        # show up as multi-second noise spikes on otherwise-fast queries.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     if master is not None:
