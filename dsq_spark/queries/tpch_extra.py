@@ -739,3 +739,41 @@ def q21_sole_returner(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@register(
+    "q20_heavy_shippers",
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%a%'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 4 * (SELECT avg(l_quantity) FROM lineitem)
+)
+""",
+    doc="TPC-H Q20 shape (no partsupp): suppliers who shipped any "
+        "name-matched part in quantity above 4x the global per-line "
+        "average — IN-semi-join against a grouped HAVING whose threshold "
+        "is a scalar subquery. Spark impl: the scalar aggregate broadcasts "
+        "as a 1-row cross join (never recomputed per group), the part "
+        "filter broadcasts into the lineitem join, and the IN becomes a "
+        "left-semi join on the distinct supplier set.",
+)
+def q20_heavy_shippers(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    avg_qty = l.agg(F.avg("l_quantity").alias("aq"))
+    heavy = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .crossJoin(F.broadcast(avg_qty))
+        .filter(F.col("sq") > 4 * F.col("aq"))
+        .select("l_suppkey")
+    )
+    s = t(spark, sf_dir, "supplier")
+    return s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name")
