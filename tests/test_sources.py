@@ -68,17 +68,22 @@ def _write_xlsx(path):
         )
         for ri, row in enumerate(sheet_rows)
     )
+    # fixed entry timestamps → byte-identical zip on every regeneration
+    # (no spurious git diff on the committed fixture)
+    def _w(zf, name, data):
+        zf.writestr(zipfile.ZipInfo(name, date_time=(2020, 1, 1, 0, 0, 0)), data)
+
     with zipfile.ZipFile(path, "w") as zf:
-        zf.writestr("xl/workbook.xml",
-                    '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
-                    'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-                    '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>')
-        zf.writestr("xl/_rels/workbook.xml.rels",
-                    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
-                    '<Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>')
-        zf.writestr("xl/worksheets/sheet1.xml",
-                    '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
-                    f"<sheetData>{cells}</sheetData></worksheet>")
+        _w(zf, "xl/workbook.xml",
+           '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+           'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+           '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>')
+        _w(zf, "xl/_rels/workbook.xml.rels",
+           '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+           '<Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>')
+        _w(zf, "xl/worksheets/sheet1.xml",
+           '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+           f"<sheetData>{cells}</sheetData></worksheet>")
 
 
 @pytest.mark.parametrize("ext", ["csv", "tsv", "json", "jsonl", "cjson", "yaml", "xlsx"])
