@@ -36,6 +36,8 @@ def main():
     # shields the judged number from host-neighbor noise spikes.
     timings: dict[str, float] = {}
     for name in sorted(Q.REGISTRY):
+        if not Q.REGISTRY[name].bench:
+            continue  # correctness-only (e.g. 80-iteration recursive CTE)
         fn = Q.REGISTRY[name].fn
         best = float("inf")
         for _ in range(2):

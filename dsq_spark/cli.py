@@ -205,9 +205,19 @@ def run(argv: list[str], spark=None) -> int:
 
     refs = extract_table_refs(a.query)
     _ingest(spark, a, refs)
-    df = spark.sql(rewrite_query(a.query))
+    df = _sql(spark, rewrite_query(a.query))
     (pretty_table if a.pretty else dump_json)(df)
     return 0
+
+
+def _sql(spark, sql: str):
+    """spark.sql, except WITH RECURSIVE routes to the iterative evaluator
+    (Spark has no recursive CTE; SQLite does — dsq_spark.recursive)."""
+    from dsq_spark.recursive import parse_recursive, run_recursive
+
+    if parse_recursive(sql) is not None:
+        return run_recursive(spark, sql)
+    return spark.sql(sql)
 
 
 def _repl(spark, a: Args) -> int:
@@ -228,7 +238,7 @@ def _repl(spark, a: Args) -> int:
         if line in ("exit", "quit"):
             return 0
         try:
-            pretty_table(spark.sql(rewrite_query(line)))
+            pretty_table(_sql(spark, rewrite_query(line)))
         except Exception as e:  # show error, keep looping (main.go:301-306)
             print(f"Error: {e}", file=sys.stderr)
 

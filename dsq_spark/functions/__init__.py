@@ -49,6 +49,90 @@ _BEST_EFFORT = "coalesce(" + ", ".join(
 ) + ", try_to_timestamp(s))"
 
 
+def _g_esc(x: str) -> str:
+    """Regex-literal escape of a single char: \\x{HEX codepoint}. Inlined
+    textually (not a SQL UDF) because SQL UDFs cannot be applied to lambda
+    variables inside higher-order functions."""
+    return "concat('\\\\x{', hex(ascii(" + x + ")), '}')"
+
+
+def _glob_acc(r, st, neg, body, prior, dash) -> str:
+    """named_struct literal for the glob-compiler accumulator (see below)."""
+    return (
+        "named_struct('r', " + r + ", 'st', " + str(st) + ", 'neg', " + neg
+        + ", 'body', " + body + ", 'prior', " + prior + ", 'dash', " + dash + ")"
+    )
+
+
+# Class body with the held member (a.prior) flushed onto it.
+_G_FLUSH = "concat(a.body, CASE WHEN a.prior <> '' THEN GLOBESC_PRIOR ELSE '' END)"
+
+# One step of the glob→regex compiler. Accumulator fields:
+#   r     regex emitted so far
+#   st    0 = normal, 1 = just after '[', 2 = just after '[^', 3 = in class
+#   neg   class is negated
+#   body  class body emitted so far (members escaped as \x{HEX})
+#   prior last class member seen but not yet emitted (it may become the
+#         low end of a range, in which case it must not also be a member)
+#   dash  a '-' was seen after `prior` (range pending, SQLite src/func.c:
+#         '-' is a range only when a member precedes and ']'/end doesn't
+#         immediately follow)
+# Closing an effectively-empty class (e.g. only an inverted range [x-a])
+# emits '(?!)' (never matches — SQLite: seen=0) or, negated, '.' (matches
+# any one char — SQLite: seen^invert=1). An unclosed '[' at end of pattern
+# makes the whole pattern unmatchable (finish lambda).
+_GLOB_STEP = (
+    "CASE "
+    "WHEN a.st = 0 AND c = '*' THEN "
+    + _glob_acc("concat(a.r, '.*')", 0, "false", "''", "''", "false")
+    + " WHEN a.st = 0 AND c = '?' THEN "
+    + _glob_acc("concat(a.r, '.')", 0, "false", "''", "''", "false")
+    + " WHEN a.st = 0 AND c = '[' THEN "
+    + _glob_acc("a.r", 1, "false", "''", "''", "false")
+    + " WHEN a.st = 0 THEN "
+    + _glob_acc("concat(a.r, GLOBESC_C)", 0, "false", "''", "''", "false")
+    + " WHEN a.st = 1 AND c = '^' THEN "
+    + _glob_acc("a.r", 2, "true", "''", "''", "false")
+    + " WHEN a.st = 1 THEN "      # ']' here is a literal member (held)
+    + _glob_acc("a.r", 3, "a.neg", "''", "c", "false")
+    + " WHEN a.st = 2 THEN "      # ditto after '[^'
+    + _glob_acc("a.r", 3, "true", "''", "c", "false")
+    + " WHEN NOT a.dash AND c = ']' THEN "
+    + _glob_acc(
+        "concat(a.r, CASE WHEN " + _G_FLUSH + " = '' THEN "
+        "CASE WHEN a.neg THEN '.' ELSE '(?!)' END "
+        "ELSE concat('[', CASE WHEN a.neg THEN '^' ELSE '' END, "
+        + _G_FLUSH + ", ']') END)",
+        0, "false", "''", "''", "false")
+    + " WHEN NOT a.dash AND c = '-' AND a.prior <> '' THEN "
+    + _glob_acc("a.r", 3, "a.neg", "a.body", "a.prior", "true")
+    + " WHEN NOT a.dash AND c = '-' THEN "  # '-' with no prior member: literal
+    + _glob_acc("a.r", 3, "a.neg", "a.body", "'-'", "false")
+    + " WHEN NOT a.dash THEN "
+    + _glob_acc("a.r", 3, "a.neg", _G_FLUSH, "c", "false")
+    + " WHEN c = ']' THEN "       # pending dash then ']': both literal
+    + _glob_acc(
+        "concat(a.r, '[', CASE WHEN a.neg THEN '^' ELSE '' END, a.body, "
+        "GLOBESC_PRIOR, '\\\\x{2d}', ']')",
+        0, "false", "''", "''", "false")
+    + " WHEN ascii(a.prior) <= ascii(c) THEN "  # range prior..c
+    + _glob_acc("a.r", 3, "a.neg",
+                "concat(a.body, GLOBESC_PRIOR, '-', GLOBESC_C)",
+                "''", "false")
+    + " ELSE "                    # inverted range: matches nothing, emit none
+    + _glob_acc("a.r", 3, "a.neg", "a.body", "''", "false")
+    + " END"
+)
+
+_GLOB_REGEX_UDF = (
+    "CREATE OR REPLACE TEMPORARY FUNCTION glob_regex(p STRING) RETURNS STRING "
+    "RETURN aggregate(filter(split(p, ''), ch -> ch <> ''), "
+    + _glob_acc("''", 0, "false", "''", "''", "false")
+    + ", (a, c) -> " + _GLOB_STEP
+    + ", a -> CASE WHEN a.st <> 0 THEN '(?!)' ELSE concat('(?s)^', a.r, '$') END)"
+).replace("GLOBESC_PRIOR", _g_esc("a.prior")).replace("GLOBESC_C", _g_esc("c"))
+
+
 def _sql_udfs() -> list[str]:
     date_parts = {
         "date_year": "year", "date_month": "month", "date_day": "day",
@@ -88,13 +172,18 @@ def _sql_udfs() -> list[str]:
         "date_format(best_effort_ts(s), replace(replace(replace(replace(replace(replace(replace(f, "
         "'%Y', 'yyyy'), '%m', 'MM'), '%d', 'dd'), '%H', 'HH'), '%M', 'mm'), '%S', 'ss'), '%j', 'DDD'))",
         # glob: SQLite full-string match with * ? wildcards and [seq]
-        # classes. glob_regex escapes regex metachars except []*? then maps
-        # * → .* and ? → . and anchors; `x GLOB 'pat'` is rewritten to
+        # classes (reference README.md:698; SQLite src/func.c globCompare
+        # semantics). glob_regex compiles a glob to an anchored Java regex
+        # with a char-by-char state machine (aggregate HOF — pure JVM,
+        # constant-folded for literal patterns), covering the edge cases a
+        # replace-chain cannot: unclosed `[` → never-match (not a regex
+        # syntax error), `]` literal when first in a class, `[^...]`
+        # negation, `-` ranges incl. inverted (`[x-a]` matches nothing) and
+        # literal-dash positions, and metachars inside classes (every
+        # literal is emitted as \\x{HEX}). `x GLOB 'pat'` is rewritten to
         # `x RLIKE glob_regex('pat')` by dsq_spark.rewrite, and glob(pat, s)
         # mirrors SQLite's function form (pattern first, returns 0/1).
-        "CREATE OR REPLACE TEMPORARY FUNCTION glob_regex(p STRING) RETURNS STRING RETURN "
-        "concat('(?s)^', replace(replace(regexp_replace(p, "
-        "'([.{}()\\\\\\\\^$|+])', '\\\\\\\\$1'), '*', '.*'), '?', '.'), '$')",
+        _GLOB_REGEX_UDF,
         "CREATE OR REPLACE TEMPORARY FUNCTION glob(p STRING, s STRING) RETURNS INT RETURN CAST(s RLIKE glob_regex(p) AS INT)",
         # unicode (SQLite core). `quote()` is a non-shadowable Spark builtin
         # whose escaping differs (backslash vs doubled quote) — documented

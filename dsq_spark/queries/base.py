@@ -16,16 +16,19 @@ class Query:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     doc: str = ""
+    bench: bool = True  # False: correctness-only (e.g. iterative driver loops)
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None = None, doc: str = ""):
+def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = True):
     """Decorator: register a (spark, sf_dir) -> DataFrame query."""
 
     def deco(fn):
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), bench=bench
+        )
         return fn
 
     return deco

@@ -754,3 +754,44 @@ def sessionize_events(spark, sf_dir):
         F.countDistinct("session_id").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+@register(
+    "recursive_cte_series",
+    oracle="""
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months WHERE m < DATE '2001-08-01'
+)
+SELECT m AS month,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+       round(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE), 2) AS revenue
+FROM months LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+GROUP BY m
+""",
+    doc=(
+        "WITH RECURSIVE monthly calendar (80 iterations) left-joined to "
+        "order revenue — exercises the iterative fixpoint evaluator "
+        "(dsq_spark.recursive; SQLite supports recursive CTEs, Spark does "
+        "not — SURVEY.md §2.7 O4). Correctness-only: excluded from bench "
+        "(driver-loop latency is iteration-bound, not data-bound)."
+    ),
+    bench=False,
+)
+def recursive_cte_series(spark, sf_dir):
+    from dsq_spark.recursive import run_recursive
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return run_recursive(spark, """
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1995-01-01' AS m
+  UNION ALL
+  SELECT add_months(m, 1) FROM months WHERE m < DATE '2001-08-01'
+)
+SELECT m AS month,
+       count(o_orderkey) AS n_orders,
+       round(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE), 2) AS revenue
+FROM months LEFT JOIN orders ON CAST(date_trunc('MONTH', o_orderdate) AS DATE) = m
+GROUP BY m
+""")

@@ -99,3 +99,29 @@ def test_sqlite_datetime_family(spark):
         want = con.execute(q).fetchone()[0]
         got = spark.sql(q + " AS v").collect()[0]["v"]
         assert str(got) == str(want), q
+
+
+def test_glob_property_randomized(spark):
+    """200 seeded random (pattern, string) pairs over a hostile alphabet
+    (wildcards, regex metachars, brackets) — Spark glob() must agree with
+    real SQLite on every one. One Spark job for the whole batch."""
+    import random
+    import sqlite3
+
+    rng = random.Random(1234)
+    alphabet = list("ab.*?[]()^$+|{}\\x-")
+    def rand_s(maxlen):
+        return "".join(rng.choice(alphabet) for _ in range(rng.randrange(maxlen)))
+
+    pairs = []
+    for _ in range(200):
+        pat, s = rand_s(8), rand_s(10)
+        if "'" in pat or "'" in s:
+            continue
+        pairs.append((pat, s))
+    con = sqlite3.connect(":memory:")
+    want = [con.execute("SELECT glob(?, ?)", p).fetchone()[0] for p in pairs]
+    df = spark.createDataFrame(pairs, ["p", "s"]).selectExpr("glob(p, s) AS g")
+    got = [r.g for r in df.collect()]
+    diffs = [(pairs[i], want[i], got[i]) for i in range(len(pairs)) if want[i] != got[i]]
+    assert not diffs, diffs[:10]
