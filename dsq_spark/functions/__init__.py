@@ -204,9 +204,14 @@ def register_all(spark: SparkSession) -> None:
         spark.sql(stmt)
 
 
-# Aggregate-name aliases SQL UDFs can't express; dsq_spark.rewrite rewrites
-# these call sites textually: name(args) → template.format(args=args).
+# Call-site aliases SQL UDFs can't express (aggregates, and variadic
+# scalars like SQLite's format() == printf()); dsq_spark.rewrite rewrites
+# these textually: name(args) → template.format(args=args).
 AGG_ALIASES = {
+    # SQLite layer-1 format() is C-style printf (README.md:698); Spark's
+    # printf is the same family (%s/%d/%f). Spark's own format_* functions
+    # are untouched (no word boundary after '_').
+    "format": "printf({args})",
     "stdev": "stddev_samp({args})",
     "stddev": "stddev_samp({args})",
     "percentile_25": "percentile({args}, 0.25)",

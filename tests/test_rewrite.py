@@ -57,6 +57,9 @@ def test_agg_aliases():
     # alias name inside a string literal is untouched
     out = rewrite_query("SELECT 'stdev(x)' AS lit, total(y) FROM {}")
     assert "'stdev(x)'" in out and "coalesce(sum(y), 0.0d)" in out
+    # SQLite format() == printf (variadic); Spark's own format_* untouched
+    out = rewrite_query("SELECT format('%s-%02d', a, b), date_format(ts, 'yyyy') FROM {}")
+    assert "printf('%s-%02d', a, b)" in out and "date_format(ts, 'yyyy')" in out
 
 
 def test_view_name_dedup():
