@@ -831,3 +831,41 @@ def agg_approx_distinct(spark, sf_dir):
              / F.col("n_users_exact") < 0.15).alias("approx_ok"),
         )
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+         AS rev_30d
+FROM orders
+""",
+    doc=(
+        "Value-based RANGE window frame (SURVEY.md §2.6 W4 — the ROWS case "
+        "is covered by window_running_sum): trailing-30-day revenue per "
+        "customer. DataFrame API expresses the interval frame as a "
+        "rangeBetween over epoch seconds — value frames are tie-stable, so "
+        "the result is deterministic without a unique sort key."
+    ),
+)
+def window_range_frame(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders").withColumn(
+        "epoch_s", F.unix_timestamp("o_orderdate")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("epoch_s")
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double"), 2
+        ).alias("rev_30d"),
+    )

@@ -211,3 +211,49 @@ def text_fingerprint(spark, sf_dir):
         F.countDistinct("rolling_fp").alias("n_rolling_fp"),
         F.min("rolling_fp").cast("long").alias("min_rolling_fp"),
     )
+
+
+@register(
+    "pipeline_curation",
+    oracle=f"""
+WITH filtered AS (
+  SELECT doc_id, lang, text, length({D_TOKENS}) AS n_tokens
+  FROM documents
+  WHERE length({D_TOKENS}) >= 20 AND n_chars >= 100
+), ranked AS (
+  SELECT lang, n_tokens,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM filtered
+)
+SELECT lang,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups_removed,
+       CAST(sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS total_tokens
+FROM ranked
+GROUP BY lang
+""",
+    doc=(
+        "End-to-end curation pipeline: quality gate (token/char floors) → "
+        "exact dedup on content hash (keep lowest doc_id) → per-language "
+        "token budget. One shuffle for the dedup window (hash-partitioned "
+        "by md5, no skew — hashes are uniform), one for the final rollup; "
+        "the quality filter runs in the scan stage before either shuffle."
+    ),
+)
+def pipeline_curation(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .withColumn("n_tokens", F.size(F.expr(TOKENS)))
+        .filter((F.col("n_tokens") >= 20) & (F.col("n_chars") >= 100))
+    )
+    ranked = d.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy(F.md5("text")).orderBy("doc_id")),
+    )
+    return ranked.groupBy("lang").agg(
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_docs_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_dups_removed"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_tokens")).otherwise(0)).cast("long").alias("total_tokens"),
+    )
