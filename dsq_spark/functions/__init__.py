@@ -189,6 +189,13 @@ def _sql_udfs() -> list[str]:
         # whose escaping differs (backslash vs doubled quote) — documented
         # delta, same purpose.
         "CREATE OR REPLACE TEMPORARY FUNCTION unicode(s STRING) RETURNS INT RETURN ascii(s)",
+        # JSON1 family (README.md:698): json_array_length is a same-named
+        # Spark builtin; `->`/`->>` are rewritten (dsq_spark.rewrite);
+        # json_extract maps to get_json_object (single-path form; returns
+        # TEXT where SQLite returns a dynamic value — documented delta, and
+        # the dominant dsq usage is on string-serialized nested arrays
+        # where TEXT matches).
+        "CREATE OR REPLACE TEMPORARY FUNCTION json_extract(j STRING, p STRING) RETURNS STRING RETURN get_json_object(j, p)",
     ]
     for name, fn in date_parts.items():
         stmts.append(

@@ -869,3 +869,45 @@ def window_range_frame(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double"), 2
         ).alias("rev_30d"),
     )
+
+
+@register(
+    "window_groups_frame",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey,
+         dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS grp
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       CAST(count(*) OVER (
+         PARTITION BY o_custkey ORDER BY grp
+         RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_recent
+FROM ranked
+""",
+    doc=(
+        "GROUPS window frame (SURVEY.md §2.6 W4 — SQLite 3.28+ has GROUPS "
+        "frames, Spark and DuckDB do not): emulated as dense_rank over the "
+        "ordering + a RANGE frame over that rank, which is exactly a frame "
+        "counted in peer groups. Cross-checked two ways: the DuckDB oracle "
+        "runs the same emulation in portable SQL, and "
+        "tests/test_functions.py::test_groups_frame_vs_sqlite pins the "
+        "emulation against REAL SQLite's native GROUPS frame."
+    ),
+)
+def window_groups_frame(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    ranked = o.withColumn("grp", F.dense_rank().over(by_date))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("grp")
+        .rangeBetween(-1, Window.currentRow)
+    )
+    return ranked.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).cast("long").alias("n_recent"),
+    )

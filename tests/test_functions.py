@@ -101,6 +101,29 @@ def test_sqlite_datetime_family(spark):
         assert str(got) == str(want), q
 
 
+def test_json_extract(spark):
+    """json_extract single-path form == SQLite's on string-serialized
+    arrays/objects (both return TEXT here)."""
+    import sqlite3
+
+    cases = [
+        ("[1,2,3]", "$[1]"),
+        ('{"a": {"b": 7}}', "$.a.b"),
+        ('{"a": "x"}', "$.a"),
+        ("[1,2,3]", "$[9]"),
+    ]
+    con = sqlite3.connect(":memory:")
+    want = [
+        str(con.execute("SELECT json_extract(?, ?)", c).fetchone()[0])
+        for c in cases
+    ]
+    df = spark.createDataFrame(cases, ["j", "p"]).selectExpr(
+        "json_extract(j, p) AS v"
+    )
+    got = [str(r.v) for r in df.collect()]
+    assert got == want
+
+
 def test_glob_property_randomized(spark):
     """200 seeded random (pattern, string) pairs over a hostile alphabet
     (wildcards, regex metachars, brackets) — Spark glob() must agree with
@@ -125,3 +148,35 @@ def test_glob_property_randomized(spark):
     got = [r.g for r in df.collect()]
     diffs = [(pairs[i], want[i], got[i]) for i in range(len(pairs)) if want[i] != got[i]]
     assert not diffs, diffs[:10]
+
+
+def test_groups_frame_vs_sqlite(spark, sf_dir):
+    """The dense_rank+RANGE emulation of GROUPS frames must agree with real
+    SQLite's native `GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW` on the
+    actual orders table (SQLite is the reference's engine)."""
+    import sqlite3
+
+    import dsq_spark.queries as Q
+
+    rows = [
+        (r.o_custkey, r.o_orderkey, str(r.o_orderdate))
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .collect()
+    ]
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE orders (o_custkey INT, o_orderkey INT, o_orderdate TEXT)")
+    con.executemany("INSERT INTO orders VALUES (?,?,?)", rows)
+    want = sorted(
+        con.execute(
+            """SELECT o_custkey, o_orderkey,
+                      count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                                     GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW)
+               FROM orders"""
+        ).fetchall()
+    )
+    got = sorted(
+        (r.o_custkey, r.o_orderkey, r.n_recent)
+        for r in Q.REGISTRY["window_groups_frame"].fn(spark, sf_dir).collect()
+    )
+    assert got == want

@@ -146,6 +146,13 @@ def test_xlsx_sheet_missing(spark):
         read_file(spark, f"{FIX}/u.xlsx", doc_path="Nope")
 
 
+def test_legacy_xls_clear_error(spark, tmp_path):
+    p = tmp_path / "old.xls"
+    p.write_bytes(b"\xd0\xcf\x11\xe0" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="legacy .xls"):
+        read_file(spark, str(p))
+
+
 def test_hostile_headers_survive(spark, tmp_path):
     """FIXTURES.md §1: header names with leading/trailing/embedded spaces
     and tabs must survive verbatim and stay queryable via quoted idents."""
