@@ -139,3 +139,40 @@ def stream_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
             .dropDuplicatesWithinWatermark(["event_id"])
         )
     return events.dropDuplicates(["event_id"])
+
+
+def stream_attribution_join(views: DataFrame, purchases: DataFrame,
+                            horizon: str = "1 hour",
+                            watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the same user's
+    views in the preceding `horizon` (the canonical ad-attribution shape).
+
+    In streaming mode both sides carry watermarks AND the join condition
+    bounds event-time distance — together these let Spark compute how long
+    a buffered row can still match and EVICT join state past that horizon
+    (unbounded state otherwise: stream-stream joins buffer both sides).
+    Batch mode runs the identical join condition, which is how the
+    semantics are tested (stream output ⊆-equal to the batch join).
+    """
+    if views.isStreaming:
+        views = views.withWatermark("ts", watermark)
+        purchases = purchases.withWatermark("ts", watermark)
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    cond = (
+        (p["user_id"] == v["v_user"])
+        & (v["view_ts"] <= p["purchase_ts"])
+        & (v["view_ts"] >= p["purchase_ts"] - F.expr(f"INTERVAL {horizon}"))
+    )
+    return p.join(v, cond, "inner").select(
+        "user_id", "purchase_id", "purchase_ts", "view_id", "view_ts", "value"
+    )
