@@ -257,3 +257,49 @@ def pipeline_curation(spark, sf_dir):
         F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_dups_removed"),
         F.sum(F.when(F.col("rn") == 1, F.col("n_tokens")).otherwise(0)).cast("long").alias("total_tokens"),
     )
+
+
+@register(
+    "sample_hash_split",
+    oracle="""
+WITH assigned AS (
+  SELECT lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+           AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM assigned
+GROUP BY lang, split
+""",
+    doc=(
+        "Deterministic train/val/test assignment by content-stable hash "
+        "(md5 of the document key mod 100 → 80/10/10): the standard "
+        "training-pipeline split that is reproducible across engines, "
+        "runs, and cluster sizes — no RNG state, no shuffle to assign "
+        "(map-side expression), one shuffle for the per-split rollup. The "
+        "60-bit md5 prefix arithmetic is engine-portable (Spark conv == "
+        "DuckDB hex cast)."
+    ),
+)
+def sample_hash_split(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    return (
+        d.select(
+            "lang",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("lang", "split")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

@@ -138,3 +138,20 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path, sf_dir):
         spark.sql("DROP TABLE IF EXISTS bucketdemo.orders_b")
         spark.sql("DROP TABLE IF EXISTS bucketdemo.lineitem_b")
         spark.sql("DROP DATABASE IF EXISTS bucketdemo")
+
+
+def test_curation_pipeline_filter_pushdown(spark, sf_dir):
+    """pipeline_curation: the n_chars floor is a plain column predicate and
+    must reach the parquet scan (the token-count floor is computed, so it
+    filters post-scan); exactly two exchanges (dedup window + rollup)."""
+    plan = plan_of(spark, sf_dir, "pipeline_curation")
+    assert "GreaterThanOrEqual(n_chars,100)" in plan
+    assert n_nodes(plan, "Exchange") <= 3  # window hash + rollup (+rebalance)
+
+
+def test_hash_split_assignment_is_map_side(spark, sf_dir):
+    """sample_hash_split: split assignment must not shuffle — exactly the
+    final rollup exchange(s), no join, no window."""
+    plan = plan_of(spark, sf_dir, "sample_hash_split")
+    assert n_nodes(plan, "Window") == 0
+    assert "Join" not in plan
