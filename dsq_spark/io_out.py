@@ -174,3 +174,27 @@ def _shape_pretty(shape: dict, indent: int, fh: IO[str]) -> None:
 def schema_pretty(df: DataFrame, fh: Optional[IO[str]] = None) -> None:
     fh = fh if fh is not None else sys.stdout
     _shape_pretty(table_shape(df), 0, fh)
+
+
+def write_parquet_dataset(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    max_records_per_file: int = 1_000_000,
+    mode: str = "error",
+) -> None:
+    """Training-pipeline sink (extension beyond the reference's JSON/table
+    outputs): a partitioned parquet dataset laid out for downstream
+    consumption at scale.
+
+    * `partition_by` gives directory-level partition pruning to every later
+      reader (e.g. lang=en/ shards for per-language training mixes);
+    * `maxRecordsPerFile` bounds individual file size so a skewed partition
+      (one dominant language) still splits into parallel-readable files;
+    * parquet + snappy keeps scans columnar and splittable — the same
+      properties our own readers rely on.
+    """
+    w = df.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -101,3 +101,45 @@ def test_cache_file_flag(spark, tmp_path, monkeypatch):
     assert rc == 0
     first = out.splitlines()[0]
     assert "dsq-cache-" in first  # cache path printed (reference -D)
+
+
+def test_write_parquet_dataset_layout(spark, tmp_path):
+    from dsq_spark.io_out import write_parquet_dataset
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr", f"doc {i}") for i in range(30)],
+        ["doc_id", "lang", "text"],
+    )
+    out = tmp_path / "ds"
+    write_parquet_dataset(df, str(out), partition_by=("lang",),
+                          max_records_per_file=7)
+    dirs = sorted(p.name for p in out.iterdir() if p.is_dir())
+    assert dirs == ["lang=en", "lang=fr"]
+    back = spark.read.parquet(str(out))
+    assert back.count() == 30
+    # partition pruning: a lang filter must prune to the one directory
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.filter(back.lang == "fr").explain("formatted")
+    assert "lang=fr" in buf.getvalue() or "PartitionFilters" in buf.getvalue()
+
+
+def test_cli_with_recursive_routes(spark, tmp_path, capsys):
+    """WITH RECURSIVE through the CLI entry runs the iterative evaluator."""
+    import json as _json
+
+    from dsq_spark import cli
+
+    p = tmp_path / "seed.csv"
+    p.write_text("n\n1\n")
+    rc = cli.run(
+        [str(p),
+         "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n+1 FROM t WHERE n < 4) "
+         "SELECT count(*) AS c FROM t"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out == [{"c": 4}]
