@@ -777,3 +777,59 @@ def q20_heavy_shippers(spark, sf_dir):
     s = t(spark, sf_dir, "supplier")
     return s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi").select(
         "s_suppkey", "s_name")
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+WITH natsup AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_3','NATION_7','NATION_8')
+), val AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS value
+  FROM lineitem JOIN natsup ON l_suppkey = s_suppkey
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey,
+       round(CAST(value AS DOUBLE), 2) AS value
+FROM val
+WHERE value > (SELECT sum(value) * 0.001 FROM val)
+""",
+    doc="TPC-H Q11 shape (no partsupp: lineitem revenue stands in for stock "
+        "value): per-part value from a nation group's suppliers, kept only when "
+        "above a fraction of the total — a scalar aggregate over the same "
+        "derived table it filters. The nation-filtered supplier set "
+        "broadcasts; the derived per-part aggregate is persisted because "
+        "BOTH the threshold scalar and the filter consume it (one "
+        "computation, two readers); the scalar joins back as a broadcast "
+        "1-row cross join, never a single-partition window. Decimal "
+        "accumulation keeps the threshold comparison exact across engines.",
+)
+def q11_important_parts(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_3", "NATION_7", "NATION_8"))
+    natsup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    l = t(spark, sf_dir, "lineitem")
+    val = (
+        l.join(F.broadcast(natsup), l.l_suppkey == natsup.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("value")
+        )
+        .persist()
+    )
+    threshold = val.agg((F.sum("value") * F.lit(0.001)).alias("thr"))
+    return (
+        val.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("thr"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("value").cast("double"), 2).alias("value"),
+        )
+    )
