@@ -342,3 +342,39 @@ def sim_neardup_components(spark, sf_dir):
         F.col("u").alias("vec_id"), F.col("comp").alias("component"),
         F.count("*").over(w).alias("cluster_size"),
     )
+
+
+from dsq_spark.queries.base import REGISTRY as _REG
+
+@register(
+    "sim_ivf_recall",
+    oracle=f"""
+WITH bf AS (SELECT * FROM ({_REG['sim_topk_bruteforce'].oracle}) bfq),
+     ivf AS (SELECT * FROM ({_REG['sim_ivf_topk'].oracle}) ivfq)
+SELECT bf.q_id,
+       round(CAST(count(ivf.vec_id) AS DOUBLE) / 10.0, 4) AS recall_at_10
+FROM bf LEFT JOIN ivf ON bf.q_id = ivf.q_id AND bf.vec_id = ivf.vec_id
+GROUP BY bf.q_id
+""",
+    doc=(
+        "ANN quality metric: recall@10 of the IVF(single-probe) index "
+        "against the exact brute-force top-10 per query vector — the "
+        "standard measurement that decides probe count / cell count "
+        "trade-offs before scaling an index out. Composed from the two "
+        "oracle-matched pipelines, so the metric itself is value-checked."
+    ),
+)
+def sim_ivf_recall(spark, sf_dir):
+    bf = sim_topk_bruteforce(spark, sf_dir).select("q_id", "vec_id")
+    ivf = sim_ivf_topk(spark, sf_dir).select(
+        F.col("q_id").alias("i_qid"), F.col("vec_id").alias("i_vid")
+    )
+    return (
+        bf.join(
+            ivf,
+            (bf.q_id == ivf.i_qid) & (bf.vec_id == ivf.i_vid),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.round(F.count("i_vid").cast("double") / 10.0, 4).alias("recall_at_10"))
+    )
