@@ -911,3 +911,30 @@ def window_groups_frame(spark, sf_dir):
         "o_orderkey",
         F.count("*").over(w).cast("long").alias("n_recent"),
     )
+
+
+@register(
+    "baseline_groupby",
+    oracle="""
+SELECT l_linenumber,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(l_extendedprice), 4) AS avg_price
+FROM lineitem
+GROUP BY l_linenumber
+""",
+    doc=(
+        "The reference's published benchmark shape (BASELINE.md: SELECT "
+        "passenger_count, COUNT(*), AVG(total_amount) FROM taxi GROUP BY "
+        "passenger_count — reference README.md:651-655) transposed onto "
+        "lineitem: one low-cardinality integer group key, COUNT + AVG over "
+        "a full scan. Map-side partial aggregation collapses each partition "
+        "to ~7 rows before the shuffle, so the exchange is O(partitions), "
+        "not O(rows) — the plan shape that wins at 100 TB."
+    ),
+)
+def baseline_groupby(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linenumber").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )
