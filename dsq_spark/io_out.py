@@ -198,3 +198,42 @@ def write_parquet_dataset(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def compact_dataset(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Compact a small-file parquet dataset in place (write-new-then-swap):
+    long-running ingest jobs accumulate many small files, and at scale the
+    per-file open/footer cost dominates scans. Sizes the output file count
+    from the actual input bytes, preserves partition columns, and returns
+    the number of files after compaction."""
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    w = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return sum(
+        1
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )

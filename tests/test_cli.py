@@ -143,3 +143,19 @@ def test_cli_with_recursive_routes(spark, tmp_path, capsys):
     assert rc == 0
     out = _json.loads(capsys.readouterr().out)
     assert out == [{"c": 4}]
+
+
+def test_compact_dataset(spark, tmp_path):
+    from dsq_spark.io_out import compact_dataset
+
+    src = tmp_path / "frag"
+    # 40 tiny files
+    spark.range(4000).selectExpr("id", "id % 5 AS k").repartition(40) \
+        .write.parquet(str(src))
+    import os
+    before = sum(f.endswith(".parquet") for _, _, fs in os.walk(src) for f in fs)
+    assert before >= 40
+    after = compact_dataset(spark, str(src))
+    assert after < before
+    back = spark.read.parquet(str(src))
+    assert back.count() == 4000 and set(back.columns) == {"id", "k"}

@@ -132,7 +132,7 @@ def test_glob_property_randomized(spark):
     import sqlite3
 
     rng = random.Random(1234)
-    alphabet = list("ab.*?[]()^$+|{}\\x-")
+    alphabet = list("ab.*?[]()^$+|{}\\x-\u00e9\u20ac")
     def rand_s(maxlen):
         return "".join(rng.choice(alphabet) for _ in range(rng.randrange(maxlen)))
 
