@@ -101,6 +101,15 @@ def _rewrite_chunk(chunk: str) -> str:
     chunk = re.sub(r'"((?:[^"\\]|\\.)*)"', lambda m: "`" + m.group(1) + "`", chunk)
     # REGEXP operator → RLIKE (word-boundary, case-insensitive)
     chunk = re.sub(r"\bREGEXP\b", "RLIKE", chunk, flags=re.IGNORECASE)
+    # SQLite collation names → Spark 4 collations. NOCASE folds ASCII only
+    # in SQLite vs full Unicode in UTF8_LCASE (documented delta); RTRIM
+    # ignores trailing blanks in comparisons — same in *_RTRIM.
+    chunk = re.sub(r"\bCOLLATE\s+NOCASE\b", "COLLATE UTF8_LCASE", chunk,
+                   flags=re.IGNORECASE)
+    chunk = re.sub(r"\bCOLLATE\s+RTRIM\b", "COLLATE UTF8_BINARY_RTRIM", chunk,
+                   flags=re.IGNORECASE)
+    chunk = re.sub(r"\bCOLLATE\s+BINARY\b", "COLLATE UTF8_BINARY", chunk,
+                   flags=re.IGNORECASE)
     return chunk
 
 

@@ -65,3 +65,24 @@ def test_agg_aliases():
 def test_view_name_dedup():
     refs = extract_table_refs("SELECT * FROM {0} a JOIN {0} b ON a.x = b.x")
     assert refs == [TableRef(0, None)]
+
+
+def test_collate_mapping(spark):
+    """SQLite collation names map to Spark 4 collations and behave like
+    SQLite on comparisons and ORDER BY (stdlib sqlite3 as oracle)."""
+    import sqlite3
+
+    out = rewrite_query("SELECT x FROM {0} WHERE x = 'abc' COLLATE NOCASE "
+                        "ORDER BY x COLLATE RTRIM")
+    assert "COLLATE UTF8_LCASE" in out and "COLLATE UTF8_BINARY_RTRIM" in out
+    assert "NOCASE" not in out
+    # literal untouched
+    lit = rewrite_query("SELECT 'COLLATE NOCASE' AS v")
+    assert "'COLLATE NOCASE'" in lit
+    # behavior parity on a comparison
+    con = sqlite3.connect(":memory:")
+    want = con.execute("SELECT 'ABC' = 'abc' COLLATE NOCASE").fetchone()[0]
+    got = spark.sql(
+        rewrite_query("SELECT CAST('ABC' = 'abc' COLLATE NOCASE AS INT) AS v")
+    ).collect()[0]["v"]
+    assert got == want == 1
