@@ -155,3 +155,12 @@ def test_hash_split_assignment_is_map_side(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sample_hash_split")
     assert n_nodes(plan, "Window") == 0
     assert "Join" not in plan
+
+
+def test_q11_broadcasts_threshold_no_global_window(spark, sf_dir):
+    """q11: the 1-row threshold joins back as a broadcast (never a
+    single-partition global window), and the nation-filtered supplier set
+    broadcasts into lineitem."""
+    plan = plan_of(spark, sf_dir, "q11_important_parts")
+    assert n_nodes(plan, "Window") == 0
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
