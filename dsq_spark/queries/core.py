@@ -938,3 +938,43 @@ def baseline_groupby(spark, sf_dir):
         F.count("*").alias("n"),
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
     )
+
+
+@register(
+    "window_exclude_frame",
+    oracle="""
+SELECT o_orderkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW)
+         AS DOUBLE), 2) AS neighbor_rev
+FROM orders
+""",
+    doc=(
+        "EXCLUDE CURRENT ROW window frame (SURVEY.md §2.6 W4 — SQLite "
+        "3.28+ has frame exclusion, Spark does not): for aggregates it is "
+        "exactly frame_agg - current_value, so the emulation subtracts the "
+        "row's own contribution from the plain ROWS frame. Oracle runs "
+        "DuckDB's NATIVE EXCLUDE CURRENT ROW. Decimal accumulation keeps "
+        "the subtraction exact."
+    ),
+)
+def window_exclude_frame(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 2)
+    )
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    # A frame containing only the current row must yield NULL after
+    # exclusion (empty-frame SUM), not 0 — match native EXCLUDE.
+    neighbor = F.when(
+        F.count("*").over(w) > 1, (F.sum(dec).over(w) - dec).cast("double")
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(neighbor, 2).alias("neighbor_rev"),
+    )
