@@ -165,12 +165,15 @@ def _sql_udfs() -> list[str]:
         "CREATE OR REPLACE TEMPORARY FUNCTION datetime(s STRING) RETURNS STRING RETURN date_format(best_effort_ts(s), 'yyyy-MM-dd HH:mm:ss')",
         "CREATE OR REPLACE TEMPORARY FUNCTION julianday(s STRING) RETURNS DOUBLE RETURN unix_timestamp(best_effort_ts(s)) / 86400.0d + 2440587.5d",
         "CREATE OR REPLACE TEMPORARY FUNCTION unixepoch(s STRING) RETURNS BIGINT RETURN unix_timestamp(best_effort_ts(s))",
-        # strftime: translate the common C codes to Java pattern letters.
+        # strftime: translate the common C codes to Java pattern letters;
+        # '%s' (whole format = epoch seconds, the common idiom) is handled
+        # as a special case since no Java pattern letter can express it.
         # Unconverted %-codes and alphabetic literals in the format are a
         # documented approximation (SQLite embeds a full C strftime).
         "CREATE OR REPLACE TEMPORARY FUNCTION strftime(f STRING, s STRING) RETURNS STRING RETURN "
+        "CASE WHEN f = '%s' THEN CAST(unix_timestamp(best_effort_ts(s)) AS STRING) ELSE "
         "date_format(best_effort_ts(s), replace(replace(replace(replace(replace(replace(replace(f, "
-        "'%Y', 'yyyy'), '%m', 'MM'), '%d', 'dd'), '%H', 'HH'), '%M', 'mm'), '%S', 'ss'), '%j', 'DDD'))",
+        "'%Y', 'yyyy'), '%m', 'MM'), '%d', 'dd'), '%H', 'HH'), '%M', 'mm'), '%S', 'ss'), '%j', 'DDD')) END",
         # glob: SQLite full-string match with * ? wildcards and [seq]
         # classes (reference README.md:698; SQLite src/func.c globCompare
         # semantics). glob_regex compiles a glob to an anchored Java regex

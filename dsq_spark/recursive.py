@@ -146,7 +146,13 @@ def run_recursive(
         if working.isEmpty():
             break
         working.createOrReplaceTempView(cte.name)
-        new = spark.sql(cte.step).toDF(*working.columns)
+        new = spark.sql(cte.step)
+        if len(new.columns) != len(working.columns):
+            raise ValueError(
+                f"recursive step of {cte.name} returns {len(new.columns)} "
+                f"columns, base returns {len(working.columns)}"
+            )
+        new = new.toDF(*working.columns)
         if not cte.union_all:
             acc = _union(parts)
             new = new.distinct().subtract(acc)

@@ -95,6 +95,7 @@ def test_sqlite_datetime_family(spark):
               "SELECT unixepoch('2022-03-05 00:00:00')",
               "SELECT strftime('%Y-%m-%d %H:%M:%S','2022-03-05 10:20:30')",
               "SELECT strftime('%d/%m/%Y','2001-12-25')",
+              "SELECT strftime('%s','2022-03-05 10:20:30')",
               "SELECT unicode('€x')"):
         want = con.execute(q).fetchone()[0]
         got = spark.sql(q + " AS v").collect()[0]["v"]
