@@ -378,3 +378,99 @@ def sim_ivf_recall(spark, sf_dir):
         .groupBy("q_id")
         .agg(F.round(F.count("i_vid").cast("double") / 10.0, 4).alias("recall_at_10"))
     )
+
+
+@register(
+    "sim_ivf_multiprobe",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, {D_VD} AS vd FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, vd,
+         list_transform(range(0, {N_CELLS}), k ->
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), range(0, 64)),
+             (s, d) -> s + vd[CAST(d AS INTEGER) + 1] * ({CENTROID.format(k="k")}))) AS dots
+  FROM v
+),
+cells AS (
+  SELECT vec_id, vd,
+         CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS cell
+  FROM assigned
+),
+n AS (SELECT vec_id, vd, cell, sqrt(list_dot_product(vd, vd)) AS nrm FROM cells),
+qtop AS (
+  SELECT q_id, k AS q_cell FROM (
+    SELECT vec_id AS q_id, CAST(t.k AS BIGINT) AS k,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dots[CAST(t.k AS INTEGER) + 1] DESC, t.k) AS rn
+    FROM assigned, range(0, {N_CELLS}) t(k)
+    WHERE vec_id < 5
+  ) z WHERE rn <= 2
+),
+q AS (
+  SELECT qtop.q_id, qtop.q_cell, n.vd AS q_vd, n.nrm AS q_nrm
+  FROM qtop JOIN n ON n.vec_id = qtop.q_id
+),
+scored AS (
+  SELECT q.q_id, n.vec_id,
+         list_dot_product(q.q_vd, n.vd) / (q.q_nrm * n.nrm) AS cos
+  FROM q JOIN n ON n.cell = q.q_cell AND n.vec_id != q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT q_id, vec_id, round(cos, 4) AS cosine, rnk
+FROM ranked WHERE rnk <= 10
+""",
+    doc="Multi-probe IVF (nprobe=2): each query probes its TWO nearest "
+        "cells instead of one — the standard recall/cost dial turned one "
+        "notch (2/8 of the corpus touched; single-probe recall@10 measured "
+        "0.2-0.5 by sim_ivf_recall). Candidates from the two probed cells "
+        "are disjoint by construction (a vector lives in exactly one "
+        "cell), so no dedup step is needed before ranking.",
+)
+def sim_ivf_multiprobe(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.expr(VD).alias("vd"))
+    dots = F.expr(
+        f"transform(sequence(0, {N_CELLS - 1}), k -> "
+        f"aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), "
+        f"(s, d) -> s + element_at(vd, d + 1) * ({CENTROID.format(k='k')})))"
+    )
+    assigned = v.select("vec_id", "vd", dots.alias("dots"))
+    n = assigned.select(
+        "vec_id", "vd",
+        (F.expr("array_position(dots, array_max(dots))") - 1).cast("long").alias("cell"),
+        F.sqrt(F.expr(DOT.format(a="vd", b="vd"))).alias("nrm"),
+    ).persist()
+    # top-2 cells per query vector (5 rows exploded to 40, ranked)
+    qd = (
+        assigned.filter(F.col("vec_id") < 5)
+        .select("vec_id", F.posexplode("dots").alias("k", "dot"))
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("k"))
+    qtop = (
+        qd.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select(F.col("vec_id").alias("q_id"), F.col("k").cast("long").alias("q_cell"))
+    )
+    qv = n.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qv_id"), F.col("vd").alias("q_vd"), F.col("nrm").alias("q_nrm")
+    )
+    q = qtop.join(qv, qtop.q_id == qv.qv_id).drop("qv_id")
+    scored = (
+        n.join(F.broadcast(q), (n.cell == q.q_cell) & (n.vec_id != q.q_id))
+        .select(
+            "q_id", "vec_id",
+            (F.expr(DOT.format(a="q_vd", b="vd")) / (F.col("q_nrm") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.select("q_id", "vec_id", "cos", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= 10)
+        .select("q_id", "vec_id", F.round("cos", 4).alias("cosine"), "rnk")
+    )
