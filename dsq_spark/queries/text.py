@@ -303,3 +303,74 @@ def sample_hash_split(spark, sf_dir):
         .groupBy("lang", "split")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+@register(
+    "text_dup_ngram_fraction",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, {D_TOKENS} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, greatest(length(t) - 9, 0) + 1),
+                               i -> array_to_string(list_slice(t, i, i + 9), ' ')))
+           AS g
+  FROM toks
+),
+mult AS (
+  SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g
+),
+per_doc AS (
+  SELECT grams.doc_id, grams.lang,
+         count(*) AS n_grams,
+         sum(CASE WHEN mult.nd > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM grams JOIN mult ON grams.g = mult.g
+  GROUP BY grams.doc_id, grams.lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_dup * 1.0 / n_grams), 6) AS avg_dup_fraction,
+       CAST(sum(CASE WHEN n_dup * 1.0 / n_grams > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mostly_duplicated
+FROM per_doc
+GROUP BY lang
+""",
+    doc=(
+        "Duplicate-10-gram fraction per document (the memorization-risk "
+        "metric behind substring-level training-data dedup): word 10-grams "
+        "explode from a materialized token column (HOF-inlining trap "
+        "avoided), one hash shuffle computes corpus-wide multiplicity, a "
+        "join back scores each document by the fraction of its 10-grams "
+        "appearing in other documents. Documents shorter than 10 tokens "
+        "contribute no grams and drop out on both engines."
+    ),
+)
+def text_dup_ngram_fraction(spark, sf_dir):
+    d = (
+        t(spark, sf_dir, "documents")
+        .withColumn("toks", F.expr(TOKENS))
+        .filter(F.size("toks") >= 10)
+    )
+    grams = d.select(
+        "doc_id", "lang",
+        F.explode(
+            F.expr("transform(sequence(1, size(toks) - 9), "
+                   "i -> array_join(slice(toks, i, 10), ' '))")
+        ).alias("g"),
+    ).persist()  # consumed by the multiplicity agg AND the join-back
+    mult = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        grams.join(mult, "g")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    frac = F.col("n_dup") * 1.0 / F.col("n_grams")
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg(frac), 6).alias("avg_dup_fraction"),
+        F.sum(F.when(frac > 0.5, 1).otherwise(0)).cast("long").alias("n_mostly_duplicated"),
+    )
