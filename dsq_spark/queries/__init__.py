@@ -26,6 +26,39 @@ from dsq_spark.queries import similarity  # noqa: F401,E402
 from dsq_spark.queries import multimodal_q  # noqa: F401,E402
 from dsq_spark.queries import tpch_extra  # noqa: F401,E402
 
+# The driver's correctness harness checks only the FIRST 50 registry entries,
+# so registration order decides which queries get a hard driver-verified row.
+# Round 1 checked core/text/dedup/similarity; rotate the window for round 2:
+# the 4 queries that failed in r1 (nanos-timestamp fix must be re-proven),
+# then the 24 tpch_extra + 3 multimodal queries that have never had a driver
+# row, then the rest (all green in CORRECTNESS_r01.json and still covered by
+# tests/test_queries_oracle.py locally).
+_PRIORITY = [
+    "window_lag_lead",
+    "json_extraction",
+    "sessionize_events",
+    "agg_approx_distinct",
+]
+_MODULE_ORDER = ["tpch_extra", "multimodal_q", "datetime_q", "dedup", "core", "text", "similarity"]
+
+
+def _window_rank(name: str) -> tuple:
+    if name in _PRIORITY:
+        return (0, _PRIORITY.index(name))
+    mod = REGISTRY[name].fn.__module__.rsplit(".", 1)[-1]
+    rank = _MODULE_ORDER.index(mod) if mod in _MODULE_ORDER else len(_MODULE_ORDER)
+    return (1, rank)
+
+
+def _reorder_registry() -> None:
+    ordered = sorted(REGISTRY, key=_window_rank)  # stable: keeps per-module order
+    snapshot = dict(REGISTRY)
+    REGISTRY.clear()
+    REGISTRY.update({n: snapshot[n] for n in ordered})
+
+
+_reorder_registry()
+
 
 def queries():
     return {name: q.fn for name, q in REGISTRY.items()}

@@ -59,6 +59,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session.py nanosAsLong) and we rebuild a micros timestamp — identical to
     DuckDB's nanos→micros truncation, so oracles stay exact.
     """
+    if name == "events":
+        # The driver's verify harness builds its own SparkSession that never
+        # goes through session.get_spark(), so set the conf here too: it is a
+        # runtime-settable SQLConf, and without it the TIMESTAMP(NANOS)
+        # parquet column fails the read outright (PARQUET_TYPE_ILLEGAL).
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf absent on this Spark build; the read will tell us
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql import types as T
 
