@@ -21,14 +21,18 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 
-def content_hash(paths: list[str]) -> str:
+def content_hash(paths: list[str], key_extra: tuple = ()) -> str:
     """SHA1 over all input file contents, in argument order (main.go:526-542
-    hashes every input to form the project id)."""
+    hashes every input to form the project id). ``key_extra`` folds in any
+    flag that changes ingest OUTPUT (-n/--convert-numbers, -s mimetype) so a
+    warm cache can never serve a schema produced under different flags."""
     h = hashlib.sha1()
     for p in paths:
         with open(p, "rb") as fh:
             for chunk in iter(lambda: fh.read(1 << 20), b""):
                 h.update(chunk)
+    if key_extra:
+        h.update(repr(key_extra).encode())
     return h.hexdigest()
 
 
@@ -39,14 +43,14 @@ def cache_root() -> str:
     return base
 
 
-def cache_dir_for(paths: list[str]) -> str:
-    return os.path.join(cache_root(), "dsq-cache-" + content_hash(paths))
+def cache_dir_for(paths: list[str], key_extra: tuple = ()) -> str:
+    return os.path.join(cache_root(), "dsq-cache-" + content_hash(paths, key_extra))
 
 
 class ParquetCache:
-    def __init__(self, paths: list[str], enabled: bool):
+    def __init__(self, paths: list[str], enabled: bool, key_extra: tuple = ()):
         self.enabled = enabled
-        self.dir = cache_dir_for(paths) if enabled else None
+        self.dir = cache_dir_for(paths, key_extra) if enabled else None
 
     def get(self, spark: SparkSession, index: int) -> DataFrame | None:
         if not self.enabled:

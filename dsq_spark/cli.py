@@ -137,7 +137,8 @@ def _spool_stdin(mimetype: str) -> str:
 def _ingest(spark, a: Args, refs: list[TableRef]):
     """Read every referenced (file, doc_path) combination, flatten, register
     temp views. Returns the view name of panel 0 for dump modes."""
-    cache = ParquetCache(a.files, a.cache)
+    cache = ParquetCache(a.files, a.cache,
+                         key_extra=(a.convert_numbers, a.piped_mimetype))
     if a.dump_cache_file:
         print(cache.dir)
     by_index: dict[int, list[TableRef]] = {}
@@ -220,27 +221,44 @@ def _sql(spark, sql: str):
     return spark.sql(sql)
 
 
+HISTORY_FILE = "~/dsq_history"  # same path the reference persists (main.go:268-326)
+
+
 def _repl(spark, a: Args) -> int:
     """Readline REPL (reference main.go:268-326): ingestion happens once,
-    queries run against the persistent views until `exit`."""
+    queries run against the persistent views until `exit`. History is loaded
+    from and saved to ~/dsq_history like the reference's chzyer/readline
+    config."""
     _ingest(spark, a, [TableRef(i, None) for i in range(len(a.files))])
+    hist = os.path.expanduser(os.environ.get("DSQ_HISTORY_FILE", HISTORY_FILE))
     try:
-        import readline  # noqa: F401 — history/line editing side effect
+        import readline
+        try:
+            readline.read_history_file(hist)
+        except OSError:
+            pass  # first run: no history yet
     except ImportError:
-        pass
-    while True:
-        try:
-            line = input("dsq> ").strip()
-        except EOFError:
-            return 0
-        if not line:
-            continue
-        if line in ("exit", "quit"):
-            return 0
-        try:
-            pretty_table(_sql(spark, rewrite_query(line)))
-        except Exception as e:  # show error, keep looping (main.go:301-306)
-            print(f"Error: {e}", file=sys.stderr)
+        readline = None
+    try:
+        while True:
+            try:
+                line = input("dsq> ").strip()
+            except EOFError:
+                return 0
+            if not line:
+                continue
+            if line in ("exit", "quit"):
+                return 0
+            try:
+                pretty_table(_sql(spark, rewrite_query(line)))
+            except Exception as e:  # show error, keep looping (main.go:301-306)
+                print(f"Error: {e}", file=sys.stderr)
+    finally:
+        if readline is not None:
+            try:
+                readline.write_history_file(hist)
+            except OSError:
+                pass
 
 
 def main() -> None:

@@ -214,9 +214,29 @@ def register_all(spark: SparkSession) -> None:
         spark.sql(stmt)
 
 
+def _group_concat_alias(parts: list[str]) -> str:
+    """SQLite group_concat(x[, sep]) / group_concat(DISTINCT x).
+
+    The separator (default ',') may be any scalar expression, passed through
+    to array_join verbatim. DISTINCT maps to collect_set; SQLite leaves
+    concatenation order unspecified either way."""
+    import re as _re
+
+    first = parts[0].strip()
+    m = _re.match(r"(?is)^DISTINCT\s+(.*)$", first)
+    if m:
+        inner = f"collect_set(CAST({m.group(1)} AS STRING))"
+    else:
+        inner = f"collect_list(CAST({first} AS STRING))"
+    sep = parts[1].strip() if len(parts) > 1 else "','"
+    return f"array_join({inner}, {sep})"
+
+
 # Call-site aliases SQL UDFs can't express (aggregates, and variadic
 # scalars like SQLite's format() == printf()); dsq_spark.rewrite rewrites
-# these textually: name(args) → template.format(args=args).
+# these textually: name(args) → template.format(args=args), or — for
+# aliases whose arguments have individual meaning (group_concat's optional
+# separator) — a callable receiving the top-level-comma-split arg list.
 AGG_ALIASES = {
     # SQLite layer-1 format() is C-style printf (README.md:698); Spark's
     # printf is the same family (%s/%d/%f). Spark's own format_* functions
@@ -230,6 +250,6 @@ AGG_ALIASES = {
     "percentile_90": "percentile({args}, 0.90)",
     "percentile_95": "percentile({args}, 0.95)",
     "percentile_99": "percentile({args}, 0.99)",
-    "group_concat": "array_join(collect_list(CAST({args} AS STRING)), ',')",
+    "group_concat": _group_concat_alias,
     "total": "coalesce(sum({args}), 0.0d)",
 }

@@ -29,10 +29,27 @@ hierarchy walks). Anything else raises so the caller falls back to plain
 
 from __future__ import annotations
 
+import itertools
 import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+
+_REC_SEQ = itertools.count()
+
+
+def _rename_refs(sql: str, name: str, internal: str) -> str:
+    """Rewrite word-boundary references to the CTE name outside string
+    literals, so the iteration binding can use a unique internal view name
+    and never clobber a user view/table of the same name (e.g. a `t_0`
+    input view or `orders`)."""
+    from dsq_spark.rewrite import _split_on_strings
+
+    pat = re.compile(r"\b" + re.escape(name) + r"\b", re.IGNORECASE)
+    return "".join(
+        chunk if is_str else pat.sub(internal, chunk)
+        for is_str, chunk in _split_on_strings(sql)
+    )
 
 _HEAD = re.compile(
     r"^\s*WITH\s+RECURSIVE\s+([A-Za-z_][A-Za-z0-9_]*)\s*"
@@ -135,6 +152,12 @@ def run_recursive(
     cte = parse_recursive(sql)
     if cte is None:
         raise ValueError("not a WITH RECURSIVE statement")
+    # The iteration binding lives under a unique internal view name;
+    # references in step/main are rewritten to it, so a pre-existing temp
+    # view/table named like the CTE survives the evaluation untouched.
+    internal = f"__dsq_rec_{cte.name}_{next(_REC_SEQ)}"
+    step_sql = _rename_refs(cte.step, cte.name, internal)
+    main_sql = _rename_refs(cte.main, cte.name, internal)
     base = spark.sql(cte.base)
     if cte.cols:
         base = base.toDF(*cte.cols)
@@ -142,28 +165,34 @@ def run_recursive(
         base = base.distinct()
     working = base.localCheckpoint(eager=True)
     parts = [working]
-    for _ in range(max_iterations):
-        if working.isEmpty():
-            break
-        working.createOrReplaceTempView(cte.name)
-        new = spark.sql(cte.step)
-        if len(new.columns) != len(working.columns):
-            raise ValueError(
-                f"recursive step of {cte.name} returns {len(new.columns)} "
-                f"columns, base returns {len(working.columns)}"
+    try:
+        for _ in range(max_iterations):
+            if working.isEmpty():
+                break
+            working.createOrReplaceTempView(internal)
+            new = spark.sql(step_sql)
+            if len(new.columns) != len(working.columns):
+                raise ValueError(
+                    f"recursive step of {cte.name} returns {len(new.columns)} "
+                    f"columns, base returns {len(working.columns)}"
+                )
+            new = new.toDF(*working.columns)
+            if not cte.union_all:
+                acc = _union(parts)
+                new = new.distinct().subtract(acc)
+            working = new.localCheckpoint(eager=True)
+            parts.append(working)
+        else:
+            raise RuntimeError(
+                f"WITH RECURSIVE {cte.name} did not converge in {max_iterations} iterations"
             )
-        new = new.toDF(*working.columns)
-        if not cte.union_all:
-            acc = _union(parts)
-            new = new.distinct().subtract(acc)
-        working = new.localCheckpoint(eager=True)
-        parts.append(working)
-    else:
-        raise RuntimeError(
-            f"WITH RECURSIVE {cte.name} did not converge in {max_iterations} iterations"
-        )
-    _union(parts).createOrReplaceTempView(cte.name)
-    return spark.sql(cte.main)
+        _union(parts).createOrReplaceTempView(internal)
+        return spark.sql(main_sql)  # analyzed eagerly: safe to drop the view after
+    finally:
+        try:
+            spark.catalog.dropTempView(internal)
+        except Exception:
+            pass
 
 
 def _union(parts: list[DataFrame]) -> DataFrame:

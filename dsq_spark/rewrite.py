@@ -213,9 +213,40 @@ def _rewrite_fn_aliases(sql: str) -> str:
                 depth -= 1
             j += 1
         args = sql[m.end():j - 1]
-        out.append(AGG_ALIASES[m.group(1).lower()].format(args=args))
+        tpl = AGG_ALIASES[m.group(1).lower()]
+        if callable(tpl):
+            out.append(tpl(_split_top_commas(args)))
+        else:
+            out.append(tpl.format(args=args))
         i = j
     return "".join(out)
+
+
+def _split_top_commas(args: str) -> list[str]:
+    """Split an argument list on commas at paren depth 0, outside string
+    literals — so `group_concat(x, ', ')` keeps its separator intact."""
+    parts, depth, start, in_str = [], 0, 0, False
+    i, n = 0, len(args)
+    while i < n:
+        ch = args[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < n and args[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(args[start:i])
+            start = i + 1
+        i += 1
+    parts.append(args[start:])
+    return parts
 
 
 def rewrite_query(sql: str) -> str:

@@ -54,6 +54,22 @@ def test_multi_union_base_and_trailing_cte(spark):
     assert (got.s, got.c) == want
 
 
+def test_cte_name_does_not_clobber_existing_view(spark):
+    # A pre-existing temp view sharing the CTE's name must survive the
+    # evaluation (the iteration binding uses a unique internal view name).
+    spark.sql("SELECT 'original' AS tag").createOrReplaceTempView("t")
+    sql = """WITH RECURSIVE t(n) AS (
+      SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 5
+    ) SELECT sum(n) AS s FROM t"""
+    assert run_recursive(spark, sql).collect()[0].s == 15
+    assert spark.sql("SELECT tag FROM t").collect()[0].tag == "original"
+    # and no internal __dsq_rec views are left behind
+    leftover = [v.name for v in spark.catalog.listTables()
+                if v.name.startswith("__dsq_rec")]
+    assert leftover == []
+    spark.catalog.dropTempView("t")
+
+
 def test_nonconvergent_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         run_recursive(

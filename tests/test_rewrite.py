@@ -62,6 +62,22 @@ def test_agg_aliases():
     assert "printf('%s-%02d', a, b)" in out and "date_format(ts, 'yyyy')" in out
 
 
+def test_group_concat_forms():
+    # 1-arg: default ',' separator
+    out = rewrite_query("SELECT group_concat(x) FROM {}")
+    assert "array_join(collect_list(CAST(x AS STRING)), ',')" in out
+    # 2-arg: custom separator passes through verbatim — including one that
+    # contains a comma (top-level comma split must be literal-aware)
+    out = rewrite_query("SELECT group_concat(x, ', ') FROM {}")
+    assert "array_join(collect_list(CAST(x AS STRING)), ', ')" in out
+    # separator may be any expression
+    out = rewrite_query("SELECT group_concat(x, sep_col) FROM {}")
+    assert "array_join(collect_list(CAST(x AS STRING)), sep_col)" in out
+    # DISTINCT form → collect_set
+    out = rewrite_query("SELECT group_concat(DISTINCT x) FROM {}")
+    assert "array_join(collect_set(CAST(x AS STRING)), ',')" in out
+
+
 def test_view_name_dedup():
     refs = extract_table_refs("SELECT * FROM {0} a JOIN {0} b ON a.x = b.x")
     assert refs == [TableRef(0, None)]

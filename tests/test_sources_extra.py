@@ -156,6 +156,21 @@ def test_parquet_cache_roundtrip(spark, tmp_path, monkeypatch):
     assert ParquetCache(paths, enabled=True).get(spark, 0) is None
 
 
+def test_cache_key_includes_ingest_flags(tmp_path, monkeypatch):
+    # -n/--convert-numbers and -s mimetype change ingest OUTPUT, so they
+    # must be part of the cache key: a warm cache written without -n must
+    # not be served to a run with -n (stale all-string schema).
+    monkeypatch.setenv("DSQ_SPARK_CACHE_DIR", str(tmp_path / "cache"))
+    src = tmp_path / "k.csv"
+    src.write_text("a,b\n1,x\n")
+    paths = [str(src)]
+    plain = ParquetCache(paths, enabled=True, key_extra=(False, None))
+    numeric = ParquetCache(paths, enabled=True, key_extra=(True, None))
+    stdin_csv = ParquetCache(paths, enabled=True, key_extra=(False, "csv"))
+    assert plain.dir != numeric.dir != stdin_csv.dir
+    assert plain.dir != stdin_csv.dir
+
+
 # --- REPL + stdin ---
 
 def test_repl_loop(spark, tmp_path, monkeypatch, capsys):
@@ -169,6 +184,23 @@ def test_repl_loop(spark, tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "| 2 |" in out and "(1 row)" in out
+
+
+def test_repl_history_roundtrip(spark, tmp_path, monkeypatch, capsys):
+    # ~/dsq_history persistence (reference main.go:268-326): pre-existing
+    # history is loaded and survives the session's save-on-exit.
+    from dsq_spark import cli
+
+    pytest.importorskip("readline")
+    hist = tmp_path / "dsq_history"
+    hist.write_text("SELECT 'from-history'\n")
+    monkeypatch.setenv("DSQ_HISTORY_FILE", str(hist))
+    src = tmp_path / "h.csv"
+    src.write_text("id\n1\n")
+    lines = iter(["exit"])
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(lines))
+    assert cli.run(["-i", str(src)], spark) == 0
+    assert "from-history" in hist.read_text()
 
 
 def test_stdin_spool(spark, monkeypatch, capsys):
