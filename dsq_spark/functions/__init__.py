@@ -214,6 +214,213 @@ def register_all(spark: SparkSession) -> None:
         spark.sql(stmt)
 
 
+import re as _re
+
+# ---------------------------------------------------------------------------
+# SQLite date/time functions with modifiers (reference README.md:698 passes
+# these to SQLite's C implementation; SQLite lang_datefunc.html).
+#
+# date/time/datetime/julianday/unixepoch(timevalue, modifier, ...) and
+# strftime(format, timevalue, modifier, ...) are variadic, which SQL UDFs
+# cannot express — so the CLI rewriter compiles the whole call into a pure
+# Catalyst expression chain at rewrite time (modifiers are string literals
+# in practice, so this costs nothing at runtime and stays JVM-side).
+#
+# Supported timevalues: 'now' (UTC — session tz is pinned to UTC), any
+# best_effort_ts-parseable string, and epoch seconds via the 'unixepoch'
+# modifier. Supported modifiers: '±N days/hours/minutes/seconds' (fractional
+# ok), '±N months/years' (SQLite overflow normalization: Jan 31 + 1 month =
+# Mar 3; fractional part adds 30/365 days per SQLite date.c), 'start of
+# day/month/year', 'weekday N', 'unixepoch', 'localtime', 'utc'.
+# Julian-day-number timevalues are not supported (documented delta).
+# ---------------------------------------------------------------------------
+
+_MOD_DELTA = _re.compile(r"^([+-]?\d+(?:\.\d+)?)\s+(day|hour|minute|second|month|year)s?$")
+_MOD_START = _re.compile(r"^start\s+of\s+(day|month|year)$")
+_MOD_WEEKDAY = _re.compile(r"^weekday\s+([0-6])$")
+
+
+def _lit_text(s: str) -> str | None:
+    """Inner text of a single-quoted SQL literal, else None."""
+    s = s.strip()
+    if len(s) >= 2 and s[0] == "'" and s[-1] == "'":
+        return s[1:-1].replace("''", "'")
+    return None
+
+
+def _frac_seconds(e: str) -> str:
+    return f"CAST(date_format({e}, 'ss.SSSSSS') AS DOUBLE)"
+
+
+def _add_months_expr(e: str, months: int, extra_days: float) -> str:
+    """SQLite month arithmetic: bump the month NUMBER then let day overflow
+    normalize forward (2001-01-31 +1 month = 2001-03-03), which Spark's
+    clamping add_months cannot express. Rebuild from the 1st of the target
+    month plus (day-1) days and the time of day."""
+    tot = f"(year({e}) * 12 + month({e}) - 1 + {months})"
+    y2 = f"CAST(floor({tot} / 12.0d) AS INT)"
+    m2 = f"CAST(pmod({tot}, 12) + 1 AS INT)"
+    out = (
+        f"(CAST(make_date({y2}, {m2}, 1) AS TIMESTAMP) + "
+        f"make_dt_interval(day({e}) - 1, hour({e}), minute({e}), {_frac_seconds(e)}))"
+    )
+    if extra_days:
+        out = f"({out} + make_dt_interval(0, 0, 0, CAST({extra_days * 86400.0!r} AS DOUBLE)))"
+    return out
+
+
+def _apply_modifier(e: str, raw: str) -> str:
+    text = _lit_text(raw)
+    if text is None:
+        raise ValueError(
+            f"datetime modifier must be a string literal, got: {raw.strip()!r}")
+    t = " ".join(text.strip().lower().split())
+    m = _MOD_DELTA.match(t)
+    if m:
+        n, unit = float(m.group(1)), m.group(2)
+        if unit in ("day", "hour", "minute", "second"):
+            mult = {"day": 86400.0, "hour": 3600.0, "minute": 60.0, "second": 1.0}[unit]
+            return f"({e} + make_dt_interval(0, 0, 0, CAST({n * mult!r} AS DOUBLE)))"
+        whole = int(n)  # truncate toward zero, like SQLite's (int) cast
+        frac = n - whole
+        if unit == "month":
+            return _add_months_expr(e, whole, frac * 30.0)
+        return _add_months_expr(e, 12 * whole, frac * 365.0)
+    m = _MOD_START.match(t)
+    if m:
+        return f"date_trunc('{m.group(1).upper()}', {e})"
+    m = _MOD_WEEKDAY.match(t)
+    if m:
+        # advance to the next date with weekday N (Sunday=0), no-op if already
+        return (f"({e} + make_dt_interval("
+                f"CAST(pmod({m.group(1)} + 1 - dayofweek({e}), 7) AS INT), 0, 0, 0))")
+    if t == "localtime":
+        return f"from_utc_timestamp({e}, current_timezone())"
+    if t == "utc":
+        return f"to_utc_timestamp({e}, current_timezone())"
+    raise ValueError(f"unsupported datetime modifier: {text!r}")
+
+
+def _dt_base(tv: str, mods: list[str]) -> tuple[str, list[str]]:
+    lit = _lit_text(tv)
+    if lit is not None and lit.strip().lower() == "now":
+        return "current_timestamp()", mods
+    if mods:
+        m0 = _lit_text(mods[0])
+        if m0 is not None and m0.strip().lower() == "unixepoch":
+            return f"timestamp_seconds(CAST({tv} AS DOUBLE))", mods[1:]
+    return f"best_effort_ts({tv})", mods
+
+
+def _dt_render(kind: str, e: str) -> str:
+    if kind == "date":
+        return f"date_format({e}, 'yyyy-MM-dd')"
+    if kind == "time":
+        return f"date_format({e}, 'HH:mm:ss')"
+    if kind == "datetime":
+        return f"date_format({e}, 'yyyy-MM-dd HH:mm:ss')"
+    if kind == "julianday":
+        return f"(unix_micros({e}) / 86400000000.0d + 2440587.5d)"
+    if kind == "unixepoch":
+        return f"CAST(floor(unix_micros({e}) / 1000000.0d) AS BIGINT)"
+    raise AssertionError(kind)
+
+
+def _sqlite_datetime_alias(kind: str):
+    def build(parts: list[str]) -> str:
+        e, mods = _dt_base(parts[0], parts[1:])
+        for mod in mods:
+            e = _apply_modifier(e, mod)
+        return _dt_render(kind, e)
+
+    return build
+
+
+# strftime %-code → either a java date_format pattern or a custom expression
+# over the timestamp (lambda e). Codes with no Java pattern equivalent:
+# %w (0-6 Sunday=0), %W/%U (C-strftime week-of-year), %u (ISO 1-7), %s.
+_STRFTIME_JAVA = {
+    "Y": "yyyy", "m": "MM", "d": "dd", "H": "HH", "M": "mm", "S": "ss",
+    "j": "DDD", "f": "ss.SSS", "F": "yyyy-MM-dd", "R": "HH:mm",
+    "T": "HH:mm:ss",
+}
+_STRFTIME_EXPR = {
+    "e": lambda e: f"CAST(day({e}) AS STRING)",
+    "w": lambda e: f"CAST(dayofweek({e}) - 1 AS STRING)",
+    "u": lambda e: f"CAST(pmod(dayofweek({e}) + 5, 7) + 1 AS STRING)",
+    # C-strftime weeks: days before the year's first Mon/Sun are week 00
+    "W": lambda e: ("lpad(CAST(CAST(floor((dayofyear(" + e + ") - 1 + 7 - "
+                    "pmod(dayofweek(" + e + ") + 5, 7)) / 7.0d) AS INT) AS STRING), 2, '0')"),
+    "U": lambda e: ("lpad(CAST(CAST(floor((dayofyear(" + e + ") - 1 + 7 - "
+                    "(dayofweek(" + e + ") - 1)) / 7.0d) AS INT) AS STRING), 2, '0')"),
+    "s": lambda e: f"CAST(CAST(floor(unix_micros({e}) / 1000000.0d) AS BIGINT) AS STRING)",
+}
+
+
+def _sql_str(text: str) -> str:
+    return "'" + text.replace("'", "''") + "'"
+
+
+def _strftime_concat(fmt: str, e: str) -> str:
+    """Compile a literal strftime format into a concat() of date_format
+    segments and custom expressions — NULL timestamp propagates (concat is
+    NULL if any argument is)."""
+    parts: list[str] = []
+    buf: list[str] = []  # pending literal text
+
+    def flush():
+        if buf:
+            parts.append(_sql_str("".join(buf)))
+            buf.clear()
+
+    i, n = 0, len(fmt)
+    while i < n:
+        c = fmt[i]
+        if c != "%":
+            buf.append(c)
+            i += 1
+            continue
+        if i + 1 >= n:
+            raise ValueError("strftime format ends with a bare '%'")
+        code = fmt[i + 1]
+        i += 2
+        if code == "%":
+            buf.append("%")
+        elif code in _STRFTIME_JAVA:
+            flush()
+            parts.append(f"date_format({e}, '{_STRFTIME_JAVA[code]}')")
+        elif code in _STRFTIME_EXPR:
+            flush()
+            parts.append(_STRFTIME_EXPR[code](e))
+        else:
+            raise ValueError(
+                f"unsupported strftime code %{code} (supported: "
+                f"%{' %'.join(sorted(_STRFTIME_JAVA) + sorted(_STRFTIME_EXPR))} %%)")
+    flush()
+    if not parts:
+        return "''"
+    if len(parts) == 1:
+        # single date_format still needs NULL-propagation parity — it has it
+        return parts[0]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _strftime_alias(parts: list[str]) -> str:
+    if len(parts) < 2:
+        raise ValueError("strftime needs (format, timevalue [, modifiers...])")
+    fmt = _lit_text(parts[0])
+    if fmt is None:
+        if len(parts) == 2:
+            # non-literal format, no modifiers: the registered 2-arg SQL UDF
+            # handles the common codes at runtime
+            return f"strftime({parts[0]}, {parts[1]})"
+        raise ValueError("strftime format must be a string literal when modifiers are used")
+    e, mods = _dt_base(parts[1], parts[2:])
+    for mod in mods:
+        e = _apply_modifier(e, mod)
+    return _strftime_concat(fmt, e)
+
+
 def _group_concat_alias(parts: list[str]) -> str:
     """SQLite group_concat(x[, sep]) / group_concat(DISTINCT x).
 
@@ -252,4 +459,15 @@ AGG_ALIASES = {
     "percentile_99": "percentile({args}, 0.99)",
     "group_concat": _group_concat_alias,
     "total": "coalesce(sum({args}), 0.0d)",
+    # SQLite date/time family with modifier support ('now', ±N units,
+    # 'start of X', 'weekday N', 'unixepoch', 'localtime'/'utc') — compiled
+    # to Catalyst expressions at rewrite time. These shadow the plainer
+    # single-arg SQL UDFs on the CLI path, giving exact SQLite output shapes
+    # (date() returns 'YYYY-MM-DD' TEXT, etc.).
+    "date": _sqlite_datetime_alias("date"),
+    "time": _sqlite_datetime_alias("time"),
+    "datetime": _sqlite_datetime_alias("datetime"),
+    "julianday": _sqlite_datetime_alias("julianday"),
+    "unixepoch": _sqlite_datetime_alias("unixepoch"),
+    "strftime": _strftime_alias,
 }

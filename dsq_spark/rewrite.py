@@ -212,7 +212,9 @@ def _rewrite_fn_aliases(sql: str) -> str:
             elif ch == ")":
                 depth -= 1
             j += 1
-        args = sql[m.end():j - 1]
+        # recurse into the arg list first so nested alias calls
+        # (e.g. date(datetime(x, '+1 day'))) are expanded too
+        args = _rewrite_fn_aliases(sql[m.end():j - 1])
         tpl = AGG_ALIASES[m.group(1).lower()]
         if callable(tpl):
             out.append(tpl(_split_top_commas(args)))

@@ -102,6 +102,69 @@ def test_sqlite_datetime_family(spark):
         assert str(got) == str(want), q
 
 
+def test_sqlite_datetime_modifiers(spark):
+    """Modifier forms ('±N units', 'start of X', 'weekday N', 'unixepoch',
+    fractional month/year arithmetic incl. SQLite's overflow normalization)
+    through the CLI rewriter, validated against real SQLite."""
+    import sqlite3
+
+    from dsq_spark.rewrite import rewrite_query
+
+    con = sqlite3.connect(":memory:")
+    cases = [
+        "SELECT date('2022-03-05 10:20:30')",
+        "SELECT time('2022-03-05 10:20:30')",
+        "SELECT datetime('2022-03-05 10:20:30', '+1 day')",
+        "SELECT datetime('2022-03-05 10:20:30', '-3 hours')",
+        "SELECT datetime('2022-03-05 10:20:30', '+90 minutes', '+30 seconds')",
+        "SELECT datetime('2022-01-31', '+1 month')",   # overflow → 2022-03-03
+        "SELECT datetime('2022-03-31', '-1 month')",   # overflow → 2022-03-03
+        "SELECT datetime('2020-02-29', '+1 year')",    # overflow → 2021-03-01
+        "SELECT datetime('2022-03-05 10:20:30', '+1.5 days')",
+        "SELECT datetime('2022-03-05', '+1.5 months')",
+        "SELECT date('2022-03-05', 'start of month')",
+        "SELECT datetime('2022-03-05 10:20:30', 'start of year')",
+        "SELECT datetime('2022-03-05 10:20:30', 'start of day')",
+        "SELECT date('2022-03-05', 'weekday 1')",  # Sat → next Monday
+        "SELECT date('2022-03-05', 'weekday 6')",  # Sat → same day
+        "SELECT datetime(1646475630, 'unixepoch')",
+        "SELECT unixepoch('2022-03-05 10:20:30', '+1 day')",
+        "SELECT julianday('2022-03-05', '+12 hours')",
+        "SELECT strftime('%Y-%m-%d', '2022-03-05', '+1 day')",
+        "SELECT strftime('%w|%W|%j', '2022-03-05 10:20:30')",
+        "SELECT strftime('%w %W', '2022-01-01')",   # week 00 boundary
+        "SELECT strftime('%s', '2022-03-05', 'start of month')",
+        "SELECT strftime('100%% %H:%M', '2022-03-05 10:20:30')",
+    ]
+    for q in cases:
+        want = con.execute(q).fetchone()[0]
+        got = spark.sql(rewrite_query(q) + " AS v").collect()[0]["v"]
+        assert str(got) == str(want), q
+
+
+def test_strftime_extended_codes(spark):
+    """%-codes SQLite gained in 3.46 (%e %F %R %T %u) — direct expected
+    values since the stdlib sqlite3 here is older."""
+    from dsq_spark.rewrite import rewrite_query
+
+    cases = [
+        ("SELECT strftime('%F', '2022-03-05 10:20:30')", "2022-03-05"),
+        ("SELECT strftime('%R', '2022-03-05 10:20:30')", "10:20"),
+        ("SELECT strftime('%T', '2022-03-05 10:20:30')", "10:20:30"),
+        ("SELECT strftime('%e', '2022-03-05')", "5"),
+        ("SELECT strftime('%u', '2022-03-06')", "7"),  # Sunday → ISO 7
+        ("SELECT strftime('%f', '2022-03-05 10:20:30.250')", "30.250"),
+    ]
+    for q, want in cases:
+        got = spark.sql(rewrite_query(q) + " AS v").collect()[0]["v"]
+        assert str(got) == want, q
+    # unsupported code is a clear error, not silent garbage
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported strftime code"):
+        rewrite_query("SELECT strftime('%V', '2022-03-05')")
+
+
 def test_json_extract(spark):
     """json_extract single-path form == SQLite's on string-serialized
     arrays/objects (both return TEXT here)."""
