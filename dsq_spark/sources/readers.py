@@ -275,15 +275,16 @@ _XLSX_REL_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relations
 
 def read_xlsx(spark: SparkSession, path: str, sheet: str | None = None) -> DataFrame:
     # Legacy .xls is an OLE compound file (magic D0CF11E0), not a zip; the
-    # reference reads both via excelize. No BIFF parser is available in
-    # this environment, so gate it behind a clear error instead of a
-    # confusing BadZipFile (SURVEY.md §2.1 S9).
+    # reference reads both via excelize. Route it to the stdlib BIFF8
+    # parser (dsq_spark.sources.xls_biff) — same grid → DataFrame path as
+    # xlsx (SURVEY.md §2.1 S9).
     with open(path, "rb") as f:
         if f.read(4) == b"\xd0\xcf\x11\xe0":
-            raise NotImplementedError(
-                "legacy .xls (OLE/BIFF) is not supported in this "
-                "environment; convert to .xlsx"
-            )
+            from dsq_spark.sources import xls_biff
+
+            with open(path, "rb") as fh:
+                grid = xls_biff.parse_xls(fh.read(), sheet)
+            return _grid_to_df(spark, grid)
     with zipfile.ZipFile(path) as zf:
         wb = ElementTree.fromstring(zf.read("xl/workbook.xml"))
         rels = ElementTree.fromstring(zf.read("xl/_rels/workbook.xml.rels"))

@@ -146,10 +146,13 @@ def test_xlsx_sheet_missing(spark):
         read_file(spark, f"{FIX}/u.xlsx", doc_path="Nope")
 
 
-def test_legacy_xls_clear_error(spark, tmp_path):
+def test_legacy_xls_truncated_clear_error(spark, tmp_path):
+    # Real .xls now parses (tests/test_xls.py); a file with only the first
+    # half of the OLE magic must still fail with a clear error, not a
+    # confusing BadZipFile.
     p = tmp_path / "old.xls"
     p.write_bytes(b"\xd0\xcf\x11\xe0" + b"\x00" * 64)
-    with pytest.raises(NotImplementedError, match="legacy .xls"):
+    with pytest.raises(ValueError, match="not an OLE2 compound file"):
         read_file(spark, str(p))
 
 
