@@ -134,6 +134,16 @@ def _shape(dtype: T.DataType) -> dict:
     return {"kind": "unknown"}
 
 
+def _field_shape(f: T.StructField) -> dict:
+    """Column shape; union-typed inputs (Avro) carry their branch shapes as
+    `dsq_varied` field metadata (set by the reader), surfacing the `varied`
+    kind the reference shows for unions (README.md:453-490)."""
+    md = f.metadata or {}
+    if "dsq_varied" in md:
+        return {"kind": "varied", "varied": md["dsq_varied"]}
+    return _shape(f.dataType)
+
+
 def table_shape(df: DataFrame) -> dict:
     """A table is an Array of Object of columns (the reference's universal
     data model, SURVEY §1.1)."""
@@ -141,7 +151,7 @@ def table_shape(df: DataFrame) -> dict:
         "kind": "array",
         "array": {
             "kind": "object",
-            "object": {f.name: _shape(f.dataType) for f in df.schema.fields},
+            "object": {f.name: _field_shape(f) for f in df.schema.fields},
         },
     }
 
@@ -165,8 +175,9 @@ def _shape_pretty(shape: dict, indent: int, fh: IO[str]) -> None:
     elif kind == "scalar":
         fh.write(pad + shape["scalar"] + "\n")
     elif kind == "varied":
-        fh.write(pad + "Varied of " +
-                 " or ".join(s.get("scalar", s["kind"]) for s in shape["varied"]) + "\n")
+        fh.write(pad + "Varied of " + " or ".join(
+            s["scalar"] if s.get("kind") == "scalar" else s.get("kind", "unknown").title()
+            for s in shape["varied"]) + "\n")
     else:
         fh.write(pad + "Unknown\n")
 
@@ -210,30 +221,43 @@ def compact_dataset(
     long-running ingest jobs accumulate many small files, and at scale the
     per-file open/footer cost dominates scans. Sizes the output file count
     from the actual input bytes, preserves partition columns, and returns
-    the number of files after compaction."""
-    import math
-    import os
-    import shutil
+    the number of files after compaction.
 
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        total += sum(
-            os.path.getsize(os.path.join(root, f))
-            for f in files
-            if f.endswith(".parquet")
-        )
+    All filesystem operations go through the Hadoop FileSystem API resolved
+    from the path's own scheme, so the same code compacts local directories
+    (file:/), HDFS, and object stores (s3a:/ etc.) — no driver-local
+    os.walk/shutil assumptions. On object stores the final rename is a copy
+    under the hood but remains the correct single-writer swap."""
+    import math
+
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+
+    def _scan(p):
+        """(total_bytes, file_count) over *.parquet, recursively."""
+        total = count = 0
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(".parquet"):
+                total += st.getLen()
+                count += 1
+        return total, count
+
+    total, _ = _scan(jpath)
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".compact.tmp"
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
     w = df.repartition(n_files).write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
-    return sum(
-        1
-        for root, _dirs, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    if not fs.delete(jpath, True):
+        raise IOError(f"could not delete {path} for compaction swap")
+    if not fs.rename(jtmp, jpath):
+        raise IOError(f"could not rename {tmp} back to {path}")
+    _, count = _scan(jpath)
+    return count

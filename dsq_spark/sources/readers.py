@@ -152,7 +152,53 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     try:
         return spark.read.format("avro").load(path)
     except Exception:
-        return _rows_to_df(spark, _decode_avro_ocf(path))
+        rows, schema = _decode_avro_ocf(path)
+        df = _rows_to_df(spark, rows)
+        # Union-typed fields surface as the `varied` shape kind in schema
+        # dumps (reference README.md:453-490 shows `Varied of ... or
+        # Unknown` for Avro unions). The shape rides along as column
+        # metadata so io_out.table_shape can see past Spark's widened type.
+        if isinstance(schema, dict) and schema.get("type") == "record":
+            for f in schema["fields"]:
+                if f["name"] in df.columns:
+                    shape = _avro_shape(f["type"])
+                    if shape.get("kind") == "varied":
+                        df = df.withMetadata(f["name"], {"dsq_varied": shape["varied"]})
+        return df
+
+
+def _avro_shape(sch) -> dict:
+    """Avro schema → reference Shape dict. A union of null + one type is
+    `Varied of <type> or Unknown` (the null branch renders Unknown, like
+    the reference's goavro-backed dump)."""
+    if isinstance(sch, dict):
+        t = sch["type"]
+        if t == "record":
+            return {"kind": "object",
+                    "object": {f["name"]: _avro_shape(f["type"]) for f in sch["fields"]}}
+        if t == "array":
+            return {"kind": "array", "array": _avro_shape(sch["items"])}
+        if t == "map":
+            return {"kind": "object", "object": {}}
+        if t in ("enum", "fixed"):
+            return {"kind": "scalar", "scalar": "string"}
+        return _avro_shape(t)
+    if isinstance(sch, list):
+        shapes = [_avro_shape(b) for b in sch if b != "null"]
+        if "null" in sch:
+            shapes.append({"kind": "unknown"})
+        if len(shapes) == 1:
+            return shapes[0]
+        return {"kind": "varied", "varied": shapes}
+    if sch in ("int", "long", "float", "double"):
+        return {"kind": "scalar", "scalar": "number"}
+    if sch == "boolean":
+        return {"kind": "scalar", "scalar": "boolean"}
+    if sch == "null":
+        return {"kind": "scalar", "scalar": "null"}
+    if sch in ("string", "bytes"):
+        return {"kind": "scalar", "scalar": "string"}
+    return {"kind": "unknown"}
 
 
 def _decode_avro_ocf(path: str) -> list[dict]:
@@ -260,7 +306,7 @@ def _decode_avro_ocf(path: str) -> list[dict]:
         rows.extend(decode_value(bb, schema) for _ in range(n_items))
         buf.read(16)  # sync marker
         assert sync  # structure check only
-    return rows
+    return rows, schema
 
 
 # --------------------------------------------------------------------------

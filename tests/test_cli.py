@@ -159,3 +159,16 @@ def test_compact_dataset(spark, tmp_path):
     assert after < before
     back = spark.read.parquet(str(src))
     assert back.count() == 4000 and set(back.columns) == {"id", "k"}
+
+
+def test_compact_dataset_uri_scheme(spark, tmp_path):
+    # all FS ops resolve from the path's own scheme (Hadoop FileSystem API),
+    # so an explicit file:// URI must work the same as a bare local path —
+    # the shape object-store paths (s3a://...) take.
+    from dsq_spark.io_out import compact_dataset
+
+    src = tmp_path / "frag_uri"
+    spark.range(500).selectExpr("id").repartition(10).write.parquet(str(src))
+    after = compact_dataset(spark, "file://" + str(src))
+    assert after >= 1
+    assert spark.read.parquet(str(src)).count() == 500

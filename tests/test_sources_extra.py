@@ -76,6 +76,25 @@ def test_avro_ocf(spark, tmp_path, codec):
     assert rows == {1: ("Alice", None), 2: ("Bob", 2.5)}
 
 
+def test_avro_union_varied_schema(spark, tmp_path):
+    # ["null","double"] union → `varied` shape kind, pretty-rendered as
+    # `Varied of number or Unknown` (reference README.md:453-490)
+    import io as _io
+
+    from dsq_spark.io_out import schema_pretty, table_shape
+
+    p = str(tmp_path / "varied.avro")
+    _write_avro(p, "null")
+    df = read_file(spark, p)
+    cols = table_shape(df)["array"]["object"]
+    assert cols["maybe"] == {"kind": "varied", "varied": [
+        {"kind": "scalar", "scalar": "number"}, {"kind": "unknown"}]}
+    assert cols["id"] == {"kind": "scalar", "scalar": "number"}
+    buf = _io.StringIO()
+    schema_pretty(df, buf)
+    assert "Varied of number or Unknown" in buf.getvalue()
+
+
 # --- ODS ---
 
 def test_ods(spark, tmp_path):
