@@ -25,6 +25,7 @@ from dsq_spark.queries import dedup  # noqa: F401,E402
 from dsq_spark.queries import similarity  # noqa: F401,E402
 from dsq_spark.queries import multimodal_q  # noqa: F401,E402
 from dsq_spark.queries import tpch_extra  # noqa: F401,E402
+from dsq_spark.queries import datetime_q  # noqa: F401,E402
 
 # The driver's correctness harness checks only the FIRST 50 registry entries,
 # so registration order decides which queries get a hard driver-verified row.

@@ -1,0 +1,83 @@
+"""Driver-checkable queries for the SQLite date/time modifier surface.
+
+These run the SQLite-dialect SQL through the CLI's own rewriter
+(dsq_spark.rewrite) so the driver's oracle comparison exercises the exact
+compile path a dsq user hits: modifiers ('start of X', '±N units',
+'weekday N'), and the strftime %-code table including the codes with no
+Java-pattern equivalent (%w %W %s). Reference behavior: README.md:698
+passes the date/time family to SQLite's C implementation.
+
+Oracles are DuckDB-dialect equivalents chosen so the semantics coincide
+(month arithmetic is applied only from month starts, where SQLite's
+overflow normalization and DuckDB's clamping agree; weekday advance uses
+isodow arithmetic)."""
+
+from __future__ import annotations
+
+from dsq_spark.queries.base import register, t
+
+
+def _sqlite_sql(spark, sql: str):
+    from dsq_spark.functions import register_all
+    from dsq_spark.rewrite import rewrite_query
+
+    register_all(spark)
+    return spark.sql(rewrite_query(sql))
+
+
+@register(
+    "date_modifier_functions",
+    oracle="""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       count(*) AS n_orders,
+       min(strftime(o_orderdate + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S')) AS min_next_day,
+       min(strftime(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH,
+                    '%Y-%m-%d')) AS next_month_start,
+       min(strftime(o_orderdate + ((8 - isodow(o_orderdate)) % 7) * INTERVAL 1 DAY,
+                    '%Y-%m-%d')) AS min_next_monday,
+       min(CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)) AS min_epoch
+FROM orders
+GROUP BY 1
+""",
+    doc="SQLite datetime modifiers ('start of month', '+1 day', '+1 month', "
+        "'weekday 1', 'start of day' epoch) compiled by the CLI rewriter to "
+        "Catalyst expressions — pure JVM, no UDFs (reference README.md:698).",
+)
+def date_modifier_functions(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("dsq_dt_orders")
+    return _sqlite_sql(spark, """
+SELECT date(o_orderdate, 'start of month') AS month_start,
+       count(*) AS n_orders,
+       min(datetime(o_orderdate, '+1 day')) AS min_next_day,
+       min(date(o_orderdate, 'start of month', '+1 month')) AS next_month_start,
+       min(date(o_orderdate, 'weekday 1')) AS min_next_monday,
+       min(unixepoch(o_orderdate, 'start of day')) AS min_epoch
+FROM dsq_dt_orders
+GROUP BY 1
+""")
+
+
+@register(
+    "strftime_code_coverage",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS ymd,
+       min(strftime(ts, '%j|%w|%W')) AS min_codes,
+       max(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR)) AS max_epoch,
+       count(*) AS n
+FROM events
+GROUP BY 1
+""",
+    doc="strftime %-codes incl. the non-Java-pattern ones (%w Sunday=0, "
+        "%W Monday-first week-of-year, %s epoch) — compiled to a concat() "
+        "of JVM expressions at rewrite time.",
+)
+def strftime_code_coverage(spark, sf_dir):
+    t(spark, sf_dir, "events").createOrReplaceTempView("dsq_dt_events")
+    return _sqlite_sql(spark, """
+SELECT strftime('%Y-%m-%d', ts) AS ymd,
+       min(strftime('%j|%w|%W', ts)) AS min_codes,
+       max(strftime('%s', ts)) AS max_epoch,
+       count(*) AS n
+FROM dsq_dt_events
+GROUP BY 1
+""")
