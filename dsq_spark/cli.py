@@ -223,6 +223,40 @@ def _sql(spark, sql: str):
 
 HISTORY_FILE = "~/dsq_history"  # same path the reference persists (main.go:268-326)
 
+# Keyword set for REPL tab completion (reference main.go:268-326 configures
+# its readline with SQL completion); table/column names are added at REPL
+# start from the registered views.
+_SQL_KEYWORDS = [
+    "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER", "LIMIT",
+    "OFFSET", "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "CROSS",
+    "ON", "USING", "AS", "AND", "OR", "NOT", "IN", "EXISTS", "BETWEEN",
+    "LIKE", "GLOB", "REGEXP", "IS", "NULL", "CASE", "WHEN", "THEN", "ELSE",
+    "END", "CAST", "DISTINCT", "UNION", "INTERSECT", "EXCEPT", "ALL",
+    "WITH", "RECURSIVE", "COUNT", "SUM", "AVG", "MIN", "MAX", "TOTAL",
+    "GROUP_CONCAT", "COALESCE", "NULLIF", "IIF", "ASC", "DESC", "VALUES",
+]
+
+
+def _make_completer(spark):
+    """Word completer over SQL keywords + registered view/column names."""
+    words = set(_SQL_KEYWORDS)
+    try:
+        for v in spark.catalog.listTables():
+            words.add(v.name)
+            try:
+                words.update(spark.table(v.name).columns)
+            except Exception:
+                pass
+    except Exception:
+        pass
+    ordered = sorted(words)
+
+    def complete(text: str, state: int):
+        matches = [w for w in ordered if w.lower().startswith(text.lower())]
+        return matches[state] if state < len(matches) else None
+
+    return complete
+
 
 def _repl(spark, a: Args) -> int:
     """Readline REPL (reference main.go:268-326): ingestion happens once,
@@ -237,6 +271,9 @@ def _repl(spark, a: Args) -> int:
             readline.read_history_file(hist)
         except OSError:
             pass  # first run: no history yet
+        readline.set_completer(_make_completer(spark))
+        readline.set_completer_delims(" \t\n,();=<>")
+        readline.parse_and_bind("tab: complete")
     except ImportError:
         readline = None
     try:

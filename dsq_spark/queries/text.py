@@ -374,3 +374,98 @@ def text_dup_ngram_fraction(spark, sf_dir):
         F.round(F.avg(frac), 6).alias("avg_dup_fraction"),
         F.sum(F.when(frac > 0.5, 1).otherwise(0)).cast("long").alias("n_mostly_duplicated"),
     )
+
+
+@register(
+    "pack_token_shards",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8
+           AS shard,
+         length({D_TOKENS}) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT shard, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens) / 4096.0) AS BIGINT)
+           AS bin
+  FROM base
+)
+SELECT shard, bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM packed
+GROUP BY shard, bin
+""",
+    doc=(
+        "Sequence packing for training shards: documents are hash-assigned "
+        "to shards (engine-portable md5 arithmetic), then packed into "
+        "~4096-token bins by prefix-sum binning WITHIN each shard. The "
+        "per-shard window keeps the sort local to a partition — the 100 TB "
+        "shape, where a single global ORDER BY window would serialize on "
+        "one task. One shuffle (by shard), map-side token counting."
+    ),
+)
+def pack_token_shards(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").withColumn("toks", F.expr(TOKENS))
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 8
+    )
+    base = d.select(
+        "doc_id", shard.alias("shard"), F.size("toks").alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = base.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 4096.0).cast("long"),
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+     target AS (SELECT min(n) AS t FROM counts)
+SELECT d.lang,
+       CAST(max(c.n) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN
+           (CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000) * c.n < 1000 * (SELECT t FROM target)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents d JOIN counts c ON d.lang = c.lang
+GROUP BY d.lang
+""",
+    doc=(
+        "Stratified down-sampling to balance language strata: per-language "
+        "counts (one small aggregate) set a per-stratum keep-rate targeting "
+        "the smallest stratum's size; membership is the deterministic md5 "
+        "bucket so the sample is reproducible across engines and runs. At "
+        "scale: counts aggregate is tiny -> broadcast join back onto the "
+        "corpus scan, keep-filter is map-side — one full scan, no "
+        "corpus-sized shuffle."
+    ),
+)
+def sample_stratified(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    target = counts.agg(F.min("n").alias("t"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 1000
+    )
+    joined = (d.join(F.broadcast(counts), "lang")
+               .crossJoin(F.broadcast(target)))
+    return joined.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_total"),
+        F.sum(F.when(bucket * F.col("n") < 1000 * F.col("t"), 1).otherwise(0))
+         .cast("long").alias("n_sampled"),
+    )

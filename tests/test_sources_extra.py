@@ -222,6 +222,20 @@ def test_repl_history_roundtrip(spark, tmp_path, monkeypatch, capsys):
     assert "from-history" in hist.read_text()
 
 
+def test_repl_completer(spark, tmp_path):
+    # SQL keywords and view/column names complete, case-insensitively
+    from dsq_spark import cli
+
+    spark.sql("SELECT 1 AS some_col").createOrReplaceTempView("t_compl")
+    complete = cli._make_completer(spark)
+    assert complete("sel", 0) == "SELECT"
+    assert complete("GROUP_", 0) == "GROUP_CONCAT"
+    assert complete("t_comp", 0) == "t_compl"
+    assert complete("some_c", 0) == "some_col"
+    assert complete("zzzz_nope", 0) is None
+    spark.catalog.dropTempView("t_compl")
+
+
 def test_stdin_spool(spark, monkeypatch, capsys):
     from dsq_spark import cli
 
