@@ -26,13 +26,15 @@ from pyspark.sql import SparkSession
 # Formats best_effort_ts tries, in order (first match wins). Mirrors the
 # high-frequency cases of the reference's dateparse dependency.
 _TS_FORMATS = [
-    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
-    "yyyy-MM-dd'T'HH:mm:ssXXX",
-    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
-    "yyyy-MM-dd'T'HH:mm:ss",
-    "yyyy-MM-dd HH:mm:ss.SSSSSS",
-    "yyyy-MM-dd HH:mm:ss",
-    "yyyy-MM-dd",
+    # Non-ISO shapes only: the UNFORMATTED try_to_timestamp(s) leads the
+    # coalesce and already accepts every ISO form (date-only, space or 'T'
+    # separator, any fraction length, optional offset) in ONE parse — it
+    # was previously the FINAL fallback, so leading with it is semantically
+    # identical (each fixed ISO format produced the same instant the
+    # default parser does) but saves the full miss chain on the hot path:
+    # DATE/TIMESTAMP columns stringify to ISO, and trimmed fractional
+    # seconds ('.469') match no strict SSSSSS count, so real data always
+    # fell through to the default anyway.
     "yyyy/MM/dd HH:mm:ss",
     "yyyy/MM/dd",
     "MM/dd/yyyy HH:mm:ss",
@@ -44,9 +46,9 @@ _TS_FORMATS = [
     # returning NULL, which would break try_to_timestamp's contract.)
 ]
 
-_BEST_EFFORT = "coalesce(" + ", ".join(
+_BEST_EFFORT = "coalesce(try_to_timestamp(s), " + ", ".join(
     "try_to_timestamp(s, '{}')".format(f.replace("'", "\\'")) for f in _TS_FORMATS
-) + ", try_to_timestamp(s))"
+) + ")"
 
 
 def _g_esc(x: str) -> str:
@@ -163,8 +165,10 @@ def _sql_udfs() -> list[str]:
         # `time()` are Spark built-ins with equivalent output for parseable
         # strings and cannot be shadowed by SQL UDFs — documented delta.
         "CREATE OR REPLACE TEMPORARY FUNCTION datetime(s STRING) RETURNS STRING RETURN date_format(best_effort_ts(s), 'yyyy-MM-dd HH:mm:ss')",
-        "CREATE OR REPLACE TEMPORARY FUNCTION julianday(s STRING) RETURNS DOUBLE RETURN unix_timestamp(best_effort_ts(s)) / 86400.0d + 2440587.5d",
-        "CREATE OR REPLACE TEMPORARY FUNCTION unixepoch(s STRING) RETURNS BIGINT RETURN unix_timestamp(best_effort_ts(s))",
+        # micros-precision forms, identical to the modifier-path renderers in
+        # _dt_render so 1-arg and modifier calls can never disagree
+        "CREATE OR REPLACE TEMPORARY FUNCTION julianday(s STRING) RETURNS DOUBLE RETURN unix_micros(best_effort_ts(s)) / 86400000000.0d + 2440587.5d",
+        "CREATE OR REPLACE TEMPORARY FUNCTION unixepoch(s STRING) RETURNS BIGINT RETURN CAST(floor(unix_micros(best_effort_ts(s)) / 1000000.0d) AS BIGINT)",
         # strftime: translate the common C codes to Java pattern letters;
         # '%s' (whole format = epoch seconds, the common idiom) is handled
         # as a special case since no Java pattern letter can express it.
@@ -397,10 +401,13 @@ def _strftime_concat(fmt: str, e: str) -> str:
                 f"unsupported strftime code %{code} (supported: "
                 f"%{' %'.join(sorted(_STRFTIME_JAVA) + sorted(_STRFTIME_EXPR))} %%)")
     flush()
-    if not parts:
-        return "''"
+    has_ts_part = any(not p.startswith("'") for p in parts)
+    if not has_ts_part:
+        # literal-only format: still NULL when the timevalue is NULL (SQLite)
+        lit = parts[0] if parts else "''"
+        return f"CASE WHEN {e} IS NULL THEN NULL ELSE {lit} END"
     if len(parts) == 1:
-        # single date_format still needs NULL-propagation parity — it has it
+        # single date_format/expression already NULL-propagates
         return parts[0]
     return "concat(" + ", ".join(parts) + ")"
 

@@ -39,6 +39,9 @@ _PRIORITY = [
     "json_extraction",
     "sessionize_events",
     "agg_approx_distinct",
+    # new in round 2 — no prior driver row exists for these
+    "pack_token_shards",
+    "sample_stratified",
 ]
 _MODULE_ORDER = ["tpch_extra", "multimodal_q", "datetime_q", "dedup", "core", "text", "similarity"]
 

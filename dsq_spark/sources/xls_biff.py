@@ -317,11 +317,11 @@ def parse_xls(data: bytes, sheet: str | None = None) -> list[dict[int, str]]:
             cells[pending_formula] = _long_unistr(payload, 0)
             pending_formula = None
 
-    grid: list[dict[int, str]] = []
-    if cells:
-        for r in range(max(k[0] for k in cells) + 1):
-            row = {c: v for (rr, c), v in cells.items() if rr == r}
-            grid.append(row)
+    if not cells:
+        return []
+    grid: list[dict[int, str]] = [{} for _ in range(max(k[0] for k in cells) + 1)]
+    for (r, c), v in cells.items():
+        grid[r][c] = v
     return grid
 
 
