@@ -135,11 +135,19 @@ def test_sqlite_datetime_modifiers(spark):
         "SELECT strftime('%w %W', '2022-01-01')",   # week 00 boundary
         "SELECT strftime('%s', '2022-03-05', 'start of month')",
         "SELECT strftime('100%% %H:%M', '2022-03-05 10:20:30')",
+        # container TZ and Spark session TZ are both UTC, so localtime/utc
+        # agree with SQLite here (both identity)
+        "SELECT datetime('2022-03-05 10:20:30', 'localtime')",
+        "SELECT datetime('2022-03-05 10:20:30', 'utc')",
     ]
     for q in cases:
         want = con.execute(q).fetchone()[0]
         got = spark.sql(rewrite_query(q) + " AS v").collect()[0]["v"]
         assert str(got) == str(want), q
+    # 'now' is wall-clock — assert shape and that it is within the minute
+    got = spark.sql(rewrite_query("SELECT datetime('now')") + " AS v").collect()[0]["v"]
+    want = con.execute("SELECT datetime('now')").fetchone()[0]
+    assert got[:16] == want[:16], (got, want)  # same minute (UTC both sides)
 
 
 def test_strftime_extended_codes(spark):

@@ -236,6 +236,47 @@ def test_sst_continue_with_flags_restart():
     assert grid[1] == {0: s}
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _cell = st.one_of(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), min_codepoint=32, max_codepoint=0x2FFF),
+            min_size=0, max_size=40),
+        st.integers(min_value=-(2 ** 29), max_value=2 ** 29 - 1),
+        st.floats(allow_nan=False, allow_infinity=False,
+                  min_value=-1e12, max_value=1e12),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.lists(_cell, min_size=1, max_size=5), min_size=1, max_size=8))
+    def test_xls_roundtrip_property(rows):
+        width = max(len(r) for r in rows)
+        strings, recs = [], b""
+        expected = []
+        for r, row in enumerate(rows):
+            exp_row = {}
+            for c, v in enumerate(row):
+                if isinstance(v, str):
+                    strings.append(v)
+                    recs += _labelsst(r, c, len(strings) - 1)
+                    exp_row[c] = v
+                elif isinstance(v, int):
+                    recs += _rk_int(r, c, v)
+                    exp_row[c] = str(v)
+                else:
+                    recs += _number(r, c, v)
+                    exp_row[c] = (str(int(v)) if v == int(v) and abs(v) < 1e15
+                                  else repr(v))
+            expected.append(exp_row)
+        data = _ole(_workbook({"P": recs}, _sst(strings) if strings else b""))
+        assert parse_xls(data) == expected
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_read_file_xls_end_to_end(spark, tmp_path):
     p = tmp_path / "legacy.xls"
     p.write_bytes(_ole(_fixture_bytes()))
