@@ -164,3 +164,32 @@ def test_q11_broadcasts_threshold_no_global_window(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q11_important_parts")
     assert n_nodes(plan, "Window") == 0
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pack_token_shards_partition_local_sort(spark, sf_dir):
+    """pack_token_shards: the packing window must partition by shard — never
+    a global ORDER BY (RangePartitioning), which would serialize packing on
+    one task at corpus scale."""
+    plan = plan_of(spark, sf_dir, "pack_token_shards")
+    assert "rangepartitioning" not in plan.lower()
+    assert n_nodes(plan, "Window") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_sample_stratified_broadcasts_counts(spark, sf_dir):
+    """sample_stratified: the per-stratum counts and target must broadcast
+    back onto the corpus scan — the corpus itself never shuffles for the
+    join (no SortMergeJoin, no sort anywhere)."""
+    plan = plan_of(spark, sf_dir, "sample_stratified")
+    assert "SortMergeJoin" not in plan
+    assert n_nodes(plan, "Sort") == 0
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_datetime_queries_stay_jvm_side(spark, sf_dir):
+    """The rewrite-time datetime compiler must emit only built-in
+    expressions — no Python evaluation nodes in the plan."""
+    for name in ("date_modifier_functions", "strftime_code_coverage"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
