@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 
 from dsq_spark.cache import ParquetCache
 from dsq_spark.io_out import dump_json, pretty_table, schema_json, schema_pretty
-from dsq_spark.rewrite import TableRef, extract_table_refs, rewrite_query
+from dsq_spark.rewrite import TableRef, extract_table_refs, rewrite_query_tracked
 from dsq_spark.sources import read_file
 from dsq_spark.sources.flatten import flatten
 
@@ -206,19 +206,46 @@ def run(argv: list[str], spark=None) -> int:
 
     refs = extract_table_refs(a.query)
     _ingest(spark, a, refs)
-    df = _sql(spark, rewrite_query(a.query))
+    rewritten, dquoted = rewrite_query_tracked(a.query)
+    df = _sql(spark, rewritten, dquoted)
     (pretty_table if a.pretty else dump_json)(df)
     return 0
 
 
-def _sql(spark, sql: str):
+def _sql(spark, sql: str, dquoted: frozenset[str] = frozenset()):
     """spark.sql, except WITH RECURSIVE routes to the iterative evaluator
-    (Spark has no recursive CTE; SQLite does — dsq_spark.recursive)."""
+    (Spark has no recursive CTE; SQLite does — dsq_spark.recursive).
+
+    `dquoted` holds identifier names that came from double-quoted tokens:
+    if one fails column resolution it is retried as a string literal,
+    mirroring SQLite's double-quote fallback (dsq queries rely on it —
+    the reference's own suite uses split_part(x, ".", -1))."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     from dsq_spark.recursive import parse_recursive, run_recursive
 
     if parse_recursive(sql) is not None:
         return run_recursive(spark, sql)
-    return spark.sql(sql)
+    try:
+        return spark.sql(sql)
+    except AnalysisException as e:
+        name = _unresolved_column(e)
+        if name is not None and name in dquoted and f"`{name}`" in sql:
+            lit = "'" + name.replace("'", "''") + "'"
+            return _sql(spark, sql.replace(f"`{name}`", lit),
+                        frozenset(n for n in dquoted if n != name))
+        raise
+
+
+def _unresolved_column(e) -> str | None:
+    try:
+        if (e.getErrorClass() or "").startswith("UNRESOLVED_COLUMN"):
+            obj = (e.getMessageParameters() or {}).get("objectName", "")
+            if obj.startswith("`") and obj.endswith("`") and "`.`" not in obj[1:-1]:
+                return obj[1:-1]
+    except Exception:
+        pass
+    return None
 
 
 HISTORY_FILE = "~/dsq_history"  # same path the reference persists (main.go:268-326)
@@ -287,7 +314,8 @@ def _repl(spark, a: Args) -> int:
             if line in ("exit", "quit"):
                 return 0
             try:
-                pretty_table(_sql(spark, rewrite_query(line)))
+                rewritten, dquoted = rewrite_query_tracked(line)
+                pretty_table(_sql(spark, rewritten, dquoted))
             except Exception as e:  # show error, keep looping (main.go:301-306)
                 print(f"Error: {e}", file=sys.stderr)
     finally:

@@ -89,7 +89,7 @@ def extract_table_refs(sql: str) -> list[TableRef]:
     return refs
 
 
-def _rewrite_chunk(chunk: str) -> str:
+def _rewrite_chunk(chunk: str, dquoted: set[str] | None = None) -> str:
     # {N[, "path"]} → view name
     def repl(m: re.Match) -> str:
         idx = int(m.group(1)) if m.group(1) is not None else 0
@@ -97,8 +97,18 @@ def _rewrite_chunk(chunk: str) -> str:
         return TableRef(idx, path).view_name
 
     chunk = TABLE_MACRO.sub(repl, chunk)
-    # "quoted identifier" → `quoted identifier`
-    chunk = re.sub(r'"((?:[^"\\]|\\.)*)"', lambda m: "`" + m.group(1) + "`", chunk)
+
+    # "quoted identifier" → `quoted identifier`. The converted names are
+    # collected so the CLI can apply SQLite's double-quote fallback: a
+    # double-quoted token that does NOT resolve as a column is retried as a
+    # string literal (SQLite's documented misfeature, which dsq queries in
+    # the wild rely on — e.g. split_part(x, ".", -1)).
+    def repl_q(m: re.Match) -> str:
+        if dquoted is not None:
+            dquoted.add(m.group(1))
+        return "`" + m.group(1) + "`"
+
+    chunk = re.sub(r'"((?:[^"\\]|\\.)*)"', repl_q, chunk)
     # REGEXP operator → RLIKE (word-boundary, case-insensitive)
     chunk = re.sub(r"\bREGEXP\b", "RLIKE", chunk, flags=re.IGNORECASE)
     # SQLite collation names → Spark 4 collations. NOCASE folds ASCII only
@@ -253,9 +263,18 @@ def _split_top_commas(args: str) -> list[str]:
 
 def rewrite_query(sql: str) -> str:
     """Full dsq-dialect → Spark SQL rewrite (string literals untouched)."""
+    return rewrite_query_tracked(sql)[0]
+
+
+def rewrite_query_tracked(sql: str) -> tuple[str, frozenset[str]]:
+    """Like rewrite_query, also returning the set of identifier names that
+    came from double-quoted tokens — the CLI retries those as string
+    literals when they fail column resolution (SQLite fallback)."""
+    dquoted: set[str] = set()
     parts = []
     for is_str, chunk in _split_on_strings(sql):
-        parts.append(chunk if is_str else _rewrite_chunk(chunk))
+        parts.append(chunk if is_str else _rewrite_chunk(chunk, dquoted))
     # arrow + glob + alias rewriting run whole-statement (their matches can
     # span a literal boundary) with literal-span skipping inside.
-    return _rewrite_fn_aliases(_rewrite_glob(_rewrite_arrows("".join(parts))))
+    out = _rewrite_fn_aliases(_rewrite_glob(_rewrite_arrows("".join(parts))))
+    return out, frozenset(dquoted)

@@ -145,6 +145,29 @@ def test_cli_with_recursive_routes(spark, tmp_path, capsys):
     assert out == [{"c": 4}]
 
 
+def test_double_quote_string_fallback(spark, tmp_path, capsys):
+    """SQLite's double-quote misfeature: a double-quoted token that fails
+    column resolution is retried as a string literal — the reference's own
+    suite relies on it (split_part(url_host(request), ".", -1))."""
+    import json as _json
+
+    from dsq_spark import cli
+
+    p = tmp_path / "logs.csv"
+    p.write_text("id,request\n1,https://one.com/x\n2,https://two.org/y\n")
+    rc = cli.run([str(p),
+                  'SELECT split_part(url_host(request), ".", -1) AS tld '
+                  "FROM {} ORDER BY tld"], spark)
+    assert rc == 0
+    assert _json.loads(capsys.readouterr().out) == [{"tld": "com"}, {"tld": "org"}]
+    # a double-quoted token that DOES resolve stays an identifier
+    p2 = tmp_path / "dq.csv"
+    p2.write_text("a,a b\n1,2\n")
+    rc = cli.run([str(p2), 'SELECT "a b" FROM {}'], spark)
+    assert rc == 0
+    assert _json.loads(capsys.readouterr().out) == [{"a b": "2"}]
+
+
 def test_compact_dataset(spark, tmp_path):
     from dsq_spark.io_out import compact_dataset
 
