@@ -75,28 +75,44 @@ def _split_on_strings(sql: str):
 
 
 def extract_table_refs(sql: str) -> list[TableRef]:
-    """All `{...}` macros outside string literals, dedup'd, in order."""
+    """All `{...}` macros NOT STARTING inside a string literal, dedup'd, in
+    order. Matching runs whole-statement: a macro's path operand may itself
+    be single-quoted (`{0, 'data.data2'}` — reference scripts/test.py:163),
+    which per-chunk scanning would split in half; only the macro's starting
+    `{` must sit outside a literal."""
+    spans = _literal_spans(sql)
     refs: list[TableRef] = []
-    for is_str, chunk in _split_on_strings(sql):
-        if is_str:
+    for m in TABLE_MACRO.finditer(sql):
+        if any(a <= m.start() < b for a, b in spans):
             continue
-        for m in TABLE_MACRO.finditer(chunk):
-            idx = int(m.group(1)) if m.group(1) is not None else 0
-            path = m.group(2) if m.group(2) is not None else m.group(3)
-            ref = TableRef(idx, path)
-            if ref not in refs:
-                refs.append(ref)
+        idx = int(m.group(1)) if m.group(1) is not None else 0
+        path = m.group(2) if m.group(2) is not None else m.group(3)
+        ref = TableRef(idx, path)
+        if ref not in refs:
+            refs.append(ref)
     return refs
 
 
-def _rewrite_chunk(chunk: str, dquoted: set[str] | None = None) -> str:
-    # {N[, "path"]} → view name
+def _sub_table_macros(sql: str) -> str:
+    """Whole-statement `{...}` → view-name substitution (span-aware, same
+    rule as extract_table_refs). Runs BEFORE chunk rewriting so a
+    single-quoted path operand is consumed with its macro."""
+    spans = _literal_spans(sql)
+
     def repl(m: re.Match) -> str:
+        if any(a <= m.start() < b for a, b in spans):
+            return m.group(0)
         idx = int(m.group(1)) if m.group(1) is not None else 0
         path = m.group(2) if m.group(2) is not None else m.group(3)
         return TableRef(idx, path).view_name
 
-    chunk = TABLE_MACRO.sub(repl, chunk)
+    return TABLE_MACRO.sub(repl, sql)
+
+
+def _rewrite_chunk(chunk: str, dquoted: set[str] | None = None) -> str:
+    # (table macros were already substituted whole-statement by
+    # _sub_table_macros — their single-quoted path operands would split a
+    # per-chunk scan.)
 
     # "quoted identifier" → `quoted identifier`. The converted names are
     # collected so the CLI can apply SQLite's double-quote fallback: a
@@ -271,6 +287,7 @@ def rewrite_query_tracked(sql: str) -> tuple[str, frozenset[str]]:
     came from double-quoted tokens — the CLI retries those as string
     literals when they fail column resolution (SQLite fallback)."""
     dquoted: set[str] = set()
+    sql = _sub_table_macros(sql)
     parts = []
     for is_str, chunk in _split_on_strings(sql):
         parts.append(chunk if is_str else _rewrite_chunk(chunk, dquoted))

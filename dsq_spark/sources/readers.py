@@ -300,6 +300,14 @@ def _decode_avro_ocf(path: str) -> list[dict]:
         block = read_bytes(buf)
         if codec == "deflate":
             block = zlib.decompress(block, -15)
+        elif codec == "snappy":
+            # Avro frames snappy blocks as raw-snappy + big-endian CRC32 of
+            # the UNCOMPRESSED bytes (Avro spec, "snappy" codec).
+            plain = _snappy_decompress(block[:-4])
+            want_crc = int.from_bytes(block[-4:], "big")
+            if zlib.crc32(plain) & 0xFFFFFFFF != want_crc:
+                raise ValueError("Avro snappy block CRC mismatch")
+            block = plain
         elif codec != "null":
             raise ValueError(f"unsupported Avro codec {codec!r}")
         bb = io.BytesIO(block)
@@ -307,6 +315,62 @@ def _decode_avro_ocf(path: str) -> list[dict]:
         buf.read(16)  # sync marker
         assert sync  # structure check only
     return rows, schema
+
+
+def _snappy_decompress(data: bytes) -> bytes:
+    """Pure-Python raw-snappy decompressor (google/snappy
+    format_description.txt): varint uncompressed length, then literal /
+    copy elements; copies may overlap so they append byte-ranges from the
+    already-produced output."""
+    # varint32 uncompressed length
+    n = shift = i = 0
+    while True:
+        b = data[i]
+        n |= (b & 0x7F) << shift
+        i += 1
+        if not b & 0x80:
+            break
+        shift += 7
+    out = bytearray()
+    m = len(data)
+    while i < m:
+        tag = data[i]
+        i += 1
+        typ = tag & 0x03
+        if typ == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nbytes = ln - 59
+                ln = int.from_bytes(data[i:i + nbytes], "little")
+                i += nbytes
+            ln += 1
+            out += data[i:i + ln]
+            i += ln
+            continue
+        if typ == 1:  # copy, 1-byte offset
+            ln = ((tag >> 2) & 0x07) + 4
+            off = ((tag >> 5) << 8) | data[i]
+            i += 1
+        elif typ == 2:  # copy, 2-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[i:i + 2], "little")
+            i += 2
+        else:  # copy, 4-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[i:i + 4], "little")
+            i += 4
+        if off == 0 or off > len(out):
+            raise ValueError("corrupt snappy stream: bad copy offset")
+        start = len(out) - off
+        if off >= ln:
+            out += out[start:start + ln]
+        else:  # overlapping copy: repeat pattern byte-by-byte
+            for k in range(ln):
+                out.append(out[start + k])
+    if len(out) != n:
+        raise ValueError(
+            f"corrupt snappy stream: expected {n} bytes, produced {len(out)}")
+    return bytes(out)
 
 
 # --------------------------------------------------------------------------
@@ -366,8 +430,14 @@ def read_xlsx(spark: SparkSession, path: str, sheet: str | None = None) -> DataF
                     val = "".join(t.text or "" for t in is_el.iter(f"{_XLSX_NS}t"))
                 else:
                     val = v.text if v is not None else None
-                cells[ci - 1] = val
+                if val is not None:
+                    # style-only cells (no value) are not data — storing
+                    # them would keep pure-formatting rows alive (excelize
+                    # trims them; reference Sheet2 count test)
+                    cells[ci - 1] = val
             grid.append(cells)
+    while grid and not grid[-1]:
+        grid.pop()  # trailing formatting-only rows
     return _grid_to_df(spark, grid)
 
 

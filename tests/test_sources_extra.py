@@ -255,3 +255,89 @@ def test_orc_roundtrip(spark, tmp_path):
     ).write.orc(p)
     df = read_file(spark, p, mimetype="orc")
     assert sorted((r["id"], r["name"]) for r in df.collect()) == [(1, "Alice"), (2, "Bob")]
+
+
+# --- avro snappy codec (pure-Python decompressor) ---
+
+def _snappy_literals(data: bytes) -> bytes:
+    """Minimal valid snappy encoding using only literal elements."""
+    out = bytearray()
+    n = len(data)
+    while n:
+        out.append(n & 0x7F | (0x80 if n > 0x7F else 0))
+        n >>= 7
+    if not out:
+        out.append(0)
+    i = 0
+    while i < len(data):
+        chunk = data[i:i + 60]
+        out.append((len(chunk) - 1) << 2)
+        out += chunk
+        i += len(chunk)
+    return bytes(out)
+
+
+def test_snappy_decompress_literals_and_copies():
+    from dsq_spark.sources.readers import _snappy_decompress
+
+    assert _snappy_decompress(_snappy_literals(b"hello world")) == b"hello world"
+    assert _snappy_decompress(_snappy_literals(b"x" * 500)) == b"x" * 500
+    # hand-crafted copy element: literal 'abcd' then copy1 (len 4, off 4)
+    # tag: typ=1, len-4=0 in bits 2-4, off>>8=0 in bits 5-7 → 0x01; off byte 4
+    stream = bytes([8]) + bytes([(4 - 1) << 2]) + b"abcd" + bytes([0x01, 4])
+    assert _snappy_decompress(stream) == b"abcdabcd"
+    # overlapping copy: 'ab' then copy len 6 off 2 → 'ab'+'ababab'
+    stream = bytes([8]) + bytes([(2 - 1) << 2]) + b"ab" + bytes([0x01 | (2 << 2), 2])
+    assert _snappy_decompress(stream) == b"abababab"
+    with pytest.raises(ValueError, match="bad copy offset"):
+        _snappy_decompress(bytes([4, 0x01, 9]))
+
+
+def test_avro_snappy_codec(spark, tmp_path):
+    import zlib as _zlib
+
+    schema = {"type": "record", "name": "S", "fields": [
+        {"name": "id", "type": "long"}, {"name": "name", "type": "string"}]}
+    body = _zz(7) + _avro_str("Greta") + _zz(9) + _avro_str("Sven")
+    framed = _snappy_literals(body) + (_zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "big")
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": b"snappy"}
+    p = tmp_path / "s.avro"
+    with open(p, "wb") as fh:
+        fh.write(b"Obj\x01")
+        fh.write(_zz(len(meta)))
+        for k, v in meta.items():
+            fh.write(_avro_str(k) + _zz(len(v)) + v)
+        fh.write(_zz(0))
+        fh.write(b"S" * 16)
+        fh.write(_zz(2) + _zz(len(framed)) + framed + b"S" * 16)
+    df = read_file(spark, str(p))
+    assert {(r["id"], r["name"]) for r in df.collect()} == {(7, "Greta"), (9, "Sven")}
+
+
+# --- parity against the reference's own fixtures (read-only) ---
+
+REF_TD = "/root/reference/testdata"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TD), reason="reference testdata absent")
+def test_reference_fixture_parity(spark, capsys):
+    """The reference suite's own fixture cases (scripts/test.py): snappy
+    Avro, multi-sheet xlsx with style-only trailing rows, single-quoted
+    path macros."""
+    from dsq_spark import cli
+
+    cases = [
+        ([f"{REF_TD}/avro/test_data.avro",
+          'SELECT COUNT(*) AS c FROM {} WHERE country="Sweden"'], [{"c": 25}]),
+        ([f"{REF_TD}/excel/multiple-sheets.xlsx",
+          'SELECT COUNT(1) AS n FROM {0, "Sheet2"}'], [{"n": 682}]),
+        ([f"{REF_TD}/path/path.json",
+          "SELECT * FROM {0, 'data.data2'} ORDER BY id DESC"],
+         [{"id": 4, "name": "Minh2"}, {"id": 2, "name": "Corah2"}]),
+        ([f"{REF_TD}/path/path.json",
+          "SELECT * FROM {'data.data'} ORDER BY id DESC"],
+         [{"id": 3, "name": "Minh"}, {"id": 1, "name": "Corah"}]),
+    ]
+    for args, want in cases:
+        assert cli.run(args, spark) == 0
+        assert json.loads(capsys.readouterr().out) == want, args
