@@ -337,6 +337,14 @@ def test_reference_fixture_parity(spark, capsys):
         ([f"{REF_TD}/path/path.json",
           "SELECT * FROM {'data.data'} ORDER BY id DESC"],
          [{"id": 3, "name": "Minh"}, {"id": 1, "name": "Corah"}]),
+        # lexical compare + case-insensitive resolution + double-quote
+        # string fallback, all in one (scripts/test.py:379)
+        ([f"{REF_TD}/csv/numberconvert.csv",
+          'select * from {} where score > "90"'],
+         [{"Name": "Rainer", "Score": "95"}]),
+        # nested array serialized to JSON text (issue #36)
+        ([f"{REF_TD}/regr/36.json", "SELECT * FROM {}"],
+         [{"a": 1, "b": 2, "c": "[1,2]"}]),
     ]
     for args, want in cases:
         assert cli.run(args, spark) == 0
