@@ -474,3 +474,47 @@ def sim_ivf_multiprobe(spark, sf_dir):
         .filter(F.col("rnk") <= 10)
         .select("q_id", "vec_id", F.round("cos", 4).alias("cosine"), "rnk")
     )
+
+
+@register(
+    "dedup_canonical_keep",
+    oracle=f"""
+WITH comp AS ({_REG['sim_neardup_components'].oracle}),
+     stats AS (SELECT CAST(count(*) AS BIGINT) AS n_in_clusters,
+                      CAST(sum(CASE WHEN vec_id <> component THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                      CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+                      CAST(max(cluster_size) AS BIGINT) AS max_cluster
+               FROM comp),
+     tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM embeddings)
+SELECT t.n_total,
+       t.n_total - s.n_dropped AS n_kept,
+       s.n_dropped, s.n_clusters, s.max_cluster
+FROM tot t CROSS JOIN stats s
+""",
+    doc=(
+        "End-to-end near-dup dedup: each connected component of the "
+        "near-duplicate graph keeps ONE canonical member (the min vec_id — "
+        "which IS the component label, since labels are min-propagated), "
+        "everything else is dropped. The operation a training pipeline "
+        "actually runs on top of the cluster assignment; composed from the "
+        "oracle-matched components query so the summary is value-checked. "
+        "At scale: the canonical choice is a map-side comparison on the "
+        "already-computed labels — no extra shuffle beyond the rollup."
+    ),
+    bench=False,  # re-runs the Pregel loop; components already benched
+)
+def dedup_canonical_keep(spark, sf_dir):
+    comp = sim_neardup_components(spark, sf_dir)
+    stats = comp.agg(
+        F.sum(F.when(F.col("vec_id") != F.col("component"), 1).otherwise(0))
+         .cast("long").alias("n_dropped"),
+        F.countDistinct("component").cast("long").alias("n_clusters"),
+        F.max("cluster_size").cast("long").alias("max_cluster"),
+    )
+    tot = t(spark, sf_dir, "embeddings").agg(
+        F.count("*").cast("long").alias("n_total"))
+    return tot.crossJoin(F.broadcast(stats)).select(
+        "n_total",
+        (F.col("n_total") - F.col("n_dropped")).alias("n_kept"),
+        "n_dropped", "n_clusters", "max_cluster",
+    )
