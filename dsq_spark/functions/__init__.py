@@ -203,6 +203,10 @@ def _sql_udfs() -> list[str]:
         # the dominant dsq usage is on string-serialized nested arrays
         # where TEXT matches).
         "CREATE OR REPLACE TEMPORARY FUNCTION json_extract(j STRING, p STRING) RETURNS STRING RETURN get_json_object(j, p)",
+        # json(x): SQLite validates + minifies; here the root extraction
+        # returns the text for valid JSON and NULL for invalid (SQLite
+        # raises instead — documented delta; whitespace is not minified)
+        "CREATE OR REPLACE TEMPORARY FUNCTION json(j STRING) RETURNS STRING RETURN get_json_object(j, '$')",
     ]
     for name, fn in date_parts.items():
         stmts.append(
@@ -428,6 +432,18 @@ def _strftime_alias(parts: list[str]) -> str:
     return _strftime_concat(fmt, e)
 
 
+def _minmax_alias(agg: str, scalar: str):
+    """SQLite's max/min: one argument = aggregate, two-or-more = scalar
+    (greatest/least). Spark separates the two, so the call-site arity
+    decides (sqlite.org/lang_corefunc.html#max_scalar)."""
+
+    def build(parts: list[str]) -> str:
+        fn = agg if len(parts) == 1 else scalar
+        return f"{fn}({', '.join(p.strip() for p in parts)})"
+
+    return build
+
+
 def _group_concat_alias(parts: list[str]) -> str:
     """SQLite group_concat(x[, sep]) / group_concat(DISTINCT x).
 
@@ -466,6 +482,10 @@ AGG_ALIASES = {
     "percentile_99": "percentile({args}, 0.99)",
     "group_concat": _group_concat_alias,
     "total": "coalesce(sum({args}), 0.0d)",
+    # SQLite max/min are the aggregate with 1 arg, scalar greatest/least
+    # with 2+ — dispatch on call-site arity
+    "max": _minmax_alias("max", "greatest"),
+    "min": _minmax_alias("min", "least"),
     # SQLite date/time family with modifier support ('now', ±N units,
     # 'start of X', 'weekday N', 'unixepoch', 'localtime'/'utc') — compiled
     # to Catalyst expressions at rewrite time. These shadow the plainer

@@ -173,6 +173,25 @@ def test_strftime_extended_codes(spark):
         rewrite_query("SELECT strftime('%V', '2022-03-05')")
 
 
+def test_scalar_minmax_and_json(spark):
+    """SQLite arity dispatch: max/min aggregate with 1 arg, greatest/least
+    with 2+; json() returns text for valid JSON, NULL for invalid."""
+    import sqlite3
+
+    from dsq_spark.rewrite import rewrite_query
+
+    con = sqlite3.connect(":memory:")
+    for q in ("SELECT max(1, 2)", "SELECT min(3, 1, 2)", "SELECT max('a', 'b')"):
+        want = con.execute(q).fetchone()[0]
+        got = spark.sql(rewrite_query(q) + " AS v").collect()[0]["v"]
+        assert str(got) == str(want), q
+    spark.sql("SELECT * FROM VALUES (1),(5),(3) AS g(x)").createOrReplaceTempView("t_mm")
+    assert spark.sql(rewrite_query("SELECT max(x) AS m FROM t_mm")).collect()[0]["m"] == 5
+    spark.catalog.dropTempView("t_mm")
+    assert spark.sql(rewrite_query('SELECT json(\'{"a": 1}\') AS v')).collect()[0]["v"] == '{"a":1}'
+    assert spark.sql(rewrite_query("SELECT json('nope{') AS v")).collect()[0]["v"] is None
+
+
 def test_json_extract(spark):
     """json_extract single-path form == SQLite's on string-serialized
     arrays/objects (both return TEXT here)."""
