@@ -207,6 +207,10 @@ def _sql_udfs() -> list[str]:
         # returns the text for valid JSON and NULL for invalid (SQLite
         # raises instead — documented delta; whitespace is not minified)
         "CREATE OR REPLACE TEMPORARY FUNCTION json(j STRING) RETURNS STRING RETURN get_json_object(j, '$')",
+        # SQLite planner hints: semantically the identity
+        "CREATE OR REPLACE TEMPORARY FUNCTION likely(x DOUBLE) RETURNS DOUBLE RETURN x",
+        "CREATE OR REPLACE TEMPORARY FUNCTION unlikely(x DOUBLE) RETURNS DOUBLE RETURN x",
+        "CREATE OR REPLACE TEMPORARY FUNCTION likelihood(x DOUBLE, p DOUBLE) RETURNS DOUBLE RETURN x",
     ]
     for name, fn in date_parts.items():
         stmts.append(
@@ -486,6 +490,16 @@ AGG_ALIASES = {
     # with 2+ — dispatch on call-site arity
     "max": _minmax_alias("max", "greatest"),
     "min": _minmax_alias("min", "least"),
+    # json_array_length(j[, path]): Spark's builtin is 1-arg; the 2-arg
+    # form extracts the path first
+    "json_array_length": lambda parts: (
+        f"json_array_length({parts[0]})" if len(parts) == 1
+        else f"json_array_length(get_json_object({parts[0]}, {parts[1].strip()}))"),
+    # char(c1, c2, ...): SQLite concatenates the code points; Spark's char
+    # is 1-arg
+    "char": lambda parts: (
+        f"char({parts[0]})" if len(parts) == 1
+        else "concat(" + ", ".join(f"char({p.strip()})" for p in parts) + ")"),
     # SQLite date/time family with modifier support ('now', ±N units,
     # 'start of X', 'weekday N', 'unixepoch', 'localtime'/'utc') — compiled
     # to Catalyst expressions at rewrite time. These shadow the plainer

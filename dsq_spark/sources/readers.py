@@ -48,6 +48,11 @@ def read_csv(spark: SparkSession, path: str, convert_numbers: bool = False,
         # headers like " Name" with leading spaces — they must survive).
         .option("ignoreLeadingWhiteSpace", False)
         .option("ignoreTrailingWhiteSpace", False)
+        # RFC 4180 quoting: a quote inside a quoted field is escaped by
+        # DOUBLING it (the reference's Go encoding/csv dialect). Spark's
+        # default escape is backslash, which silently mis-parses such
+        # fields — e.g. "{""a"":1}" JSON-in-CSV payloads.
+        .option("escape", '"')
         .csv(path)
     )
 

@@ -190,6 +190,12 @@ def test_scalar_minmax_and_json(spark):
     spark.catalog.dropTempView("t_mm")
     assert spark.sql(rewrite_query('SELECT json(\'{"a": 1}\') AS v')).collect()[0]["v"] == '{"a":1}'
     assert spark.sql(rewrite_query("SELECT json('nope{') AS v")).collect()[0]["v"] is None
+    # json_array_length 2-arg path form, multi-arg char, planner hints
+    for q in ('SELECT json_array_length(\'{"a": [1,2]}\', \'$.a\')',
+              "SELECT char(72, 105)", "SELECT likely(5)", "SELECT likelihood(5, 0.5)"):
+        want = con.execute(q).fetchone()[0]
+        got = spark.sql(rewrite_query(q) + " AS v").collect()[0]["v"]
+        assert str(got).rstrip("0").rstrip(".") == str(want).rstrip("0").rstrip(".") or got == want, q
 
 
 def test_json_extract(spark):

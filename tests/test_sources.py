@@ -156,6 +156,17 @@ def test_legacy_xls_truncated_clear_error(spark, tmp_path):
         read_file(spark, str(p))
 
 
+def test_csv_rfc4180_doubled_quotes(spark, tmp_path):
+    """RFC 4180: quotes inside quoted fields are escaped by doubling (the
+    reference's Go encoding/csv dialect) — JSON-in-CSV payloads must
+    survive. Spark's default backslash escape silently truncates them."""
+    p = tmp_path / "q.csv"
+    p.write_text('v,w\n"{""a"":[1,2,3]}",plain\n"say ""hi""",2\n')
+    rows = [r.asDict() for r in read_file(spark, str(p)).collect()]
+    assert rows == [{"v": '{"a":[1,2,3]}', "w": "plain"},
+                    {"v": 'say "hi"', "w": "2"}]
+
+
 def test_hostile_headers_survive(spark, tmp_path):
     """FIXTURES.md §1: header names with leading/trailing/embedded spaces
     and tabs must survive verbatim and stay queryable via quoted idents."""
