@@ -277,3 +277,33 @@ def test_groups_frame_vs_sqlite(spark, sf_dir):
         for r in Q.REGISTRY["window_groups_frame"].fn(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_datetime_modifiers_property_vs_sqlite(spark):
+    """Randomized date/time + modifier-chain property check against real
+    SQLite — one batched Spark job for all cases."""
+    import sqlite3
+
+    from hypothesis import strategies as st
+
+    from dsq_spark.rewrite import rewrite_query
+
+    rng_dates = st.dates().map(str)
+    mods = st.sampled_from([
+        "+1 day", "-3 days", "+26 hours", "-90 minutes", "+45 seconds",
+        "+1 month", "-2 months", "+13 months", "+1 year", "-1 year",
+        "start of month", "start of year", "start of day",
+        "weekday 0", "weekday 3", "weekday 6",
+    ])
+    cases = st.tuples(rng_dates, st.lists(mods, min_size=1, max_size=3))
+    seen = [cases.example() for _ in range(30)]
+    con = sqlite3.connect(":memory:")
+    exprs, wants = [], []
+    for i, (d, chain) in enumerate(seen):
+        args = ", ".join(["'%s'" % d] + ["'%s'" % m for m in chain])
+        q = f"datetime({args})"
+        wants.append(con.execute("SELECT " + q).fetchone()[0])
+        exprs.append(rewrite_query(q) + f" AS c{i}")
+    row = spark.sql("SELECT " + ", ".join(exprs)).collect()[0]
+    for i, (case, want) in enumerate(zip(seen, wants)):
+        assert str(row[f"c{i}"]) == str(want), case
