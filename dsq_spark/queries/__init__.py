@@ -42,6 +42,7 @@ _PRIORITY = [
     # new in round 2 — no prior driver row exists for these
     "pack_token_shards",
     "sample_stratified",
+    "dedup_canonical_keep",
 ]
 _MODULE_ORDER = ["tpch_extra", "multimodal_q", "datetime_q", "dedup", "core", "text", "similarity"]
 

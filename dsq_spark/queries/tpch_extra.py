@@ -833,3 +833,46 @@ def q11_important_parts(spark, sf_dir):
             F.round(F.col("value").cast("double"), 2).alias("value"),
         )
     )
+
+
+@register(
+    "unpivot_charge_components",
+    oracle="""
+WITH longf AS (
+  SELECT l_returnflag, 'extendedprice' AS component, l_extendedprice AS value FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'tax', l_tax FROM lineitem
+)
+SELECT l_returnflag, component,
+       round(CAST(sum(value) AS DOUBLE), 2) AS total,
+       round(avg(value), 6) AS mean
+FROM longf
+GROUP BY l_returnflag, component
+""",
+    doc=(
+        "UNPIVOT (wide->long melt, the inverse of pivot_event_types): the "
+        "three lineitem charge columns fold into (component, value) rows "
+        "via Spark's native unpivot operator, then aggregate per flag and "
+        "component. The melt is a map-side Expand node — rows triple but "
+        "no shuffle is added beyond the final rollup, so it scales as a "
+        "single pass."
+    ),
+)
+def unpivot_charge_components(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    )
+    # DuckDB SUM(DOUBLE) vs Spark: sum in decimal then cast, so the 2dp
+    # rounding boundary cannot wobble with addition order
+    longf = l.unpivot(
+        ["l_returnflag"], ["extendedprice", "discount", "tax"],
+        "component", "value")
+    return longf.groupBy("l_returnflag", "component").agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias("total"),
+        F.round(F.avg("value"), 6).alias("mean"),
+    )
