@@ -277,6 +277,77 @@ def _split_top_commas(args: str) -> list[str]:
     return parts
 
 
+_JSON_EACH = re.compile(
+    r"(,\s*|\bjoin\s+)?\bjson_each\s*\(", re.IGNORECASE)
+
+
+def _rewrite_json_each(sql: str) -> str:
+    """SQLite's json_each table-valued function → LATERAL VIEW explode.
+
+    `FROM t, json_each(t.c) j` becomes
+    `FROM t LATERAL VIEW explode_outer(<as-map>) j AS key, value`, where
+    <as-map> parses the text as a JSON object (string keys) or else as an
+    array (keys '0','1',...). A bare `FROM json_each('...')` (no base
+    relation) gets a one-row `(SELECT 1)` anchor, and the 2-arg path form
+    `json_each(x, '$.p')` drills in with get_json_object first. Documented
+    deltas vs SQLite: keys surface as TEXT (SQLite uses integers for
+    arrays), values surface as TEXT, and only the key/value columns exist
+    (no type/atom/fullkey/path)."""
+    spans = _literal_spans(sql)
+    out, i = [], 0
+    while True:
+        m = _JSON_EACH.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        if any(a <= m.start() < b for a, b in spans):
+            out.append(sql[i:m.end()])
+            i = m.end()
+            continue
+        # balanced-paren scan for the argument (string-aware)
+        depth, j, n = 1, m.end(), len(sql)
+        in_str = False
+        while j < n and depth:
+            ch = sql[j]
+            if in_str:
+                in_str = ch != "'"
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            j += 1
+        arg = sql[m.end():j - 1]
+        arg_parts = _split_top_commas(arg)
+        if len(arg_parts) == 2:  # json_each(x, '$.path') — drill in first
+            arg = f"get_json_object({arg_parts[0].strip()}, {arg_parts[1].strip()})"
+        # optional alias after the closing paren
+        am = re.match(r"\s*(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)", sql[j:],
+                      re.IGNORECASE)
+        alias = am.group(1) if am and am.group(1).upper() not in (
+            "WHERE", "GROUP", "ORDER", "LIMIT", "JOIN", "ON", "LEFT", "RIGHT",
+            "INNER", "CROSS", "UNION", "HAVING") else None
+        j_end = j + am.end() if alias else j
+        arr = f"from_json({arg}, 'array<string>')"
+        as_map = (
+            f"coalesce(from_json({arg}, 'map<string,string>'), "
+            f"map_from_arrays(transform(sequence(0, size({arr}) - 1), "
+            f"i -> CAST(i AS STRING)), {arr}))"
+        )
+        lateral = (f" LATERAL VIEW explode_outer({as_map}) "
+                   f"{alias or 'json_each'} AS key, value")
+        head = sql[i:m.start()]
+        if m.group(1) is None and re.search(r"\bFROM\s*$", head, re.IGNORECASE):
+            # `FROM json_each(...)` with no base relation: LATERAL VIEW
+            # needs an anchor row, so supply a one-row subquery.
+            head += "(SELECT 1) _json_each_anchor"
+        out.append(head)
+        out.append(lateral)
+        i = j_end
+    return "".join(out)
+
+
 def rewrite_query(sql: str) -> str:
     """Full dsq-dialect → Spark SQL rewrite (string literals untouched)."""
     return rewrite_query_tracked(sql)[0]
@@ -287,7 +358,7 @@ def rewrite_query_tracked(sql: str) -> tuple[str, frozenset[str]]:
     came from double-quoted tokens — the CLI retries those as string
     literals when they fail column resolution (SQLite fallback)."""
     dquoted: set[str] = set()
-    sql = _sub_table_macros(sql)
+    sql = _rewrite_json_each(_sub_table_macros(sql))
     parts = []
     for is_str, chunk in _split_on_strings(sql):
         parts.append(chunk if is_str else _rewrite_chunk(chunk, dquoted))

@@ -102,3 +102,41 @@ def test_collate_mapping(spark):
         rewrite_query("SELECT CAST('ABC' = 'abc' COLLATE NOCASE AS INT) AS v")
     ).collect()[0]["v"]
     assert got == want == 1
+
+
+def test_json_each_rewrite_and_parity(spark):
+    """json_each table-valued function → LATERAL VIEW explode, checked
+    against real SQLite (reference embeds SQLite's JSON1: the key/value
+    columns are what dsq users consume; our documented delta is TEXT keys
+    for arrays and no type/atom/fullkey/path columns)."""
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+
+    def sqlite_rows(q):
+        return sorted((str(k), str(v)) for k, v in con.execute(q))
+
+    def spark_rows(q):
+        return sorted((r["key"], r["value"])
+                      for r in spark.sql(rewrite_query(q)).collect())
+
+    # object form
+    q = "SELECT key, value FROM json_each('{\"a\":\"1\",\"b\":\"2\"}')"
+    assert spark_rows(q) == sqlite_rows(q)
+    # array form (SQLite keys are ints — ours are the same digits as TEXT)
+    q = "SELECT key, value FROM json_each('[7,8,9]')"
+    assert spark_rows(q) == sqlite_rows(q)
+    # 2-arg path form
+    q = "SELECT key, value FROM json_each('{\"o\":{\"i\":\"5\"}}', '$.o')"
+    assert spark_rows(q) == sqlite_rows(q)
+    # joined against a base table, with alias
+    spark.createDataFrame([("a", '["x","y"]')], ["id", "tags"]) \
+        .createOrReplaceTempView("je_t")
+    con.execute("CREATE TABLE je_t(id TEXT, tags TEXT)")
+    con.execute("INSERT INTO je_t VALUES ('a', '[\"x\",\"y\"]')")
+    q = ("SELECT je_t.id || '/' || j.key AS key, j.value AS value "
+         "FROM je_t, json_each(je_t.tags) j")
+    assert spark_rows(q) == sqlite_rows(q)
+    # inside a string literal: untouched
+    lit = rewrite_query("SELECT 'json_each(x)' AS v FROM je_t")
+    assert "'json_each(x)'" in lit and "LATERAL" not in lit
