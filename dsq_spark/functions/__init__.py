@@ -207,6 +207,13 @@ def _sql_udfs() -> list[str]:
         # returns the text for valid JSON and NULL for invalid (SQLite
         # raises instead — documented delta; whitespace is not minified)
         "CREATE OR REPLACE TEMPORARY FUNCTION json(j STRING) RETURNS STRING RETURN get_json_object(j, '$')",
+        # JSON serialization helper: strip the [ ] from to_json(array(x)) —
+        # the one-element-array trick turns ANY typed SQL value into its
+        # JSON text (numbers bare, strings quoted+escaped, NULL → 'null',
+        # structs/arrays recursive), all JVM-side. Used by the json_quote /
+        # json_array / json_object / json_group_* rewrites below.
+        "CREATE OR REPLACE TEMPORARY FUNCTION dsq_json_unbox(s STRING) RETURNS STRING "
+        "RETURN substr(s, 2, length(s) - 2)",
         # SQLite planner hints: semantically the identity
         "CREATE OR REPLACE TEMPORARY FUNCTION likely(x DOUBLE) RETURNS DOUBLE RETURN x",
         "CREATE OR REPLACE TEMPORARY FUNCTION unlikely(x DOUBLE) RETURNS DOUBLE RETURN x",
@@ -466,6 +473,98 @@ def _group_concat_alias(parts: list[str]) -> str:
     return f"array_join({inner}, {sep})"
 
 
+# ---------------------------------------------------------------------------
+# JSON1 construction/inspection family (SQLite JSON1; reference README.md:698).
+# Values are serialized through to_json(array(x)) + dsq_json_unbox so each
+# argument keeps its own SQL type (SQLite's JSON1 is heterogeneous, Spark's
+# array()/to_json alone would coerce to a common type). Documented deltas:
+# SQLite's JSON subtype is not modeled (json_object('k', json('[1,2]'))
+# re-quotes here), and json_type on a PATH classifies the extracted text
+# (get_json_object strips string quotes, so a string "123" reports
+# 'integer'); the root form classifies the raw text exactly.
+# ---------------------------------------------------------------------------
+
+
+def _jq(expr: str) -> str:
+    """JSON text of one SQL value (typed, escaped; NULL → 'null')."""
+    return f"dsq_json_unbox(to_json(array({expr.strip()})))"
+
+
+def _json_array_alias(parts: list[str]) -> str:
+    items = [p.strip() for p in parts if p.strip()]
+    if not items:
+        return "'[]'"
+    return "concat('[', concat_ws(',', " + ", ".join(_jq(p) for p in items) + "), ']')"
+
+
+def _json_object_alias(parts: list[str]) -> str:
+    items = [p.strip() for p in parts if p.strip()]
+    if not items:
+        return "'{}'"
+    if len(items) % 2:
+        raise ValueError("json_object() requires an even number of arguments")
+    pairs = [
+        f"concat({_jq(f'CAST({k} AS STRING)')}, ':', {_jq(v)})"
+        for k, v in zip(items[::2], items[1::2])
+    ]
+    return "concat('{', concat_ws(',', " + ", ".join(pairs) + "), '}')"
+
+
+def _json_group_array_alias(parts: list[str]) -> str:
+    inner = parts[0].strip()
+    m = _re.match(r"(?is)^DISTINCT\s+(.*)$", inner)
+    coll, x = ("collect_set", m.group(1)) if m else ("collect_list", inner)
+    # elements are pre-serialized text ('null' for NULL values, never SQL
+    # NULL), so collect_list keeps SQLite's include-nulls behavior
+    return f"concat('[', array_join({coll}({_jq(x)}), ','), ']')"
+
+
+def _json_group_object_alias(parts: list[str]) -> str:
+    if len(parts) != 2:
+        raise ValueError("json_group_object() requires (key, value)")
+    k, v = parts[0].strip(), parts[1].strip()
+    return ("concat('{', array_join(collect_list(concat("
+            + _jq(f"CAST({k} AS STRING)") + ", ':', " + _jq(v)
+            + ")), ','), '}')")
+
+
+def _json_type_alias(parts: list[str]) -> str:
+    if len(parts) == 1:
+        j = parts[0].strip()
+        tr = f"trim({j})"
+        return (
+            f"CASE WHEN {j} IS NULL THEN NULL "
+            f"WHEN get_json_object({j}, '$') IS NULL THEN NULL "
+            f"WHEN startswith({tr}, '{{') THEN 'object' "
+            f"WHEN startswith({tr}, '[') THEN 'array' "
+            f"WHEN startswith({tr}, '\"') THEN 'text' "
+            f"WHEN {tr} IN ('true', 'false', 'null') THEN {tr} "
+            f"WHEN {tr} RLIKE '^-?[0-9]+$' THEN 'integer' ELSE 'real' END")
+    j, p = parts[0].strip(), parts[1].strip()
+    e = f"get_json_object({j}, {p})"
+    return (
+        f"CASE WHEN {e} IS NULL THEN NULL "
+        f"WHEN startswith({e}, '{{') THEN 'object' "
+        f"WHEN startswith({e}, '[') THEN 'array' "
+        f"WHEN {e} IN ('true', 'false') THEN {e} "
+        f"WHEN {e} RLIKE '^-?[0-9]+$' THEN 'integer' "
+        f"WHEN {e} RLIKE '^-?[0-9]*\\\\.?[0-9]+([eE][+-]?[0-9]+)?$' THEN 'real' "
+        "ELSE 'text' END")
+
+
+def _typeof_alias(parts: list[str]) -> str:
+    """SQLite typeof(): 'integer'/'real'/'text'/'blob'/'null'. Spark's own
+    typeof() gives the static Catalyst type; booleans are SQLite integers."""
+    x = parts[0].strip()
+    t = f"typeof({x})"
+    return (
+        f"CASE WHEN {x} IS NULL THEN 'null' "
+        f"WHEN {t} IN ('tinyint', 'smallint', 'int', 'bigint', 'boolean') THEN 'integer' "
+        f"WHEN {t} IN ('float', 'double') OR {t} LIKE 'decimal%' THEN 'real' "
+        f"WHEN {t} = 'binary' THEN 'blob' "
+        "ELSE 'text' END")
+
+
 # Call-site aliases SQL UDFs can't express (aggregates, and variadic
 # scalars like SQLite's format() == printf()); dsq_spark.rewrite rewrites
 # these textually: name(args) → template.format(args=args), or — for
@@ -500,6 +599,24 @@ AGG_ALIASES = {
     "char": lambda parts: (
         f"char({parts[0]})" if len(parts) == 1
         else "concat(" + ", ".join(f"char({p.strip()})" for p in parts) + ")"),
+    # SQLite JSON1 construction/inspection (see builders above)
+    "json_quote": lambda parts: _jq(parts[0]),
+    "json_array": _json_array_alias,
+    "json_object": _json_object_alias,
+    "json_group_array": _json_group_array_alias,
+    "json_group_object": _json_group_object_alias,
+    "json_type": _json_type_alias,
+    "json_valid": lambda parts: (
+        f"CASE WHEN {parts[0].strip()} IS NULL THEN NULL "
+        f"ELSE CAST(get_json_object({parts[0].strip()}, '$') IS NOT NULL AS INT) END"),
+    # SQLite core scalars Spark spells differently (or lacks)
+    "typeof": _typeof_alias,
+    "iif": "if({args})",
+    "zeroblob": lambda parts: f"unhex(repeat('00', CAST({parts[0].strip()} AS INT)))",
+    # SQLite random() is a uniform int64; rand() is a uniform double, so the
+    # scaled cast loses the low ~11 bits of entropy — fine for its dominant
+    # use (ORDER BY random(), random sampling). Saturating non-ANSI cast.
+    "random": lambda parts: "CAST((rand() - 0.5d) * 1.8446744073709550E19 AS BIGINT)",
     # SQLite date/time family with modifier support ('now', ±N units,
     # 'start of X', 'weekday N', 'unixepoch', 'localtime'/'utc') — compiled
     # to Catalyst expressions at rewrite time. These shadow the plainer

@@ -55,26 +55,39 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one of the driver's parquet tables (columnar scan; filters and
     projections push down into the scan).
 
-    events.ts is physically TIMESTAMP(NANOS); Spark reads it as long (see
-    session.py nanosAsLong) and we rebuild a micros timestamp — identical to
-    DuckDB's nanos→micros truncation, so oracles stay exact.
+    events.ts has shipped in two physical layouts across driver rounds:
+    TIMESTAMP(NANOS) (round 1) and naive timestamp[us] (round 2). Both are
+    normalized here to a session-UTC TIMESTAMP so downstream epoch math
+    (unix_micros, window ranges) works and values match DuckDB exactly
+    (DuckDB truncates nanos→micros and treats naive micros as-is).
     """
     if name == "events":
         # The driver's verify harness builds its own SparkSession that never
-        # goes through session.get_spark(), so set the conf here too: it is a
-        # runtime-settable SQLConf, and without it the TIMESTAMP(NANOS)
-        # parquet column fails the read outright (PARQUET_TYPE_ILLEGAL).
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass  # conf absent on this Spark build; the read will tell us
+        # goes through session.get_spark(), so set runtime confs here too:
+        # nanosAsLong makes a TIMESTAMP(NANOS) column readable at all
+        # (PARQUET_TYPE_ILLEGAL otherwise), and UTC session time makes the
+        # NTZ→LTZ cast below (and collected timestamp values) byte-identical
+        # to DuckDB's naive-timestamp view of the same file.
+        for k, v in (("spark.sql.legacy.parquet.nanosAsLong", "true"),
+                     ("spark.sql.session.timeZone", "UTC")):
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # conf absent on this Spark build; the read will tell us
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql import types as T
 
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # Integer division — nanos (~1.7e18) overflow double's 53-bit
-        # mantissa, so float division would corrupt microseconds.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            # Nanos-as-long layout. Integer division — nanos (~1.7e18)
+            # overflow double's 53-bit mantissa, so float division would
+            # corrupt microseconds.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            # Naive micros layout. With session tz pinned UTC the cast is a
+            # pure relabel (same wall clock, same epoch micros as DuckDB).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if name in ("documents", "embeddings"):
         # These tables feed CPU-bound work (tokenize/shingle/hash, 64-dim
         # vector math) far heavier than their byte size; filters written by

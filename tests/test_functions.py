@@ -307,3 +307,74 @@ def test_datetime_modifiers_property_vs_sqlite(spark):
     row = spark.sql("SELECT " + ", ".join(exprs)).collect()[0]
     for i, (case, want) in enumerate(zip(seen, wants)):
         assert str(row[f"c{i}"]) == str(want), case
+
+
+def test_json1_scalar_family_vs_sqlite(spark):
+    """json_quote/array/object/type/valid + typeof/iif, oracled against the
+    stdlib sqlite3 (the engine the reference embeds). One batched Spark job."""
+    import sqlite3
+
+    from dsq_spark.rewrite import rewrite_query
+
+    exprs = [
+        "json_quote(1.5)", "json_quote('a\"b')", "json_quote('plain')",
+        "json_quote('[1,2]')",
+        "json_array(1, 'x', NULL)", "json_array()", "json_array(1.5, 'a''b')",
+        "json_object('a', 1, 'b', NULL, 'c', 'txt')", "json_object()",
+        "json_valid('123')", "json_valid('{bad')", "json_valid('\"a\"')",
+        "json_valid('abc')", "json_valid('  123  ')",
+        "json_type('{\"a\":1}')", "json_type('123')", "json_type('1.5')",
+        "json_type('\"s\"')", "json_type('true')", "json_type('false')",
+        "json_type('null')", "json_type('[3]')",
+        "json_type('{\"a\":[1,2]}', '$.a')", "json_type('{\"a\":{\"b\":1}}', '$.a')",
+        "json_type('{\"a\":1}', '$.a')", "json_type('{\"a\":1.5}', '$.a')",
+        "json_type('{\"a\":true}', '$.a')", "json_type('{\"a\":\"xy\"}', '$.a')",
+        "typeof(1)", "typeof(1.5)", "typeof('x')", "typeof(NULL)",
+        "typeof(x'00ff')", "typeof(1 = 1)",
+        "iif(1 > 0, 'y', 'n')", "iif(0 > 1, 'y', 'n')",
+        "zeroblob(3)",
+    ]
+    con = sqlite3.connect(":memory:")
+    wants = [con.execute(f"SELECT {e}").fetchone()[0] for e in exprs]
+    sel = ", ".join(f"{rewrite_query(e)} AS c{i}" for i, e in enumerate(exprs))
+    row = spark.sql(f"SELECT {sel}").collect()[0]
+    for i, (e, want) in enumerate(zip(exprs, wants)):
+        got = row[f"c{i}"]
+        if isinstance(got, (bytes, bytearray)):
+            got = bytes(got)
+        assert got == want, f"{e}: {got!r} != {want!r}"
+
+
+def test_json_group_aggs_vs_sqlite(spark):
+    """json_group_array/json_group_object vs real SQLite (order-insensitive:
+    SQLite aggregates in scan order, collect_list in partition order)."""
+    import json as _json
+    import sqlite3
+
+    from dsq_spark.rewrite import rewrite_query
+
+    rows = [("a", 1.0), ("b", None), ("c", 2.5)]
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE tj(k TEXT, v REAL)")
+    con.executemany("INSERT INTO tj VALUES (?, ?)", rows)
+    want_arr = _json.loads(con.execute("SELECT json_group_array(v) FROM tj").fetchone()[0])
+    want_obj = _json.loads(con.execute("SELECT json_group_object(k, v) FROM tj").fetchone()[0])
+    spark.sql("CREATE OR REPLACE TEMP VIEW tj AS SELECT * FROM VALUES "
+              "('a', 1.0d), ('b', CAST(NULL AS DOUBLE)), ('c', 2.5d) AS t(k, v)")
+    got_arr = _json.loads(spark.sql(rewrite_query(
+        "SELECT json_group_array(v) AS v FROM tj")).collect()[0]["v"])
+    got_obj = _json.loads(spark.sql(rewrite_query(
+        "SELECT json_group_object(k, v) AS v FROM tj")).collect()[0]["v"])
+    assert sorted(map(str, got_arr)) == sorted(map(str, want_arr))
+    assert got_obj == want_obj
+
+
+def test_random_alias(spark):
+    """random() rewrites to a uniform int64 (SQLite core)."""
+    from dsq_spark.rewrite import rewrite_query
+
+    vals = spark.sql(
+        "SELECT " + ", ".join(f"{rewrite_query('random()')} AS c{i}" for i in range(4))
+    ).collect()[0]
+    assert all(isinstance(vals[f"c{i}"], int) for i in range(4))
+    assert len({vals[f"c{i}"] for i in range(4)}) > 1
