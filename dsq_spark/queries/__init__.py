@@ -43,6 +43,8 @@ _PRIORITY = [
     "pack_token_shards",
     "sample_stratified",
     "dedup_canonical_keep",
+    "text_pii_scrub",
+    "emb_quantize_int8",
 ]
 _MODULE_ORDER = ["tpch_extra", "multimodal_q", "datetime_q", "dedup", "core", "text", "similarity"]
 

@@ -518,3 +518,49 @@ def dedup_canonical_keep(spark, sf_dir):
         (F.col("n_total") - F.col("n_dropped")).alias("n_kept"),
         "n_dropped", "n_clusters", "max_cluster",
     )
+
+
+@register(
+    "emb_quantize_int8",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings WHERE vec_id < 50
+),
+s AS (
+  SELECT vec_id, vd, list_max(list_transform(vd, x -> abs(x))) / 127.0 AS scale
+  FROM v
+)
+SELECT vec_id,
+       round(scale, 6) AS scale_q,
+       round(sqrt(
+         list_sum(list_transform(vd, x -> pow(x - floor(x / scale + 0.5) * scale, 2)))
+         / list_sum(list_transform(vd, x -> pow(x, 2)))), 6) AS rel_err
+FROM s
+WHERE scale > 0
+""",
+    doc=(
+        "Symmetric per-vector int8 quantization (scale = absmax/127, "
+        "round-half-up via floor(x/s + 0.5)) with relative L2 reconstruction "
+        "error — the storage-compression path that cuts an embedding corpus "
+        "4x before ANN indexing. Pure Catalyst array HOFs, one scan, no "
+        "shuffle; Spark's aggregate() and DuckDB's list_sum both reduce in "
+        "element order, so the float math matches bit-for-bit."
+    ),
+)
+def emb_quantize_int8(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    v = e.select("vec_id", F.expr(VD).alias("vd"))
+    s = v.withColumn(
+        "scale",
+        F.expr("aggregate(vd, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))") / 127.0,
+    ).filter(F.col("scale") > 0)
+    err2 = F.expr(
+        "aggregate(vd, CAST(0.0 AS DOUBLE), "
+        "(a, x) -> a + pow(x - floor(x / scale + 0.5) * scale, 2))")
+    norm2 = F.expr("aggregate(vd, CAST(0.0 AS DOUBLE), (a, x) -> a + pow(x, 2))")
+    return s.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale_q"),
+        F.round(F.sqrt(err2 / norm2), 6).alias("rel_err"),
+    )

@@ -469,3 +469,67 @@ def sample_stratified(spark, sf_dir):
         F.sum(F.when(bucket * F.col("n") < 1000 * F.col("t"), 1).otherwise(0))
          .cast("long").alias("n_sampled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — standard curation step before training. Regex families are
+# chosen to behave identically under Java regex (Spark) and RE2 (DuckDB):
+# \b, \d, bounded quantifiers, and plain classes only.
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=r"""
+WITH s AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.1 tel 555-867-5309.' AS salted
+  FROM documents WHERE doc_id < 30
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(salted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(salted, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(salted, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(salted,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrubbed_md5
+FROM s
+""",
+    doc=(
+        "PII redaction (emails / IPv4 / phone numbers) with per-document "
+        "match counts and a digest of the scrubbed text. The synthetic "
+        "corpus carries no PII, so a deterministic doc_id-derived "
+        "email/IP/phone is appended first — both engines salt and scrub "
+        "identically, making the digest an exact oracle. At scale: pure "
+        "map-side regexp (one scan, no shuffle, no Python)."
+    ),
+)
+def text_pii_scrub(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    d = d.withColumn(
+        "salted",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 tel 555-867-5309."),
+        ),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("salted"), EMAIL_RE, "<EMAIL>"),
+            IP_RE, "<IP>"),
+        PHONE_RE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("salted"), F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("salted"), F.lit(IP_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(F.col("salted"), F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
