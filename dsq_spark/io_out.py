@@ -25,6 +25,11 @@ def _cell_value(v):
     """JSON-model rendering of one value (dsq's interchange is JSON)."""
     if v is None:
         return None
+    if isinstance(v, bool):
+        # SQLite has no boolean type — the reference stores JSON/YAML
+        # booleans as INTEGER 0/1 and outputs them that way
+        # (scripts/test.py mode(Activated) expects 1, not true).
+        return int(v)
     if isinstance(v, float):
         if math.isnan(v) or math.isinf(v):
             return None
@@ -60,8 +65,6 @@ def _render_cell(v) -> str:
     v = _cell_value(v)
     if v is None:
         return ""
-    if isinstance(v, bool):
-        return "true" if v else "false"
     if isinstance(v, (list, dict)):
         return json.dumps(v, separators=(",", ":"), default=str)
     if isinstance(v, float):

@@ -155,13 +155,17 @@ def _rewrite_arrows(sql: str) -> str:
     scripts/test.py:392-398: `c->1` = '2').
 
     Runs over the whole statement (the KEY operand is itself a string
-    literal, so per-chunk rewriting would split the match); only matches
-    whose column operand starts inside a literal are skipped.
+    literal, so per-chunk rewriting would split the match); matches starting
+    inside a literal or a backticked alias are skipped.
     """
-    spans = _literal_spans(sql)
+    spans = _skip_spans(sql)
 
     def repl(m: re.Match) -> str:
-        if any(a <= m.start(1) < b for a, b in spans):
+        # a match may legitimately START a backtick span (`a.b`->0 — the
+        # column operand is itself backtick-quoted); skip only matches
+        # strictly inside a span (alias text) or inside a string literal
+        s = m.start(1)
+        if any(a <= s < b and not (s == a and sql[a] == "`") for a, b in spans):
             return m.group(0)
         col = m.group(1)
         key = m.group(3) or m.group(5)
@@ -182,7 +186,7 @@ def _rewrite_glob(sql: str) -> str:
     are rewritten — a non-literal RHS (rare) can use glob() explicitly.
     Runs whole-statement because the pattern operand IS a literal; GLOB
     keywords inside literals are skipped via span check."""
-    spans = _literal_spans(sql)
+    spans = _skip_spans(sql)
 
     def repl(m: re.Match) -> str:
         if any(a <= m.start() < b for a, b in spans):
@@ -201,19 +205,143 @@ def _literal_spans(sql: str) -> list[tuple[int, int]]:
     return spans
 
 
+def _skip_spans(sql: str) -> list[tuple[int, int]]:
+    """Single-quoted literal spans PLUS backtick-quoted identifier spans, in
+    one scan (a backtick inside a literal does not open an identifier and
+    vice versa). Whole-statement rewrite passes must skip both — backticked
+    aliases produced by _alias_select_list carry verbatim SQL text that
+    later passes must never rewrite."""
+    spans, i, n = [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                elif sql[j] == "'":
+                    j += 1
+                    break
+                else:
+                    j += 1
+            else:
+                j = n
+            spans.append((i, j))
+            i = j
+        elif c == "`":
+            j = sql.find("`", i + 1)
+            j = n if j == -1 else j + 1
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+# Words that end an expression rather than naming it (so a trailing bare
+# word is NOT an implicit alias), and words whose presence just before the
+# trailing word mean the expression is still open.
+_NOT_ALIAS_TAIL = {
+    "END", "NULL", "TRUE", "FALSE", "NOT", "AND", "OR", "IN", "IS", "LIKE",
+    "GLOB", "REGEXP", "RLIKE", "BETWEEN", "ESCAPE", "COLLATE", "ASC", "DESC",
+    "CASE", "WHEN", "THEN", "ELSE", "OVER", "ROW", "ROWS", "CURRENT",
+    "FOLLOWING", "PRECEDING", "UNBOUNDED", "INTERVAL", "DISTINCT", "ALL",
+    "AS", "BY", "DAY", "MONTH", "YEAR", "HOUR", "MINUTE", "SECOND",
+}
+_OPEN_EXPR_WORDS = {
+    "CASE", "WHEN", "THEN", "ELSE", "NOT", "AND", "OR", "IN", "IS", "LIKE",
+    "GLOB", "REGEXP", "RLIKE", "BETWEEN", "ESCAPE", "COLLATE", "AS",
+    "DISTINCT", "ALL", "OVER", "PARTITION", "BY", "ORDER", "INTERVAL",
+}
+
+_BARE_COL = re.compile(
+    r'^(?:`[^`]+`|"[^"]+"|[A-Za-z_]\w*)'
+    r'(?:\s*\.\s*(?:`[^`]+`|"[^"]+"|[A-Za-z_]\w*|\*))*$')
+_EXPLICIT_ALIAS = re.compile(r'(?is)\s+AS\s+("[^"]*"|`[^`]*`|[A-Za-z_]\w*)\s*$')
+_IMPLICIT_ALIAS = re.compile(r'(?s)^(.*?\S)(\s+)("[^"]*"|`[^`]*`|[A-Za-z_]\w*)$')
+
+
+def _alias_item(item: str) -> str:
+    core = item.strip()
+    if not core or core == "*" or _BARE_COL.match(core):
+        return item
+    if _EXPLICIT_ALIAS.search(core):
+        return item
+    m = _IMPLICIT_ALIAS.match(core)
+    if m:
+        head, tail = m.group(1), m.group(3)
+        if tail[0] in '"`' or tail.upper() not in _NOT_ALIAS_TAIL:
+            lw = re.search(r"([A-Za-z_]\w*)$", head)
+            if head[-1] not in "+-*/%<>=|&~^(," and not (
+                    lw and lw.group(1).upper() in _OPEN_EXPR_WORDS):
+                return item  # `expr name` — implicitly aliased already
+    if "'" in core or "`" in core or '"' in core:
+        # the verbatim text would need escaping that later passes (literal
+        # span scanning, dquote conversion) cannot survive — keep Spark's
+        # own naming for these rare shapes
+        return item
+    # trailing space: the select list abuts FROM when the last item is
+    # aliased (its own trailing whitespace was consumed into `item`)
+    return f"{item} AS `{core}` "
+
+
+def _alias_select_list(sql: str) -> str:
+    """SQLite result-column naming: an output column without an alias is
+    named by the expression text AS WRITTEN (sqlite.org/lang_select.html
+    #the_select_list; the reference's own tests expect e.g. a "COUNT(*)"
+    key). Spark invents names like count(1), so alias every unaliased
+    top-level select-list expression with its verbatim text."""
+    spans = _literal_spans(sql)
+
+    def scan_keyword(start: int, word: str) -> int | None:
+        """First depth-0 occurrence of word outside literals, from start."""
+        depth, i, n = 0, start, len(sql)
+        wl, wu = len(word), word.upper()
+        while i < n:
+            if any(a <= i < b for a, b in spans):
+                i += 1
+                continue
+            c = sql[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif (depth == 0 and sql[i:i + wl].upper() == wu
+                  and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+                  and (i + wl == n or not (sql[i + wl].isalnum() or sql[i + wl] == "_"))):
+                return i
+            i += 1
+        return None
+
+    sel = scan_keyword(0, "SELECT")
+    if sel is None:
+        return sql
+    start = sel + len("SELECT")
+    m = re.match(r"\s+(DISTINCT|ALL)\b", sql[start:], re.IGNORECASE)
+    if m:
+        start += m.end()
+    end = scan_keyword(start, "FROM")
+    if end is None:
+        end = len(sql)
+    items = _split_top_commas(sql[start:end])
+    return sql[:start] + ",".join(_alias_item(it) for it in items) + sql[end:]
+
+
 def _rewrite_fn_aliases(sql: str) -> str:
     """Expand aggregate-alias calls (percentile_75(x) → percentile(x, 0.75)
     etc. — see dsq_spark.functions.AGG_ALIASES) with balanced-paren arg
     capture. Runs over the whole statement because an argument list may
     itself contain string literals; call sites inside literals are skipped
-    via precomputed literal spans."""
+    via precomputed spans (string literals AND backticked aliases — an
+    unaliased `max(a)` output column is named `max(a)` verbatim and must
+    not be re-expanded inside its alias)."""
     from dsq_spark.functions import AGG_ALIASES
 
     pat = re.compile(
         r"\b(" + "|".join(re.escape(n) for n in AGG_ALIASES) + r")\s*\(",
         re.IGNORECASE,
     )
-    spans = _literal_spans(sql)
+    spans = _skip_spans(sql)
     out, i = [], 0
     while True:
         m = pat.search(sql, i)
@@ -293,7 +421,7 @@ def _rewrite_json_each(sql: str) -> str:
     deltas vs SQLite: keys surface as TEXT (SQLite uses integers for
     arrays), values surface as TEXT, and only the key/value columns exist
     (no type/atom/fullkey/path)."""
-    spans = _literal_spans(sql)
+    spans = _skip_spans(sql)
     out, i = [], 0
     while True:
         m = _JSON_EACH.search(sql, i)
@@ -358,7 +486,7 @@ def rewrite_query_tracked(sql: str) -> tuple[str, frozenset[str]]:
     came from double-quoted tokens — the CLI retries those as string
     literals when they fail column resolution (SQLite fallback)."""
     dquoted: set[str] = set()
-    sql = _rewrite_json_each(_sub_table_macros(sql))
+    sql = _alias_select_list(_rewrite_json_each(_sub_table_macros(sql)))
     parts = []
     for is_str, chunk in _split_on_strings(sql):
         parts.append(chunk if is_str else _rewrite_chunk(chunk, dquoted))

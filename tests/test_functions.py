@@ -183,7 +183,7 @@ def test_scalar_minmax_and_json(spark):
     con = sqlite3.connect(":memory:")
     for q in ("SELECT max(1, 2)", "SELECT min(3, 1, 2)", "SELECT max('a', 'b')"):
         want = con.execute(q).fetchone()[0]
-        got = spark.sql(rewrite_query(q) + " AS v").collect()[0]["v"]
+        got = spark.sql(rewrite_query(q + " AS v")).collect()[0]["v"]
         assert str(got) == str(want), q
     spark.sql("SELECT * FROM VALUES (1),(5),(3) AS g(x)").createOrReplaceTempView("t_mm")
     assert spark.sql(rewrite_query("SELECT max(x) AS m FROM t_mm")).collect()[0]["m"] == 5
@@ -194,7 +194,7 @@ def test_scalar_minmax_and_json(spark):
     for q in ('SELECT json_array_length(\'{"a": [1,2]}\', \'$.a\')',
               "SELECT char(72, 105)", "SELECT likely(5)", "SELECT likelihood(5, 0.5)"):
         want = con.execute(q).fetchone()[0]
-        got = spark.sql(rewrite_query(q) + " AS v").collect()[0]["v"]
+        got = spark.sql(rewrite_query(q + " AS v")).collect()[0]["v"]
         assert str(got).rstrip("0").rstrip(".") == str(want).rstrip("0").rstrip(".") or got == want, q
 
 

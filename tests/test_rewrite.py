@@ -39,12 +39,14 @@ def test_double_quoted_identifiers():
 
 
 def test_arrow_operators():
+    # unaliased output columns get SQLite's verbatim-text name (the arrow
+    # inside the backticked alias is left untouched)
     assert rewrite_query("SELECT c->1 FROM {}") == \
-        "SELECT get_json_object(c, '$[1]') FROM t_0"
-    assert rewrite_query("SELECT c->>'k' FROM {}") == \
-        "SELECT get_json_object(c, '$.k') FROM t_0"
-    assert rewrite_query('SELECT "a.b"->0 FROM {}') == \
-        "SELECT get_json_object(`a.b`, '$[0]') FROM t_0"
+        "SELECT get_json_object(c, '$[1]')  AS `c->1` FROM t_0"
+    assert rewrite_query("SELECT c->>'k' AS v FROM {}") == \
+        "SELECT get_json_object(c, '$.k') AS v FROM t_0"
+    assert rewrite_query('SELECT "a.b"->0 AS v FROM {}') == \
+        "SELECT get_json_object(`a.b`, '$[0]') AS v FROM t_0"
 
 
 def test_agg_aliases():

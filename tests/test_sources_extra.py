@@ -349,3 +349,102 @@ def test_reference_fixture_parity(spark, capsys):
     for args, want in cases:
         assert cli.run(args, spark) == 0
         assert json.loads(capsys.readouterr().out) == want, args
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TD), reason="reference testdata absent")
+def test_reference_suite_parity(spark, capsys):
+    """The remaining scripts/test.py cases, with the reference's EXACT
+    expected payloads (including SQLite's verbatim-text naming of unaliased
+    expression columns and integer booleans)."""
+    from dsq_spark import cli
+
+    cases = [
+        # joins / nested / regexp / aliases (scripts/test.py:131-160)
+        ([f"{REF_TD}/join/users.csv", f"{REF_TD}/join/ages.json",
+          'select {0}.name, {1}.age from {0} join {1} on {0}.id = {1}.id'],
+         [{"age": 88, "name": "Ted"}, {"age": 56, "name": "Marjory"},
+          {"age": 33, "name": "Micah"}]),
+        ([f"{REF_TD}/nested/nested.json",
+          'select name, "location.city" city, "location.address.number" '
+          'address_number from {}'],
+         [{"address_number": 1002, "city": "Toronto", "name": "Agarrah"},
+          {"address_number": 19, "city": "Mexico City", "name": "Minoara"},
+          {"address_number": 12, "city": "New London", "name": "Fontoon"}]),
+        ([f"{REF_TD}/nested/nested.json",
+          "SELECT * FROM {} WHERE name REGEXP 'A.*'"],
+         [{"location.address.number": 1002, "location.city": "Toronto",
+           "name": "Agarrah"}]),
+        ([f"{REF_TD}/nested/nested.json",
+          "SELECT * FROM {} u WHERE u.name REGEXP 'A.*'"],
+         [{"location.address.number": 1002, "location.city": "Toronto",
+           "name": "Agarrah"}]),
+        # formats (scripts/test.py:176-199) — SQLite names the unaliased
+        # aggregate by its typed text
+        ([f"{REF_TD}/orc/test_data.orc",
+          'SELECT COUNT(*) FROM {} WHERE _col8="China"'],
+         [{"COUNT(*)": 189}]),
+        ([f"{REF_TD}/yaml/userdata.yaml",
+          'SELECT COUNT(*) FROM {} WHERE activated=false'],
+         [{"COUNT(*)": 3}]),
+        ([f"{REF_TD}/logfmt/log.logfmt", "SELECT level FROM {}"],
+         [{"level": "debug"}, {"level": "info"}, {"level": "warning"},
+          {"level": "debug"}, {"level": "panic"}]),
+        # stdlib functions (scripts/test.py:330-350); JSON booleans are
+        # SQLite INTEGERs on output
+        ([f"{REF_TD}/userdata.json",
+          "SELECT mode(Activated) mostly_activated FROM {}"],
+         [{"mostly_activated": 1}]),
+        ([f"{REF_TD}/basic_logs.csv",
+          "SELECT url_host(request) host, count(1) count FROM {} group by host"],
+         [{"host": "age.com", "count": 2}]),
+        ([f"{REF_TD}/basic_logs.csv",
+          'SELECT split_part(url_host(request), ".", -1) host, count(1) count '
+          "FROM {} group by host"],
+         [{"host": "com", "count": 2}]),
+        # sql file with a space-padded quoted column (testdata/sql/simple.sql)
+        ([f"{REF_TD}/userdata.json", "--file", f"{REF_TD}/sql/simple.sql"],
+         [{" Name ": "Michelle Yost"}, {" Name ": "Guadalupe Schimmel II"},
+          {" Name ": "Corey Beier"}]),
+        # taxi group-by, truncated fixture (scripts/test.py:311-317)
+        ([f"{REF_TD}/taxi_trunc.csv",
+          "SELECT passenger_count, COUNT(*), AVG(total_amount) FROM {} "
+          "GROUP BY passenger_count ORDER BY COUNT(*) DESC"],
+         [{"COUNT(*)": 9, "AVG(total_amount)": 20.571111111111115,
+           "passenger_count": "1"},
+          {"passenger_count": "0", "COUNT(*)": 1, "AVG(total_amount)": 43.67}]),
+        # number conversion flag (scripts/test.py:352-380)
+        ([f"{REF_TD}/convert.csv", "SELECT * FROM {}"],
+         [{"test": "1"}, {"test": "1.1"}, {"test": "+1"}, {"test": "01"},
+          {"test": "001"}, {"test": "0001.1"}]),
+        (["--convert-numbers", f"{REF_TD}/convert.csv", "SELECT * FROM {}"],
+         [{"test": 1}, {"test": 1.1}, {"test": 1}, {"test": 1}, {"test": 1},
+          {"test": 1.1}]),
+        (["--convert-numbers", f"{REF_TD}/csv/numberconvert.csv",
+          'select * from {} where score > "90"'],
+         [{"Name": "Rainer", "Score": 95}, {"Name": "Fountainer", "Score": 100}]),
+        # regressions (scripts/test.py:385-410)
+        ([f"{REF_TD}/regr/36.json", "SELECT c->1 AS secondc FROM {}"],
+         [{"secondc": "2"}]),
+        ([f"{REF_TD}/regr/67.jsonl", "SELECT COUNT(1) AS count FROM {}"],
+         [{"count": 1}]),
+        ([f"{REF_TD}/regr/74.csv", "SELECT * FROM {}"],
+         [{"a": "1", "a b": "2"}]),
+    ]
+    for args, want in cases:
+        assert cli.run(args, spark) == 0
+        got = json.loads(capsys.readouterr().out)
+        key = lambda r: json.dumps(r, sort_keys=True)
+        assert sorted(got, key=key) == sorted(want, key=key), args
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TD), reason="reference testdata absent")
+@pytest.mark.parametrize("ext", ["csv", "tsv", "parquet", "json", "jsonl",
+                                 "xlsx", "ods"])
+def test_reference_userdata_format_matrix(spark, capsys, ext):
+    """COUNT over the reference's own 1000-row userdata fixtures, per format
+    (scripts/test.py:118-125)."""
+    from dsq_spark import cli
+
+    assert cli.run([f"{REF_TD}/userdata.{ext}",
+                    "SELECT COUNT(1) AS c FROM {}"], spark) == 0
+    assert json.loads(capsys.readouterr().out) == [{"c": 1000}]
