@@ -261,9 +261,28 @@ _EXPLICIT_ALIAS = re.compile(r'(?is)\s+AS\s+("[^"]*"|`[^`]*`|[A-Za-z_]\w*)\s*$')
 _IMPLICIT_ALIAS = re.compile(r'(?s)^(.*?\S)(\s+)("[^"]*"|`[^`]*`|[A-Za-z_]\w*)$')
 
 
+def _paren_stripped(core: str) -> str:
+    """Peel balanced outer parens: SQLite names `(a)` / `((t.a))` by the
+    bare column, not the parenthesized text."""
+    def balanced(s: str) -> bool:
+        d = 0
+        for ch in s:
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+                if d < 0:
+                    return False
+        return d == 0
+
+    while core.startswith("(") and core.endswith(")") and balanced(core[1:-1]):
+        core = core[1:-1].strip()
+    return core
+
+
 def _alias_item(item: str) -> str:
     core = item.strip()
-    if not core or core == "*" or _BARE_COL.match(core):
+    if not core or core == "*" or _BARE_COL.match(_paren_stripped(core)):
         return item
     if _EXPLICIT_ALIAS.search(core):
         return item

@@ -61,3 +61,35 @@ def test_extract_refs_complete(indexes)	:
     for i in indexes:
         assert f"t_{i}" in rewritten
     assert not re.search(r"\{\d+\}", rewritten)
+
+
+def test_unaliased_naming_matches_sqlite(spark):
+    """Randomized select lists: our result-column names must equal real
+    SQLite's cursor names (verbatim-text rule for unaliased expressions,
+    bare-column and implicit/explicit alias handling)."""
+    import random
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE tn(a INT, b INT)")
+    con.executemany("INSERT INTO tn VALUES (?, ?)", [(1, 2), (3, 4), (5, 6)])
+    spark.sql("CREATE OR REPLACE TEMP VIEW tn AS "
+              "SELECT * FROM VALUES (1, 2), (3, 4), (5, 6) AS v(a, b)")
+    # SQLite allows mixing aggregates with bare columns sans GROUP BY;
+    # Spark does not — keep the two families separate per query.
+    scalar_pool = [
+        "a", "b", "a + b", "a+b", "a * 2 - b", "abs(a - b)", "max(a, b)",
+        "CAST(a AS INT)", "CASE WHEN a > 1 THEN a ELSE b END",
+        "a + b total", "b AS bee", "(a)", "(a + b)", "a % 2", "-a",
+        "typeof(a)", "iif(a > b, a, b)",
+    ]
+    agg_pool = ["count(*)", "COUNT(*)", "sum(a)", "Sum(B)", "max(a)",
+                "total(b)", "sum(a + b)"]
+    rnd = random.Random(7)
+    for _ in range(25):
+        pool = scalar_pool if rnd.random() < 0.7 else agg_pool
+        items = rnd.sample(pool, k=rnd.randint(1, 3))
+        q = "SELECT " + ", ".join(items) + " FROM tn"
+        want = [d[0] for d in con.execute(q).description]
+        got = spark.sql(rewrite_query(q)).columns
+        assert got == want, q
