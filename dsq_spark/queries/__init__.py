@@ -45,6 +45,8 @@ _PRIORITY = [
     "dedup_canonical_keep",
     "text_pii_scrub",
     "emb_quantize_int8",
+    "dedup_incremental_lsh",
+    "text_contamination_check",
 ]
 _MODULE_ORDER = ["tpch_extra", "multimodal_q", "datetime_q", "dedup", "core", "text", "similarity"]
 

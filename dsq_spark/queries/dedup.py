@@ -336,3 +336,149 @@ def dedup_simhash(spark, sf_dir):
     return pairs.filter(hamming <= 6).select(
         "doc_a", "doc_b", hamming.cast("long").alias("hamming")
     )
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({D_SHINGLES}) AS s FROM documents
+),
+hashed AS (SELECT doc_id, {H_DUCK} AS h FROM sh),
+mh AS (
+  SELECT doc_id, {_d_minhash_exprs()} FROM hashed GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {tb} AS band_idx, "
+      f"md5(concat(mh{3 * tb}, '_', mh{3 * tb + 1}, '_', mh{3 * tb + 2})) AS sig FROM mh"
+      for tb in range(N_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.sig = b.sig
+   AND a.doc_id % 3 = 0 AND b.doc_id % 3 != 0
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_new, c.doc_old, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_new
+  JOIN sh sb ON sb.doc_id = c.doc_old AND sb.s = sa.s
+  GROUP BY c.doc_new, c.doc_old
+)
+SELECT c.doc_new, c.doc_old,
+       round(coalesce(i.i, 0) * 1.0 / (za.n + zb.n - coalesce(i.i, 0)), 4) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.doc_new = c.doc_new AND i.doc_old = c.doc_old
+JOIN sizes za ON za.doc_id = c.doc_new
+JOIN sizes zb ON zb.doc_id = c.doc_old
+WHERE coalesce(i.i, 0) * 1.0 / (za.n + zb.n - coalesce(i.i, 0)) >= 0.5
+""",
+    doc=(
+        "Incremental dedup: a NEW ingest batch (doc_id % 3 = 0) checked "
+        "against the EXISTING corpus index (doc_id % 3 != 0) — the shape of "
+        "continuous-ingestion pipelines, where the minhash/band index of the "
+        "historical corpus is precomputed and only batch-vs-index bucket "
+        "pairs are candidates (never batch-vs-batch or index-vs-index). At "
+        "100 TB: the batch is small relative to the corpus, the band join "
+        "touches only colliding buckets, and verification cost is linear in "
+        "true candidates."
+    ),
+)
+def dedup_incremental_lsh(spark, sf_dir):
+    sh = shingle_stream(spark, sf_dir).persist()
+    hashed = sh.select("doc_id", F.expr(H_SPARK).alias("h"))
+    mh = hashed.groupBy("doc_id").agg(
+        *[F.min((F.lit(A[j]) * F.col("h") + F.lit(B[j])) % F.lit(P)).alias(f"mh{j}")
+          for j in range(N_HASHES)]
+    )
+    sig_arr = F.array(*[
+        F.md5(F.concat_ws("_", f"mh{3 * tb}", f"mh{3 * tb + 1}", f"mh{3 * tb + 2}"))
+        for tb in range(N_BANDS)
+    ])
+    bands = mh.select("doc_id", F.posexplode(sig_arr).alias("band_idx", "sig"))
+    new_b = bands.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("doc_new"), "band_idx", "sig")
+    old_b = bands.filter(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id").alias("doc_old"),
+        F.col("band_idx").alias("band_idx_o"), F.col("sig").alias("sig_o"))
+    cand = (
+        new_b.join(old_b, (new_b.band_idx == old_b.band_idx_o)
+                   & (new_b.sig == old_b.sig_o))
+        .select("doc_new", "doc_old").distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_new"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_old2"), F.col("s").alias("s_b"))
+    inter = (
+        cand.join(sa, "doc_new")
+        .join(sb, (F.col("doc_old") == F.col("doc_old2")) & (F.col("s_a") == F.col("s_b")))
+        .groupBy("doc_new", "doc_old").agg(F.count("*").alias("i"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_new"), F.col("n").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_old"), F.col("n").alias("n_b"))
+    jac = (F.coalesce(F.col("i"), F.lit(0)) * 1.0
+           / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("i"), F.lit(0))))
+    return (
+        cand.join(inter, ["doc_new", "doc_old"], "left")
+        .join(za, "doc_new").join(zb, "doc_old")
+        .filter(jac >= 0.5)
+        .select("doc_new", "doc_old", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "text_contamination_check",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({D_SHINGLES}) AS s FROM documents
+),
+eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 != 0),
+tot AS (SELECT doc_id, count(*) AS n FROM corpus GROUP BY doc_id),
+hit AS (
+  SELECT c.doc_id, count(*) AS k
+  FROM corpus c JOIN eval_sh e ON c.s = e.s
+  GROUP BY c.doc_id
+),
+frac AS (
+  SELECT d.source, t.doc_id, coalesce(h.k, 0) * 1.0 / t.n AS f
+  FROM tot t
+  LEFT JOIN hit h ON h.doc_id = t.doc_id
+  JOIN documents d ON d.doc_id = t.doc_id
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN f >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       round(avg(f), 4) AS avg_overlap
+FROM frac
+GROUP BY source
+""",
+    doc=(
+        "Benchmark-contamination check: the fraction of each training "
+        "document's 3-word shingles that appear in a held-out eval set "
+        "(doc_id % 97 = 0 stands in for the benchmark corpus), rolled up "
+        "per source. At 100 TB the eval shingle set is tiny (benchmarks "
+        "are MBs) → broadcast to every executor, so the corpus pays ONE "
+        "scan + a map-side semi-join and a partial-aggregated doc_id "
+        "shuffle; no corpus-sized join shuffle."
+    ),
+)
+def text_contamination_check(spark, sf_dir):
+    sh = shingle_stream(spark, sf_dir).persist()
+    eval_sh = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    corpus = sh.filter(F.col("doc_id") % 97 != 0)
+    tot = corpus.groupBy("doc_id").agg(F.count("*").alias("n"))
+    hit = (corpus.join(F.broadcast(eval_sh), "s")
+           .groupBy("doc_id").agg(F.count("*").alias("k")))
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    frac = (tot.join(hit, "doc_id", "left").join(d, "doc_id")
+            .select("source",
+                    (F.coalesce(F.col("k"), F.lit(0)) * 1.0 / F.col("n")).alias("f")))
+    return frac.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("f") >= 0.5, 1).otherwise(0)).cast("long").alias("n_contaminated"),
+        F.round(F.avg("f"), 4).alias("avg_overlap"),
+    )
