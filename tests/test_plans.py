@@ -193,3 +193,27 @@ def test_datetime_queries_stay_jvm_side(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_pii_scrub_is_map_side_only(spark, sf_dir):
+    """Regex scrub + counts must be a pure scan→project: no join, no
+    aggregation shuffle, no Python."""
+    plan = plan_of(spark, sf_dir, "text_pii_scrub")
+    for op in ("Exchange hashpartitioning", "SortMergeJoin", "BroadcastHashJoin",
+               "BatchEvalPython", "ArrowEvalPython"):
+        assert op not in plan, op
+
+
+def test_quantize_is_single_scan_no_shuffle(spark, sf_dir):
+    """Per-vector quantization is embarrassingly parallel — any hash
+    exchange means someone introduced a join/agg regression."""
+    plan = plan_of(spark, sf_dir, "emb_quantize_int8")
+    assert "Exchange hashpartitioning" not in plan
+    assert n_nodes(plan, "Scan parquet") == 1
+
+
+def test_contamination_broadcasts_eval_set(spark, sf_dir):
+    """The eval shingle set must broadcast (benchmarks are MBs at 100 TB
+    corpus scale) — a sort-merge join here would shuffle the whole corpus."""
+    plan = plan_of(spark, sf_dir, "text_contamination_check")
+    assert "BroadcastHashJoin" in plan
