@@ -552,6 +552,66 @@ def _json_type_alias(parts: list[str]) -> str:
         "ELSE 'text' END")
 
 
+def _trim_alias(kind: str):
+    """SQLite trim/ltrim/rtrim(str[, chars]): Spark's 2-arg spelling flips
+    the argument order (trim(trimStr, str)), so compile the 2-arg form to
+    the unambiguous TRIM(BOTH/LEADING/TRAILING chars FROM str) syntax."""
+
+    def build(parts: list[str]) -> str:
+        name = {"BOTH": "trim", "LEADING": "ltrim", "TRAILING": "rtrim"}[kind]
+        if len(parts) == 1:
+            return f"{name}({parts[0]})"
+        return f"TRIM({kind} {parts[1].strip()} FROM {parts[0].strip()})"
+
+    return build
+
+
+def _substr_alias(parts: list[str]) -> str:
+    """SQLite substr quirk: a literal start of 0 addresses the position
+    BEFORE the first character, so it consumes one unit of length
+    (substr('hello', 0, 3) = 'he'). Spark treats 0 like 1."""
+    ps = [p.strip() for p in parts]
+    if len(ps) == 3 and ps[1] == "0":
+        return f"substr({ps[0]}, 1, ({ps[2]}) - 1)"
+    return f"substr({', '.join(ps)})"
+
+
+def _like_fn_alias(parts: list[str]) -> str:
+    """SQLite's function form like(pattern, str[, escape]) → the operator
+    (args reversed), returning 0/1. A single argument means the source text
+    was the OPERATOR with a parenthesized pattern (`x LIKE ('a%')`) that the
+    call-site regex picked up — reconstruct it unchanged."""
+    if len(parts) == 1:
+        return f"LIKE ({parts[0]})"
+    esc = f" ESCAPE {parts[2].strip()}" if len(parts) > 2 else ""
+    return f"CAST(({parts[1].strip()} LIKE {parts[0].strip()}{esc}) AS INT)"
+
+
+def _quote_alias(parts: list[str]) -> str:
+    """SQLite quote(): numbers verbatim, text single-quoted with '' escapes,
+    blobs X'HEX', NULL → 'NULL'."""
+    x = parts[0].strip()
+    t = f"typeof({x})"
+    return (
+        f"CASE WHEN {x} IS NULL THEN 'NULL' "
+        f"WHEN {t} IN ('tinyint', 'smallint', 'int', 'bigint', 'boolean', "
+        f"'float', 'double') OR {t} LIKE 'decimal%' THEN CAST({x} AS STRING) "
+        f"WHEN {t} = 'binary' THEN concat('X''', upper(hex({x})), '''') "
+        f"ELSE concat('''', replace(CAST({x} AS STRING), '''', ''''''), '''') END")
+
+
+_NUM_LIT = _re.compile(r"^-?\d+\.\d+$")
+
+
+def _printf_alias(parts: list[str]) -> str:
+    """SQLite format()/printf(). Spark's printf chokes on DECIMAL args to
+    %f (java.util.Formatter wants double), and Spark parses fractional
+    literals as decimals — cast those to double textually."""
+    ps = [p.strip() for p in parts]
+    ps = [f"CAST({p} AS DOUBLE)" if _NUM_LIT.match(p) else p for p in ps]
+    return f"printf({', '.join(ps)})"
+
+
 def _typeof_alias(parts: list[str]) -> str:
     """SQLite typeof(): 'integer'/'real'/'text'/'blob'/'null'. Spark's own
     typeof() gives the static Catalyst type; booleans are SQLite integers."""
@@ -574,7 +634,8 @@ AGG_ALIASES = {
     # SQLite layer-1 format() is C-style printf (README.md:698); Spark's
     # printf is the same family (%s/%d/%f). Spark's own format_* functions
     # are untouched (no word boundary after '_').
-    "format": "printf({args})",
+    "format": _printf_alias,
+    "printf": _printf_alias,
     "stdev": "stddev_samp({args})",
     "stddev": "stddev_samp({args})",
     "percentile_25": "percentile({args}, 0.25)",
@@ -611,6 +672,22 @@ AGG_ALIASES = {
         f"ELSE CAST(get_json_object({parts[0].strip()}, '$') IS NOT NULL AS INT) END"),
     # SQLite core scalars Spark spells differently (or lacks)
     "typeof": _typeof_alias,
+    "trim": _trim_alias("BOTH"),
+    "ltrim": _trim_alias("LEADING"),
+    "rtrim": _trim_alias("TRAILING"),
+    "substr": _substr_alias,
+    "substring": _substr_alias,
+    "like": _like_fn_alias,
+    "quote": _quote_alias,
+    # SQLite round()/sign() always return REAL / INTEGER; Spark preserves
+    # decimal / returns double
+    "round": lambda parts: f"CAST(round({', '.join(p.strip() for p in parts)}) AS DOUBLE)",
+    "sign": lambda parts: f"CAST(sign({parts[0].strip()}) AS INT)",
+    # write-side bookkeeping functions are constants in a read-only engine
+    "last_insert_rowid": lambda parts: "CAST(0 AS BIGINT)",
+    "changes": lambda parts: "CAST(0 AS BIGINT)",
+    "total_changes": lambda parts: "CAST(0 AS BIGINT)",
+    "sqlite_version": lambda parts: "'" + __import__("sqlite3").sqlite_version + "'",
     "iif": "if({args})",
     "zeroblob": lambda parts: f"unhex(repeat('00', CAST({parts[0].strip()} AS INT)))",
     # SQLite random() is a uniform int64; rand() is a uniform double, so the

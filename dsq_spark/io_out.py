@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import math
 import sys
+from decimal import Decimal as _Decimal
 from typing import IO, Optional
 
 from pyspark.sql import DataFrame
@@ -36,6 +37,13 @@ def _cell_value(v):
         if v.is_integer() and abs(v) < 1e15:
             return int(v)
         return v
+    if isinstance(v, _Decimal):
+        # SQLite has no decimal type — Spark decimal results (literal
+        # arithmetic, least/greatest coercion) surface as JSON numbers
+        f = float(v)
+        if f.is_integer() and abs(f) < 1e15:
+            return int(f)
+        return f
     if isinstance(v, (list, dict)):
         return v
     if hasattr(v, "isoformat"):  # datetime/date

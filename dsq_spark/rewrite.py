@@ -508,7 +508,14 @@ def rewrite_query_tracked(sql: str) -> tuple[str, frozenset[str]]:
     sql = _alias_select_list(_rewrite_json_each(_sub_table_macros(sql)))
     parts = []
     for is_str, chunk in _split_on_strings(sql):
-        parts.append(chunk if is_str else _rewrite_chunk(chunk, dquoted))
+        if is_str:
+            # SQLite string literals are escape-free ('' is the ONLY escape;
+            # a backslash is a literal character), while Spark's parser
+            # processes C-style escapes — double backslashes so regex/glob/
+            # LIKE-escape patterns written in the SQLite dialect survive.
+            parts.append(chunk.replace("\\", "\\\\"))
+        else:
+            parts.append(_rewrite_chunk(chunk, dquoted))
     # arrow + glob + alias rewriting run whole-statement (their matches can
     # span a literal boundary) with literal-span skipping inside.
     out = _rewrite_fn_aliases(_rewrite_glob(_rewrite_arrows("".join(parts))))

@@ -378,3 +378,48 @@ def test_random_alias(spark):
     ).collect()[0]
     assert all(isinstance(vals[f"c{i}"], int) for i in range(4))
     assert len({vals[f"c{i}"] for i in range(4)}) > 1
+
+
+def test_sqlite_core_scalars_vs_sqlite(spark):
+    """trim/ltrim/rtrim 2-arg char-set form (Spark flips the arg order),
+    substr start-0 quirk, typed quote(), function-form like() incl. ESCAPE,
+    sign/round return types, bookkeeping constants — all against the real
+    engine. Values go through io_out._cell_value (the CLI's JSON model):
+    Go's encoding/json prints float64 3.0 as 3, so integral floats
+    integerize on BOTH sides."""
+    import sqlite3
+
+    from dsq_spark.io_out import _cell_value
+    from dsq_spark.rewrite import rewrite_query
+
+    exprs = [
+        "substr('hello', -3)", "substr('hello', 0, 3)", "substr('hello', 2, 3)",
+        "round(2.567, 2)", "sign(-4)", "sign(0)", "sign(2.7)",
+        "trim('  x  ')", "trim('xxyxx', 'x')", "ltrim('xxy', 'x')",
+        "rtrim('yxx', 'x')", "ltrim('  a')", "rtrim('a  ')",
+        "printf('%05.2f', 3.14159)", "printf('%d-%s', 42, 'x')",
+        "format('%.3f', 2.5)",
+        "quote(5)", "quote(NULL)", "quote('it''s')", "quote(x'00ff')",
+        "quote(1.5)",
+        "last_insert_rowid()", "changes()", "total_changes()",
+        "sqlite_version()",
+        "min(2, 3.5)",
+        "like('a%', 'abc')", "like('a_', 'abc')",
+        # SQLite literals are escape-free: backslash is a literal char
+        "like('ab\\%', 'ab%', '\\')", "length('a\\b')",
+        "replace('a\\b', '\\', '/')", "instr('a\\b', '\\')",
+    ]
+    con = sqlite3.connect(":memory:")
+    wants = []
+    for e in exprs:
+        w = con.execute(f"SELECT {e}").fetchone()[0]
+        if isinstance(w, float) and w.is_integer():
+            w = int(w)  # Go JSON model (reference output) integerizes
+        wants.append(w)
+    q = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    row = spark.sql(rewrite_query(q)).collect()[0]
+    for i, (e, want) in enumerate(zip(exprs, wants)):
+        got = _cell_value(row[f"c{i}"])
+        if isinstance(got, (bytes, bytearray)):
+            got = bytes(got)
+        assert str(got) == str(want), f"{e}: {got!r} != {want!r}"
