@@ -448,3 +448,23 @@ def test_reference_userdata_format_matrix(spark, capsys, ext):
     assert cli.run([f"{REF_TD}/userdata.{ext}",
                     "SELECT COUNT(1) AS c FROM {}"], spark) == 0
     assert json.loads(capsys.readouterr().out) == [{"c": 1000}]
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TD), reason="reference testdata absent")
+@pytest.mark.parametrize("ext", ["csv", "tsv", "parquet", "json", "jsonl",
+                                 "xlsx", "ods"])
+def test_reference_userdata_pipe_matrix(spark, capsys, monkeypatch, ext):
+    """Same COUNT=1000 matrix via the stdin pipe path (`cat f | dsq -s ext`,
+    scripts/test.py:120-121)."""
+    import io as _io
+
+    from dsq_spark import cli
+
+    payload = open(f"{REF_TD}/userdata.{ext}", "rb").read()
+
+    class _Stdin:
+        buffer = _io.BytesIO(payload)
+
+    monkeypatch.setattr(cli.sys, "stdin", _Stdin)
+    assert cli.run(["-s", ext, "SELECT COUNT(1) AS c FROM {}"], spark) == 0
+    assert json.loads(capsys.readouterr().out) == [{"c": 1000}]
