@@ -163,3 +163,59 @@ def sample_frames(media_df: DataFrame, every_n: int = 4,
             yield pd.DataFrame(rows)
 
     return media_df.mapInPandas(_frames, FRAME_SCHEMA)
+
+
+AUDIO_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
+])
+
+_AUDIO_RATES = (16000, 22050, 44100)
+
+
+def attach_fake_audio(docs: DataFrame) -> DataFrame:
+    """Deterministic fake audio payloads. Header layout:
+    4-byte magic 'FAKA' | uint16 rate code | uint32 n_samples | md5(text)[:8].
+    Every field derives from length(text)/md5(text) so a SQL oracle can
+    recompute the decoded metadata exactly."""
+    code = F.length("text") % 3
+    n_samples = (F.length("text") * 997) % 4194304 + 1000
+    return docs.select(
+        "doc_id",
+        F.to_binary(
+            F.concat(
+                F.lit("46414b41"),  # 'FAKA'
+                F.lpad(F.hex(code), 4, "0"),
+                F.lpad(F.hex(n_samples), 8, "0"),
+                F.substring(F.md5("text"), 1, 16),
+            ),
+            F.lit("hex"),
+        ).alias("media"),
+    )
+
+
+def decode_audio_meta(media_df: DataFrame) -> DataFrame:
+    """Audio header → (sample_rate, n_samples, duration). REAL DECODE IS
+    STUBBED: a production build replaces the header unpack with
+    soundfile/torchaudio metadata reads; the Arrow batching, schema, and
+    binary-column pruning are the real contract."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "sample_rate": [], "n_samples": [],
+                   "duration_s": []}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
+                if buf is None or len(buf) < 18 or bytes(buf[:4]) != b"FAKA":
+                    continue  # quarantine sink in a real pipeline
+                code = struct.unpack(">H", bytes(buf[4:6]))[0]
+                n = struct.unpack(">I", bytes(buf[6:10]))[0]
+                rate = _AUDIO_RATES[code % len(_AUDIO_RATES)]
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_s"].append(n / rate)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(_parse, AUDIO_META_SCHEMA)

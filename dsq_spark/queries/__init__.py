@@ -47,6 +47,7 @@ _PRIORITY = [
     "emb_quantize_int8",
     "dedup_incremental_lsh",
     "text_contamination_check",
+    "mm_audio_stats",
 ]
 _MODULE_ORDER = ["tpch_extra", "multimodal_q", "datetime_q", "dedup", "core", "text", "similarity"]
 

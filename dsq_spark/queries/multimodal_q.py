@@ -134,3 +134,37 @@ def mm_feature_neighbors(spark, sf_dir):
         pairs.select("doc_a", "doc_b", F.round(sim, 4).alias("cosine"))
         .filter(F.col("cosine") > 0.9)
     )
+
+
+@register(
+    "mm_audio_stats",
+    oracle="""
+WITH meta AS (
+  SELECT doc_id,
+         CASE length(text) % 3 WHEN 0 THEN 16000 WHEN 1 THEN 22050
+              ELSE 44100 END AS sample_rate,
+         (length(text) * 997) % 4194304 + 1000 AS n_samples
+  FROM documents
+)
+SELECT sample_rate,
+       count(*) AS n_clips,
+       CAST(sum(n_samples) AS BIGINT) AS total_samples,
+       round(sum(n_samples) / sample_rate / 3600.0, 4) AS total_hours
+FROM meta
+GROUP BY sample_rate
+""",
+    doc="Audio-corpus accounting (total hours per sample rate — the "
+        "first number any speech-pipeline run reports). Stubbed header "
+        "decode via Arrow-batched mapInPandas; the integer sample sum is "
+        "exact on both engines, so hours derive deterministically.",
+)
+def mm_audio_stats(spark, sf_dir):
+    from dsq_spark.multimodal import attach_fake_audio, decode_audio_meta
+
+    media = attach_fake_audio(t(spark, sf_dir, "documents"))
+    meta = decode_audio_meta(media)
+    return meta.groupBy("sample_rate").agg(
+        F.count("*").alias("n_clips"),
+        F.sum("n_samples").cast("long").alias("total_samples"),
+        F.round(F.sum("n_samples") / F.col("sample_rate") / 3600.0, 4).alias("total_hours"),
+    )
