@@ -978,3 +978,40 @@ def window_exclude_frame(spark, sf_dir):
         "o_orderkey",
         F.round(neighbor, 2).alias("neighbor_rev"),
     )
+
+
+@register(
+    "agg_approx_quantile",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       TRUE AS approx_ok
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc=(
+        "Approximate median price per return flag (SURVEY.md §2.5 A7 "
+        "superset): percentile_approx is the 100 TB path — a mergeable "
+        "KLL-style sketch, no full sort, map-side combinable. The sketch "
+        "is checked against Spark's own exact interpolated percentile with "
+        "a pinned 2% relative-error bound (exact medians are NOT compared "
+        "cross-engine: Spark and DuckDB use different quantile "
+        "interpolation conventions, adjacent-element gaps apart)."
+    ),
+)
+def agg_approx_quantile(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("n_rows"),
+            (F.abs(F.col("approx") - F.col("exact")) / F.col("exact") < 0.02)
+            .alias("approx_ok"),
+        )
+    )
