@@ -51,6 +51,7 @@ class ParquetCache:
     def __init__(self, paths: list[str], enabled: bool, key_extra: tuple = ()):
         self.enabled = enabled
         self.dir = cache_dir_for(paths, key_extra) if enabled else None
+        self._announced = False
 
     def get(self, spark: SparkSession, index: int) -> DataFrame | None:
         if not self.enabled:
@@ -59,6 +60,13 @@ class ParquetCache:
         marker = os.path.join(part, "_SUCCESS")
         if os.path.exists(marker):
             return spark.read.parquet(part)
+        if not self._announced:
+            # exact reference stderr on a cold/invalidated cache
+            # (main.go cache path; pinned by scripts/test.py:289-311)
+            import sys
+
+            print("Cache invalid, re-import required.", file=sys.stderr)
+            self._announced = True
         return None
 
     def put(self, df: DataFrame, index: int) -> DataFrame:

@@ -195,3 +195,27 @@ def test_compact_dataset_uri_scheme(spark, tmp_path):
     after = compact_dataset(spark, "file://" + str(src))
     assert after >= 1
     assert spark.read.parquet(str(src)).count() == 500
+
+
+def test_cache_miss_stderr_message(spark, tmp_path, capsys):
+    """Cold/invalidated cache announces re-import on stderr exactly like the
+    reference ('Cache invalid, re-import required.'); a warm hit stays
+    silent (scripts/test.py:289-317)."""
+    import os
+
+    from dsq_spark import cli
+
+    os.environ["DSQ_SPARK_CACHE_DIR"] = str(tmp_path / "cache")
+    try:
+        f = tmp_path / "t.csv"
+        f.write_text("a,b\n1,2\n")
+        args = ["-C", str(f), "SELECT a FROM {}"]
+        assert cli.run(args, spark) == 0
+        assert "Cache invalid, re-import required." in capsys.readouterr().err
+        assert cli.run(args, spark) == 0
+        assert "Cache invalid" not in capsys.readouterr().err
+        f.write_text("a,b\n1,3\n")
+        assert cli.run(args, spark) == 0
+        assert "Cache invalid, re-import required." in capsys.readouterr().err
+    finally:
+        del os.environ["DSQ_SPARK_CACHE_DIR"]
