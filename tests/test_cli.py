@@ -219,3 +219,43 @@ def test_cache_miss_stderr_message(spark, tmp_path, capsys):
         assert "Cache invalid, re-import required." in capsys.readouterr().err
     finally:
         del os.environ["DSQ_SPARK_CACHE_DIR"]
+
+
+def test_write_clustered_dataset_enables_skipping(spark, tmp_path, sf_dir):
+    """Range clustering must yield (near-)disjoint per-file min/max key
+    ranges, so a range predicate overlaps only a small fraction of files —
+    the data-skipping contract at 100 TB."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from dsq_spark.io_out import write_clustered_dataset
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = tmp_path / "clustered"
+    write_clustered_dataset(orders, str(out), cluster_by=("o_orderdate",),
+                            num_files=8)
+    ranges = []
+    for f in _glob.glob(str(out / "*.parquet")):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(md.row_group(rg).column(i)
+                       for i in range(md.num_columns)
+                       if md.row_group(rg).column(i).path_in_schema == "o_orderdate")
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4
+    ranges.sort()
+    # consecutive file ranges must not interleave (boundary overlap of one
+    # key value is fine — repartitionByRange splits on key boundaries)
+    overlaps = sum(1 for (a, b), (c, d) in zip(ranges, ranges[1:]) if c < b)
+    assert overlaps <= 1, ranges
+    # a 30-day predicate overlaps only a small fraction of the files
+    lo = ranges[0][0]
+    import datetime as _dt
+
+    hi = lo + _dt.timedelta(days=30)
+    touched = sum(1 for a, b in ranges if a <= hi and b >= lo)
+    assert touched <= max(2, len(ranges) // 2), (touched, len(ranges))
