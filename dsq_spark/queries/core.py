@@ -1015,3 +1015,32 @@ def agg_approx_quantile(spark, sf_dir):
             .alias("approx_ok"),
         )
     )
+
+
+@register(
+    "json_each_props",
+    oracle="""
+SELECT 'k' AS prop_key,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_v,
+       count(*) AS n
+FROM events
+""",
+    doc=(
+        "End-to-end check of the CLI's SQLite json_each table-valued "
+        "rewrite (→ LATERAL VIEW explode of the parsed object): the Spark "
+        "side runs the REWRITTEN SQL string, so the key/value explode "
+        "machinery itself is driver-verified; the oracle recomputes with "
+        "scalar extraction (every props object holds the single key 'k')."
+    ),
+)
+def json_each_props(spark, sf_dir):
+    from dsq_spark.rewrite import rewrite_query
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("dsq_events_je")
+    # je.value is qualified: the events table has its own `value` column
+    # (the same qualification SQLite users need with json_each)
+    return spark.sql(rewrite_query(
+        "SELECT je.key AS prop_key, "
+        "CAST(sum(CAST(je.value AS BIGINT)) AS BIGINT) AS sum_v, "
+        "count(*) AS n "
+        "FROM dsq_events_je, json_each(props) je GROUP BY je.key"))
