@@ -48,6 +48,8 @@ _PRIORITY = [
     "dedup_incremental_lsh",
     "text_contamination_check",
     "mm_audio_stats",
+    "agg_approx_quantile",
+    "json_each_props",
 ]
 _MODULE_ORDER = ["tpch_extra", "multimodal_q", "datetime_q", "dedup", "core", "text", "similarity"]
 
