@@ -50,6 +50,8 @@ _PRIORITY = [
     "mm_audio_stats",
     "agg_approx_quantile",
     "json_each_props",
+    "text_gopher_rules",
+    "mix_token_budget",
 ]
 _MODULE_ORDER = ["tpch_extra", "multimodal_q", "datetime_q", "dedup", "core", "text", "similarity"]
 

@@ -533,3 +533,103 @@ def text_pii_scrub(spark, sf_dir):
         F.regexp_count(F.col("salted"), F.lit(PHONE_RE)).cast("long").alias("n_phones"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+WITH m AS (
+  SELECT source,
+         length({D_TOKENS}) AS n_words,
+         list_sum(list_transform({D_TOKENS}, t -> length(t))) * 1.0
+           / greatest(length({D_TOKENS}), 1) AS mean_wlen,
+         length(list_filter({D_TOKENS}, t -> list_contains([{STOPWORDS}], t))) * 1.0
+           / greatest(length({D_TOKENS}), 1) AS stop_frac
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END) AS BIGINT) AS fail_wordcount,
+       CAST(sum(CASE WHEN mean_wlen BETWEEN 3 AND 10 THEN 0 ELSE 1 END) AS BIGINT) AS fail_wordlen,
+       CAST(sum(CASE WHEN stop_frac >= 0.06 THEN 0 ELSE 1 END) AS BIGINT) AS fail_stopwords,
+       CAST(sum(CASE WHEN n_words BETWEEN 50 AND 100000
+                      AND mean_wlen BETWEEN 3 AND 10
+                      AND stop_frac >= 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM m
+GROUP BY source
+""",
+    doc=(
+        "Gopher-style quality filter rules (word-count bounds, mean word "
+        "length 3-10, stopword fraction >= 0.06) with per-rule failure "
+        "accounting per source — the standard pretraining quality gate "
+        "shape. Pure Catalyst array HOFs over the one materialized token "
+        "array; map-side partial aggregation, one tiny shuffle on source."
+    ),
+)
+def text_gopher_rules(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").withColumn("toks", F.expr(TOKENS))
+    n = F.greatest(F.size("toks"), F.lit(1))
+    mean_wlen = (F.expr("aggregate(toks, 0L, (a, t) -> a + length(t))") * 1.0 / n)
+    stop_frac = (F.expr(
+        f"size(filter(toks, t -> array_contains(array({STOPWORDS}), t)))") * 1.0 / n)
+    m = d.select(
+        "source",
+        F.size("toks").alias("n_words"),
+        mean_wlen.alias("mean_wlen"),
+        stop_frac.alias("stop_frac"),
+    )
+    ok_wc = F.col("n_words").between(50, 100000)
+    ok_wl = F.col("mean_wlen").between(3, 10)
+    ok_sw = F.col("stop_frac") >= 0.06
+    as_fail = lambda ok: F.sum(F.when(ok, 0).otherwise(1)).cast("long")
+    return m.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        as_fail(ok_wc).alias("fail_wordcount"),
+        as_fail(ok_wl).alias("fail_wordlen"),
+        as_fail(ok_sw).alias("fail_stopwords"),
+        F.sum(F.when(ok_wc & ok_wl & ok_sw, 1).otherwise(0)).cast("long").alias("n_pass"),
+    )
+
+
+@register(
+    "mix_token_budget",
+    oracle=f"""
+WITH tok AS (
+  SELECT lang, CAST(sum(length({D_TOKENS})) AS BIGINT) AS n_tokens,
+         count(*) AS n_docs
+  FROM documents GROUP BY lang
+),
+share AS (
+  SELECT lang, n_docs, n_tokens,
+         n_tokens * 1.0 / sum(n_tokens) OVER () AS token_share
+  FROM tok
+)
+SELECT lang, n_docs, n_tokens,
+       round(token_share, 6) AS token_share,
+       round(sqrt(token_share) / sum(sqrt(token_share)) OVER (), 6) AS mix_weight
+FROM share
+""",
+    doc=(
+        "Training-mixture accounting: per-language token totals, corpus "
+        "share, and a sqrt-rebalanced sampling weight (the standard "
+        "temperature-style upweighting of low-resource strata). The "
+        "per-stratum aggregate is corpus-sized work; the share/weight "
+        "normalization windows run over the handful of stratum rows."
+    ),
+)
+def mix_token_budget(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents").withColumn("toks", F.expr(TOKENS))
+    tok = d.groupBy("lang").agg(
+        F.sum(F.size("toks")).cast("long").alias("n_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") * 1.0 / F.sum("n_tokens").over(w)
+    weight = F.sqrt(share) / F.sum(F.sqrt(share)).over(w)
+    return tok.select(
+        "lang", "n_docs", "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(weight, 6).alias("mix_weight"),
+    )
