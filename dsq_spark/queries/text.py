@@ -633,3 +633,57 @@ def mix_token_budget(spark, sf_dir):
         F.round(share, 6).alias("token_share"),
         F.round(weight, 6).alias("mix_weight"),
     )
+
+
+@register(
+    "doc_tfidf_keywords",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({D_TOKENS}) AS tk FROM documents WHERE doc_id < 50
+),
+tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY doc_id, tk),
+df AS (SELECT tk, count(DISTINCT doc_id) AS df FROM tok GROUP BY tk),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+scored AS (
+  SELECT tf.doc_id, tf.tk,
+         round(tf.tf * ln(n.n * 1.0 / df.df), 4) AS tfidf
+  FROM tf JOIN df USING (tk) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, tk, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, tk) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT doc_id, tk AS keyword, tfidf, rnk FROM ranked WHERE rnk <= 3
+""",
+    doc=(
+        "Per-document top-3 TF-IDF keywords (bounded output: doc_id < 50). "
+        "The canonical distributed text-ranking shape: one exploded token "
+        "stream feeds term frequency AND document frequency; df and the "
+        "corpus count are tiny aggregates that broadcast back onto the tf "
+        "stream, so the corpus pays one scan + one (doc_id, token) shuffle; "
+        "the per-doc window sorts within doc partitions only."
+    ),
+)
+def doc_tfidf_keywords(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = (t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+         .withColumn("toks", F.expr(TOKENS)))
+    tok = d.select("doc_id", F.explode("toks").alias("tk")).persist()
+    tf = tok.groupBy("doc_id", "tk").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("tk").agg(F.countDistinct("doc_id").alias("df"))
+    n = tok.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "tk").crossJoin(F.broadcast(n))
+        .select("doc_id", "tk",
+                F.round(F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df")), 4)
+                .alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tk")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", F.col("tk").alias("keyword"), "tfidf", "rnk")
+    )
