@@ -217,3 +217,20 @@ def test_contamination_broadcasts_eval_set(spark, sf_dir):
     corpus scale) — a sort-merge join here would shuffle the whole corpus."""
     plan = plan_of(spark, sf_dir, "text_contamination_check")
     assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_broadcasts_df_and_count(spark, sf_dir):
+    """Document frequency and the corpus count are tiny aggregates and must
+    broadcast back onto the tf stream — a sort-merge join on token would
+    shuffle the whole exploded corpus twice."""
+    plan = plan_of(spark, sf_dir, "doc_tfidf_keywords")
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_gopher_rules_single_scan(spark, sf_dir):
+    """The three quality rules evaluate over ONE materialized token array
+    in one scan; the only shuffle is the tiny per-source aggregate."""
+    plan = plan_of(spark, sf_dir, "text_gopher_rules")
+    assert n_nodes(plan, "Scan parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
