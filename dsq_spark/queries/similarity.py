@@ -564,3 +564,105 @@ def emb_quantize_int8(spark, sf_dir):
         F.round(F.col("scale"), 6).alias("scale_q"),
         F.round(F.sqrt(err2 / norm2), 6).alias("rel_err"),
     )
+
+
+def _dk_assign(vtab: str, ctab: str, out: str) -> str:
+    """One Lloyd assignment step in DuckDB SQL: nearest centroid by L2
+    (index-ordered sum — the same FP order as Spark's zip_with aggregate)."""
+    return f"""
+{out}_d AS (
+  SELECT v.vec_id, v.vd, c.cluster,
+         list_sum(list_transform(range(1, len(v.vd) + 1),
+                  i -> (v.vd[i] - c.cd[i]) * (v.vd[i] - c.cd[i]))) AS d2
+  FROM {vtab} v CROSS JOIN {ctab} c
+),
+{out} AS (
+  SELECT vec_id, vd, cluster, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+  FROM {out}_d
+)"""
+
+
+def _dk_update(atab: str, out: str) -> str:
+    """One Lloyd centroid update: per-dimension mean, rounded to 6dp so the
+    engines' different summation orders cannot leak into the next
+    assignment."""
+    return f"""
+{out}_e AS (
+  SELECT a.cluster, s.i AS i, s.x AS x
+  FROM (SELECT * FROM {atab} WHERE rn = 1) a,
+  LATERAL (SELECT unnest(list_transform(range(1, len(a.vd) + 1),
+           i -> {{'i': i, 'x': a.vd[i]}}), recursive := true)) s(i, x)
+),
+{out} AS (
+  SELECT cluster, list(round(c, 6) ORDER BY i) AS cd
+  FROM (SELECT cluster, i, avg(x) AS c FROM {out}_e GROUP BY cluster, i)
+  GROUP BY cluster
+)"""
+
+
+_DK_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings WHERE vec_id < 2000
+),
+c0 AS (SELECT vec_id AS cluster, vd AS cd FROM v WHERE vec_id < 8),
+{_dk_assign('v', 'c0', 'a1')},
+{_dk_update('a1', 'u1')},
+{_dk_assign('v', 'u1', 'a2')},
+{_dk_update('a2', 'u2')},
+{_dk_assign('v', 'u2', 'a3')}
+SELECT cluster,
+       count(*) AS n_members,
+       round(sqrt(avg(d2)), 6) AS rms_dist
+FROM a3 WHERE rn = 1
+GROUP BY cluster
+"""
+
+
+@register(
+    "sim_kmeans_refine",
+    oracle=_DK_SQL,
+    doc=(
+        "Two Lloyd iterations of k-means (k=8, init = first 8 vectors) "
+        "refining IVF centroids, reporting per-cluster membership and RMS "
+        "distance under the refined centroids. The iterative-ML shape done "
+        "Spark-first: each iteration is a broadcast of 8 centroids onto one "
+        "corpus scan (assignment) plus a (cluster, dim) aggregate "
+        "(update) — no corpus self-join, no driver-side vectors. Centroids "
+        "round to 6dp each update so cross-engine FP summation order can't "
+        "flip an argmin; distances accumulate in identical element order "
+        "(zip_with vs indexed loop)."
+    ),
+)
+def sim_kmeans_refine(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    v = e.select("vec_id", F.expr(VD).alias("vd")).persist()
+    cent = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), F.col("vd").alias("cd"))
+    d2 = ("aggregate(zip_with(vd, cd, (x, y) -> (x - y) * (x - y)), "
+          "CAST(0.0 AS DOUBLE), (a, p) -> a + p)")
+
+    def assign(c):
+        d = v.crossJoin(F.broadcast(c)).withColumn("d2", F.expr(d2))
+        w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+        return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    def update(a):
+        return (
+            a.select("cluster", F.posexplode("vd").alias("i", "x"))
+            .groupBy("cluster", "i").agg(F.round(F.avg("x"), 6).alias("c"))
+            .groupBy("cluster")
+            .agg(F.expr("transform(array_sort(collect_list(struct(i, c))), "
+                        "s -> s.c)").alias("cd"))
+        )
+
+    for _ in range(2):
+        cent = update(assign(cent))
+    final = assign(cent)
+    return final.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.sqrt(F.avg("d2")), 6).alias("rms_dist"),
+    )
