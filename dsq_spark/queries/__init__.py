@@ -52,6 +52,8 @@ _PRIORITY = [
     "json_each_props",
     "text_gopher_rules",
     "mix_token_budget",
+    "doc_tfidf_keywords",
+    "sim_kmeans_refine",
 ]
 _MODULE_ORDER = ["tpch_extra", "multimodal_q", "datetime_q", "dedup", "core", "text", "similarity"]
 
