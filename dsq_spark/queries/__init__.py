@@ -54,6 +54,7 @@ _PRIORITY = [
     "mix_token_budget",
     "doc_tfidf_keywords",
     "sim_kmeans_refine",
+    "sim_ivf_kmeans_topk",
 ]
 _MODULE_ORDER = ["tpch_extra", "multimodal_q", "datetime_q", "dedup", "core", "text", "similarity"]
 

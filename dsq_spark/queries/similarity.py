@@ -620,6 +620,42 @@ GROUP BY cluster
 """
 
 
+def _km_assign(v, cent):
+    """Lloyd assignment: broadcast the k centroids onto the corpus scan,
+    keep each vector's nearest (L2, cluster-id tiebreak)."""
+    from pyspark.sql.window import Window
+
+    d2 = ("aggregate(zip_with(vd, cd, (x, y) -> (x - y) * (x - y)), "
+          "CAST(0.0 AS DOUBLE), (a, p) -> a + p)")
+    d = v.crossJoin(F.broadcast(cent)).withColumn("d2", F.expr(d2))
+    w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+    return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+
+def _km_update(a):
+    """Lloyd update: per-(cluster, dim) mean, rounded to 6dp (cross-engine
+    FP summation order must not leak into the next argmin)."""
+    return (
+        a.select("cluster", F.posexplode("vd").alias("i", "x"))
+        .groupBy("cluster", "i").agg(F.round(F.avg("x"), 6).alias("c"))
+        .groupBy("cluster")
+        .agg(F.expr("transform(array_sort(collect_list(struct(i, c))), "
+                    "s -> s.c)").alias("cd"))
+    )
+
+
+def _km_refined(spark, sf_dir, iters=2):
+    """(persisted corpus vectors, centroids after `iters` Lloyd rounds)."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    v = e.select("vec_id", F.expr(VD).alias("vd")).persist()
+    cent = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), F.col("vd").alias("cd"))
+    for _ in range(iters):
+        cent = _km_update(_km_assign(v, cent))
+    return v, cent
+
+
+
 @register(
     "sim_kmeans_refine",
     oracle=_DK_SQL,
@@ -636,33 +672,85 @@ GROUP BY cluster
     ),
 )
 def sim_kmeans_refine(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
-    v = e.select("vec_id", F.expr(VD).alias("vd")).persist()
-    cent = v.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cluster"), F.col("vd").alias("cd"))
-    d2 = ("aggregate(zip_with(vd, cd, (x, y) -> (x - y) * (x - y)), "
-          "CAST(0.0 AS DOUBLE), (a, p) -> a + p)")
-
-    def assign(c):
-        d = v.crossJoin(F.broadcast(c)).withColumn("d2", F.expr(d2))
-        w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
-        return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-
-    def update(a):
-        return (
-            a.select("cluster", F.posexplode("vd").alias("i", "x"))
-            .groupBy("cluster", "i").agg(F.round(F.avg("x"), 6).alias("c"))
-            .groupBy("cluster")
-            .agg(F.expr("transform(array_sort(collect_list(struct(i, c))), "
-                        "s -> s.c)").alias("cd"))
-        )
-
-    for _ in range(2):
-        cent = update(assign(cent))
-    final = assign(cent)
+    v, cent = _km_refined(spark, sf_dir)
+    final = _km_assign(v, cent)
     return final.groupBy("cluster").agg(
         F.count("*").alias("n_members"),
         F.round(F.sqrt(F.avg("d2")), 6).alias("rms_dist"),
+    )
+
+
+_IVFK_TOPK_TAIL = """,
+asg AS (SELECT vec_id, vd, cluster FROM a3 WHERE rn = 1),
+nrm AS (
+  SELECT vec_id, vd, cluster,
+         sqrt(list_sum(list_transform(range(1, len(vd) + 1),
+              i -> vd[i] * vd[i]))) AS nrm
+  FROM asg
+),
+q AS (
+  SELECT vec_id AS q_id, vd AS q_vd, cluster AS q_cluster, nrm AS q_nrm
+  FROM nrm WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.q_id, n.vec_id,
+         list_sum(list_transform(range(1, len(n.vd) + 1),
+                  i -> q.q_vd[i] * n.vd[i])) / (q.q_nrm * n.nrm) AS cos
+  FROM q JOIN nrm n ON n.cluster = q.q_cluster AND n.vec_id != q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT q_id, vec_id, round(cos, 4) AS cosine, rnk
+FROM ranked WHERE rnk <= 10
+"""
+
+# slice off _DK_SQL's final report SELECT (the LAST "SELECT cluster," —
+# earlier ones live inside the update CTEs) and graft the top-k tail on
+_IVFK_SQL = _DK_SQL[:_DK_SQL.rindex("SELECT cluster,")].rstrip() + _IVFK_TOPK_TAIL
+
+
+@register(
+    "sim_ivf_kmeans_topk",
+    oracle=_IVFK_SQL,
+    doc=(
+        "IVF top-10 over LEARNED cells: the Lloyd-refined centroids "
+        "(sim_kmeans_refine) partition the corpus, each query probes its "
+        "own cell, and only same-cell vectors are scored — the full "
+        "train-then-search ANN pipeline in one plan. Cell assignment is a "
+        "broadcast of 8 centroids; candidate scoring touches 1/k of the "
+        "corpus per query; cosine accumulates in identical element order "
+        "on both engines so ranking is bit-deterministic."
+    ),
+)
+def sim_ivf_kmeans_topk(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    v, cent = _km_refined(spark, sf_dir)
+    asg = _km_assign(v, cent).select("vec_id", "vd", "cluster")
+    nrm = asg.withColumn(
+        "nrm",
+        F.sqrt(F.expr("aggregate(zip_with(vd, vd, (x, y) -> x * y), "
+                      "CAST(0.0 AS DOUBLE), (a, p) -> a + p)")),
+    ).persist()
+    q = nrm.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("vd").alias("q_vd"),
+        F.col("cluster").alias("q_cluster"), F.col("nrm").alias("q_nrm"))
+    dot = ("aggregate(zip_with(q_vd, vd, (x, y) -> x * y), "
+           "CAST(0.0 AS DOUBLE), (a, p) -> a + p)")
+    scored = (
+        nrm.join(F.broadcast(q),
+                 (F.col("cluster") == F.col("q_cluster"))
+                 & (F.col("vec_id") != F.col("q_id")))
+        .select("q_id", "vec_id",
+                (F.expr(dot) / (F.col("q_nrm") * F.col("nrm"))).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("q_id", "vec_id", F.round(F.col("cos"), 4).alias("cosine"), "rnk")
     )
