@@ -660,10 +660,14 @@ SELECT doc_id, tk AS keyword, tfidf, rnk FROM ranked WHERE rnk <= 3
     doc=(
         "Per-document top-3 TF-IDF keywords (bounded output: doc_id < 50). "
         "The canonical distributed text-ranking shape: one exploded token "
-        "stream feeds term frequency AND document frequency; df and the "
-        "corpus count are tiny aggregates that broadcast back onto the tf "
-        "stream, so the corpus pays one scan + one (doc_id, token) shuffle; "
-        "the per-doc window sorts within doc partitions only."
+        "stream feeds term frequency AND document frequency; the 1-row "
+        "corpus count broadcasts, while the df-side join strategy is left "
+        "to AQE: at verification scale it picks a broadcast, but at "
+        "web-corpus scale the distinct-token table runs to billions of rows "
+        "and a forced broadcast would OOM the driver — the tf-df equi-join "
+        "on `tk` shuffle-joins safely there. One corpus scan + one "
+        "(doc_id, token) shuffle either way; the per-doc window sorts "
+        "within doc partitions only."
     ),
 )
 def doc_tfidf_keywords(spark, sf_dir):
@@ -676,7 +680,7 @@ def doc_tfidf_keywords(spark, sf_dir):
     df_ = tok.groupBy("tk").agg(F.countDistinct("doc_id").alias("df"))
     n = tok.agg(F.countDistinct("doc_id").alias("n"))
     scored = (
-        tf.join(F.broadcast(df_), "tk").crossJoin(F.broadcast(n))
+        tf.join(df_, "tk").crossJoin(F.broadcast(n))
         .select("doc_id", "tk",
                 F.round(F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df")), 4)
                 .alias("tfidf"))

@@ -312,10 +312,14 @@ def _alias_select_list(sql: str) -> str:
     top-level select-list expression with its verbatim text."""
     spans = _literal_spans(sql)
 
-    def scan_keyword(start: int, word: str) -> int | None:
-        """First depth-0 occurrence of word outside literals, from start."""
+    def scan_keyword(start: int, *words: str) -> int | None:
+        """First depth-0 occurrence of any of ``words`` outside literals,
+        from start.  Multiple words matter for the select-list end scan:
+        a FROM-less query can still carry WHERE/ORDER/LIMIT/UNION/... —
+        stopping only at FROM would swallow the tail clause into the last
+        select item and alias it (SELECT 1 LIMIT 2 AS `1 LIMIT 2`)."""
         depth, i, n = 0, start, len(sql)
-        wl, wu = len(word), word.upper()
+        targets = [(len(w), w.upper()) for w in words]
         while i < n:
             if any(a <= i < b for a, b in spans):
                 i += 1
@@ -325,10 +329,12 @@ def _alias_select_list(sql: str) -> str:
                 depth += 1
             elif c == ")":
                 depth -= 1
-            elif (depth == 0 and sql[i:i + wl].upper() == wu
-                  and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
-                  and (i + wl == n or not (sql[i + wl].isalnum() or sql[i + wl] == "_"))):
-                return i
+            elif depth == 0 and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+                for wl, wu in targets:
+                    if (sql[i:i + wl].upper() == wu
+                            and (i + wl == n
+                                 or not (sql[i + wl].isalnum() or sql[i + wl] == "_"))):
+                        return i
             i += 1
         return None
 
@@ -339,7 +345,8 @@ def _alias_select_list(sql: str) -> str:
     m = re.match(r"\s+(DISTINCT|ALL)\b", sql[start:], re.IGNORECASE)
     if m:
         start += m.end()
-    end = scan_keyword(start, "FROM")
+    end = scan_keyword(start, "FROM", "WHERE", "GROUP", "HAVING", "WINDOW",
+                       "ORDER", "LIMIT", "UNION", "INTERSECT", "EXCEPT")
     if end is None:
         end = len(sql)
     items = _split_top_commas(sql[start:end])

@@ -219,13 +219,20 @@ def test_contamination_broadcasts_eval_set(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
-def test_tfidf_broadcasts_df_and_count(spark, sf_dir):
-    """Document frequency and the corpus count are tiny aggregates and must
-    broadcast back onto the tf stream — a sort-merge join on token would
-    shuffle the whole exploded corpus twice."""
+def test_tfidf_broadcasts_corpus_count(spark, sf_dir):
+    """The 1-row corpus count must broadcast (a sort-merge/NL shuffle join
+    against a single row is absurd).  The df-side join is deliberately NOT
+    pinned: at web-corpus scale the distinct-token table runs to billions
+    of rows and a forced broadcast is a driver OOM — AQE picks broadcast at
+    small scale and shuffle-hash at large scale on its own (r2 VERDICT
+    'What's wrong' #1)."""
     plan = plan_of(spark, sf_dir, "doc_tfidf_keywords")
-    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
-    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 1
+    # no hint forces the vocab join shape
+    import inspect
+    from dsq_spark.queries import text as text_mod
+    src = inspect.getsource(text_mod.doc_tfidf_keywords)
+    assert "broadcast(df_" not in src
 
 
 def test_gopher_rules_single_scan(spark, sf_dir):

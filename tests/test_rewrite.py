@@ -142,3 +142,30 @@ def test_json_each_rewrite_and_parity(spark):
     # inside a string literal: untouched
     lit = rewrite_query("SELECT 'json_each(x)' AS v FROM je_t")
     assert "'json_each(x)'" in lit and "LATERAL" not in lit
+
+
+def test_fromless_tail_clauses_not_aliased():
+    """ADVICE r2 (high): a FROM-less query with a tail clause must not have
+    the tail swallowed into the last select item's verbatim alias
+    (SELECT 1 LIMIT 2 -> SELECT 1 LIMIT 2 AS `1 LIMIT 2` is a parse error)."""
+    # literals still get their verbatim-text name, but the tail clause
+    # stays OUTSIDE the alias
+    assert rewrite_query("SELECT 1 LIMIT 2") == "SELECT 1  AS `1` LIMIT 2"
+    assert rewrite_query("SELECT 1 UNION SELECT 2") == \
+        "SELECT 1  AS `1` UNION SELECT 2"
+    out = rewrite_query("SELECT 1 + 2 ORDER BY 1")
+    assert out == "SELECT 1 + 2  AS `1 + 2` ORDER BY 1"
+    out = rewrite_query("SELECT abs(-3) WHERE 1 = 1")
+    assert out == "SELECT abs(-3)  AS `abs(-3)` WHERE 1 = 1"
+    # keyword-prefixed identifiers are not clause boundaries
+    out = rewrite_query("SELECT union_id FROM {}")
+    assert out == "SELECT union_id FROM t_0"
+    # GROUP BY after a FROM still terminates the list correctly
+    out = rewrite_query("SELECT count(*) FROM {} GROUP BY a")
+    assert "count(*)  AS `count(*)`" in out and "GROUP BY a" in out
+
+
+def test_fromless_tail_executes(spark):
+    assert spark.sql(rewrite_query("SELECT 1 LIMIT 2")).collect()[0][0] == 1
+    rows = spark.sql(rewrite_query("SELECT 1 UNION SELECT 2")).collect()
+    assert sorted(r[0] for r in rows) == [1, 2]
