@@ -231,6 +231,8 @@ def register_all(spark: SparkSession) -> None:
     """Register the extended function library on this session."""
     for stmt in _sql_udfs():
         spark.sql(stmt)
+    from dsq_spark.functions.json1 import register_json1
+    register_json1(spark)
 
 
 import re as _re
@@ -246,12 +248,17 @@ import re as _re
 # in practice, so this costs nothing at runtime and stays JVM-side).
 #
 # Supported timevalues: 'now' (UTC — session tz is pinned to UTC), any
-# best_effort_ts-parseable string, and epoch seconds via the 'unixepoch'
-# modifier. Supported modifiers: '±N days/hours/minutes/seconds' (fractional
-# ok), '±N months/years' (SQLite overflow normalization: Jan 31 + 1 month =
-# Mar 3; fractional part adds 30/365 days per SQLite date.c), 'start of
-# day/month/year', 'weekday N', 'unixepoch', 'localtime', 'utc'.
-# Julian-day-number timevalues are not supported (documented delta).
+# best_effort_ts-parseable string, epoch seconds via the 'unixepoch'
+# modifier, and NUMERIC Julian day numbers (bare numbers, numeric strings,
+# or runtime numeric expressions — SQLite ms-rounded, valid 0 ≤ jd <
+# 5373484.5, NULL outside; rendering of pre-CE results diverges from
+# SQLite's proleptic '-4707-…' text — documented delta). Supported
+# modifiers: '±N days/hours/minutes/seconds' (fractional ok), '±N
+# months/years' (SQLite overflow normalization: Jan 31 + 1 month = Mar 3;
+# fractional part adds 30/365 days per SQLite date.c), 'start of
+# day/month/year', 'weekday N', 'unixepoch', 'julianday', 'auto' (numeric
+# in-range → JDN, numeric out-of-range → epoch seconds, text → parse),
+# 'localtime', 'utc'.
 # ---------------------------------------------------------------------------
 
 _MOD_DELTA = _re.compile(r"^([+-]?\d+(?:\.\d+)?)\s+(day|hour|minute|second|month|year)s?$")
@@ -320,6 +327,27 @@ def _apply_modifier(e: str, raw: str) -> str:
     raise ValueError(f"unsupported datetime modifier: {text!r}")
 
 
+def _jdn_ts(num: str) -> str:
+    """Julian-day-number → TIMESTAMP with SQLite's semantics: the internal
+    clock is int64 MILLISECONDS (date.c computeJD rounds jd*86400000), valid
+    for 0 <= jd < 5373484.5 (through 9999-12-31), NULL outside.  The unix
+    epoch is JD 2440587.5 = 210866760000000 ms."""
+    ms = f"CAST(round({num} * 86400000.0d) AS BIGINT)"
+    return (f"(CASE WHEN {num} >= 0.0d AND {ms} <= 464269060799999 "
+            f"THEN timestamp_micros(({ms} - 210866760000000) * 1000) END)")
+
+
+def _best_effort_inline(tv: str) -> str:
+    """best_effort_ts expanded textually.  The runtime-dispatch branches
+    below can appear NESTED (datetime(julianday(x), …)), and Spark's SQL-UDF
+    inliner mis-resolves a SQL UDF referenced inside another expansion of
+    itself — inlining the coalesce chain here sidesteps the analyzer
+    entirely at the cost of a longer (but identical once codegen'd) plan."""
+    x = f"CAST({tv} AS STRING)"
+    return ("coalesce(try_to_timestamp(" + x + "), " + ", ".join(
+        f"try_to_timestamp({x}, '{f}')" for f in _TS_FORMATS) + ")")
+
+
 def _dt_base(tv: str, mods: list[str]) -> tuple[str, list[str]]:
     lit = _lit_text(tv)
     if lit is not None and lit.strip().lower() == "now":
@@ -328,7 +356,33 @@ def _dt_base(tv: str, mods: list[str]) -> tuple[str, list[str]]:
         m0 = _lit_text(mods[0])
         if m0 is not None and m0.strip().lower() == "unixepoch":
             return f"timestamp_seconds(CAST({tv} AS DOUBLE))", mods[1:]
-    return f"best_effort_ts({tv})", mods
+        if m0 is not None and m0.strip().lower() == "julianday":
+            mods = mods[1:]
+        elif m0 is not None and m0.strip().lower() == "auto":
+            # 'auto': numeric in JDN range → JDN, numeric OUTSIDE the range
+            # → unix epoch seconds, text → parse (probed on 3.40)
+            d = f"try_cast(CAST({tv} AS STRING) AS DOUBLE)"
+            return (f"(CASE WHEN {d} IS NOT NULL THEN "
+                    f"coalesce({_jdn_ts(d)}, timestamp_seconds({d})) "
+                    f"ELSE {_best_effort_inline(tv)} END)", mods[1:])
+    # SQLite: a NUMERIC timevalue is a Julian day number (lang_datefunc
+    # "time values" #4-5 — both the bare number and the numeric string)
+    txt = lit if lit is not None else tv.strip()
+    try:
+        float(txt)
+        return _jdn_ts(f"CAST({tv} AS DOUBLE)"), mods
+    except ValueError:
+        pass
+    if lit is not None:
+        # non-numeric string literal: parse path, no runtime dispatch
+        return f"best_effort_ts({tv})", mods
+    # non-literal (column/expression): dispatch at runtime.  The string
+    # hop makes the probe legal for ANY input type (try_cast timestamp →
+    # double is an analysis error; timestamp → string → double is NULL, so
+    # date/timestamp columns fall through to the parse path as before).
+    d = f"try_cast(CAST({tv} AS STRING) AS DOUBLE)"
+    return (f"(CASE WHEN {d} IS NOT NULL THEN {_jdn_ts(d)} "
+            f"ELSE {_best_effort_inline(tv)} END)", mods)
 
 
 def _dt_render(kind: str, e: str) -> str:
@@ -552,6 +606,52 @@ def _json_type_alias(parts: list[str]) -> str:
         "ELSE 'text' END")
 
 
+# Forms that already ARE json text when the mutator alias sees them.  The
+# alias callable runs AFTER its arguments were recursively alias-expanded
+# (rewrite._rewrite_fn_aliases), so this matches the EXPANDED spellings:
+# json()/json_extract() are plain SQL UDFs (pass through unexpanded), the
+# other mutators expand to dsq_json_*, and json_array/json_object/
+# json_group_* expand to concat('['… / concat('{'… builders.
+_JSON_VALUED = _re.compile(
+    r"(?is)^\s*(?:"
+    r"json\s*\(|json_extract\s*\(|json_patch\s*\(|"
+    r"dsq_json_(?:set|insert|replace|remove)\s*\(|"
+    r"concat\(\s*'\[|concat\(\s*'\{"
+    r")")
+
+
+def _json_val(expr: str) -> str:
+    """JSON text of one mutator VALUE argument.  A value that is itself a
+    JSON1 call already yields JSON text and passes through raw (this models
+    SQLite's JSON subtype for the syntactic cases — json_set(j, p,
+    json_array(...)) inserts an array, not a quoted string); everything
+    else serializes through _jq so SQL typing is preserved."""
+    return expr.strip() if _JSON_VALUED.match(expr) else _jq(expr)
+
+
+def _json_mutator_alias(kind: str):
+    """json_set/json_insert/json_replace(j, p1, v1, ...) → fixed-signature
+    Pandas UDF call dsq_json_<kind>(j, array(p1, v1json, ...)).  Generic
+    JSON mutation needs a real JSON engine (see functions/json1.py) — the
+    one deliberate Python hop in the function library."""
+    def alias(parts: list[str]) -> str:
+        if len(parts) < 3 or len(parts) % 2 == 0:
+            raise ValueError(f"json_{kind}() requires (json, path, value, ...)")
+        args = []
+        for p, v in zip(parts[1::2], parts[2::2]):
+            args.append(p.strip())
+            args.append(_json_val(v))
+        return f"dsq_json_{kind}({parts[0].strip()}, array({', '.join(args)}))"
+    return alias
+
+
+def _json_remove_alias(parts: list[str]) -> str:
+    if len(parts) < 2:
+        raise ValueError("json_remove() requires (json, path, ...)")
+    paths = ", ".join(p.strip() for p in parts[1:])
+    return f"dsq_json_remove({parts[0].strip()}, array({paths}))"
+
+
 def _trim_alias(kind: str):
     """SQLite trim/ltrim/rtrim(str[, chars]): Spark's 2-arg spelling flips
     the argument order (trim(trimStr, str)), so compile the 2-arg form to
@@ -667,6 +767,12 @@ AGG_ALIASES = {
     "json_group_array": _json_group_array_alias,
     "json_group_object": _json_group_object_alias,
     "json_type": _json_type_alias,
+    # SQLite JSON1 mutators (functions/json1.py; json_patch needs no
+    # rewrite — it is a fixed 2-arg UDF registered under its own name)
+    "json_set": _json_mutator_alias("set"),
+    "json_insert": _json_mutator_alias("insert"),
+    "json_replace": _json_mutator_alias("replace"),
+    "json_remove": _json_remove_alias,
     "json_valid": lambda parts: (
         f"CASE WHEN {parts[0].strip()} IS NULL THEN NULL "
         f"ELSE CAST(get_json_object({parts[0].strip()}, '$') IS NOT NULL AS INT) END"),
@@ -687,7 +793,11 @@ AGG_ALIASES = {
     "last_insert_rowid": lambda parts: "CAST(0 AS BIGINT)",
     "changes": lambda parts: "CAST(0 AS BIGINT)",
     "total_changes": lambda parts: "CAST(0 AS BIGINT)",
-    "sqlite_version": lambda parts: "'" + __import__("sqlite3").sqlite_version + "'",
+    # pinned to the amalgamation the reference build ships (go.mod:78 →
+    # mattn/go-sqlite3 v1.14.15 bundles SQLite 3.39.2), NOT the host
+    # Python's sqlite3 — byte-exact parity must not drift per environment
+    # (ADVICE r2)
+    "sqlite_version": lambda parts: "'3.39.2'",
     "iif": "if({args})",
     "zeroblob": lambda parts: f"unhex(repeat('00', CAST({parts[0].strip()} AS INT)))",
     # SQLite random() is a uniform int64; rand() is a uniform double, so the

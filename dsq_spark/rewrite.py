@@ -432,21 +432,25 @@ def _split_top_commas(args: str) -> list[str]:
 
 
 _JSON_EACH = re.compile(
-    r"(,\s*|\bjoin\s+)?\bjson_each\s*\(", re.IGNORECASE)
+    r"(,\s*|\bjoin\s+)?\bjson_(each|tree)\s*\(", re.IGNORECASE)
 
 
 def _rewrite_json_each(sql: str) -> str:
-    """SQLite's json_each table-valued function → LATERAL VIEW explode.
+    """SQLite's json_each / json_tree table-valued functions → LATERAL VIEW.
 
     `FROM t, json_each(t.c) j` becomes
     `FROM t LATERAL VIEW explode_outer(<as-map>) j AS key, value`, where
     <as-map> parses the text as a JSON object (string keys) or else as an
-    array (keys '0','1',...). A bare `FROM json_each('...')` (no base
-    relation) gets a one-row `(SELECT 1)` anchor, and the 2-arg path form
-    `json_each(x, '$.p')` drills in with get_json_object first. Documented
-    deltas vs SQLite: keys surface as TEXT (SQLite uses integers for
-    arrays), values surface as TEXT, and only the key/value columns exist
-    (no type/atom/fullkey/path)."""
+    array (keys '0','1',...). `FROM t, json_tree(t.c) j` becomes
+    `LATERAL VIEW inline_outer(dsq_json_tree(t.c, NULL)) j AS key, value,
+    type, atom, fullkey, path` (recursive DFS walk — functions/json1.py).
+    A bare `FROM json_each('...')` (no base relation) gets a one-row
+    `(SELECT 1)` anchor, and the 2-arg path form `json_each(x, '$.p')`
+    drills in with get_json_object first (json_tree passes the path to the
+    walker, which mirrors SQLite's start-node quirks). Documented deltas vs
+    SQLite: keys surface as TEXT (SQLite uses integers for arrays), values
+    surface as TEXT, json_each has only the key/value columns, and
+    json_tree lacks the id/parent rowid columns."""
     spans = _skip_spans(sql)
     out, i = [], 0
     while True:
@@ -472,10 +476,12 @@ def _rewrite_json_each(sql: str) -> str:
             elif ch == ")":
                 depth -= 1
             j += 1
+        kind = m.group(2).lower()
         arg = sql[m.end():j - 1]
         arg_parts = _split_top_commas(arg)
-        if len(arg_parts) == 2:  # json_each(x, '$.path') — drill in first
-            arg = f"get_json_object({arg_parts[0].strip()}, {arg_parts[1].strip()})"
+        path = arg_parts[1].strip() if len(arg_parts) == 2 else None
+        if kind == "each" and path:  # json_each(x, '$.path') — drill in first
+            arg = f"get_json_object({arg_parts[0].strip()}, {path})"
         # optional alias after the closing paren
         am = re.match(r"\s*(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)", sql[j:],
                       re.IGNORECASE)
@@ -483,14 +489,20 @@ def _rewrite_json_each(sql: str) -> str:
             "WHERE", "GROUP", "ORDER", "LIMIT", "JOIN", "ON", "LEFT", "RIGHT",
             "INNER", "CROSS", "UNION", "HAVING") else None
         j_end = j + am.end() if alias else j
-        arr = f"from_json({arg}, 'array<string>')"
-        as_map = (
-            f"coalesce(from_json({arg}, 'map<string,string>'), "
-            f"map_from_arrays(transform(sequence(0, size({arr}) - 1), "
-            f"i -> CAST(i AS STRING)), {arr}))"
-        )
-        lateral = (f" LATERAL VIEW explode_outer({as_map}) "
-                   f"{alias or 'json_each'} AS key, value")
+        if kind == "tree":
+            lateral = (
+                f" LATERAL VIEW inline(dsq_json_tree("
+                f"{arg_parts[0].strip()}, {path or 'CAST(NULL AS STRING)'})) "
+                f"{alias or 'json_tree'} AS key, value, type, atom, fullkey, path")
+        else:
+            arr = f"from_json({arg}, 'array<string>')"
+            as_map = (
+                f"coalesce(from_json({arg}, 'map<string,string>'), "
+                f"map_from_arrays(transform(sequence(0, size({arr}) - 1), "
+                f"i -> CAST(i AS STRING)), {arr}))"
+            )
+            lateral = (f" LATERAL VIEW explode_outer({as_map}) "
+                       f"{alias or 'json_each'} AS key, value")
         head = sql[i:m.start()]
         if m.group(1) is None and re.search(r"\bFROM\s*$", head, re.IGNORECASE):
             # `FROM json_each(...)` with no base relation: LATERAL VIEW

@@ -150,6 +150,58 @@ def test_sqlite_datetime_modifiers(spark):
     assert got[:16] == want[:16], (got, want)  # same minute (UTC both sides)
 
 
+def test_julianday_timevalues(spark):
+    """Numeric timevalues are Julian day numbers (SQLite lang_datefunc):
+    bare numbers, numeric strings, runtime numeric expressions, the range
+    gates, ms-rounding, modifier stacking, and the 'julianday'/'auto'
+    modifiers — all vs real SQLite.  (Pre-CE rendering is a documented
+    delta, so cases stay within years 0001-9999.)"""
+    import sqlite3
+
+    from dsq_spark.rewrite import rewrite_query
+
+    con = sqlite3.connect(":memory:")
+    cases = [
+        "SELECT datetime(2460000.5)",
+        "SELECT date(2460000.5)",
+        "SELECT time(2460000.75)",
+        "SELECT datetime('2460000.5')",          # numeric STRING is JDN too
+        "SELECT julianday(2460000.5)",           # exact round-trip
+        "SELECT julianday(2456789.123456789)",   # ms rounding → …794
+        "SELECT unixepoch(2440587.5)",           # JD epoch = unix 0
+        "SELECT datetime(-1)",                   # below range → NULL
+        "SELECT datetime(5373484.4)",            # top of range (year 9999)
+        "SELECT datetime(5373484.6)",            # above range → NULL
+        "SELECT datetime(2460000.5, '+1 day')",  # modifiers stack on JDN
+        "SELECT date(2460000.5, 'start of month')",
+        "SELECT strftime('%Y-%m-%d %H:%M:%S', 2460000.5)",
+        "SELECT datetime(2460000.5, 'julianday')",
+        "SELECT datetime('2460000.5', 'auto')",  # in-range numeric → JDN
+        "SELECT datetime(10000000000, 'auto')",  # out-of-range → epoch secs
+        "SELECT datetime('2022-03-05', 'auto')",  # text → parse
+        # runtime numeric expression (not a literal at rewrite time)
+        "SELECT date(2440587.5 + 365)",
+        "SELECT julianday('2013-10-07 08:23:19')",  # text in, jd out
+    ]
+    for q in cases:
+        want = con.execute(q).fetchone()[0]
+        got = spark.sql(rewrite_query(q + " AS v")).collect()[0]["v"]
+        assert str(got) == str(want), (q, got, want)
+    # column-valued dispatch: numeric strings → JDN, date strings → parse
+    spark.createDataFrame(
+        [("2460000.5",), ("2022-03-05",), ("nope",)], ["tv"]
+    ).createOrReplaceTempView("jd_vals")
+    con.execute("CREATE TABLE jd_vals(tv TEXT)")
+    con.executemany("INSERT INTO jd_vals VALUES (?)",
+                    [("2460000.5",), ("2022-03-05",), ("nope",)])
+    q = "SELECT date(tv) FROM jd_vals"
+    want = sorted(str(r[0]) for r in con.execute(q).fetchall())
+    got = sorted(str(r[0]) for r in
+                 spark.sql(rewrite_query("SELECT date(tv) AS v FROM jd_vals"))
+                 .collect())
+    assert got == want
+
+
 def test_strftime_extended_codes(spark):
     """%-codes SQLite gained in 3.46 (%e %F %R %T %u) — direct expected
     values since the stdlib sqlite3 here is older."""
@@ -412,6 +464,11 @@ def test_sqlite_core_scalars_vs_sqlite(spark):
     con = sqlite3.connect(":memory:")
     wants = []
     for e in exprs:
+        if e == "sqlite_version()":
+            # pinned to the reference build's amalgamation (go.mod:78 →
+            # go-sqlite3 v1.14.15 = SQLite 3.39.2), not the host sqlite3
+            wants.append("3.39.2")
+            continue
         w = con.execute(f"SELECT {e}").fetchone()[0]
         if isinstance(w, float) and w.is_integer():
             w = int(w)  # Go JSON model (reference output) integerizes

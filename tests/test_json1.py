@@ -1,0 +1,191 @@
+"""JSON1 mutation family vs the real SQLite (stdlib sqlite3), same strategy
+as the glob/datetime suites: drive the pure-Python engine across a broad
+matrix and require byte-identical output.
+
+Documented deltas (PARITY.md):
+  * malformed JSON → NULL (SQLite raises);
+  * untouched string escape sequences are re-serialized canonically;
+  * multi-pair edits where a '[#]' append and another index edit target the
+    SAME array follow the documented sequential semantics — SQLite ≤3.44's
+    string-splice implementation produces a stale-edit artifact there
+    (json_set('{"y":[1,2]}','$.y[#]',7,'$.y[0]',9) gives {"y":[1,2,9]} on
+    3.40 instead of the sequential {"y":[9,2,7]}).
+"""
+
+from __future__ import annotations
+
+import random
+import sqlite3
+
+import pytest
+
+from dsq_spark.functions.json1 import (json_insert_text, json_patch_text,
+                                       json_remove_text, json_replace_text,
+                                       json_set_text, json_tree_rows)
+
+DOCS = ['{}', '{"a":1}', '{"a":{"x":1,"y":[1,2]}}', '[0,1,2]', '{"b":[]}',
+        '{"a":1.50,"b":"s"}', '[{"k":1},{"k":2}]', '{"a":null}',
+        '{"a":true,"b":false}', '{"n":{"m":{"o":5}}}', '[[1],[2,3]]',
+        '{"u":"héllo"}', '{"k ey":7}', '5', '"str"']
+PATHS = ['$', '$.a', '$.b', '$.a.x', '$.a.y[0]', '$.a.y[#]', '$.a.y[#-1]',
+         '$[0]', '$[1]', '$[2]', '$[#]', '$.a.b.c', '$.a[0]', '$.a[0].b',
+         '$.b[0]', '$.b[2]', '$.n.m.o', '$.n.m.p', '$."k ey"', '$.zz.q[0]']
+# (SQL literal, equivalent JSON text as the rewriter serializes it)
+VALS = [('1', '1'), ('0.5', '0.5'), ('\'tx"t\'', '"tx\\"t"'),
+        ('NULL', 'null'), ("json('[1,2]')", '[1,2]'), ('1.0e2', '100.0'),
+        ("json('true')", 'true')]
+
+
+@pytest.fixture(scope="module")
+def con():
+    return sqlite3.connect(":memory:")
+
+
+def _want(con, sql, params=()):
+    v = con.execute(sql, params).fetchone()[0]
+    return str(v) if v is not None else None
+
+
+@pytest.mark.parametrize("mode,fn", [("set", json_set_text),
+                                     ("insert", json_insert_text),
+                                     ("replace", json_replace_text)])
+def test_mutators_matrix(con, mode, fn):
+    checked = 0
+    for d in DOCS:
+        for p in PATHS:
+            for sqlv, jv in VALS:
+                try:
+                    want = _want(con, f"SELECT json_{mode}(?, '{p}', {sqlv})",
+                                 (d,))
+                except sqlite3.OperationalError:
+                    continue
+                assert fn(d, [p, jv]) == want, (mode, d, p, sqlv)
+                checked += 1
+    assert checked > 2000
+
+
+def test_set_multi_pair_sequential(con):
+    random.seed(11)
+    safe_paths = [p for p in PATHS if "#" not in p]  # see module docstring
+    checked = 0
+    for _ in range(300):
+        d = random.choice(DOCS)
+        ps = random.sample(safe_paths, 2)
+        vs = [random.choice(VALS) for _ in ps]
+        args_sql = ", ".join(f"'{p}', {v[0]}" for p, v in zip(ps, vs))
+        try:
+            want = _want(con, f"SELECT json_set(?, {args_sql})", (d,))
+        except sqlite3.OperationalError:
+            continue
+        flat = []
+        for p, v in zip(ps, vs):
+            flat += [p, v[1]]
+        assert json_set_text(d, flat) == want, (d, args_sql)
+        checked += 1
+    assert checked > 200
+    # multi-append is well-defined and must chain
+    assert json_set_text('[1,2]', ['$[#]', '5', '$[#]', '6']) == \
+        _want(con, "SELECT json_set('[1,2]','$[#]',5,'$[#]',6)")
+
+
+def test_remove_matrix(con):
+    random.seed(13)
+    for d in DOCS:
+        for p1 in PATHS:
+            for p2 in random.sample(PATHS, 4):
+                try:
+                    want = _want(con, f"SELECT json_remove(?, '{p1}', '{p2}')",
+                                 (d,))
+                except sqlite3.OperationalError:
+                    continue
+                assert json_remove_text(d, [p1, p2]) == want, (d, p1, p2)
+
+
+def test_remove_index_shift(con):
+    # paths apply sequentially: the second '$[1]' sees the shifted array
+    assert json_remove_text('[0,1,2,3]', ['$[1]', '$[1]']) == '[0,3]'
+    assert json_remove_text('{"a":1}', ['$']) is None  # root remove → NULL
+
+
+def test_patch_matrix(con):
+    patches = ['{}', '{"a":null}', '{"a":{"y":null,"z":9}}', '[7]',
+               '{"c":{"d":null,"e":1}}', '5', '{"a":[9]}',
+               '{"a":{"b":null,"c":1}}']
+    for d in DOCS:
+        for b in patches:
+            want = _want(con, "SELECT json_patch(?, ?)", (d, b))
+            assert json_patch_text(d, b) == want, (d, b)
+
+
+def test_tree_matrix(con):
+    for d in DOCS:
+        for p in [None, '$', '$.a', '$.a.y', '$[1]', '$.zz', '$.a.y[0]',
+                  '$.n.m', '$."k ey"']:
+            try:
+                if p is None:
+                    want = con.execute(
+                        "SELECT key, value, type, atom, fullkey, path "
+                        "FROM json_tree(?)", (d,)).fetchall()
+                else:
+                    want = con.execute(
+                        "SELECT key, value, type, atom, fullkey, path "
+                        "FROM json_tree(?, ?)", (d, p)).fetchall()
+            except sqlite3.OperationalError:
+                continue
+            want = [tuple(None if x is None else str(x) for x in r)
+                    for r in want]
+            got = [tuple(r) for r in (json_tree_rows(d, p) or [])]
+            assert got == want, (d, p)
+
+
+def test_malformed_returns_null():
+    # SQLite raises on malformed JSON; we return NULL (documented delta —
+    # a Spark job must not abort on one bad row)
+    assert json_set_text('{bad', ['$.a', '1']) is None
+    assert json_remove_text('nope', ['$.a']) is None
+    assert json_patch_text('{"a":1}', '{oops') is None
+    assert json_tree_rows('{', None) is None
+
+
+def test_sql_surface(spark):
+    """End-to-end through the rewriter + registered UDFs, vs sqlite3."""
+    import sqlite3 as s3
+
+    from dsq_spark.functions import register_all
+    from dsq_spark.rewrite import rewrite_query
+
+    register_all(spark)
+    con = s3.connect(":memory:")
+    qs = [
+        "SELECT json_set('{\"a\":1}', '$.b.c', 2) AS v",
+        "SELECT json_insert('{\"a\":1}', '$.a', 9, '$.b', 8) AS v",
+        "SELECT json_replace('{\"a\":1}', '$.a', 'x') AS v",
+        "SELECT json_remove('[0,1,2,3]', '$[1]', '$[1]') AS v",
+        "SELECT json_patch('{\"a\":{\"x\":1}}', '{\"a\":{\"x\":null,\"y\":2}}') AS v",
+        "SELECT json_set('{}', '$.a', json_array(1, 2)) AS v",
+        "SELECT json_set('{}', '$.a', json_object('k', 5)) AS v",
+        "SELECT json_set('[]', '$[#]', json('{\"n\":true}')) AS v",
+    ]
+    for q in qs:
+        want = con.execute(q).fetchone()[0]
+        got = spark.sql(rewrite_query(q)).collect()[0]["v"]
+        assert got == want, q
+    # json_tree as a table-valued function
+    q = ("SELECT fullkey, value FROM json_tree('{\"a\":[1,{\"b\":2}]}') "
+         "WHERE type NOT IN ('object','array') ORDER BY fullkey")
+    want = [(r[0], str(r[1])) for r in con.execute(q).fetchall()]
+    got = [(r["fullkey"], r["value"])
+           for r in spark.sql(rewrite_query(q)).collect()]
+    assert got == want
+    # 2-arg form joined to a base table
+    spark.createDataFrame([(1, '{"t":{"x":7,"y":8}}')], ["id", "js"]) \
+        .createOrReplaceTempView("jt_t")
+    con.execute("CREATE TABLE jt_t(id INT, js TEXT)")
+    con.execute("INSERT INTO jt_t VALUES (1, '{\"t\":{\"x\":7,\"y\":8}}')")
+    q = ("SELECT jt_t.id AS id, j.fullkey AS fk, j.atom AS atom "
+         "FROM jt_t, json_tree(jt_t.js, '$.t') j WHERE j.atom IS NOT NULL "
+         "ORDER BY fk")
+    want = [tuple(str(x) for x in r) for r in con.execute(q).fetchall()]
+    got = [(str(r["id"]), r["fk"], r["atom"])
+           for r in spark.sql(rewrite_query(q)).collect()]
+    assert got == want
