@@ -337,6 +337,60 @@ def _jdn_ts(num: str) -> str:
             f"THEN timestamp_micros(({ms} - 210866760000000) * 1000) END)")
 
 
+_JD_RENDER_PREFIX = "(unix_micros("
+_JD_RENDER_SUFFIX = ") / 86400000000.0d + 2440587.5d)"
+
+
+def _julianday_inner(tv: str) -> str | None:
+    """If ``tv`` is textually the output of our own julianday() compile,
+    return the inner timestamp expression, else None.  Composition peephole:
+    datetime(julianday(x), ...) otherwise re-enters the runtime probe with
+    the whole julianday chain duplicated 3-4x (double→string→double per
+    copy); algebraically the round-trip is just truncation to SQLite's
+    int64-millisecond clock, one expression copy, no string hops."""
+    s = tv.strip()
+    if not (s.startswith(_JD_RENDER_PREFIX) and s.endswith(_JD_RENDER_SUFFIX)):
+        return None
+    inner = s[len(_JD_RENDER_PREFIX):-len(_JD_RENDER_SUFFIX)]
+    depth = 0
+    for c in inner:  # reject if the slice isn't paren-balanced
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+    return inner if depth == 0 else None
+
+
+def _is_arith_expr(tv: str) -> bool:
+    """True when ``tv`` has a depth-0 binary arithmetic operator, i.e. it is
+    numeric-TYPED in both engines (SQLite's + - * / % always yield numeric).
+    Lets the compiler go straight to the Julian-day branch with a plain
+    numeric cast — no per-row value→string→double probe.  Unary +/- signs
+    (start of expression or right after another operator/comma/paren) are
+    not binary operators; operators inside parens or string literals don't
+    count (conservative: missing one only costs the slower generic path)."""
+    depth, in_str, prev = 0, False, ""
+    for c in tv:
+        if in_str:
+            in_str = c != "'"
+        elif c == "'":
+            in_str = True
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and c in "+-*/%":
+            if c in "+-" and (not prev or prev in "+-*/%(,"):
+                pass  # sign, not operator
+            else:
+                return True
+        if not c.isspace():
+            prev = c
+    return False
+
+
 def _best_effort_inline(tv: str) -> str:
     """best_effort_ts expanded textually.  The runtime-dispatch branches
     below can appear NESTED (datetime(julianday(x), …)), and Spark's SQL-UDF
@@ -361,6 +415,11 @@ def _dt_base(tv: str, mods: list[str]) -> tuple[str, list[str]]:
         elif m0 is not None and m0.strip().lower() == "auto":
             # 'auto': numeric in JDN range → JDN, numeric OUTSIDE the range
             # → unix epoch seconds, text → parse (probed on 3.40)
+            if _is_arith_expr(tv):
+                # statically numeric: no string probe, no parse chain
+                d = f"CAST(({tv}) AS DOUBLE)"
+                return (f"coalesce({_jdn_ts(d)}, timestamp_seconds({d}))",
+                        mods[1:])
             d = f"try_cast(CAST({tv} AS STRING) AS DOUBLE)"
             return (f"(CASE WHEN {d} IS NOT NULL THEN "
                     f"coalesce({_jdn_ts(d)}, timestamp_seconds({d})) "
@@ -376,6 +435,17 @@ def _dt_base(tv: str, mods: list[str]) -> tuple[str, list[str]]:
     if lit is not None:
         # non-numeric string literal: parse path, no runtime dispatch
         return f"best_effort_ts({tv})", mods
+    jd_inner = _julianday_inner(tv)
+    if jd_inner is not None:
+        # datetime(julianday(x), ...): the jd→ms→timestamp round-trip is
+        # truncation to SQLite's int64-ms clock — one copy of the inner
+        # expression instead of 3-4 probe copies with string hops.
+        return (f"timestamp_micros(CAST(round(unix_micros({jd_inner}) / "
+                f"1000.0d) AS BIGINT) * 1000)", mods)
+    if _is_arith_expr(tv):
+        # statically numeric-typed expression (SQLite arithmetic always
+        # yields numeric): straight to the JDN branch, no runtime probe.
+        return _jdn_ts(f"CAST(({tv}) AS DOUBLE)"), mods
     # non-literal (column/expression): dispatch at runtime.  The string
     # hop makes the probe legal for ANY input type (try_cast timestamp →
     # double is an analysis error; timestamp → string → double is NULL, so

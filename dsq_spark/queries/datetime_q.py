@@ -41,19 +41,27 @@ GROUP BY 1
 """,
     doc="SQLite datetime modifiers ('start of month', '+1 day', '+1 month', "
         "'weekday 1', 'start of day' epoch) compiled by the CLI rewriter to "
-        "Catalyst expressions — pure JVM, no UDFs (reference README.md:698).",
+        "Catalyst expressions — pure JVM, no UDFs (reference README.md:698). "
+        "Project-then-aggregate shape: each compiled chain is a named column "
+        "of one codegen'd projection (subexpression elimination collapses "
+        "the shared parse probe), and the aggregate consumes plain strings.",
 )
 def date_modifier_functions(spark, sf_dir):
     t(spark, sf_dir, "orders").createOrReplaceTempView("dsq_dt_orders")
     return _sqlite_sql(spark, """
-SELECT date(o_orderdate, 'start of month') AS month_start,
+SELECT month_start,
        count(*) AS n_orders,
-       min(datetime(o_orderdate, '+1 day')) AS min_next_day,
-       min(date(o_orderdate, 'start of month', '+1 month')) AS next_month_start,
-       min(date(o_orderdate, 'weekday 1')) AS min_next_monday,
-       min(unixepoch(o_orderdate, 'start of day')) AS min_epoch
-FROM dsq_dt_orders
-GROUP BY 1
+       min(next_day) AS min_next_day,
+       min(next_month) AS next_month_start,
+       min(next_monday) AS min_next_monday,
+       min(epoch_day) AS min_epoch
+FROM (SELECT date(o_orderdate, 'start of month') AS month_start,
+             datetime(o_orderdate, '+1 day') AS next_day,
+             date(o_orderdate, 'start of month', '+1 month') AS next_month,
+             date(o_orderdate, 'weekday 1') AS next_monday,
+             unixepoch(o_orderdate, 'start of day') AS epoch_day
+      FROM dsq_dt_orders) z
+GROUP BY month_start
 """)
 
 
@@ -69,17 +77,21 @@ GROUP BY 1
 """,
     doc="strftime %-codes incl. the non-Java-pattern ones (%w Sunday=0, "
         "%W Monday-first week-of-year, %s epoch) — compiled to a concat() "
-        "of JVM expressions at rewrite time.",
+        "of JVM expressions at rewrite time.  Project-then-aggregate so the "
+        "three compiled strftime chains share one codegen'd projection.",
 )
 def strftime_code_coverage(spark, sf_dir):
     t(spark, sf_dir, "events").createOrReplaceTempView("dsq_dt_events")
     return _sqlite_sql(spark, """
-SELECT strftime('%Y-%m-%d', ts) AS ymd,
-       min(strftime('%j|%w|%W', ts)) AS min_codes,
-       max(strftime('%s', ts)) AS max_epoch,
+SELECT ymd,
+       min(codes) AS min_codes,
+       max(ep) AS max_epoch,
        count(*) AS n
-FROM dsq_dt_events
-GROUP BY 1
+FROM (SELECT strftime('%Y-%m-%d', ts) AS ymd,
+             strftime('%j|%w|%W', ts) AS codes,
+             strftime('%s', ts) AS ep
+      FROM dsq_dt_events) z
+GROUP BY ymd
 """)
 
 
@@ -112,12 +124,17 @@ GROUP BY 1
 def julianday_functions(spark, sf_dir):
     t(spark, sf_dir, "orders").createOrReplaceTempView("dsq_jd_orders")
     return _sqlite_sql(spark, """
-SELECT date(o_orderdate, 'start of month') AS month_start,
-       round(min(julianday(o_orderdate)), 6) AS min_jd,
-       min(datetime(julianday(o_orderdate), '+12 hours')) AS noon_dt,
-       min(date(2440587.5 + (o_orderkey % 20000))) AS key_date,
-       min(datetime(1600000000 + o_orderkey % 86400, 'auto')) AS auto_dt,
+SELECT month_start,
+       round(min(jd), 6) AS min_jd,
+       min(noon) AS noon_dt,
+       min(keyd) AS key_date,
+       min(autod) AS auto_dt,
        count(*) AS n
-FROM dsq_jd_orders
-GROUP BY 1
+FROM (SELECT date(o_orderdate, 'start of month') AS month_start,
+             julianday(o_orderdate) AS jd,
+             datetime(julianday(o_orderdate), '+12 hours') AS noon,
+             date(2440587.5 + (o_orderkey % 20000)) AS keyd,
+             datetime(1600000000 + o_orderkey % 86400, 'auto') AS autod
+      FROM dsq_jd_orders) z
+GROUP BY month_start
 """)

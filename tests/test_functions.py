@@ -202,6 +202,47 @@ def test_julianday_timevalues(spark):
     assert got == want
 
 
+def test_julianday_compile_shortcuts(spark):
+    """Round-3 compiler fast paths, pinned against real SQLite:
+    (a) datetime(julianday(x), ...) composition compiles via the ms-clock
+    truncation peephole (no runtime probe re-entry — the compiled SQL
+    carries exactly ONE probe, the inner julianday's own); (b) a depth-0
+    arithmetic timevalue is statically numeric so the probe and the
+    7-format parse chain are elided entirely."""
+    import sqlite3
+
+    from dsq_spark.rewrite import rewrite_query
+    from dsq_spark.functions import _is_arith_expr, _julianday_inner
+
+    con = sqlite3.connect(":memory:")
+    cases = [
+        "SELECT datetime(julianday('2013-10-07 08:23:19'), '+12 hours')",
+        "SELECT date(julianday('2022-03-05'))",
+        "SELECT datetime(julianday('2021-01-31 23:59:59.874'))",  # ms round
+        "SELECT date(2440587.5 + 10 * 36.5)",
+        "SELECT datetime(2440587 + 0.5, 'start of year')",
+    ]
+    for q in cases:
+        want = con.execute(q).fetchone()[0]
+        got = spark.sql(rewrite_query(q + " AS v")).collect()[0]["v"]
+        assert str(got) == str(want), (q, got, want)
+    # plan-shape gates: peephole keeps ONE probe; arith path keeps ZERO
+    peep = rewrite_query("SELECT datetime(julianday(x), '+1 day') AS v FROM t")
+    assert peep.count("AS STRING) AS DOUBLE") == 4  # inner chain only
+    assert "round(unix_micros(" in peep
+    arith = rewrite_query("SELECT date(2440587.5 + (k % 7)) AS v FROM t")
+    assert "try_to_timestamp" not in arith and "try_cast" not in arith
+    # classifier unit cases
+    assert _is_arith_expr("2440587.5 + (k % 20000)")
+    assert _is_arith_expr("a - b")
+    assert not _is_arith_expr("-5")            # unary sign
+    assert not _is_arith_expr("f(a + b)")      # op hidden at depth 1
+    assert not _is_arith_expr("x || '-y'")     # concat, not arithmetic
+    assert not _is_arith_expr("'a + b'")       # inside a string literal
+    assert _julianday_inner("(unix_micros(E) / 86400000000.0d + 2440587.5d)") == "E"
+    assert _julianday_inner("(unix_micros(E)) / 86400000000.0d + 2440587.5d)") is None
+
+
 def test_strftime_extended_codes(spark):
     """%-codes SQLite gained in 3.46 (%e %F %R %T %u) — direct expected
     values since the stdlib sqlite3 here is older."""
