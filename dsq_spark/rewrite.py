@@ -524,6 +524,10 @@ def rewrite_query_tracked(sql: str) -> tuple[str, frozenset[str]]:
     came from double-quoted tokens — the CLI retries those as string
     literals when they fail column resolution (SQLite fallback)."""
     dquoted: set[str] = set()
+    # SQLite's EXPLAIN QUERY PLAN prefix (the reference passes it straight
+    # to SQLite) → Spark's bare EXPLAIN; plain EXPLAIN already parses.
+    sql = re.sub(r"^(\s*)EXPLAIN\s+QUERY\s+PLAN\b", r"\1EXPLAIN",
+                 sql, count=1, flags=re.IGNORECASE)
     sql = _alias_select_list(_rewrite_json_each(_sub_table_macros(sql)))
     parts = []
     for is_str, chunk in _split_on_strings(sql):

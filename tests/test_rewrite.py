@@ -169,3 +169,17 @@ def test_fromless_tail_executes(spark):
     assert spark.sql(rewrite_query("SELECT 1 LIMIT 2")).collect()[0][0] == 1
     rows = spark.sql(rewrite_query("SELECT 1 UNION SELECT 2")).collect()
     assert sorted(r[0] for r in rows) == [1, 2]
+
+
+def test_explain_query_plan(spark):
+    """SQLite's EXPLAIN QUERY PLAN prefix (the reference hands it to SQLite
+    verbatim) maps to Spark's EXPLAIN; plain EXPLAIN passes through; the
+    phrase inside a string literal is untouched."""
+    assert rewrite_query("EXPLAIN QUERY PLAN SELECT a FROM t") == \
+        "EXPLAIN SELECT a FROM t"
+    assert rewrite_query("explain query plan SELECT 1").startswith("EXPLAIN ")
+    lit = rewrite_query("SELECT 'EXPLAIN QUERY PLAN x' AS s FROM t")
+    assert "'EXPLAIN QUERY PLAN x'" in lit
+    rows = spark.sql(
+        rewrite_query("EXPLAIN QUERY PLAN SELECT 1 AS one")).collect()
+    assert rows and "Project" in rows[0][0] or "Scan" in rows[0][0]
