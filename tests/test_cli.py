@@ -259,3 +259,48 @@ def test_write_clustered_dataset_enables_skipping(spark, tmp_path, sf_dir):
     hi = lo + _dt.timedelta(days=30)
     touched = sum(1 for a, b in ranges if a <= hi and b >= lo)
     assert touched <= max(2, len(ranges) // 2), (touched, len(ranges))
+
+
+def test_write_zordered_dataset_skips_on_both_columns(spark, tmp_path, sf_dir):
+    """Z-order clustering must give every file a bounding box that is
+    narrow in BOTH interleaved dimensions: a band predicate on EITHER
+    column overlaps only a fraction of the files (single-key range
+    clustering can only do this for one column)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from dsq_spark.io_out import write_zordered_dataset
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = tmp_path / "zordered"
+    write_zordered_dataset(orders, str(out),
+                           zorder_by=("o_custkey", "o_totalprice"),
+                           num_files=16)
+
+    stats = {"o_custkey": [], "o_totalprice": []}
+    for f in _glob.glob(str(out / "*.parquet")):
+        md = pq.read_metadata(f)
+        for cname in stats:
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(md.row_group(rg).column(i)
+                           for i in range(md.num_columns)
+                           if md.row_group(rg).column(i).path_in_schema == cname)
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            stats[cname].append((min(mins), max(maxs)))
+    n_files = len(stats["o_custkey"])
+    assert n_files >= 8
+    for cname, ranges in stats.items():
+        glo = min(a for a, _ in ranges)
+        ghi = max(b for _, b in ranges)
+        span = ghi - glo
+        # every file's bounding box is narrow in this dimension on average
+        mean_span = sum(b - a for a, b in ranges) / n_files
+        assert mean_span <= 0.75 * span, (cname, mean_span, span)
+        # a 10%-of-range band predicate touches a minority of files
+        lo = glo + 0.45 * span
+        hi = glo + 0.55 * span
+        touched = sum(1 for a, b in ranges if a <= hi and b >= lo)
+        assert touched <= max(2, (2 * n_files) // 3), (cname, touched, n_files)
