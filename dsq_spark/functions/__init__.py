@@ -411,7 +411,14 @@ def _dt_base(tv: str, mods: list[str]) -> tuple[str, list[str]]:
         if m0 is not None and m0.strip().lower() == "unixepoch":
             return f"timestamp_seconds(CAST({tv} AS DOUBLE))", mods[1:]
         if m0 is not None and m0.strip().lower() == "julianday":
-            mods = mods[1:]
+            # forced-JDN interpretation: SQLite returns NULL for any
+            # non-numeric timevalue under this modifier — no parse
+            # fallback (probed on 3.40: datetime('2022-03-05',
+            # 'julianday') IS NULL)
+            if _is_arith_expr(tv):
+                return _jdn_ts(f"CAST(({tv}) AS DOUBLE)"), mods[1:]
+            d = f"try_cast(CAST({tv} AS STRING) AS DOUBLE)"
+            return _jdn_ts(d), mods[1:]
         elif m0 is not None and m0.strip().lower() == "auto":
             # 'auto': numeric in JDN range → JDN, numeric OUTSIDE the range
             # → unix epoch seconds, text → parse (probed on 3.40)

@@ -176,6 +176,10 @@ def test_julianday_timevalues(spark):
         "SELECT date(2460000.5, 'start of month')",
         "SELECT strftime('%Y-%m-%d %H:%M:%S', 2460000.5)",
         "SELECT datetime(2460000.5, 'julianday')",
+        "SELECT datetime('2460000.5', 'julianday')",
+        # forced-JDN modifier on a TEXT timevalue → NULL, never a parse
+        "SELECT datetime('2022-03-05', 'julianday')",
+        "SELECT date(2460000.5, 'julianday', '+1 day')",
         "SELECT datetime('2460000.5', 'auto')",  # in-range numeric → JDN
         "SELECT datetime(10000000000, 'auto')",  # out-of-range → epoch secs
         "SELECT datetime('2022-03-05', 'auto')",  # text → parse
