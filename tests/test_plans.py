@@ -241,3 +241,27 @@ def test_gopher_rules_single_scan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_gopher_rules")
     assert n_nodes(plan, "Scan parquet") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_pq_broadcast_codebook_and_mapside_argmin(spark, sf_dir):
+    """sim_pq_topk: the codebook and ADC lookup table must broadcast onto
+    the corpus stream (they are M*K=128 and Q*M*K=640 rows at any corpus
+    scale), and the per-(vector, subspace) code assignment must be a hash
+    aggregate with a map-side partial (min_by), NOT a rank window — a sort
+    window shuffles K candidate rows per subvector instead of one."""
+    plan = plan_of(spark, sf_dir, "sim_pq_topk")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "min_by" in plan
+    # the only rank window is the final per-query top-k (WindowGroupLimit
+    # partial/final nodes are the top-k pushdown — desirable, not counted)
+    assert n_nodes(plan, r"Window(?!GroupLimit)") == 1
+
+
+def test_charlm_broadcasts_lm_table(spark, sf_dir):
+    """text_charlm_quality: the trigram LM table is bounded by |charset|^3
+    at ANY corpus size, so the scoring join must broadcast — a sort-merge
+    join here would shuffle the whole exploded trigram stream twice."""
+    plan = plan_of(spark, sf_dir, "text_charlm_quality")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
