@@ -44,6 +44,7 @@ _PRIORITY = [
     "julianday_functions",
     "sim_pq_topk",
     "sim_pq_recall",
+    "sim_ivfpq_topk",
     "text_charlm_quality",
     # (b) changed this round: TF-IDF vocab-broadcast hint removed (plan-only
     # change, values identical — re-prove), events ts-normalization cached
@@ -91,10 +92,10 @@ _PRIORITY = [
     "sim_topk_bruteforce",
     "sim_lsh_buckets",
     "sim_ivf_topk",
-    "sim_cosine_neardup",
-    # displaced past the 50-row window by the three new round-3 queries (new
+    # displaced past the 50-row window by the four new round-3 queries (new
     # operators need their first hard row now); all stay green in the local
     # oracle suite and are first in line for the round-4 rotation
+    "sim_cosine_neardup",
     "sim_neardup_components",
     "sim_ivf_recall",
     "sim_ivf_multiprobe",

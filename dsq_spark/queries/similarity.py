@@ -942,20 +942,23 @@ _PQ_D2 = ("aggregate(zip_with(svd, cd, (x, y) -> (x - y) * (x - y)), "
           "CAST(0.0 AS DOUBLE), (a, p) -> a + p)")
 
 
-def _pq_assign(vs, cb):
+def _pq_assign(vs, cb, carry=(), d2expr=None):
     """Nearest codebook entry per (vector, subspace): broadcast the M*K-row
     codebook onto the subvector stream, keep the argmin (d2, code tiebreak).
 
     min_by over a (d2, code) struct instead of a rank window: hash aggregation
     gets a map-side partial combine, so the shuffle carries one row per
     (vector, subspace) instead of K sorted candidate rows — 16x less exchange
-    volume on the encode path, which at 100 TB is the dominant stage."""
-    d = vs.join(F.broadcast(cb), "sub").withColumn("d2", F.expr(_PQ_D2))
+    volume on the encode path, which at 100 TB is the dominant stage.
+    `carry` names vec-level columns to pass through (e.g. the IVF cell);
+    `d2expr` overrides the distance (integer variant for the residual path)."""
+    d = vs.join(F.broadcast(cb), "sub").withColumn("d2", F.expr(d2expr or _PQ_D2))
+    m = F.min_by(F.struct("code", "svd", "d2", *carry), F.struct("d2", "code"))
     return (
-        d.groupBy("vec_id", "sub")
-        .agg(F.min_by(F.struct("code", "svd", "d2"), F.struct("d2", "code")).alias("m"))
+        d.groupBy("vec_id", "sub").agg(m.alias("m"))
         .select("vec_id", "sub", F.col("m.svd").alias("svd"),
-                F.col("m.code").alias("code"), F.col("m.d2").alias("d2"))
+                F.col("m.code").alias("code"), F.col("m.d2").alias("d2"),
+                *[F.col(f"m.{c}").alias(c) for c in carry])
     )
 
 
@@ -982,7 +985,7 @@ def _pq_parts(spark, sf_dir):
     enc = _pq_assign(vs, u1).select("vec_id", "sub", "code")
     qs = vs.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), "sub", F.col("svd").alias("q_svd"))
-    lut = qs.join(u1, "sub").select(
+    lut = qs.join(F.broadcast(u1), "sub").select(
         "q_id", "sub", "code",
         F.expr("CAST(round(aggregate(zip_with(q_svd, cd, (x, y) -> (x - y) * (x - y)), "
                f"CAST(0.0 AS DOUBLE), (a, p) -> a + p) * {_PQ_SCALE}) AS BIGINT)").alias("d2u"))
@@ -1055,4 +1058,171 @@ def sim_pq_recall(spark, sf_dir):
             F.countDistinct("q_id").cast("long").alias("n_queries"),
             F.round(F.count("hit") * 1.0 / F.count("*"), 4).alias("recall_at_10"),
         )
+    )
+
+
+# --- IVF+PQ: the production composition (FAISS-style IVFPQ, nprobe=1) ------
+# Coarse k-means cells bound the candidate set per query; PQ codebooks are
+# trained on the RESIDUALS (vector minus its cell centroid), which carry far
+# less variance than raw vectors, so the same 8-byte code spends its 16
+# levels per subspace on a tighter range. Search = probe own cell + integer
+# ADC over residual LUTs. Jegou et al. 2011 §IV (IVFADC).
+
+_IVFPQ_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cluster, vd AS cd FROM v WHERE vec_id < 8),
+{_dk_assign('v', 'c0', 'ka1')},
+{_dk_update('ka1', 'ku1')},
+{_dk_assign('v', 'ku1', 'ka2')},
+{_dk_update('ka2', 'ku2')},
+{_dk_assign('v', 'ku2', 'ka3')},
+res AS (
+  SELECT a.vec_id, a.cluster,
+         list_transform(range(1, len(a.vd) + 1),
+                        i -> CAST(round((a.vd[i] - c.cd[i]) * {_PQ_SCALE}) AS BIGINT)) AS rv
+  FROM (SELECT * FROM ka3 WHERE rn = 1) a JOIN ku2 c ON c.cluster = a.cluster
+),
+rs AS (
+  SELECT vec_id, cluster, CAST(s AS INTEGER) AS sub,
+         list_slice(rv, s*8+1, s*8+8) AS svd
+  FROM res, LATERAL (SELECT unnest(range(0, {_PQ_M})) AS s) z
+),
+pc0 AS (
+  SELECT sub, CAST(vec_id AS INTEGER) AS code, svd AS cd FROM rs WHERE vec_id < {_PQ_K}
+),
+pa1 AS (
+  SELECT vec_id, sub, svd, code, d2,
+         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+  FROM (
+    SELECT rs.vec_id, rs.sub, rs.svd, c.code,
+           list_sum(list_transform(range(1, 9),
+                    i -> (rs.svd[i] - c.cd[i]) * (rs.svd[i] - c.cd[i]))) AS d2
+    FROM rs JOIN pc0 c ON c.sub = rs.sub) d
+),
+pu1e AS (
+  SELECT a.sub, a.code, s.i AS i, s.x AS x
+  FROM (SELECT * FROM pa1 WHERE rn = 1) a,
+  LATERAL (SELECT unnest(list_transform(range(1, len(a.svd) + 1),
+           i -> {{'i': i, 'x': a.svd[i]}}), recursive := true)) s(i, x)
+),
+pu1 AS (
+  SELECT sub, code, list(CAST(floor(c + 0.5) AS BIGINT) ORDER BY i) AS cd
+  FROM (SELECT sub, code, i, avg(x) AS c FROM pu1e GROUP BY sub, code, i) g
+  GROUP BY sub, code
+),
+enc AS (
+  SELECT vec_id, cluster, sub, code FROM (
+    SELECT rs.vec_id, rs.cluster, rs.sub, c.code,
+           row_number() OVER (PARTITION BY rs.vec_id, rs.sub ORDER BY
+             list_sum(list_transform(range(1, 9),
+                      i -> (rs.svd[i] - c.cd[i]) * (rs.svd[i] - c.cd[i]))), c.code) AS rn
+    FROM rs JOIN pu1 c ON c.sub = rs.sub) d
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, cluster AS q_cluster, sub, svd AS q_svd
+      FROM rs WHERE vec_id < 5),
+lut AS (
+  SELECT q.q_id, q.q_cluster, q.sub, c.code,
+         list_sum(list_transform(range(1, 9),
+                  i -> (q.q_svd[i] - c.cd[i]) * (q.q_svd[i] - c.cd[i]))) AS d2u
+  FROM q JOIN pu1 c ON c.sub = q.sub
+),
+adc AS (
+  SELECT l.q_id, e.vec_id, CAST(sum(l.d2u) AS BIGINT) AS adc_u
+  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+                        AND l.q_cluster = e.cluster
+  WHERE e.vec_id != l.q_id
+  GROUP BY l.q_id, e.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, adc_u,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_u, vec_id) AS BIGINT) AS rnk
+  FROM adc
+)
+SELECT q_id, vec_id, round(adc_u / ({_PQ_SCALE}.0 * {_PQ_SCALE}.0), 6) AS adc_d2, rnk
+FROM ranked WHERE rnk <= 10
+"""
+
+# integer-unit variant of _PQ_D2 for the residual path (exact BIGINT math)
+_PQ_D2I = ("aggregate(zip_with(svd, cd, (x, y) -> (x - y) * (x - y)), "
+           "CAST(0 AS BIGINT), (a, p) -> a + p)")
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=_IVFPQ_SQL,
+    doc=(
+        "IVF+PQ, the production ANN composition (FAISS IVFADC, Jegou et al. "
+        "2011 §IV): 8 Lloyd-trained coarse cells bound WHICH candidates each "
+        "query scores (nprobe=1 probes 1/k of the corpus), and PQ codebooks "
+        "trained on cell RESIDUALS bound the BYTES per candidate (8 codes = "
+        "32x compression; residuals carry less variance than raw vectors, so "
+        "the 16 levels per subspace quantize a tighter range). Search joins "
+        "the 8-byte codes against a broadcast per-query residual LUT and "
+        "ranks by exact-integer ADC sums. Every stage is a broadcast onto a "
+        "linear corpus scan — coarse assign (8 centroids), residual (join "
+        "back the same 8), encode (128-row codebook), search (640-row LUT) "
+        "— with map-side min_by argmins; nothing quadratic, nothing "
+        "corpus-sized on the driver."
+    ),
+)
+def sim_ivfpq_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.expr(VD).alias("vd")).persist()
+    cent = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), F.col("vd").alias("cd"))
+    for _ in range(2):
+        cent = _km_update(_km_assign(v, cent))
+    asg = _km_assign(v, cent)
+    res = asg.join(F.broadcast(cent), "cluster").select(
+        "vec_id", "cluster",
+        F.expr("zip_with(vd, cd, (x, y) -> "
+               f"CAST(round((x - y) * {_PQ_SCALE}) AS BIGINT))").alias("rv"))
+    rs = (
+        res.select("vec_id", "cluster", "rv",
+                   F.explode(F.expr(f"sequence(0, {_PQ_M - 1})")).alias("sub"))
+        .select("vec_id", "cluster", F.col("sub").cast("int").alias("sub"),
+                F.expr("slice(rv, sub * 8 + 1, 8)").alias("svd"))
+        .persist()  # feeds train, encode, and the query-side LUT
+    )
+    pc0 = rs.filter(F.col("vec_id") < _PQ_K).select(
+        "sub", F.col("vec_id").cast("int").alias("code"), F.col("svd").alias("cd"))
+    pa1 = _pq_assign(rs, pc0, d2expr=_PQ_D2I)
+    # codebook means in integer micro-units via floor(avg + 0.5): the sums
+    # stay exact in doubles (members * 2e6 << 2^53), so the rule is
+    # bit-deterministic cross-engine — unlike round(avg, 6) over grid-aligned
+    # residuals, whose means land EXACTLY on 6dp half-way points (measured: 7
+    # of 1024 codebook elements flipped between engines before this change)
+    pu1 = (
+        pa1.select("sub", "code", F.posexplode("svd").alias("i", "x"))
+        .groupBy("sub", "code", "i")
+        .agg(F.floor(F.avg("x") + 0.5).cast("long").alias("c"))
+        .groupBy("sub", "code")
+        .agg(F.expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)").alias("cd"))
+    )
+    enc = _pq_assign(rs, pu1, carry=("cluster",), d2expr=_PQ_D2I).select(
+        "vec_id", "cluster", "sub", "code")
+    qs = rs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("cluster").alias("q_cluster"),
+        "sub", F.col("svd").alias("q_svd"))
+    lut = qs.join(F.broadcast(pu1), "sub").select(
+        "q_id", "q_cluster", "sub", "code",
+        F.expr("aggregate(zip_with(q_svd, cd, (x, y) -> (x - y) * (x - y)), "
+               "CAST(0 AS BIGINT), (a, p) -> a + p)").alias("d2u"))
+    adc = (
+        enc.join(F.broadcast(lut), ["sub", "code"])
+        .filter((F.col("cluster") == F.col("q_cluster"))
+                & (F.col("vec_id") != F.col("q_id")))
+        .groupBy("q_id", "vec_id").agg(F.sum("d2u").alias("adc_u"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_u", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("q_id", "vec_id",
+                F.round(F.col("adc_u") / (float(_PQ_SCALE) * _PQ_SCALE), 6).alias("adc_d2"),
+                "rnk")
     )

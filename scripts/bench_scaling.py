@@ -70,8 +70,11 @@ QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
     "doc_tfidf_keywords",
     "text_token_stats",
+    "text_charlm_quality",
     "pack_token_shards",
 ]
 

@@ -265,3 +265,13 @@ def test_charlm_broadcasts_lm_table(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_charlm_quality")
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivfpq_all_broadcast_no_smj(spark, sf_dir):
+    """sim_ivfpq_topk: every join in the composition (coarse centroids,
+    residual join-back, PQ codebook, ADC LUT) is against a side that stays
+    constant-size at any corpus scale, so the plan must contain NO
+    sort-merge join and keep the map-side min_by argmins."""
+    plan = plan_of(spark, sf_dir, "sim_ivfpq_topk")
+    assert "SortMergeJoin" not in plan
+    assert "min_by" in plan
