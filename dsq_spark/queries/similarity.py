@@ -1166,7 +1166,10 @@ _PQ_D2I = ("aggregate(zip_with(svd, cd, (x, y) -> (x - y) * (x - y)), "
         "linear corpus scan — coarse assign (8 centroids), residual (join "
         "back the same 8), encode (128-row codebook), search (640-row LUT) "
         "— with map-side min_by argmins; nothing quadratic, nothing "
-        "corpus-sized on the driver."
+        "corpus-sized on the driver. Measured recall@10 = 0.36 at sf0.01 — "
+        "identical to full-scan PQ (sim_pq_recall) while scoring 8x fewer "
+        "candidates: on these structure-free uniform-random vectors the "
+        "cell restriction costs nothing, and quantization loss dominates."
     ),
 )
 def sim_ivfpq_topk(spark, sf_dir):
