@@ -152,7 +152,7 @@ inter AS (
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT c.doc_a, c.doc_b,
-       round(coalesce(i.i, 0) * 1.0 / (za.n + zb.n - coalesce(i.i, 0)), 4) AS jaccard
+       floor((coalesce(i.i, 0) * 1.0 / (za.n + zb.n - coalesce(i.i, 0))) * 10000 + 0.5) / 10000 AS jaccard
 FROM cand c
 LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 JOIN sizes za ON za.doc_id = c.doc_a
@@ -202,7 +202,7 @@ def dedup_minhash_lsh(spark, sf_dir):
         cand.join(inter, ["doc_a", "doc_b"], "left")
         .join(za, "doc_a").join(zb, "doc_b")
         .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", (F.floor(jac * 10000 + 0.5) / 10000).alias("jaccard"))
     )
 
 
@@ -219,7 +219,7 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       round(i * 1.0 / (za.n + zb.n - i), 4) AS jaccard
+       floor((i * 1.0 / (za.n + zb.n - i)) * 10000 + 0.5) / 10000 AS jaccard
 FROM inter
 JOIN sizes za ON za.doc_id = doc_a
 JOIN sizes zb ON zb.doc_id = doc_b
@@ -244,7 +244,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return (
         inter.join(za, "doc_a").join(zb, "doc_b")
         .filter(jac >= 0.05)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", (F.floor(jac * 10000 + 0.5) / 10000).alias("jaccard"))
     )
 
 
@@ -369,7 +369,7 @@ inter AS (
   GROUP BY c.doc_new, c.doc_old
 )
 SELECT c.doc_new, c.doc_old,
-       round(coalesce(i.i, 0) * 1.0 / (za.n + zb.n - coalesce(i.i, 0)), 4) AS jaccard
+       floor((coalesce(i.i, 0) * 1.0 / (za.n + zb.n - coalesce(i.i, 0))) * 10000 + 0.5) / 10000 AS jaccard
 FROM cand c
 LEFT JOIN inter i ON i.doc_new = c.doc_new AND i.doc_old = c.doc_old
 JOIN sizes za ON za.doc_id = c.doc_new
@@ -425,7 +425,7 @@ def dedup_incremental_lsh(spark, sf_dir):
         cand.join(inter, ["doc_new", "doc_old"], "left")
         .join(za, "doc_new").join(zb, "doc_old")
         .filter(jac >= 0.5)
-        .select("doc_new", "doc_old", F.round(jac, 4).alias("jaccard"))
+        .select("doc_new", "doc_old", (F.floor(jac * 10000 + 0.5) / 10000).alias("jaccard"))
     )
 
 

@@ -605,7 +605,7 @@ share AS (
   FROM tok
 )
 SELECT lang, n_docs, n_tokens,
-       round(token_share, 6) AS token_share,
+       floor(token_share * 1000000 + 0.5) / 1000000 AS token_share,
        round(sqrt(token_share) / sum(sqrt(token_share)) OVER (), 6) AS mix_weight
 FROM share
 """,
@@ -630,7 +630,7 @@ def mix_token_budget(spark, sf_dir):
     weight = F.sqrt(share) / F.sum(F.sqrt(share)).over(w)
     return tok.select(
         "lang", "n_docs", "n_tokens",
-        F.round(share, 6).alias("token_share"),
+        (F.floor(share * 1000000 + 0.5) / 1000000).alias("token_share"),
         F.round(weight, 6).alias("mix_weight"),
     )
 
@@ -779,4 +779,62 @@ def text_charlm_quality(spark, sf_dir):
         "lang", "n_docs", "avg_logp",
         F.round(F.exp(-F.col("avg_logp")), 4).alias("ppl"),
         "worst_doc", "worst_logp",
+    )
+
+
+@register(
+    "text_chunk_documents",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, {D_TOKENS} AS t FROM documents
+),
+starts AS (
+  SELECT doc_id, t, len(t) AS n, CAST(s AS BIGINT) AS start
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t) + 1, 24)) AS s) z
+),
+ck AS (
+  SELECT doc_id, CAST((start - 1) / 24 AS BIGINT) AS chunk_idx, start AS chunk_start,
+         list_slice(t, start, least(start + 31, n)) AS c
+  FROM starts
+)
+SELECT doc_id, chunk_idx, chunk_start,
+       CAST(len(c) AS BIGINT) AS n_tokens,
+       md5(array_to_string(c, ' ')) AS chunk_hash
+FROM ck
+WHERE chunk_idx = 0 OR len(c) > 8
+""",
+    doc=(
+        "Sliding-window document chunking (size 32 tokens, stride 24 — the "
+        "context-window prep step every training/RAG pipeline runs before "
+        "tokenized packing): each document explodes into overlapping token "
+        "chunks with a deterministic content hash; a trailing chunk wholly "
+        "contained in its predecessor (<= size - stride tokens) is dropped "
+        "unless it is the document's only chunk. Pure map-side Catalyst "
+        "HOFs — sequence/slice/explode on one scan, ZERO shuffles at any "
+        "corpus size (plan-gated); downstream pack_token_shards bins the "
+        "chunks. Output order-insensitive; chunk_idx derives arithmetically "
+        "from the stride so both engines agree without a window."
+    ),
+)
+def text_chunk_documents(spark, sf_dir):
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(TOKENS).alias("toks"))
+        .withColumn("n", F.size("toks"))
+    )
+    chunks = d.select(
+        "doc_id", "n",
+        F.posexplode(F.expr(
+            "transform(sequence(1, n, 24), s -> struct(s AS start, slice(toks, s, 32) AS c))"
+        )).alias("chunk_idx", "z"),
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("z.start").cast("long").alias("chunk_start"),
+            F.size("z.c").cast("long").alias("n_tokens"),
+            F.md5(F.array_join("z.c", " ")).alias("chunk_hash"),
+        )
+        .filter((F.col("chunk_idx") == 0) | (F.col("n_tokens") > 8))
     )

@@ -230,8 +230,8 @@ def q22_anti_join_avg(spark, sf_dir):
     oracle="""
 SELECT o_orderkey,
        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cume,
+       floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+       floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cume,
        first_value(o_orderkey) OVER w AS first_key,
        nth_value(o_orderkey, 2) OVER w AS second_key
 FROM orders
@@ -247,8 +247,8 @@ def window_distribution(spark, sf_dir):
     return o.select(
         "o_orderkey",
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        (F.floor(F.percent_rank().over(w) * 1000000 + 0.5) / 1000000).alias("pct_rank"),
+        (F.floor(F.cume_dist().over(w) * 1000000 + 0.5) / 1000000).alias("cume"),
         F.first("o_orderkey").over(w).alias("first_key"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
     )
@@ -624,7 +624,8 @@ def q15_top_supplier(spark, sf_dir):
 WITH cost AS (
   SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
   FROM lineitem GROUP BY l_partkey, l_suppkey)
-SELECT p_partkey, p_brand, s_name, round(unit_cost, 4) AS unit_cost
+SELECT p_partkey, p_brand, s_name,
+       floor(unit_cost * 10000 + 0.5) / 10000 AS unit_cost
 FROM cost
 JOIN part ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey
@@ -639,7 +640,13 @@ WHERE p_size <= 10
         "in both engines. Spark impl decorrelates with a window min over "
         "l_partkey — that repartitions only the small aggregated set "
         "(one row per part-supplier pair), never lineitem itself. part "
-        "is filtered (p_size <= 10) before its broadcast.",
+        "is filtered (p_size <= 10) before its broadcast. Display "
+        "rounding is floor(x*1e4 + 0.5)/1e4 on BOTH engines rather than "
+        "round(x, 4): a 2dp-price / integer-quantity quotient lands on "
+        "exact 4dp half-way points often enough (6 of 3919 rows at sf0.1) "
+        "that the engines' different round() implementations disagree by "
+        "one ulp of the last digit; the floor form is the same IEEE ops "
+        "on the same doubles, so it cannot.",
 )
 def q2_min_cost_supplier(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
@@ -655,7 +662,7 @@ def q2_min_cost_supplier(spark, sf_dir):
         best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
         .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
         .select("p_partkey", "p_brand", "s_name",
-                F.round("unit_cost", 4).alias("unit_cost"))
+                (F.floor(F.col("unit_cost") * 10000 + 0.5) / 10000).alias("unit_cost"))
     )
 
 

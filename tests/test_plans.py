@@ -275,3 +275,13 @@ def test_ivfpq_all_broadcast_no_smj(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sim_ivfpq_topk")
     assert "SortMergeJoin" not in plan
     assert "min_by" in plan
+
+
+def test_chunking_is_map_side_only(spark, sf_dir):
+    """text_chunk_documents: chunk explode + hash is embarrassingly parallel
+    — no hash exchange, no join, no window, no Python in the plan."""
+    plan = plan_of(spark, sf_dir, "text_chunk_documents")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert n_nodes(plan, r"Window(?!GroupLimit)") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
