@@ -116,3 +116,16 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.persist()
     _TABLE_MEMO[key] = (spark, df)
     return df
+
+
+def fround(col, n: int):
+    """Deterministic cross-engine rounding for per-row EXACT RATIONALS
+    (count/count ratios, decimal/integer quotients, percent_rank):
+    floor(x * 10^n + 0.5) / 10^n — the same IEEE ops on the same doubles in
+    every engine, unlike round(x, n), whose implementations disagree by one
+    final-digit ulp exactly on decimal half-way points (which exact rationals
+    hit often — 6 of 3919 q2 rows at sf0.1). Mirror the literal form in the
+    DuckDB oracle SQL. Non-negative inputs only (floor+0.5 is round-half-up
+    there); aggregated floats keep F.round — see queries/__init__ docstring."""
+    s = 10 ** n
+    return F.floor(col * s + 0.5) / s

@@ -43,7 +43,7 @@ import random
 
 from pyspark.sql import functions as F
 
-from dsq_spark.queries.base import register, t
+from dsq_spark.queries.base import fround, register, t
 from dsq_spark.queries.text import D_NORM, D_TOKENS, NORM
 
 P = 1_000_000_007
@@ -202,7 +202,7 @@ def dedup_minhash_lsh(spark, sf_dir):
         cand.join(inter, ["doc_a", "doc_b"], "left")
         .join(za, "doc_a").join(zb, "doc_b")
         .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", (F.floor(jac * 10000 + 0.5) / 10000).alias("jaccard"))
+        .select("doc_a", "doc_b", fround(jac, 4).alias("jaccard"))
     )
 
 
@@ -244,7 +244,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return (
         inter.join(za, "doc_a").join(zb, "doc_b")
         .filter(jac >= 0.05)
-        .select("doc_a", "doc_b", (F.floor(jac * 10000 + 0.5) / 10000).alias("jaccard"))
+        .select("doc_a", "doc_b", fround(jac, 4).alias("jaccard"))
     )
 
 
@@ -425,7 +425,7 @@ def dedup_incremental_lsh(spark, sf_dir):
         cand.join(inter, ["doc_new", "doc_old"], "left")
         .join(za, "doc_new").join(zb, "doc_old")
         .filter(jac >= 0.5)
-        .select("doc_new", "doc_old", (F.floor(jac * 10000 + 0.5) / 10000).alias("jaccard"))
+        .select("doc_new", "doc_old", fround(jac, 4).alias("jaccard"))
     )
 
 

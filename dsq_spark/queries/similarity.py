@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dsq_spark.queries.base import register, t
+from dsq_spark.queries.base import fround, register, t
 
 # double-cast embedding (float32 → float64 is exact; all downstream math is
 # then identical IEEE-754 double arithmetic in both engines)
@@ -934,7 +934,7 @@ brute AS (
 ),
 pqk AS (SELECT q_id, vec_id FROM ranked WHERE rnk <= 10)
 SELECT CAST(count(DISTINCT b.q_id) AS BIGINT) AS n_queries,
-       round(count(p.vec_id) * 1.0 / count(*), 4) AS recall_at_10
+       floor((count(p.vec_id) * 1.0 / count(*)) * 10000 + 0.5) / 10000 AS recall_at_10
 FROM brute b LEFT JOIN pqk p ON p.q_id = b.q_id AND p.vec_id = b.vec_id
 """
 
@@ -962,6 +962,20 @@ def _pq_assign(vs, cb, carry=(), d2expr=None):
     )
 
 
+def _pq_codebook(a, mean_col):
+    """Rebuild a (sub, code) codebook from an assignment: per-(sub, code, dim)
+    mean under the CALLER'S rounding rule, re-assembled in dim order. The
+    rounding rule is load-bearing (plain PQ rounds to 6dp; the residual path
+    must use exact-integer floor(avg + 0.5) — see sim_ivfpq_topk), so it is
+    an explicit parameter rather than something each copy gets right by hand."""
+    return (
+        a.select("sub", "code", F.posexplode("svd").alias("i", "x"))
+        .groupBy("sub", "code", "i").agg(mean_col.alias("c"))
+        .groupBy("sub", "code")
+        .agg(F.expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)").alias("cd"))
+    )
+
+
 def _pq_parts(spark, sf_dir):
     """(full vectors v, subvectors vs, trained codebook u1, encoded corpus,
     per-query integer ADC rank table) shared by the PQ queries."""
@@ -976,12 +990,7 @@ def _pq_parts(spark, sf_dir):
     c0 = vs.filter(F.col("vec_id") < _PQ_K).select(
         "sub", F.col("vec_id").cast("int").alias("code"), F.col("svd").alias("cd"))
     a1 = _pq_assign(vs, c0)
-    u1 = (
-        a1.select("sub", "code", F.posexplode("svd").alias("i", "x"))
-        .groupBy("sub", "code", "i").agg(F.round(F.avg("x"), 6).alias("c"))
-        .groupBy("sub", "code")
-        .agg(F.expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)").alias("cd"))
-    )
+    u1 = _pq_codebook(a1, F.round(F.avg("x"), 6))
     enc = _pq_assign(vs, u1).select("vec_id", "sub", "code")
     qs = vs.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), "sub", F.col("svd").alias("q_svd"))
@@ -1056,7 +1065,7 @@ def sim_pq_recall(spark, sf_dir):
         brute.join(pqk.withColumn("hit", F.lit(1)), ["q_id", "vec_id"], "left")
         .agg(
             F.countDistinct("q_id").cast("long").alias("n_queries"),
-            F.round(F.count("hit") * 1.0 / F.count("*"), 4).alias("recall_at_10"),
+            fround(F.count("hit") * 1.0 / F.count("*"), 4).alias("recall_at_10"),
         )
     )
 
@@ -1142,7 +1151,9 @@ ranked AS (
          CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_u, vec_id) AS BIGINT) AS rnk
   FROM adc
 )
-SELECT q_id, vec_id, round(adc_u / ({_PQ_SCALE}.0 * {_PQ_SCALE}.0), 6) AS adc_d2, rnk
+SELECT q_id, vec_id,
+       floor(adc_u / ({_PQ_SCALE}.0 * {_PQ_SCALE}.0) * 1000000 + 0.5) / 1000000 AS adc_d2,
+       rnk
 FROM ranked WHERE rnk <= 10
 """
 
@@ -1199,13 +1210,7 @@ def sim_ivfpq_topk(spark, sf_dir):
     # bit-deterministic cross-engine — unlike round(avg, 6) over grid-aligned
     # residuals, whose means land EXACTLY on 6dp half-way points (measured: 7
     # of 1024 codebook elements flipped between engines before this change)
-    pu1 = (
-        pa1.select("sub", "code", F.posexplode("svd").alias("i", "x"))
-        .groupBy("sub", "code", "i")
-        .agg(F.floor(F.avg("x") + 0.5).cast("long").alias("c"))
-        .groupBy("sub", "code")
-        .agg(F.expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)").alias("cd"))
-    )
+    pu1 = _pq_codebook(pa1, F.floor(F.avg("x") + 0.5).cast("long"))
     enc = _pq_assign(rs, pu1, carry=("cluster",), d2expr=_PQ_D2I).select(
         "vec_id", "cluster", "sub", "code")
     qs = rs.filter(F.col("vec_id") < 5).select(
@@ -1226,6 +1231,6 @@ def sim_ivfpq_topk(spark, sf_dir):
         adc.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 10)
         .select("q_id", "vec_id",
-                F.round(F.col("adc_u") / (float(_PQ_SCALE) * _PQ_SCALE), 6).alias("adc_d2"),
+                fround(F.col("adc_u") / (float(_PQ_SCALE) * _PQ_SCALE), 6).alias("adc_d2"),
                 "rnk")
     )

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dsq_spark.queries.base import register, t
+from dsq_spark.queries.base import fround, register, t
 
 # Spark-side normalized text + token expressions (SQL-expression strings keep
 # the whole pipeline in Catalyst higher-order functions).
@@ -630,7 +630,7 @@ def mix_token_budget(spark, sf_dir):
     weight = F.sqrt(share) / F.sum(F.sqrt(share)).over(w)
     return tok.select(
         "lang", "n_docs", "n_tokens",
-        (F.floor(share * 1000000 + 0.5) / 1000000).alias("token_share"),
+        fround(share, 6).alias("token_share"),
         F.round(weight, 6).alias("mix_weight"),
     )
 
@@ -786,7 +786,7 @@ def text_charlm_quality(spark, sf_dir):
     "text_chunk_documents",
     oracle=f"""
 WITH tk AS (
-  SELECT doc_id, {D_TOKENS} AS t FROM documents
+  SELECT doc_id, {D_TOKENS} AS t FROM documents WHERE text IS NOT NULL
 ),
 starts AS (
   SELECT doc_id, t, len(t) AS n, CAST(s AS BIGINT) AS start
@@ -819,6 +819,9 @@ WHERE chunk_idx = 0 OR len(c) > 8
 def text_chunk_documents(spark, sf_dir):
     d = (
         t(spark, sf_dir, "documents")
+        # NULL text must drop BEFORE size(): Spark's size(NULL) is -1 and
+        # sequence(1, -1, 24) throws; the oracle filters the same rows
+        .filter(F.col("text").isNotNull())
         .select("doc_id", F.expr(TOKENS).alias("toks"))
         .withColumn("n", F.size("toks"))
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dsq_spark.queries.base import register, t
+from dsq_spark.queries.base import fround, register, t
 
 
 @register(
@@ -247,8 +247,8 @@ def window_distribution(spark, sf_dir):
     return o.select(
         "o_orderkey",
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        (F.floor(F.percent_rank().over(w) * 1000000 + 0.5) / 1000000).alias("pct_rank"),
-        (F.floor(F.cume_dist().over(w) * 1000000 + 0.5) / 1000000).alias("cume"),
+        fround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        fround(F.cume_dist().over(w), 6).alias("cume"),
         F.first("o_orderkey").over(w).alias("first_key"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
     )
@@ -662,7 +662,7 @@ def q2_min_cost_supplier(spark, sf_dir):
         best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
         .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
         .select("p_partkey", "p_brand", "s_name",
-                (F.floor(F.col("unit_cost") * 10000 + 0.5) / 10000).alias("unit_cost"))
+                fround(F.col("unit_cost"), 4).alias("unit_cost"))
     )
 
 

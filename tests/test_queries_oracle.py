@@ -59,3 +59,27 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     if left != right:
         diffs = [(a, b) for a, b in zip(left, right) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch; first diffs: {diffs}")
+
+
+def test_chunking_drops_null_text_rows(spark, tmp_path):
+    """text_chunk_documents on a corpus containing NULL text: Spark's
+    size(NULL) is -1 and sequence(1, -1, 24) would throw — both engines
+    must instead DROP the row (regression test for the NULL-text crash)."""
+    import duckdb
+
+    import dsq_spark.queries as Q
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "en", "web", 22),
+         (2, None, "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    q = Q.REGISTRY["text_chunk_documents"]
+    rows = q.fn(spark, str(tmp_path)).collect()
+    assert {r["doc_id"] for r in rows} == {1}
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'")
+    orows = con.sql(q.oracle).fetchall()
+    assert len(orows) == len(rows)
