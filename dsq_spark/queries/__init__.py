@@ -54,6 +54,7 @@ _PRIORITY = [
     "sim_pq_topk",
     "sim_pq_recall",
     "sim_ivfpq_topk",
+    "sim_ivf_incremental",
     "text_charlm_quality",
     "text_chunk_documents",
     # (b) changed this round: TF-IDF vocab-broadcast hint removed (plan-only
@@ -100,10 +101,10 @@ _PRIORITY = [
     "sample_hash_split",
     "text_dup_ngram_fraction",
     "sim_topk_bruteforce",
-    "sim_lsh_buckets",
-    # displaced past the 50-row window by the five new round-3 queries (new
+    # displaced past the 50-row window by the six new round-3 queries (new
     # operators need their first hard row now); all stay green in the local
     # oracle suite and are first in line for the round-4 rotation
+    "sim_lsh_buckets",
     "sim_ivf_topk",
     "sim_cosine_neardup",
     "sim_neardup_components",

@@ -1234,3 +1234,92 @@ def sim_ivfpq_topk(spark, sf_dir):
                 fround(F.col("adc_u") / (float(_PQ_SCALE) * _PQ_SCALE), 6).alias("adc_d2"),
                 "rnk")
     )
+
+
+# --- Incremental ANN ingest: frozen index, batch-only probing --------------
+
+_INC_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+),
+idx AS (SELECT * FROM v WHERE vec_id % 5 != 0),
+c0 AS (SELECT vec_id AS cluster, vd AS cd FROM idx WHERE vec_id < 10),
+{_dk_assign('idx', 'c0', 'ia1')},
+{_dk_update('ia1', 'iu1')},
+{_dk_assign('idx', 'iu1', 'ia2')},
+{_dk_update('ia2', 'iu2')},
+{_dk_assign('idx', 'iu2', 'ia3')},
+inrm AS (
+  SELECT vec_id, vd, cluster,
+         sqrt(list_sum(list_transform(range(1, len(vd) + 1), i -> vd[i] * vd[i]))) AS nrm
+  FROM ia3 WHERE rn = 1
+),
+bat AS (SELECT * FROM v WHERE vec_id % 5 = 0 AND vec_id < 50),
+{_dk_assign('bat', 'iu2', 'ba1')},
+bnrm AS (
+  SELECT vec_id AS q_id, vd AS q_vd, cluster AS q_cluster,
+         sqrt(list_sum(list_transform(range(1, len(vd) + 1), i -> vd[i] * vd[i]))) AS q_nrm
+  FROM ba1 WHERE rn = 1
+),
+scored AS (
+  SELECT b.q_id, n.vec_id,
+         list_sum(list_transform(range(1, len(n.vd) + 1),
+                  i -> b.q_vd[i] * n.vd[i])) / (b.q_nrm * n.nrm) AS cos
+  FROM bnrm b JOIN inrm n ON n.cluster = b.q_cluster
+),
+ranked AS (
+  SELECT q_id, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT q_id, vec_id, round(cos, 4) AS cosine, rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+@register(
+    "sim_ivf_incremental",
+    oracle=_INC_SQL,
+    doc=(
+        "Continuous-ingest ANN (the serving analog of dedup_incremental_lsh): "
+        "the index side — 80% of the corpus — trains k=8 Lloyd cells, "
+        "assigns, and norms ONCE; an arriving batch then only (a) assigns "
+        "each new vector to its nearest frozen centroid (a broadcast of 8 "
+        "rows onto the batch scan) and (b) scores against the one matching "
+        "index cell. The index is never re-trained or re-scanned beyond the "
+        "probed cells, there is no batch x batch work, and the batch side "
+        "broadcasts — per-ingest cost is O(batch x cell), independent of "
+        "total index size growth per batch. Cosines accumulate in identical "
+        "element order on both engines, so ranking is bit-deterministic."
+    ),
+)
+def sim_ivf_incremental(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.expr(VD).alias("vd"))
+    idx = v.filter(F.col("vec_id") % 5 != 0).persist()
+    cent = idx.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cluster"), F.col("vd").alias("cd"))
+    for _ in range(2):
+        cent = _km_update(_km_assign(idx, cent))
+    nrm_expr = F.sqrt(F.expr(
+        "aggregate(zip_with(vd, vd, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (a, p) -> a + p)"))
+    inrm = _km_assign(idx, cent).withColumn("nrm", nrm_expr)
+    bat = v.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 50))
+    bnrm = _km_assign(bat, cent).withColumn("nrm", nrm_expr).select(
+        F.col("vec_id").alias("q_id"), F.col("vd").alias("q_vd"),
+        F.col("cluster").alias("q_cluster"), F.col("nrm").alias("q_nrm"))
+    dot = ("aggregate(zip_with(q_vd, vd, (x, y) -> x * y), "
+           "CAST(0.0 AS DOUBLE), (a, p) -> a + p)")
+    scored = (
+        inrm.join(F.broadcast(bnrm), F.col("cluster") == F.col("q_cluster"))
+        .select("q_id", "vec_id",
+                (F.expr(dot) / (F.col("q_nrm") * F.col("nrm"))).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "vec_id", F.round("cos", 4).alias("cosine"), "rnk")
+    )

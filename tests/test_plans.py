@@ -285,3 +285,12 @@ def test_chunking_is_map_side_only(spark, sf_dir):
     assert "Join" not in plan
     assert n_nodes(plan, r"Window(?!GroupLimit)") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_ann_broadcasts_batch(spark, sf_dir):
+    """sim_ivf_incremental: the arriving batch (and the 8 frozen centroids)
+    must broadcast onto the index side — the index is the only large input
+    and must never shuffle for the probe join."""
+    plan = plan_of(spark, sf_dir, "sim_ivf_incremental")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
