@@ -576,12 +576,17 @@ def _strftime_alias(parts: list[str]) -> str:
 
 def _minmax_alias(agg: str, scalar: str):
     """SQLite's max/min: one argument = aggregate, two-or-more = scalar
-    (greatest/least). Spark separates the two, so the call-site arity
-    decides (sqlite.org/lang_corefunc.html#max_scalar)."""
+    (sqlite.org/lang_corefunc.html#max_scalar). The scalar form returns
+    NULL if ANY argument is NULL, while Spark's greatest/least SKIP nulls —
+    so the expansion guards with an any-null CASE (found by the SQLite
+    differential fuzz, tests/test_sqlite_differential.py)."""
 
     def build(parts: list[str]) -> str:
-        fn = agg if len(parts) == 1 else scalar
-        return f"{fn}({', '.join(p.strip() for p in parts)})"
+        args = [p.strip() for p in parts]
+        if len(args) == 1:
+            return f"{agg}({args[0]})"
+        nulls = " OR ".join(f"({a}) IS NULL" for a in args)
+        return f"CASE WHEN {nulls} THEN NULL ELSE {scalar}({', '.join(args)}) END"
 
     return build
 
@@ -759,9 +764,9 @@ def _like_fn_alias(parts: list[str]) -> str:
     was the OPERATOR with a parenthesized pattern (`x LIKE ('a%')`) that the
     call-site regex picked up — reconstruct it unchanged."""
     if len(parts) == 1:
-        return f"LIKE ({parts[0]})"
+        return f"ILIKE ({parts[0]})"
     esc = f" ESCAPE {parts[2].strip()}" if len(parts) > 2 else ""
-    return f"CAST(({parts[1].strip()} LIKE {parts[0].strip()}{esc}) AS INT)"
+    return f"CAST(({parts[1].strip()} ILIKE {parts[0].strip()}{esc}) AS INT)"
 
 
 def _quote_alias(parts: list[str]) -> str:
@@ -876,6 +881,16 @@ AGG_ALIASES = {
     # (ADVICE r2)
     "sqlite_version": lambda parts: "'3.39.2'",
     "iif": "if({args})",
+    # SQLite hex(X) converts X to TEXT and hexes the UTF-8 bytes (hex(17) =
+    # '3137', the digits' bytes — NOT numeric hex); NULL yields ''. Spark's
+    # hex() is numeric for ints, so route through an explicit text encode.
+    # Delta: BLOB args (which SQLite hexes byte-wise) would hex the string
+    # cast instead — no ingest path produces binary columns today.
+    "hex": lambda parts: (
+        "upper(hex(encode(coalesce(CAST("
+        + parts[0].strip()
+        + " AS STRING), ''), 'UTF-8')))"
+    ),
     "zeroblob": lambda parts: f"unhex(repeat('00', CAST({parts[0].strip()} AS INT)))",
     # SQLite random() is a uniform int64; rand() is a uniform double, so the
     # scaled cast loses the low ~11 bits of entropy — fine for its dominant

@@ -514,6 +514,63 @@ def _rewrite_json_each(sql: str) -> str:
     return "".join(out)
 
 
+_REAL_LIT = re.compile(
+    r"(?<![\w.`])(?:\d+\.\d*(?:[eE][+-]?\d+)?"
+    r"|\.\d+(?:[eE][+-]?\d+)?"
+    r"|\d+[eE][+-]?\d+)(?![\w.])"
+)
+
+
+def _rewrite_real_literals(sql: str) -> str:
+    """SQLite has no DECIMAL type: every numeric literal with a '.' or an
+    exponent is an IEEE-754 REAL. Spark parses `3.0` as DECIMAL(2,1) and
+    then does precision-bounded DECIMAL arithmetic, which produces genuinely
+    different values (a/3.0 as decimal division rounds at a decimal scale:
+    length(c)/(a/3.0) = -2.2500005625... vs SQLite's -2.25 — found by
+    tests/test_sqlite_differential.py). Suffixing the literal with D makes
+    it a Spark DOUBLE literal, restoring SQLite's arithmetic. Integer
+    literals stay integers (both engines agree). Span-aware: literals
+    inside strings and backticked (verbatim-name) aliases are untouched,
+    and the D suffix blocks re-matching, so the pass is idempotent."""
+    spans = _skip_spans(sql)
+    out, i = [], 0
+    for m in _REAL_LIT.finditer(sql):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        out.append(sql[i:m.end()])
+        out.append("D")
+        i = m.end()
+    out.append(sql[i:])
+    return "".join(out)
+
+
+_LIKE_TOKEN = re.compile(r"\bLIKE\b(?!\s*\()", re.IGNORECASE)
+
+
+def _rewrite_like(sql: str) -> str:
+    """SQLite's LIKE operator is ASCII-case-insensitive by default (PRAGMA
+    case_sensitive_like is OFF and dsq never flips it); Spark's LIKE is
+    case-sensitive and ILIKE is not, so the operator token rewrites to
+    ILIKE outside string literals and backticked aliases. A LIKE followed
+    by '(' is left alone: that is either the function form like(pat, x)
+    (expanded to ILIKE by _like_fn_alias) or the parenthesized-pattern
+    operator form (reconstructed as ILIKE by the same alias). ESCAPE
+    clauses pass through — Spark ILIKE supports them. NOT LIKE needs no
+    special casing (only the LIKE token changes); RLIKE/ILIKE themselves
+    never match (no word boundary before their L). Delta: ILIKE folds full
+    Unicode where SQLite folds ASCII only (PARITY.md)."""
+    spans = _skip_spans(sql)
+    out, i = [], 0
+    for m in _LIKE_TOKEN.finditer(sql):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        out.append(sql[i:m.start()])
+        out.append("ILIKE")
+        i = m.end()
+    out.append(sql[i:])
+    return "".join(out)
+
+
 def rewrite_query(sql: str) -> str:
     """Full dsq-dialect → Spark SQL rewrite (string literals untouched)."""
     return rewrite_query_tracked(sql)[0]
@@ -541,5 +598,10 @@ def rewrite_query_tracked(sql: str) -> tuple[str, frozenset[str]]:
             parts.append(_rewrite_chunk(chunk, dquoted))
     # arrow + glob + alias rewriting run whole-statement (their matches can
     # span a literal boundary) with literal-span skipping inside.
-    out = _rewrite_fn_aliases(_rewrite_glob(_rewrite_arrows("".join(parts))))
+    # real-literal suffixing runs LAST so decimals emitted by the alias/
+    # datetime compilers get the same double semantics as user literals —
+    # and so a second rewrite_query over the output is a no-op (the D
+    # suffix blocks re-matching; idempotence is property-tested).
+    out = _rewrite_real_literals(_rewrite_fn_aliases(
+        _rewrite_glob(_rewrite_like(_rewrite_arrows("".join(parts))))))
     return out, frozenset(dquoted)

@@ -51,11 +51,11 @@ def test_arrow_operators():
 
 def test_agg_aliases():
     out = rewrite_query("SELECT percentile_75(x), stdev(y) FROM {}")
-    assert "percentile(x, 0.75)" in out
+    assert "percentile(x, 0.75D)" in out
     assert "stddev_samp(y)" in out
     # nested parens in args survive
     out = rewrite_query("SELECT percentile_25(abs(x - 1)) FROM {}")
-    assert "percentile(abs(x - 1), 0.25)" in out
+    assert "percentile(abs(x - 1), 0.25D)" in out
     # alias name inside a string literal is untouched
     out = rewrite_query("SELECT 'stdev(x)' AS lit, total(y) FROM {}")
     assert "'stdev(x)'" in out and "coalesce(sum(y), 0.0d)" in out
