@@ -195,7 +195,8 @@ def _sql_udfs() -> list[str]:
         # unicode (SQLite core). `quote()` is a non-shadowable Spark builtin
         # whose escaping differs (backslash vs doubled quote) — documented
         # delta, same purpose.
-        "CREATE OR REPLACE TEMPORARY FUNCTION unicode(s STRING) RETURNS INT RETURN ascii(s)",
+        "CREATE OR REPLACE TEMPORARY FUNCTION unicode(s STRING) RETURNS INT "
+        "RETURN CASE WHEN length(s) = 0 THEN NULL ELSE ascii(s) END",  # '' -> NULL like SQLite
         # JSON1 family (README.md:698): json_array_length is a same-named
         # Spark builtin; `->`/`->>` are rewritten (dsq_spark.rewrite);
         # json_extract maps to get_json_object (single-path form; returns
@@ -574,6 +575,22 @@ def _strftime_alias(parts: list[str]) -> str:
     return _strftime_concat(fmt, e)
 
 
+
+
+_CAST_TYPES = {"text": "STRING", "integer": "BIGINT", "int": "BIGINT",
+               "real": "DOUBLE", "numeric": "DOUBLE", "blob": "BINARY"}
+
+
+def _cast_alias(parts: list[str]) -> str:
+    """CAST(expr AS sqlite-type) → CAST(expr AS spark-type); the LAST
+    top-level ' AS ' splits (greedy — a nested CAST's AS sits left of it),
+    and a type that isn't a bare word (decimal(10,2)) passes through."""
+    inner = ", ".join(p for p in parts)  # cast args never split (no commas)
+    m = re.search(r"(?is)^(.*)\s+AS\s+([A-Za-z]+)\s*$", inner.strip())
+    if not m:
+        return f"CAST({inner})"
+    return f"CAST({m.group(1)} AS {_CAST_TYPES.get(m.group(2).lower(), m.group(2))})"
+
 def _minmax_alias(agg: str, scalar: str):
     """SQLite's max/min: one argument = aggregate, two-or-more = scalar
     (sqlite.org/lang_corefunc.html#max_scalar). The scalar form returns
@@ -785,11 +802,37 @@ def _quote_alias(parts: list[str]) -> str:
 _NUM_LIT = _re.compile(r"^-?\d+\.\d+$")
 
 
+import re
+
+_PRINTF_SPEC = re.compile(r"%[-+ 0#]*\d*(?:\.\d+)?([a-zA-Z%])")
+
+
 def _printf_alias(parts: list[str]) -> str:
-    """SQLite format()/printf(). Spark's printf chokes on DECIMAL args to
-    %f (java.util.Formatter wants double), and Spark parses fractional
-    literals as decimals — cast those to double textually."""
+    """SQLite format()/printf(). Two deltas closed here:
+    * Spark's printf chokes on DECIMAL args to %f (java.util.Formatter
+      wants double) — fractional literals cast to double textually;
+    * SQLite renders NULL as 0 under integer conversions, 0.0 under float
+      conversions, and '' under %s, while Spark prints 'null' — when the
+      format string is a LITERAL the conversion specs are parsed and each
+      argument coerced accordingly (found by the differential fuzz).
+    Text-coercion edges (%d on '7dogs' prefix-parses in SQLite) follow the
+    documented CAST delta (PARITY.md P-delta)."""
     ps = [p.strip() for p in parts]
+    fmt = ps[0]
+    if len(ps) > 1 and fmt.startswith("'") and fmt.endswith("'"):
+        convs = [c for c in _PRINTF_SPEC.findall(fmt) if c != "%"]
+        coerced = []
+        for i, arg in enumerate(ps[1:]):
+            conv = convs[i] if i < len(convs) else "s"
+            if conv in "diuxXo":
+                coerced.append(f"coalesce(CAST({arg} AS BIGINT), 0)")
+            elif conv in "feEgG":
+                coerced.append(f"coalesce(CAST({arg} AS DOUBLE), 0.0D)")
+            elif conv == "s":
+                coerced.append(f"coalesce(CAST({arg} AS STRING), '')")
+            else:
+                coerced.append(arg)
+        return f"printf({fmt}, {', '.join(coerced)})"
     ps = [f"CAST({p} AS DOUBLE)" if _NUM_LIT.match(p) else p for p in ps]
     return f"printf({', '.join(ps)})"
 
@@ -880,6 +923,11 @@ AGG_ALIASES = {
     # Python's sqlite3 — byte-exact parity must not drift per environment
     # (ADVICE r2)
     "sqlite_version": lambda parts: "'3.39.2'",
+    # SQLite CAST type names → Spark: TEXT isn't a Spark type at all (a
+    # parse error today), INTEGER/INT are 64-bit in SQLite (Spark INT would
+    # wrap at 2^31), REAL is an 8-byte double (Spark REAL = 4-byte FLOAT).
+    # NUMERIC affinity approximates to DOUBLE. Unknown names pass through.
+    "cast": _cast_alias,
     "iif": "if({args})",
     # SQLite hex(X) converts X to TEXT and hexes the UTF-8 bytes (hex(17) =
     # '3137', the digits' bytes — NOT numeric hex); NULL yields ''. Spark's

@@ -61,7 +61,10 @@ def test_agg_aliases():
     assert "'stdev(x)'" in out and "coalesce(sum(y), 0.0d)" in out
     # SQLite format() == printf (variadic); Spark's own format_* untouched
     out = rewrite_query("SELECT format('%s-%02d', a, b), date_format(ts, 'yyyy') FROM {}")
-    assert "printf('%s-%02d', a, b)" in out and "date_format(ts, 'yyyy')" in out
+    # NULL coercion per conversion spec (SQLite: NULL -> ''/0 under %s/%d)
+    assert ("printf('%s-%02d', coalesce(CAST(a AS STRING), ''), "
+            "coalesce(CAST(b AS BIGINT), 0))") in out
+    assert "date_format(ts, 'yyyy')" in out
 
 
 def test_group_concat_forms():

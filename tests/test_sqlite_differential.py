@@ -16,7 +16,10 @@ excluded by construction and listed in PARITY.md:
   * mixed-type comparisons (SQLite orders across types).
 
 Found-by-this-fuzz fixes now pinned here: scalar min()/max() NULL
-propagation, hex() of non-BLOBs, LIKE case-insensitivity (→ ILIKE).
+propagation, hex() of non-BLOBs, LIKE case-insensitivity (→ ILIKE), REAL
+literals as doubles (not DECIMAL), CAST type-name mapping (TEXT/INTEGER/
+REAL → STRING/BIGINT/DOUBLE), printf/format NULL coercion per conversion
+spec, unicode('') → NULL.
 """
 
 from __future__ import annotations
@@ -91,6 +94,13 @@ class Gen:
             lambda: f"iif({self.bool_(d-1)}, {self.int_(d-1)}, {self.int_(d-1)})",
             lambda: (f"CASE WHEN {self.bool_(d-1)} THEN {self.int_(d-1)} "
                      f"ELSE {self.int_(d-1)} END"),
+            lambda: f"({self.int_(d-1)} & {self.int_(d-1)})",
+            lambda: f"({self.int_(d-1)} | {self.int_(d-1)})",
+            lambda: f"({self.int_(d-1)} << {r.randint(0, 4)})",
+            lambda: f"({self.int_(d-1)} >> {r.randint(0, 4)})",
+            lambda: f"(~{self.int_(d-1)})",
+            lambda: f"CAST({self.real(d-1)} AS INTEGER)",
+            lambda: f"unicode({self.text(d-1)})",
         ]
         return r.choice(picks)()
 
@@ -111,6 +121,7 @@ class Gen:
             lambda: f"coalesce({self.real(d-1)}, {self.real(d-1)})",
             lambda: f"min({self.real(d-1)}, {self.real(d-1)})",
             lambda: f"max({self.real(d-1)}, {self.real(d-1)})",
+            lambda: f"CAST({self.int_(d-1)} AS REAL)",
         ]
         return r.choice(picks)()
 
@@ -132,6 +143,12 @@ class Gen:
             lambda: f"hex({self.int_(d-1)})",
             lambda: f"hex({self.text(d-1)})",
             lambda: f"typeof({r.choice(['a', 'b', 'c'])})",
+            lambda: f"CAST({self.int_(d-1)} AS TEXT)",
+            lambda: f"ltrim({self.text(d-1)}, 'fo ')",
+            lambda: f"rtrim({self.text(d-1)}, 'o ')",
+            lambda: f"char({r.randint(97, 122)}, {r.randint(97, 122)})",
+            lambda: "printf('%d|%s', {}, {})".format(self.int_(d-1), self.text(d-1)),
+            lambda: f"printf('[%.2f]', {self.real(d-1)})",
             lambda: f"coalesce({self.text(d-1)}, {self.text(d-1)})",
             lambda: (f"CASE WHEN {self.bool_(d-1)} THEN {self.text(d-1)} "
                      f"ELSE {self.text(d-1)} END"),
@@ -150,6 +167,7 @@ class Gen:
             lambda: "({} GLOB {})".format(
                 self.text(d-1), r.choice(["'f*'", "'*o'", "'?a*'", "'*'"])),
             lambda: f"({r.choice(['a', 'b', 'c'])} IS NULL)",
+            lambda: f"({self.text(d-1)} COLLATE NOCASE = 'foo')",
             lambda: f"({r.choice(['a', 'b', 'c'])} IS NOT NULL)",
             lambda: f"({self.int_(d-1)} IN (1, 2, 5))",
             lambda: f"({self.int_(d-1)} BETWEEN 0 AND 4)",
