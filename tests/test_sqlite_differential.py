@@ -236,3 +236,58 @@ def test_differential_aggregate_queries(engines):
         if want != got:
             failures.append((q, want[:3], got[:3]))
     assert not failures, "\n".join(repr(f) for f in failures[:5])
+
+
+def test_differential_query_shapes(engines):
+    """Compositional shapes: ORDER BY + LIMIT/OFFSET (compared IN ORDER,
+    with the full unique base row as tiebreak — ASC NULLS FIRST / DESC
+    NULLS LAST agree between engines), set operations, scalar / IN /
+    correlated-EXISTS subqueries, DISTINCT, HAVING, and self joins."""
+    spark, con = engines
+    g = Gen(random.Random(0xC0FFEE))
+    r = g.r
+    failures = []
+
+    def shape():
+        k = r.randrange(8)
+        if k == 0:  # ordered + limit/offset: deterministic total order
+            return (True, f"SELECT {g.int_(1)} AS r0, a, b, c FROM td "
+                          f"ORDER BY {r.choice(['r0', 'c', 'a'])} "
+                          f"{r.choice(['ASC', 'DESC'])}, a, b, c "
+                          f"LIMIT {r.randint(1, 8)} OFFSET {r.randint(0, 3)}")
+        if k == 1:
+            op = r.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+            return (False, f"SELECT {g.int_(1)} AS r FROM td WHERE {g.bool_(0)} "
+                           f"{op} SELECT {g.int_(1)} AS r FROM td")
+        if k == 2:
+            return (False, f"SELECT ({g.int_(1)} - (SELECT max({g.int_(0)}) FROM td)) AS r FROM td")
+        if k == 3:
+            return (False, f"SELECT a, c FROM td WHERE {g.int_(0)} IN "
+                           f"(SELECT {g.int_(1)} FROM td WHERE {g.bool_(0)})")
+        if k == 4:
+            neg = r.choice(["", "NOT "])
+            return (False, f"SELECT a FROM td WHERE {neg}EXISTS "
+                           f"(SELECT 1 FROM td t2 WHERE t2.a = td.a + {r.randint(-2, 2)})")
+        if k == 5:
+            return (False, f"SELECT DISTINCT {g.int_(1)} AS r FROM td")
+        if k == 6:
+            return (False, f"SELECT (a % 2) AS k, count(*) AS n, sum(a) AS s "
+                           f"FROM td GROUP BY a % 2 HAVING count(*) >= {r.randint(1, 3)}")
+        return (False, f"SELECT t1.a AS x, t2.c AS y FROM td t1 "
+                       f"{r.choice(['JOIN', 'LEFT JOIN'])} td t2 "
+                       f"ON t1.a = t2.a + {r.randint(-2, 2)}")
+
+    for i in range(80):
+        ordered, q = shape()
+        try:
+            want = [tuple(_canon(v) for v in row) for row in con.execute(q).fetchall()]
+            got = [tuple(_canon(v) for v in row)
+                   for row in spark.sql(rewrite_query(q)).collect()]
+        except Exception as ex:
+            failures.append((q, "ERR", str(ex).splitlines()[0][:160]))
+            continue
+        if not ordered:
+            want, got = sorted(want), sorted(got)
+        if want != got:
+            failures.append((q, want[:4], got[:4]))
+    assert not failures, "\n".join(repr(f) for f in failures[:5])
