@@ -57,6 +57,8 @@ _PRIORITY = [
     "sim_ivf_incremental",
     "text_charlm_quality",
     "text_chunk_documents",
+    "dedup_semantic",
+    "text_remove_dup_spans",
     # (b) changed this round: TF-IDF vocab-broadcast hint removed (plan-only
     # change, values identical — re-prove), events ts-normalization cached
     "doc_tfidf_keywords",
@@ -99,11 +101,11 @@ _PRIORITY = [
     "text_fingerprint",
     "pipeline_curation",
     "sample_hash_split",
-    "text_dup_ngram_fraction",
-    "sim_topk_bruteforce",
-    # displaced past the 50-row window by the six new round-3 queries (new
+    # displaced past the 50-row window by the eight new round-3 queries (new
     # operators need their first hard row now); all stay green in the local
     # oracle suite and are first in line for the round-4 rotation
+    "text_dup_ngram_fraction",
+    "sim_topk_bruteforce",
     "sim_lsh_buckets",
     "sim_ivf_topk",
     "sim_cosine_neardup",

@@ -1323,3 +1323,97 @@ def sim_ivf_incremental(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("q_id", "vec_id", F.round("cos", 4).alias("cosine"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDedup): k-means cells bound the pairwise work.
+# Abbas et al., "SemDedup: Data-efficient learning at web-scale through
+# semantic deduplication", arXiv:2303.09540 — cluster the embedding space,
+# then look for near-duplicate pairs ONLY within a cell.  The quadratic
+# cosine verify that is impossible corpus-wide becomes O(sum cell_i^2), and
+# each cell's pair join is one shuffle partition — the same cells-as-blocking
+# trick IVF uses for search, reused for dedup.
+
+_SEMDEDUP_TAIL = """,
+asg AS (SELECT vec_id, vd, cluster FROM a3 WHERE rn = 1),
+nrm AS (
+  SELECT vec_id, vd, cluster,
+         sqrt(list_sum(list_transform(range(1, len(vd) + 1),
+              i -> vd[i] * vd[i]))) AS nrm
+  FROM asg
+),
+pairs AS (
+  SELECT a.cluster, b.vec_id AS dup_id
+  FROM nrm a JOIN nrm b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(range(1, len(a.vd) + 1),
+                 i -> a.vd[i] * b.vd[i])) / (a.nrm * b.nrm) >= 0.45
+),
+removed AS (SELECT DISTINCT cluster, dup_id FROM pairs)
+SELECT n.cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(r.dup_id) AS BIGINT) AS n_removed,
+       floor((count(*) - count(r.dup_id)) * 1.0 / count(*) * 1000000 + 0.5)
+         / 1000000 AS keep_fraction
+FROM nrm n LEFT JOIN removed r ON r.cluster = n.cluster AND r.dup_id = n.vec_id
+GROUP BY n.cluster
+"""
+
+_SEMDEDUP_SQL = _DK_SQL[:_DK_SQL.rindex("SELECT cluster,")].rstrip() + _SEMDEDUP_TAIL
+
+
+@register(
+    "dedup_semantic",
+    oracle=_SEMDEDUP_SQL,
+    doc=(
+        "SemDedup over the embedding corpus: the Lloyd-refined k=8 cells "
+        "(sim_kmeans_refine) block the corpus, then cosine >= 0.45 pairs are "
+        "sought ONLY within a cell (one equi-join shuffle keyed on cluster — "
+        "never a corpus-wide cross join), and every pair's higher vec_id is "
+        "marked removed (deterministic keep-lowest-id rule, the one-pass "
+        "upper bound of the greedy sweep). Reports per-cell members, "
+        "removals, and keep fraction. At 100 TB the cell count k scales with "
+        "the corpus so cells stay bounded and the within-cell quadratic is "
+        "the controllable knob (SemDedup, arXiv:2303.09540); cosines "
+        "accumulate in identical element order on both engines, so the "
+        "threshold compare is bit-deterministic. keep_fraction is an exact "
+        "count ratio -> floor-form rounding (see queries/__init__)."
+    ),
+)
+def dedup_semantic(spark, sf_dir):
+    v, cent = _km_refined(spark, sf_dir)
+    nrm = (
+        _km_assign(v, cent)
+        .select("vec_id", "vd", "cluster")
+        .withColumn(
+            "nrm",
+            F.sqrt(F.expr("aggregate(zip_with(vd, vd, (x, y) -> x * y), "
+                          "CAST(0.0 AS DOUBLE), (a, p) -> a + p)")),
+        )
+        .persist()  # pair join reads it twice (a-side and b-side)
+    )
+    a = nrm.select("cluster", F.col("vec_id").alias("id_a"),
+                   F.col("vd").alias("vd_a"), F.col("nrm").alias("nrm_a"))
+    b = nrm.select("cluster", F.col("vec_id").alias("id_b"),
+                   F.col("vd").alias("vd_b"), F.col("nrm").alias("nrm_b"))
+    cos = F.expr(DOT.format(a="vd_a", b="vd_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    removed = (
+        a.join(b, "cluster")  # equi-join on cluster: within-cell pairs only
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= 0.45)
+        .select("cluster", F.col("id_b").alias("dup_id"))
+        .distinct()
+        .withColumnRenamed("cluster", "rcluster")
+    )
+    return (
+        nrm.select("cluster", "vec_id")
+        .join(removed, (F.col("cluster") == F.col("rcluster"))
+              & (F.col("vec_id") == F.col("dup_id")), "left")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.count("dup_id").cast("long").alias("n_removed"),
+            fround((F.count("*") - F.count("dup_id")) * 1.0 / F.count("*"), 6)
+            .alias("keep_fraction"),
+        )
+    )

@@ -841,3 +841,104 @@ def text_chunk_documents(spark, sf_dir):
         )
         .filter((F.col("chunk_idx") == 0) | (F.col("n_tokens") > 8))
     )
+
+
+@register(
+    "text_remove_dup_spans",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {D_TOKENS} AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, s.p AS p, s.tok AS tok
+  FROM toks, LATERAL (SELECT unnest(list_transform(range(1, len(t) + 1),
+       i -> {{'p': i, 'tok': t[i]}}), recursive := true)) s(p, tok)
+),
+grams AS (
+  -- index-only unnest; the gram string is built OUTSIDE the lambda
+  -- (DuckDB binder quirk: array_to_string inside a lambda struct literal
+  -- rewrites to a named-argument list_aggr and fails to bind)
+  SELECT doc_id, s.i AS i,
+         array_to_string(list_slice(t, s.i, s.i + 9), ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 9, 0) + 1))) s(i)
+),
+mult AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) > 1
+),
+covered AS (
+  SELECT DISTINCT grams.doc_id, unnest(range(i, i + 10)) AS p
+  FROM grams JOIN mult USING (g)
+),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.tok
+  FROM pos LEFT JOIN covered
+    ON covered.doc_id = pos.doc_id AND covered.p = pos.p
+  WHERE covered.p IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(toks.t) AS BIGINT) AS n_tokens,
+       CAST(len(toks.t) - coalesce(rebuilt.n_kept, 0) AS BIGINT) AS n_removed,
+       md5(coalesce(rebuilt.cleaned, '')) AS cleaned_md5
+FROM toks LEFT JOIN rebuilt USING (doc_id)
+""",
+    doc=(
+        "Exact-substring span removal (the rewrite step of Lee et al. 2022, "
+        "'Deduplicating Training Data Makes Language Models Better'): any "
+        "token covered by a word 10-gram that also appears in ANOTHER "
+        "document is dropped, and the document is rebuilt from the "
+        "surviving tokens in order. Where text_dup_ngram_fraction only "
+        "MEASURES cross-doc duplication, this produces the cleaned corpus. "
+        "Every step is linear with a constant window factor: one token "
+        "explode, one gram explode, one gram-keyed shuffle for "
+        "multiplicity, covered positions re-derived by exploding each "
+        "duplicated gram start into its 10 (doc_id, p) pairs — an equi "
+        "anti-join, never a positional range join — and one per-doc "
+        "reconstruction agg. Verifies by md5 of the rebuilt string, so the "
+        "engines must agree on every byte of every cleaned document."
+    ),
+)
+def text_remove_dup_spans(spark, sf_dir):
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(TOKENS).alias("t"))
+        .persist()  # feeds pos, grams, and the final doc-level join
+    )
+    pos = d.select("doc_id", F.posexplode("t").alias("p0", "tok")).select(
+        "doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    grams = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(size(t) - 9, 0)), "
+            "i -> struct(i AS i, array_join(slice(t, i, 10), ' ') AS g))"
+        )).alias("z"),
+    ).select("doc_id", "z.i", "z.g")
+    mult = (grams.groupBy("g")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .filter(F.col("nd") > 1)
+            .select("g"))
+    covered = (
+        grams.join(mult, "g", "left_semi")
+        .select("doc_id", F.explode(F.expr("sequence(i, i + 9)")).alias("p"))
+        .distinct()
+    )
+    kept = pos.join(covered, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(p, tok))), s -> s.tok)"),
+            " ").alias("cleaned"),
+    )
+    return (
+        d.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            (F.size("t") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+            F.md5(F.coalesce("cleaned", F.lit(""))).alias("cleaned_md5"),
+        )
+    )

@@ -294,3 +294,26 @@ def test_incremental_ann_broadcasts_batch(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sim_ivf_incremental")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_pairs_within_cells_only(spark, sf_dir):
+    """dedup_semantic: the quadratic cosine verify must be blocked by the
+    k-means cell — an equi-join keyed on cluster, never a corpus-wide
+    cartesian. The only nested-loop joins allowed are the 8-row centroid
+    broadcasts inside the Lloyd assignment."""
+    plan = plan_of(spark, sf_dir, "dedup_semantic")
+    assert "CartesianProduct" not in plan
+    # pair join + removed-id join resolve to hash joins keyed on cluster
+    assert (n_nodes(plan, "SortMergeJoin") + n_nodes(plan, "ShuffledHashJoin")
+            + n_nodes(plan, "BroadcastHashJoin")) >= 2
+
+
+def test_remove_dup_spans_equi_joins_only(spark, sf_dir):
+    """text_remove_dup_spans: covered positions are re-derived by exploding
+    duplicated gram starts into (doc_id, p) pairs so every join (gram
+    multiplicity semi-join, covered anti-join, final doc join) is an
+    equi-join — a positional RANGE join or cartesian would blow up at
+    corpus scale."""
+    plan = plan_of(spark, sf_dir, "text_remove_dup_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
