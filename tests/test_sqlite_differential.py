@@ -291,3 +291,76 @@ def test_differential_query_shapes(engines):
         if want != got:
             failures.append((q, want[:4], got[:4]))
     assert not failures, "\n".join(repr(f) for f in failures[:5])
+
+
+def test_differential_window_queries(engines):
+    """Window functions through the user-facing SQL path: aggregates over
+    ROWS frames and the default RANGE frame, ranking functions, lag/lead,
+    first/last_value, with and without partitions. The ORDER BY always ends
+    with the full (a, b, c) tiebreak — row tuples are unique, so every
+    window is evaluated over a total order and results are deterministic in
+    both engines (ASC NULLS FIRST / DESC NULLS LAST agree). Frames are only
+    generated for frame-accepting functions: SQLite silently ignores a
+    frame on ranking/lag/lead, Spark rejects it loudly — a documented
+    surface delta, excluded by construction."""
+    spark, con = engines
+    g = Gen(random.Random(0x51DE))
+    r = g.r
+    failures = []
+
+    def frame():
+        k = r.randrange(4)
+        if k == 0:
+            return ""
+        if k == 1:
+            return (f" ROWS BETWEEN {r.randint(0, 3)} PRECEDING"
+                    f" AND {r.randint(0, 3)} FOLLOWING")
+        if k == 2:
+            return " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        return " ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+
+    def over(framed):
+        part = r.choice(["", "PARTITION BY (a IS NULL) ", "PARTITION BY (b IS NULL) "])
+        direction = r.choice(["ASC", "DESC"])
+        return (f"OVER ({part}ORDER BY a {direction}, b, c"
+                f"{frame() if framed else ''})")
+
+    def wcol():
+        k = r.randrange(10)
+        if k == 0:
+            return f"sum({g.int_(1)}) {over(True)}"
+        if k == 1:
+            return f"count({r.choice(['*', 'a', 'b', 'c'])}) {over(True)}"
+        if k == 2:
+            return f"avg({g.real(1)}) {over(True)}"
+        if k == 3:
+            fn = r.choice(["min", "max"])
+            return f"{fn}({g.int_(1)}) {over(True)}"
+        if k == 4:
+            fn = r.choice(["first_value", "last_value"])
+            return f"{fn}({g.any_(1)}) {over(True)}"
+        if k == 5:
+            return f"{r.choice(['row_number', 'rank', 'dense_rank'])}() {over(False)}"
+        if k == 6:
+            return f"ntile({r.randint(1, 4)}) {over(False)}"
+        if k == 7:
+            fn = r.choice(["lag", "lead"])
+            return f"{fn}({r.choice(['a', 'b', 'c'])}, {r.randint(1, 3)}) {over(False)}"
+        if k == 8:
+            return f"{r.choice(['percent_rank', 'cume_dist'])}() {over(False)}"
+        return f"sum(b) {over(True)}"
+
+    for i in range(70):
+        cols = ", ".join(f"{wcol()} AS w{j}" for j in range(r.randint(1, 2)))
+        q = f"SELECT a, b, c, {cols} FROM td"
+        if r.random() < 0.3:
+            q += f" WHERE {g.bool_(1)}"
+        try:
+            want, got = _run(spark, con, q)
+        except Exception as ex:
+            failures.append((q, "ERR", str(ex).splitlines()[0][:160]))
+            continue
+        if want != got:
+            diffs = [(a, b) for a, b in zip(want, got) if a != b][:2]
+            failures.append((q, diffs, len(want), len(got)))
+    assert not failures, "\n".join(repr(f) for f in failures[:5])
