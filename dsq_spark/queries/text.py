@@ -910,10 +910,13 @@ def text_remove_dup_spans(spark, sf_dir):
     )
     pos = d.select("doc_id", F.posexplode("t").alias("p0", "tok")).select(
         "doc_id", (F.col("p0") + 1).alias("p"), "tok")
-    grams = d.select(
+    # docs under 10 tokens produce no grams (and are filtered BEFORE the
+    # sequence: Spark's sequence(1, 0) is the DESCENDING [1, 0], and
+    # slice(t, 0, ..) throws — DuckDB's range(1, 1) is just empty)
+    grams = d.filter(F.size("t") >= 10).select(
         "doc_id",
         F.explode(F.expr(
-            "transform(sequence(1, greatest(size(t) - 9, 0)), "
+            "transform(sequence(1, size(t) - 9), "
             "i -> struct(i AS i, array_join(slice(t, i, 10), ' ') AS g))"
         )).alias("z"),
     ).select("doc_id", "z.i", "z.g")

@@ -83,3 +83,43 @@ def test_chunking_drops_null_text_rows(spark, tmp_path):
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'")
     orows = con.sql(q.oracle).fetchall()
     assert len(orows) == len(rows)
+
+
+def test_remove_dup_spans_semantics(spark, tmp_path):
+    """text_remove_dup_spans on a handcrafted corpus: the one 10-gram shared
+    between docs 1 and 2 is removed from BOTH (keeping their private
+    tokens, order preserved), a unique doc is untouched, and a doc under 10
+    tokens produces no grams at all (regression: Spark's sequence(1, 0) is
+    the DESCENDING [1, 0] — short docs must be filtered before the gram
+    sequence, not clamped with greatest())."""
+    import duckdb
+
+    import dsq_spark.queries as Q
+
+    shared = " ".join(f"c{i}" for i in range(10))
+    docs = [
+        (1, f"a1 a2 {shared} a3", "en", "web", 0),
+        (2, f"b1 {shared} b2 b3", "en", "web", 0),
+        (3, " ".join(f"u{i}" for i in range(12)), "en", "web", 0),
+        (4, "short doc with five tokens", "en", "web", 0),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    q = Q.REGISTRY["text_remove_dup_spans"]
+    rows = {r["doc_id"]: r for r in q.fn(spark, str(tmp_path)).collect()}
+    assert rows[1]["n_removed"] == 10 and rows[2]["n_removed"] == 10
+    assert rows[3]["n_removed"] == 0 and rows[4]["n_removed"] == 0
+    import hashlib
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert rows[1]["cleaned_md5"] == md5("a1 a2 a3")
+    assert rows[2]["cleaned_md5"] == md5("b1 b2 b3")
+    assert rows[4]["cleaned_md5"] == md5("short doc with five tokens")
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'")
+    orows = {r[0]: r for r in con.sql(q.oracle).fetchall()}
+    for d in (1, 2, 3, 4):
+        assert (orows[d][1], orows[d][2], orows[d][3]) == (
+            rows[d]["n_tokens"], rows[d]["n_removed"], rows[d]["cleaned_md5"])
