@@ -495,13 +495,26 @@ def _rewrite_json_each(sql: str) -> str:
                 f"{arg_parts[0].strip()}, {path or 'CAST(NULL AS STRING)'})) "
                 f"{alias or 'json_tree'} AS key, value, type, atom, fullkey, path")
         else:
+            # entries as array<struct<key,value>> + inline (NOT a map +
+            # explode): '[]'/'{}' give zero rows like SQLite (a map-based
+            # sequence(0, size-1) built the DESCENDING [0, -1] on empty
+            # arrays and crashed map_from_arrays; explode_outer fabricated
+            # a null row for '{}'), and a struct key may be NULL — which
+            # SQLite emits for a scalar timevalue (map keys can't).
+            # Objects always hit the first arm (from_json to
+            # map<string,string> stringifies nested values); malformed
+            # JSON nulls every arm -> zero rows (SQLite raises; PARITY).
+            obj = f"from_json({arg}, 'map<string,string>')"
             arr = f"from_json({arg}, 'array<string>')"
-            as_map = (
-                f"coalesce(from_json({arg}, 'map<string,string>'), "
-                f"map_from_arrays(transform(sequence(0, size({arr}) - 1), "
-                f"i -> CAST(i AS STRING)), {arr}))"
+            scal = f"get_json_object({arg}, '$')"
+            entries = (
+                f"coalesce(map_entries({obj}), "
+                f"transform({arr}, (x, i) -> "
+                f"struct(CAST(i AS STRING) AS key, x AS value)), "
+                f"CASE WHEN {scal} IS NOT NULL THEN "
+                f"array(struct(CAST(NULL AS STRING) AS key, {scal} AS value)) END)"
             )
-            lateral = (f" LATERAL VIEW explode_outer({as_map}) "
+            lateral = (f" LATERAL VIEW inline({entries}) "
                        f"{alias or 'json_each'} AS key, value")
         head = sql[i:m.start()]
         if m.group(1) is None and re.search(r"\bFROM\s*$", head, re.IGNORECASE):

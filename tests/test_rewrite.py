@@ -145,6 +145,22 @@ def test_json_each_rewrite_and_parity(spark):
     # inside a string literal: untouched
     lit = rewrite_query("SELECT 'json_each(x)' AS v FROM je_t")
     assert "'json_each(x)'" in lit and "LATERAL" not in lit
+    # empty array / empty object: ZERO rows like SQLite (regression: the
+    # map-based lowering crashed on '[]' — Spark's sequence(0, -1) is the
+    # DESCENDING [0, -1] — and explode_outer fabricated a null row for '{}')
+    for js in ("[]", "{}"):
+        q = f"SELECT key, value FROM json_each('{js}')"
+        assert spark_rows(q) == sqlite_rows(q) == []
+    # scalar timevalue: one row with a NULL key (struct entries allow the
+    # NULL key a map never could)
+    def rows_nullsafe(fn, q):
+        return sorted((k if k is None else str(k), str(v)) for k, v in fn(q))
+    for js in ("5", '"x"'):
+        q = f"SELECT key, value FROM json_each('{js}')"
+        want = rows_nullsafe(lambda s: con.execute(s), q)
+        got = sorted((r["key"], r["value"])
+                     for r in spark.sql(rewrite_query(q)).collect())
+        assert got == want
 
 
 def test_fromless_tail_clauses_not_aliased():
