@@ -35,6 +35,7 @@ from dsq_spark.queries import similarity  # noqa: F401,E402
 from dsq_spark.queries import multimodal_q  # noqa: F401,E402
 from dsq_spark.queries import tpch_extra  # noqa: F401,E402
 from dsq_spark.queries import datetime_q  # noqa: F401,E402
+from dsq_spark.queries import streaming_q  # noqa: F401,E402
 
 # The driver's correctness harness checks only the FIRST 50 registry entries,
 # so registration order decides which queries get a hard driver-verified row.
@@ -59,6 +60,7 @@ _PRIORITY = [
     "text_chunk_documents",
     "dedup_semantic",
     "text_remove_dup_spans",
+    "streaming_window_counts",
     # (b) changed this round: TF-IDF vocab-broadcast hint removed (plan-only
     # change, values identical — re-prove), events ts-normalization cached
     "doc_tfidf_keywords",
@@ -100,10 +102,10 @@ _PRIORITY = [
     "text_bpe_token_counts",
     "text_fingerprint",
     "pipeline_curation",
-    "sample_hash_split",
-    # displaced past the 50-row window by the eight new round-3 queries (new
+    # displaced past the 50-row window by the nine new round-3 queries (new
     # operators need their first hard row now); all stay green in the local
     # oracle suite and are first in line for the round-4 rotation
+    "sample_hash_split",
     "text_dup_ngram_fraction",
     "sim_topk_bruteforce",
     "sim_lsh_buckets",
