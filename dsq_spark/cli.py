@@ -136,7 +136,10 @@ def _spool_stdin(mimetype: str) -> str:
 
 def _ingest(spark, a: Args, refs: list[TableRef]):
     """Read every referenced (file, doc_path) combination, flatten, register
-    temp views. Returns the view name of panel 0 for dump modes."""
+    temp views. Returns (view name of panel 0 for dump modes, column-kind
+    map for the rewriter's static type inference — dsq's CSV/TSV default
+    makes every column TEXT, which is exactly what SQLite's division/CAST
+    coercion rules key on)."""
     cache = ParquetCache(a.files, a.cache,
                          key_extra=(a.convert_numbers, a.piped_mimetype))
     if a.dump_cache_file:
@@ -147,6 +150,7 @@ def _ingest(spark, a: Args, refs: list[TableRef]):
     if not refs:
         by_index = {0: [TableRef(0, None)]}
     first_view = None
+    dtypes: list[tuple[str, str]] = []
     for idx, rlist in sorted(by_index.items()):
         if idx >= len(a.files):
             raise SystemExit(f"No input file for table reference {{{idx}}}")
@@ -163,9 +167,12 @@ def _ingest(spark, a: Args, refs: list[TableRef]):
                 if r.doc_path is None:
                     df = cache.put(df, idx)
             df.createOrReplaceTempView(r.view_name)
+            dtypes.extend(df.dtypes)
             if first_view is None:
                 first_view = r.view_name
-    return first_view
+    from dsq_spark.sqlexpr import spark_schema_kinds
+
+    return first_view, spark_schema_kinds(dtypes)
 
 
 def run(argv: list[str], spark=None) -> int:
@@ -205,8 +212,8 @@ def run(argv: list[str], spark=None) -> int:
         return 0
 
     refs = extract_table_refs(a.query)
-    _ingest(spark, a, refs)
-    rewritten, dquoted = rewrite_query_tracked(a.query)
+    _, kinds = _ingest(spark, a, refs)
+    rewritten, dquoted = rewrite_query_tracked(a.query, kinds)
     df = _sql(spark, rewritten, dquoted)
     (pretty_table if a.pretty else dump_json)(df)
     return 0
@@ -290,7 +297,7 @@ def _repl(spark, a: Args) -> int:
     queries run against the persistent views until `exit`. History is loaded
     from and saved to ~/dsq_history like the reference's chzyer/readline
     config."""
-    _ingest(spark, a, [TableRef(i, None) for i in range(len(a.files))])
+    _, kinds = _ingest(spark, a, [TableRef(i, None) for i in range(len(a.files))])
     hist = os.path.expanduser(os.environ.get("DSQ_HISTORY_FILE", HISTORY_FILE))
     try:
         import readline
@@ -314,7 +321,7 @@ def _repl(spark, a: Args) -> int:
             if line in ("exit", "quit"):
                 return 0
             try:
-                rewritten, dquoted = rewrite_query_tracked(line)
+                rewritten, dquoted = rewrite_query_tracked(line, kinds)
                 pretty_table(_sql(spark, rewritten, dquoted))
             except Exception as e:  # show error, keep looping (main.go:301-306)
                 print(f"Error: {e}", file=sys.stderr)

@@ -197,6 +197,24 @@ def _sql_udfs() -> list[str]:
         # delta, same purpose.
         "CREATE OR REPLACE TEMPORARY FUNCTION unicode(s STRING) RETURNS INT "
         "RETURN CASE WHEN length(s) = 0 THEN NULL ELSE ascii(s) END",  # '' -> NULL like SQLite
+        # SQLite cross-type sort key for dynamically-typed (varied) columns:
+        # SQLite orders NULL < numeric (by value) < TEXT (lexically) in ONE
+        # column (datatype3.html#sort_order); our varied columns land as
+        # Spark strings and sort lexically — a documented delta pinned by
+        # tests/test_sqlite_differential.py::test_mixed_type_order_delta.
+        # Projecting `dsq_typed_key(x) AS k` and ordering by k is the
+        # opt-in that reproduces SQLite's order (Spark 4 rejects SQL UDFs
+        # directly under Sort, so project-then-sort): struct fields
+        # compare in sequence (rank, numeric, text),
+        # and a value counts as numeric when the WHOLE trimmed string parses
+        # as a number — matching how a JSON-sourced number would have
+        # surfaced. (BLOB rank is unrepresentable in a string column.)
+        "CREATE OR REPLACE TEMPORARY FUNCTION dsq_typed_key(x STRING) "
+        "RETURNS STRUCT<r: INT, n: DOUBLE, t: STRING> RETURN CASE "
+        "WHEN x IS NULL THEN named_struct('r', 0, 'n', 0.0d, 't', '') "
+        "WHEN trim(x) RLIKE '^[+-]?([0-9]+(\\\\.[0-9]*)?|\\\\.[0-9]+)([eE][+-]?[0-9]+)?$' "
+        "THEN named_struct('r', 1, 'n', CAST(trim(x) AS DOUBLE), 't', '') "
+        "ELSE named_struct('r', 2, 'n', 0.0d, 't', x) END",
         # JSON1 family (README.md:698): json_array_length is a same-named
         # Spark builtin; `->`/`->>` are rewritten (dsq_spark.rewrite);
         # json_extract maps to get_json_object (single-path form; returns
@@ -577,20 +595,6 @@ def _strftime_alias(parts: list[str]) -> str:
 
 
 
-_CAST_TYPES = {"text": "STRING", "integer": "BIGINT", "int": "BIGINT",
-               "real": "DOUBLE", "numeric": "DOUBLE", "blob": "BINARY"}
-
-
-def _cast_alias(parts: list[str]) -> str:
-    """CAST(expr AS sqlite-type) → CAST(expr AS spark-type); the LAST
-    top-level ' AS ' splits (greedy — a nested CAST's AS sits left of it),
-    and a type that isn't a bare word (decimal(10,2)) passes through."""
-    inner = ", ".join(p for p in parts)  # cast args never split (no commas)
-    m = re.search(r"(?is)^(.*)\s+AS\s+([A-Za-z]+)\s*$", inner.strip())
-    if not m:
-        return f"CAST({inner})"
-    return f"CAST({m.group(1)} AS {_CAST_TYPES.get(m.group(2).lower(), m.group(2))})"
-
 def _minmax_alias(agg: str, scalar: str):
     """SQLite's max/min: one argument = aggregate, two-or-more = scalar
     (sqlite.org/lang_corefunc.html#max_scalar). The scalar form returns
@@ -923,11 +927,11 @@ AGG_ALIASES = {
     # Python's sqlite3 — byte-exact parity must not drift per environment
     # (ADVICE r2)
     "sqlite_version": lambda parts: "'3.39.2'",
-    # SQLite CAST type names → Spark: TEXT isn't a Spark type at all (a
-    # parse error today), INTEGER/INT are 64-bit in SQLite (Spark INT would
-    # wrap at 2^31), REAL is an 8-byte double (Spark REAL = 4-byte FLOAT).
-    # NUMERIC affinity approximates to DOUBLE. Unknown names pass through.
-    "cast": _cast_alias,
+    # CAST is handled by dsq_spark.sqlexpr (runs after alias expansion):
+    # SQLite type names map to Spark types (TEXT isn't a Spark type at
+    # all, INTEGER/INT are 64-bit in SQLite where Spark INT would wrap at
+    # 2^31, REAL is an 8-byte double) AND text sources to INTEGER/REAL get
+    # SQLite's numeric-prefix parse. Unknown names pass through.
     "iif": "if({args})",
     # SQLite hex(X) converts X to TEXT and hexes the UTF-8 bytes (hex(17) =
     # '3137', the digits' bytes — NOT numeric hex); NULL yields ''. Spark's

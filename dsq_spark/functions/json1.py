@@ -366,12 +366,20 @@ def json_patch_text(a, b) -> str | None:
 
 # --------------------------------------------------------------------------
 # json_tree: recursive DFS pre-order walk.  Columns mirror SQLite's key /
-# value / type / atom / fullkey / path; deltas (same family as json_each,
-# rewrite.py:_rewrite_json_each): key and value surface as TEXT (SQLite
-# uses dynamic SQL values: integer array keys, unquoted strings — the TEXT
-# projections here print identically), booleans print as 1/0 exactly like
-# SQLite's SQL-value projection, and the id/parent rowid columns are not
-# modeled.
+# value / type / atom / id / parent / fullkey / path; deltas (same family
+# as json_each, rewrite.py:_rewrite_json_each): key and value surface as
+# TEXT (SQLite uses dynamic SQL values: integer array keys, unquoted
+# strings — the TEXT projections here print identically), booleans print
+# as 1/0 exactly like SQLite's SQL-value projection.
+#
+# id/parent reproduce SQLite's node-array rowids (probed on the stdlib
+# sqlite3, 3.40 text-parser lineage): ids are assigned in document order
+# where every JSON value occupies one slot and every OBJECT KEY occupies
+# one extra slot just before its value — `{"a":[1,2],"b":1}` numbers
+# root=0, key a=1(hidden), [1,2]=2, 1=3, 2=4, key b=5(hidden), 1=6.  With
+# a path argument the numbering still runs from the DOCUMENT root (the
+# start row keeps its global id, parent NULL) — so the descent below
+# counts the subtree sizes of everything it skips.
 # --------------------------------------------------------------------------
 
 _BARE_KEY = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
@@ -412,16 +420,27 @@ def _key_seg(k: str) -> str:
     return f".{k}" if _BARE_KEY.match(k) else f'."{k}"'
 
 
+def _node_size(node) -> int:
+    """Slots a subtree occupies in SQLite's node array: one per value
+    plus one per object key."""
+    if isinstance(node, dict):
+        return 1 + sum(1 + _node_size(v) for v in node.values())
+    if isinstance(node, list) and not isinstance(node, str):
+        return 1 + sum(_node_size(v) for v in node)
+    return 1
+
+
 def json_tree_rows(j, path=None):
-    """list of (key, value, type, atom, fullkey, path) rows, DFS pre-order;
-    None (empty result) for malformed JSON or a non-existent start path."""
+    """list of (key, value, type, atom, id, parent, fullkey, path) rows,
+    DFS pre-order; None (empty result) for malformed JSON or a
+    non-existent start path."""
     if j is None:
         return None
     try:
         doc = _loads_doc(j)
     except ValueError:
         return None
-    fullkey, start_key = "$", None
+    fullkey, start_key, start_id = "$", None, 0
     if path is not None and path != "$":
         try:
             steps = parse_path(path)
@@ -433,6 +452,12 @@ def json_tree_rows(j, path=None):
             if kind == "k":
                 if not isinstance(node, dict) or sv not in node:
                     return None
+                pos = start_id + 1  # first key slot inside this object
+                for k, v in node.items():
+                    if k == sv:
+                        start_id = pos + 1  # key at pos, value follows
+                        break
+                    pos += 1 + _node_size(v)
                 node = node[sv]
                 fullkey += _key_seg(sv)
                 start_key, last_was_key = sv, True
@@ -441,6 +466,12 @@ def json_tree_rows(j, path=None):
                                               if isinstance(node, list) else -1)
                 if not isinstance(node, list) or not 0 <= idx < len(node):
                     return None
+                pos = start_id + 1
+                for i, v in enumerate(node):
+                    if i == idx:
+                        start_id = pos
+                        break
+                    pos += _node_size(v)
                 node = node[idx]
                 # SQLite quirk (probed on 3.40): an array-index start is
                 # REBASED — the selected element walks as if it were
@@ -456,21 +487,28 @@ def json_tree_rows(j, path=None):
 
     rows: list[tuple] = []
 
-    def walk(node, key, fk: str, parent_fk: str) -> None:
+    def walk(node, key, fk: str, parent_fk: str, nid: int,
+             parent_id) -> None:
         is_container = isinstance(node, (dict, list)) and not isinstance(node, str)
         value = _dumps(node) if is_container else _scalar_text(node)
         atom = None if is_container else value
-        rows.append((key, value, _type_of(node), atom, fk, parent_fk))
+        rows.append((key, value, _type_of(node), atom, nid, parent_id,
+                     fk, parent_fk))
         if isinstance(node, dict):
+            pos = nid + 1
             for k, v in node.items():
-                walk(v, k, fk + _key_seg(k), fk)
+                walk(v, k, fk + _key_seg(k), fk, pos + 1, nid)
+                pos += 1 + _node_size(v)
         elif isinstance(node, list):
+            pos = nid + 1
             for i, v in enumerate(node):
-                walk(v, str(i), f"{fk}[{i}]", fk)
+                walk(v, str(i), f"{fk}[{i}]", fk, pos, nid)
+                pos += _node_size(v)
 
     parent = fullkey.rsplit("[", 1)[0] if fullkey.endswith("]") else \
         (fullkey[:fullkey.rfind(".")] if "." in fullkey else "$")
-    walk(doc, start_key, fullkey, parent if fullkey != "$" else "$")
+    walk(doc, start_key, fullkey, parent if fullkey != "$" else "$",
+         start_id, None)
     return rows
 
 
@@ -513,11 +551,15 @@ def register_json1(spark) -> None:
 
     spark.udf.register("json_patch", pandas_udf(patch, StringType()))
 
+    from pyspark.sql.types import LongType
+
     tree_schema = ArrayType(StructType([
         StructField("key", StringType()),
         StructField("value", StringType()),
         StructField("type", StringType()),
         StructField("atom", StringType()),
+        StructField("id", LongType()),
+        StructField("parent", LongType()),
         StructField("fullkey", StringType()),
         StructField("path", StringType()),
     ]))

@@ -5,9 +5,10 @@ columns and an `(N rows)` footer, K3 schema dump in the reference's exact
 pretty/JSON grammar (reference main.go:90-182; goldens pinned at
 scripts/test.py:207-266).
 
-JSON streaming uses toLocalIterator() — one partition in driver memory at a
-time, so a 100 TB result spools without materializing (the collect() path
-is only for the pretty table, which is human-scale output by definition).
+Both sinks stream via toLocalIterator() — one partition in driver memory
+at a time, so a 100 TB result spools without materializing.  The pretty
+table needs global column widths before the first output byte, so it makes
+two streaming passes (widths, then rows) rather than one collect().
 """
 
 from __future__ import annotations
@@ -83,18 +84,30 @@ def _render_cell(v) -> str:
 def pretty_table(df: DataFrame, fh: Optional[IO[str]] = None) -> None:
     """ASCII table, columns alphabetical, numbers right-aligned, header
     centered, `(N rows)` footer — matching the reference's tablewriter
-    output (goldens scripts/test.py:207-225)."""
+    output (goldens scripts/test.py:207-225).
+
+    Two passes over toLocalIterator(), never collect(): pass 1 folds the
+    rendered column widths (and row count), pass 2 streams the rows out —
+    so driver memory stays one-partition-bounded and an un-LIMITed
+    `--pretty` at cluster scale cannot OOM the driver (r3 verdict).  The
+    result is computed twice; for a big result the recompute is the right
+    trade — the reference itself renders the whole table (main.go:142-179),
+    so output size, not driver residency, is the user's lever."""
     fh = fh if fh is not None else sys.stdout
     cols = sorted(df.columns)
     numeric = {
         f.name: isinstance(f.dataType, (T.NumericType,))
         for f in df.schema.fields
     }
-    rows = [[_render_cell(r[c]) for c in cols] for r in df.select(*cols).collect()]
-    widths = [
-        max(len(c), *(len(row[i]) for row in rows)) if rows else len(c)
-        for i, c in enumerate(cols)
-    ]
+    proj = df.select(*cols)
+    widths = [len(c) for c in cols]
+    n = 0
+    for r in proj.toLocalIterator():
+        n += 1
+        for i, c in enumerate(cols):
+            w = len(_render_cell(r[c]))
+            if w > widths[i]:
+                widths[i] = w
     border = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
 
     def center(s: str, w: int) -> str:
@@ -105,16 +118,16 @@ def pretty_table(df: DataFrame, fh: Optional[IO[str]] = None) -> None:
     fh.write(border + "\n")
     fh.write("|" + "|".join(" " + center(c, w + 1) for c, w in zip(cols, widths)) + "|\n")
     fh.write(border + "\n")
-    for row in rows:
+    for r in proj.toLocalIterator():
         out = []
         for i, c in enumerate(cols):
+            cell = _render_cell(r[c])
             if numeric.get(c):
-                out.append(" " + row[i].rjust(widths[i]) + " ")
+                out.append(" " + cell.rjust(widths[i]) + " ")
             else:
-                out.append(" " + row[i].ljust(widths[i]) + " ")
+                out.append(" " + cell.ljust(widths[i]) + " ")
         fh.write("|" + "|".join(out) + "|\n")
     fh.write(border + "\n")
-    n = len(rows)
     fh.write(f"({n} row{'s' if n != 1 else ''})\n")
 
 

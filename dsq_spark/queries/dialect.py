@@ -1,0 +1,134 @@
+"""Driver-checkable queries for the SQLite arithmetic/affinity dialect.
+
+The reference executes every query in SQLite (main.go:236-265), so integer
+division, CAST's numeric-prefix text parse, and integer/text truthiness
+are part of its QUERY SEMANTICS, not cosmetics.  dsq_spark.sqlexpr
+compiles them onto Spark (rewrite.py runs it as the last pass); these
+queries run the REWRITTEN SQL string end-to-end — the same path the CLI
+takes, schema-kind inference included — against DuckDB oracles that spell
+the SQLite semantics explicitly (DuckDB `//` for truncating division,
+regexp prefix extraction for CAST affinity).
+
+The random fuzz (tests/test_sqlite_differential.py) already pins these
+against real sqlite3 on a 10-row table; registering them here puts a HARD
+driver row at sf scale on each behavior.
+
+Scale notes: every query is a single scan + partial aggregation or a
+scan + window-free projection with a LIMIT pushed into a top-k sort —
+the rewritten division compiles to a plain `div` inside WholeStageCodegen
+(typeof() is foldable, see tests/test_plans.py), so the SQLite semantics
+cost nothing at 100 TB.
+"""
+
+from __future__ import annotations
+
+from dsq_spark.queries.base import register, t
+
+
+def _run_rewritten(spark, sf_dir, view, table, sql):
+    from dsq_spark.rewrite import rewrite_query
+    from dsq_spark.sqlexpr import spark_schema_kinds
+
+    df = t(spark, sf_dir, table)
+    df.createOrReplaceTempView(view)
+    return spark.sql(rewrite_query(sql, spark_schema_kinds(df.dtypes)))
+
+
+@register(
+    "dialect_int_division",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_orderkey // l_linenumber AS BIGINT) AS q_line,
+       CAST(l_orderkey // 7 AS BIGINT) AS q7,
+       CAST((l_orderkey * l_linenumber) // 3 AS BIGINT) AS q3,
+       CAST(l_orderkey // NULLIF(l_linenumber - l_linenumber, 0) AS BIGINT)
+           AS q_null
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+LIMIT 2000
+""",
+    doc=(
+        "SQLite integer division through the full rewrite pipeline: "
+        "`a / b` on two INTEGER columns must truncate (1/2 = 0) and keep "
+        "an INTEGER result type, and x/0 must be NULL — the r3 verdict's "
+        "top dialect delta, closed by dsq_spark.sqlexpr's static-kind "
+        "compilation to Spark's `div`. The oracle spells it with DuckDB's "
+        "`//` (operands are positive, so floor == truncation)."
+    ),
+)
+def dialect_int_division(spark, sf_dir):
+    return _run_rewritten(
+        spark, sf_dir, "dsq_div_li", "lineitem",
+        "SELECT l_orderkey, l_linenumber, "
+        "l_orderkey / l_linenumber AS q_line, "
+        "l_orderkey / 7 AS q7, "
+        "(l_orderkey * l_linenumber) / 3 AS q3, "
+        "l_orderkey / (l_linenumber - l_linenumber) AS q_null "
+        "FROM dsq_div_li ORDER BY l_orderkey, l_linenumber LIMIT 2000")
+
+
+@register(
+    "dialect_cast_affinity",
+    oracle="""
+SELECT o_orderkey,
+       CAST(coalesce(TRY_CAST(regexp_extract(
+                CAST(o_orderkey AS VARCHAR) || 'x7',
+                '^\\s*([+-]?[0-9]+)', 1) AS BIGINT), 0) AS BIGINT) AS int_prefix,
+       round(coalesce(TRY_CAST(regexp_extract(
+                CAST(o_orderkey AS VARCHAR) || '.5e1x',
+                '^\\s*([+-]?(?:[0-9]+\\.?[0-9]*|\\.[0-9]+)(?:[eE][+-]?[0-9]+)?)',
+                1) AS DOUBLE), 0.0), 4) AS real_prefix,
+       CAST(coalesce(TRY_CAST(regexp_extract(o_orderpriority,
+                '^\\s*([+-]?[0-9]+)', 1) AS BIGINT), 0) AS BIGINT) AS prio_num
+FROM orders
+ORDER BY o_orderkey
+LIMIT 2000
+""",
+    doc=(
+        "SQLite CAST(text AS INTEGER/REAL) numeric-prefix parse at table "
+        "scale: '123x7' → 123, '123.5e1x' → 1235.0, and a priority label "
+        "like '3-MEDIUM' → 3 (dsq's all-TEXT CSV ingest makes this the "
+        "common case, reference sqlite.go:36-49). The Spark side is the "
+        "user-facing CAST through the rewriter; the oracle re-derives the "
+        "prefix with DuckDB regexp + TRY_CAST."
+    ),
+)
+def dialect_cast_affinity(spark, sf_dir):
+    return _run_rewritten(
+        spark, sf_dir, "dsq_cast_ord", "orders",
+        "SELECT o_orderkey, "
+        "CAST(CAST(o_orderkey AS TEXT) || 'x7' AS INTEGER) AS int_prefix, "
+        "round(CAST(CAST(o_orderkey AS TEXT) || '.5e1x' AS REAL), 4) "
+        "AS real_prefix, "
+        "CAST(o_orderpriority AS INTEGER) AS prio_num "
+        "FROM dsq_cast_ord ORDER BY o_orderkey LIMIT 2000")
+
+
+@register(
+    "dialect_truthiness",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN l_partkey % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_odd,
+       CAST(count(CASE WHEN l_quantity - 1.0 <> 0 THEN 1 END) AS BIGINT)
+           AS n_qty
+FROM lineitem
+WHERE l_linenumber - 1 <> 0
+""",
+    doc=(
+        "SQLite truthiness in boolean contexts: `WHERE l_linenumber - 1` "
+        "and `CASE WHEN l_partkey % 2` are legal SQLite (numbers are "
+        "truthy ≠ 0) and a type error in raw Spark — the rewriter wraps "
+        "bare numeric predicates per static kind. The oracle writes the "
+        "`<> 0` comparisons explicitly."
+    ),
+)
+def dialect_truthiness(spark, sf_dir):
+    return _run_rewritten(
+        spark, sf_dir, "dsq_truthy_li", "lineitem",
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(CASE WHEN l_partkey % 2 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_odd, "
+        "CAST(count(CASE WHEN l_quantity - 1.0 THEN 1 END) AS BIGINT) "
+        "AS n_qty "
+        "FROM dsq_truthy_li WHERE l_linenumber - 1")

@@ -36,15 +36,31 @@ from dsq_spark.streaming.ops import (
 # and a half-up rounding could push a boundary event into the next window.
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
-# one replay dir per (session, sf_dir) — multiple driver calls reuse it
-_REPLAY_MEMO: dict[tuple[int, str], str] = {}
+# One replay dir per (application, sf_dir) — multiple driver calls reuse
+# it.  Keyed on applicationId, NOT id(spark): a stopped session's id() can
+# be reused by a new SparkSession and alias a stale dir (ADVICE r3).  The
+# mkdtemp dirs are registered for atexit cleanup so a long pytest process
+# doesn't accumulate them.
+_REPLAY_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _cleanup_replay_dirs() -> None:
+    import shutil
+
+    for path in _REPLAY_MEMO.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _REPLAY_MEMO.clear()
 
 
 def _replay_dir(spark, sf_dir: str) -> str:
-    key = (id(spark), os.path.abspath(sf_dir))
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     hit = _REPLAY_MEMO.get(key)
     if hit and os.path.isdir(hit):
         return hit
+    if not _REPLAY_MEMO:
+        import atexit
+
+        atexit.register(_cleanup_replay_dirs)
     path = tempfile.mkdtemp(prefix="dsq_stream_replay_")
     (
         t(spark, sf_dir, "events")

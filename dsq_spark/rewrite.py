@@ -438,19 +438,29 @@ _JSON_EACH = re.compile(
 def _rewrite_json_each(sql: str) -> str:
     """SQLite's json_each / json_tree table-valued functions → LATERAL VIEW.
 
-    `FROM t, json_each(t.c) j` becomes
-    `FROM t LATERAL VIEW explode_outer(<as-map>) j AS key, value`, where
-    <as-map> parses the text as a JSON object (string keys) or else as an
-    array (keys '0','1',...). `FROM t, json_tree(t.c) j` becomes
-    `LATERAL VIEW inline_outer(dsq_json_tree(t.c, NULL)) j AS key, value,
-    type, atom, fullkey, path` (recursive DFS walk — functions/json1.py).
+    `FROM t, json_each(t.c) j` becomes `FROM t LATERAL VIEW
+    inline(<entries>) j AS key, value`, where <entries> is an
+    array<struct<key,value>> built as a coalesce over three parses of the
+    text: map_entries(from_json(.. 'map<string,string>')) for objects,
+    transform(from_json(.. 'array<string>')) for arrays (keys '0','1',…),
+    and a one-row scalar arm (key NULL) for scalar timevalues — with
+    'null'/'true'/'false' special-cased to SQLite's NULL/1/0 surfacings.
+    '[]' and '{}' give ZERO rows exactly like SQLite (inline of an empty
+    entries array), and malformed JSON nulls every arm → zero rows where
+    SQLite raises (PARITY.md delta). A struct key may be NULL — which a
+    map-based lowering could not represent.
+
+    `FROM t, json_tree(t.c) j` becomes `LATERAL VIEW
+    inline(dsq_json_tree(t.c, NULL)) j AS key, value, type, atom, id,
+    parent, fullkey, path` (recursive DFS walk — functions/json1.py — with
+    SQLite's node-array rowid numbering for id/parent).
+
     A bare `FROM json_each('...')` (no base relation) gets a one-row
     `(SELECT 1)` anchor, and the 2-arg path form `json_each(x, '$.p')`
     drills in with get_json_object first (json_tree passes the path to the
     walker, which mirrors SQLite's start-node quirks). Documented deltas vs
-    SQLite: keys surface as TEXT (SQLite uses integers for arrays), values
-    surface as TEXT, json_each has only the key/value columns, and
-    json_tree lacks the id/parent rowid columns."""
+    SQLite: keys surface as TEXT (SQLite uses integers for arrays), and
+    values surface as TEXT."""
     spans = _skip_spans(sql)
     out, i = [], 0
     while True:
@@ -493,7 +503,8 @@ def _rewrite_json_each(sql: str) -> str:
             lateral = (
                 f" LATERAL VIEW inline(dsq_json_tree("
                 f"{arg_parts[0].strip()}, {path or 'CAST(NULL AS STRING)'})) "
-                f"{alias or 'json_tree'} AS key, value, type, atom, fullkey, path")
+                f"{alias or 'json_tree'} "
+                f"AS key, value, type, atom, id, parent, fullkey, path")
         else:
             # entries as array<struct<key,value>> + inline (NOT a map +
             # explode): '[]'/'{}' give zero rows like SQLite (a map-based
@@ -511,7 +522,19 @@ def _rewrite_json_each(sql: str) -> str:
                 f"coalesce(map_entries({obj}), "
                 f"transform({arr}, (x, i) -> "
                 f"struct(CAST(i AS STRING) AS key, x AS value)), "
-                f"CASE WHEN {scal} IS NOT NULL THEN "
+                # scalar JSON keywords need their SQLite surfacings: the
+                # 'null' timevalue yields one (NULL, NULL) row (while
+                # get_json_object('null','$') is SQL NULL and would yield
+                # ZERO rows), and booleans yield 1/0 not 'true'/'false'
+                # (verified vs sqlite3 — ADVICE r3).
+                f"CASE WHEN trim({arg}) = 'null' THEN "
+                f"array(struct(CAST(NULL AS STRING) AS key, "
+                f"CAST(NULL AS STRING) AS value)) "
+                f"WHEN trim({arg}) = 'true' THEN "
+                f"array(struct(CAST(NULL AS STRING) AS key, '1' AS value)) "
+                f"WHEN trim({arg}) = 'false' THEN "
+                f"array(struct(CAST(NULL AS STRING) AS key, '0' AS value)) "
+                f"WHEN {scal} IS NOT NULL THEN "
                 f"array(struct(CAST(NULL AS STRING) AS key, {scal} AS value)) END)"
             )
             lateral = (f" LATERAL VIEW inline({entries}) "
@@ -584,12 +607,21 @@ def _rewrite_like(sql: str) -> str:
     return "".join(out)
 
 
-def rewrite_query(sql: str) -> str:
-    """Full dsq-dialect → Spark SQL rewrite (string literals untouched)."""
-    return rewrite_query_tracked(sql)[0]
+def rewrite_query(sql: str, schema: dict[str, str] | None = None) -> str:
+    """Full dsq-dialect → Spark SQL rewrite (string literals untouched).
+
+    ``schema`` optionally maps lower-cased column names to SQLite storage
+    kinds ('int'/'real'/'text'/'blob'/'unknown'); it feeds the static type
+    inference in dsq_spark.sqlexpr (integer division, CAST prefix-parse,
+    truthiness).  The CLI builds it from the registered views
+    (sqlexpr.spark_schema_kinds); omitting it just makes those rewrites
+    fall back to their typeof()-dispatched dynamic forms."""
+    return rewrite_query_tracked(sql, schema)[0]
 
 
-def rewrite_query_tracked(sql: str) -> tuple[str, frozenset[str]]:
+def rewrite_query_tracked(
+        sql: str, schema: dict[str, str] | None = None,
+) -> tuple[str, frozenset[str]]:
     """Like rewrite_query, also returning the set of identifier names that
     came from double-quoted tokens — the CLI retries those as string
     literals when they fail column resolution (SQLite fallback)."""
@@ -611,10 +643,16 @@ def rewrite_query_tracked(sql: str) -> tuple[str, frozenset[str]]:
             parts.append(_rewrite_chunk(chunk, dquoted))
     # arrow + glob + alias rewriting run whole-statement (their matches can
     # span a literal boundary) with literal-span skipping inside.
-    # real-literal suffixing runs LAST so decimals emitted by the alias/
-    # datetime compilers get the same double semantics as user literals —
-    # and so a second rewrite_query over the output is a no-op (the D
-    # suffix blocks re-matching; idempotence is property-tested).
+    # real-literal suffixing runs after so decimals emitted by the alias/
+    # datetime compilers get the same double semantics as user literals.
     out = _rewrite_real_literals(_rewrite_fn_aliases(
         _rewrite_glob(_rewrite_like(_rewrite_arrows("".join(parts))))))
+    # SQLite arithmetic/affinity semantics (integer division, CAST
+    # numeric-prefix parse, truthiness) run LAST, over settled literal
+    # typing.  Every pass is idempotent (property-tested): the D suffix
+    # blocks real-literal re-matching, and sqlexpr's generated forms
+    # contain no bare '/', SQLite CAST names, or bare-numeric booleans.
+    from dsq_spark.sqlexpr import rewrite_semantics
+
+    out = rewrite_semantics(out, schema)
     return out, frozenset(dquoted)

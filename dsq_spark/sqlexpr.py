@@ -1,0 +1,950 @@
+"""SQLite arithmetic/affinity semantics compiled onto Spark SQL.
+
+The reference embeds SQLite (go.mod:78) and passes queries to it verbatim
+(main.go:236-265), so three dialect behaviors that Spark does differently
+are user-visible value differences, not just type cosmetics:
+
+  * ``a / b`` is INTEGER division (truncating toward zero) when both
+    operands are integers, and text operands are coerced through their
+    numeric prefix first ('7'/'2' = 3, ''/2 = 0, '3e2'/2 = 150.0) — Spark's
+    ``/`` is always double division;
+  * ``CAST(text AS INTEGER/REAL)`` parses the longest numeric prefix with
+    int64 saturation (CAST('12abc' AS INTEGER)=12, CAST(''…)=0,
+    CAST('99…99' AS INTEGER) = 9223372036854775807) — Spark's non-ANSI
+    cast yields NULL;
+  * bare numeric/text expressions are truthy in boolean contexts
+    (``WHERE a``, ``a AND 1``, ``NOT a``, ``iif(n, x, y)``) via "coerce to
+    NUMERIC, compare ≠ 0" — Spark raises a type error.
+
+This module is a token-level expression parser (SQLite operator
+precedence) with *static type inference* over SQLite's storage classes
+(int/real/text/blob/null/bool/unknown).  When operand kinds are statically
+known — numeric literals, schema-typed columns (the CLI passes each
+registered view's column types; dsq's default CSV ingest makes every
+column TEXT, so text coercion is the COMMON case, not the edge), and a
+table of built-in function result kinds — the rewrite emits the exact
+Spark form:
+
+  int / int      ->  (CAST(x AS BIGINT) DIV CAST(y AS BIGINT))   [BIGINT]
+  real involved  ->  untouched (Spark double division == SQLite REAL)
+  text involved  ->  numeric-prefix coercion with a dynamic int/real split
+  unknown        ->  a CASE over typeof(); Spark's TypeOf is foldable, so
+                     Catalyst constant-folds the predicate and
+                     SimplifyConditionals collapses the CASE to a single
+                     arm at optimization time — the physical plan contains
+                     exactly one division inside WholeStageCodegen (see
+                     tests/test_plans.py).
+
+Static typing keeps the INTEGER result type for int/int division, so
+downstream text conversions stay SQLite-exact (hex(a/2), CAST(a/2 AS
+TEXT)); only the dynamically-typed fallback surfaces as DOUBLE (value
+still truncated — documented in PARITY.md).
+
+Reconstruction is byte-exact: every consumed token is re-emitted with its
+original inter-token bytes (whitespace, comments) unless a rewrite
+actually fires on its span, and the pass is idempotent — no generated
+form contains a bare ``/``, an un-suffixed real literal, a SQLite CAST
+type name, or a bare-numeric boolean operand.
+
+Documented residual deltas (PARITY.md): nested division over text
+operands re-divides a DOUBLE ('7'/'2'/2 = 1.5 vs SQLite 1);
+unknown-typed operands (no schema) keep strict Spark coercion for
+truthiness; '%' and '+'/'-' do not text-coerce.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_NUM = re.compile(r"(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?(?:BD|[dDfFlLsSyY])?")
+_WORD = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_OPS = ("->>", "||", "<<", ">>", "<=", ">=", "<>", "!=", "==", "->")
+
+
+@dataclass
+class Tok:
+    kind: str  # 'str' | 'bt' | 'num' | 'word' | 'op'
+    text: str
+    start: int
+    end: int
+    low: str = field(default="")
+
+
+def tokenize(sql: str) -> list[Tok]:
+    """Lex into string-literal / backtick-ident / number / word / operator
+    tokens (positions kept for byte-exact reconstruction); whitespace and
+    SQL comments (`-- …`, `/* … */`) are skipped, so a `/` inside a
+    comment or literal never looks like division."""
+    toks: list[Tok] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c == "-" and sql[i:i + 2] == "--":
+            j = sql.find("\n", i)
+            i = n if j == -1 else j + 1
+            continue
+        if c == "/" and sql[i:i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            i = n if j == -1 else j + 2
+            continue
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                elif sql[j] == "'":
+                    j += 1
+                    break
+                else:
+                    j += 1
+            else:
+                j = n
+            toks.append(Tok("str", sql[i:j], i, j))
+            i = j
+            continue
+        if c == "`":
+            j = sql.find("`", i + 1)
+            j = n if j == -1 else j + 1
+            toks.append(Tok("bt", sql[i:j], i, j))
+            i = j
+            continue
+        if c.isdigit() or (c == "." and i + 1 < n and sql[i + 1].isdigit()):
+            m = _NUM.match(sql, i)
+            toks.append(Tok("num", m.group(0), i, m.end()))
+            i = m.end()
+            continue
+        if c.isalpha() or c == "_":
+            m = _WORD.match(sql, i)
+            t = Tok("word", m.group(0), i, m.end())
+            t.low = t.text.lower()
+            toks.append(t)
+            i = m.end()
+            continue
+        for op in _OPS:
+            if sql.startswith(op, i):
+                toks.append(Tok("op", op, i, i + len(op)))
+                i += len(op)
+                break
+        else:
+            toks.append(Tok("op", c, i, i + 1))
+            i += 1
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# Kind lattice (SQLite storage classes + Spark 'bool')
+# ---------------------------------------------------------------------------
+
+_INTISH = frozenset(("int", "bool"))
+_NUMERIC = frozenset(("int", "real", "bool"))
+
+
+def _union(a: str, b: str) -> str:
+    if a == b:
+        return a
+    s = {a, b}
+    if "null" in s:
+        (other,) = s - {"null"}
+        return other
+    if s == {"int", "bool"}:
+        return "int"
+    if s <= {"int", "real", "bool"}:
+        return "real"
+    return "unknown"
+
+
+def _union_all(kinds) -> str:
+    out = "null"
+    for k in kinds:
+        out = _union(out, k)
+    return out
+
+
+def _numlike(k: str) -> str:
+    """Kind after numeric coercion of one operand (unary -, abs, + ops):
+    int/real preserved, text coerces to a number, else unknown."""
+    if k == "bool":
+        return "int"
+    if k in ("int", "real", "null"):
+        return k
+    if k == "text":
+        return "real"
+    return "unknown"
+
+
+def _arith(a: str, b: str) -> str:
+    x, y = _numlike(a), _numlike(b)
+    if "unknown" in (x, y):
+        return "unknown"
+    return _union(x, y)
+
+
+_FN_INT = frozenset((
+    "length", "char_length", "character_length", "octet_length", "instr",
+    "unicode", "count", "sign", "row_number", "rank", "dense_rank", "ntile",
+    "strpos", "position", "unixepoch", "ascii", "levenshtein", "random",
+    "glob", "url_port", "json_valid", "last_insert_rowid", "changes",
+    "approx_count_distinct", "grouping", "grouping_id", "bit_count",
+))
+_FN_REAL = frozenset((
+    "avg", "total", "round", "julianday", "percent_rank", "cume_dist",
+    "sqrt", "exp", "ln", "log", "log2", "log10", "pow", "power", "sin",
+    "cos", "tan", "asin", "acos", "atan", "atan2", "degrees", "radians",
+    "pi", "randn", "stddev", "stddev_pop", "stddev_samp", "variance",
+    "var_pop", "var_samp", "median", "percentile", "percentile_approx",
+    "try_divide", "corr", "covar_pop", "covar_samp",
+))
+_FN_TEXT = frozenset((
+    "upper", "lower", "trim", "ltrim", "rtrim", "btrim", "substr",
+    "substring", "replace", "hex", "typeof", "printf", "format", "char",
+    "chr", "quote", "strftime", "date", "time", "datetime", "concat",
+    "concat_ws", "split_part", "repeat", "lpad", "rpad", "reverse",
+    "translate", "initcap", "left", "right", "group_concat", "listagg",
+    "string_agg", "soundex", "regexp_extract", "regexp_replace",
+    "get_json_object", "json_quote", "json_array", "json_object", "json",
+    "glob_regex", "base64", "md5", "sha1", "space",
+    "url_scheme", "url_host", "url_path", "url_fragment", "url_param",
+))
+_FN_ARG0 = frozenset((
+    "nullif", "first_value", "last_value", "lag", "lead",
+    "any_value", "first", "last", "nth_value",
+))
+_FN_UNION = frozenset(("min", "max", "greatest", "least", "coalesce",
+                       "ifnull", "nvl"))
+_FN_NUMLIKE = frozenset(("abs", "floor", "ceil", "ceiling"))
+
+# SQLite CAST type names (affinity buckets); names NOT here pass through
+# verbatim (already-Spark types: BIGINT, DOUBLE, STRING, DATE, DECIMAL(p,s)).
+_CAST_INT = frozenset(("integer", "int"))
+_CAST_REAL = frozenset(("real", "numeric"))
+
+# Longest-numeric-prefix patterns (SQLite text→number coercion).  These are
+# emitted into Spark SQL string literals, whose parser processes C escapes —
+# hence the doubled backslashes.
+_INT_PREFIX = r"'^\\s*([+-]?[0-9]+)'"
+_REAL_PREFIX = r"'^\\s*([+-]?(?:[0-9]+\\.?[0-9]*|\\.[0-9]+)(?:[eE][+-]?[0-9]+)?)'"
+_IS_INT_PREFIX = r"'^[+-]?[0-9]*$'"  # '' coerces to integer 0
+
+_TYPEOF_INTS = "('tinyint', 'smallint', 'int', 'bigint')"
+
+_CMP_OPS = frozenset(("=", "==", "!=", "<>", "<", ">", "<=", ">="))
+_ADD_OPS = frozenset(("+", "-", "&", "|", "<<", ">>"))
+_MUL_OPS = frozenset(("*", "/", "%"))
+_CMP_WORDS = frozenset(("like", "ilike", "rlike", "glob", "match", "regexp"))
+_CLAUSE_BOOL = frozenset(("where", "having", "on"))
+
+# Structural keywords can never START an expression: without this,
+# `SELECT (a + 1) / 2` would lex `SELECT (…)` as a function call.  NOT /
+# CASE / CAST / EXISTS / NULL / TRUE / FALSE are absent on purpose — they
+# do start expressions.  LEFT and RIGHT are reserved join words but also
+# SQL string functions, so they stay callable when a '(' follows.
+_RESERVED = frozenset((
+    "select", "from", "where", "group", "having", "order", "by", "limit",
+    "offset", "union", "intersect", "except", "all", "distinct", "as",
+    "join", "left", "right", "full", "inner", "outer", "cross", "natural",
+    "on", "using", "values", "with", "recursive", "window", "lateral",
+    "view", "asc", "desc", "nulls", "when", "then", "else", "end", "and",
+    "or", "in", "is", "like", "ilike", "rlike", "glob", "regexp", "match",
+    "between", "escape", "collate", "filter", "over", "partition", "rows",
+    "range", "groups", "unbounded", "preceding", "following", "current",
+    "row", "exclude", "ties", "others", "interval", "pivot", "unpivot",
+    "tablesample", "explain",
+))
+_CALLABLE_RESERVED = frozenset(("left", "right"))
+
+
+def _int_prefix_bigint(t: str) -> str:
+    """SQLite CAST(text AS INTEGER): longest integer prefix, 0 if none,
+    int64 saturation on overflow (the direct BIGINT cast NULLs out, the
+    DOUBLE path saturates per Java (long) conversion — pinned vs sqlite3
+    in tests/test_sqlite_differential.py)."""
+    pre = f"regexp_extract(({t}), {_INT_PREFIX}, 1)"
+    return (f"(CASE WHEN ({t}) IS NULL THEN CAST(NULL AS BIGINT) "
+            f"ELSE coalesce(CAST({pre} AS BIGINT), "
+            f"CAST(CAST({pre} AS DOUBLE) AS BIGINT), CAST(0 AS BIGINT)) END)")
+
+
+def _real_prefix_double(t: str) -> str:
+    """SQLite CAST(text AS REAL): longest real prefix, 0.0 if none
+    ('3.9e2x' → 390.0, '1e' → 1.0, 'inf' → 0.0 — pinned vs sqlite3)."""
+    pre = f"regexp_extract(({t}), {_REAL_PREFIX}, 1)"
+    return (f"(CASE WHEN ({t}) IS NULL THEN CAST(NULL AS DOUBLE) "
+            f"ELSE coalesce(CAST({pre} AS DOUBLE), CAST(0 AS DOUBLE)) END)")
+
+
+def _div_operand(t: str, k: str) -> tuple[str, str, str]:
+    """(is_integer_sql, int64_sql, double_sql) for one division operand.
+    For 'unknown' the three are typeof()-dispatched — typeof is foldable,
+    so for any concretely-typed input the CASEs collapse at optimize time
+    and only one arm survives into the physical plan."""
+    if k in _INTISH:
+        return "true", f"CAST({t} AS BIGINT)", f"CAST({t} AS DOUBLE)"
+    if k == "real":
+        return "false", "CAST(0 AS BIGINT)", f"CAST({t} AS DOUBLE)"
+    if k == "text":
+        pre = f"regexp_extract(({t}), {_REAL_PREFIX}, 1)"
+        return (f"({pre} RLIKE {_IS_INT_PREFIX})",
+                f"coalesce(CAST({pre} AS BIGINT), "
+                f"CAST(CAST({pre} AS DOUBLE) AS BIGINT), CAST(0 AS BIGINT))",
+                f"coalesce(CAST({pre} AS DOUBLE), CAST(0 AS DOUBLE))")
+    pre = f"regexp_extract(CAST(({t}) AS STRING), {_REAL_PREFIX}, 1)"
+    is_int = (f"(CASE WHEN typeof({t}) IN {_TYPEOF_INTS} THEN true "
+              f"WHEN typeof({t}) = 'string' THEN ({pre} RLIKE {_IS_INT_PREFIX}) "
+              f"ELSE false END)")
+    as_i = (f"(CASE WHEN typeof({t}) = 'string' THEN "
+            f"coalesce(CAST({pre} AS BIGINT), "
+            f"CAST(CAST({pre} AS DOUBLE) AS BIGINT), CAST(0 AS BIGINT)) "
+            f"ELSE CAST(({t}) AS BIGINT) END)")
+    as_d = (f"(CASE WHEN typeof({t}) = 'string' THEN "
+            f"coalesce(CAST({pre} AS DOUBLE), CAST(0 AS DOUBLE)) "
+            f"ELSE CAST(({t}) AS DOUBLE) END)")
+    return is_int, as_i, as_d
+
+
+class _Unsupported(Exception):
+    pass
+
+
+# --- Go/RE2 → Java regex literal translation -------------------------------
+# The reference's REGEXP is Go's regexp package (README.md:405-415 documents
+# the syntax caveat); Spark's RLIKE is java.util.regex.  Two constructs are
+# MECHANICALLY translatable and rewritten here when the pattern is a string
+# literal in regexp position (RLIKE rhs / regexp_* pattern argument):
+#   * named groups:  (?P<name>…)  →  (?<name>…)
+#   * POSIX classes: [[:alpha:]]  →  [\p{Alpha}]  (Java has no [: :])
+# The non-mechanical deltas stay documented, not silently rewritten:
+# RE2 rejects backreferences/lookaround (Java accepts them — our surface is
+# a superset there), and RE2's longest-match flag `(?U)` means something
+# else in Java (ungreedy vs UNICODE_CASE).  tests/test_rewrite.py pins the
+# matrix.
+_REGEXP_FNS = frozenset((
+    "regexp_extract", "regexp_replace", "regexp_count", "regexp_like",
+    "regexp_instr", "regexp_substr", "rlike", "regexp", "regexp_extract_all",
+))
+_POSIX_CLASSES = {
+    "alpha": "Alpha", "digit": "Digit", "alnum": "Alnum", "space": "Space",
+    "upper": "Upper", "lower": "Lower", "punct": "Punct", "graph": "Graph",
+    "print": "Print", "cntrl": "Cntrl", "xdigit": "XDigit", "blank": "Blank",
+}
+
+
+def _go_regex_to_java(lit: str) -> str:
+    """Translate a single-quoted pattern literal.  Runs AFTER the chunk
+    escaping pass doubled backslashes, so emitted metacharacters are
+    doubled too (Spark's parser will process one level of escapes)."""
+    body = lit[1:-1]
+    body = body.replace("(?P<", "(?<")
+
+    def posix(m: re.Match) -> str:
+        name = _POSIX_CLASSES.get(m.group(1))
+        return f"\\\\p{{{name}}}" if name else m.group(0)
+
+    body = re.sub(r"\[:(\w+):\]", posix, body)
+    return f"'{body}'"
+
+
+class _P:
+    """A parsed piece: rewritten text covering original chars [s, e)."""
+
+    __slots__ = ("text", "s", "e")
+
+    def __init__(self, text: str, s: int, e: int):
+        self.text, self.s, self.e = text, s, e
+
+
+class _Rw:
+    """One rewrite run: parse-and-rebuild over the token stream.
+
+    Every parse method returns (piece, next_token_index); pieces carry the
+    original char span they replace, and _join restores the original bytes
+    BETWEEN pieces, so any subtree without a firing rewrite reconstructs
+    byte-identically."""
+
+    def __init__(self, sql: str, toks: list[Tok], schema: dict[str, str]):
+        self.sql = sql
+        self.T = toks
+        self.schema = schema  # lower(col) -> 'int'|'real'|'text'|'blob'|'unknown'
+
+    def _join(self, pieces: list[_P]) -> _P:
+        out, prev = [], None
+        for p in pieces:
+            if prev is not None and p.s > prev:
+                out.append(self.sql[prev:p.s])
+            out.append(p.text)
+            prev = p.e
+        return _P("".join(out), pieces[0].s, pieces[-1].e)
+
+    def _tokp(self, i: int) -> _P:
+        t = self.T[i]
+        return _P(t.text, t.start, t.end)
+
+    # -- statement-level walker ------------------------------------------
+    def seq(self, i: int, hi: int) -> tuple[_P, int]:
+        """Loose SQL fragment: expressions are parsed (and rewritten)
+        where they start; structural keywords pass through verbatim.
+        WHERE/HAVING/ON put the following expression in boolean context."""
+        T = self.T
+        if i >= hi:
+            s = T[i - 1].end if i > 0 else 0
+            return _P("", s, s), i
+        pieces: list[_P] = []
+        while i < hi:
+            t = T[i]
+            if t.kind == "word" and t.low in _CLAUSE_BOOL:
+                pieces.append(self._tokp(i))
+                i += 1
+                if i < hi and self._starts_expr(i):
+                    (p, _k), i = self.expr(i, hi, boolctx=True)
+                    pieces.append(p)
+                continue
+            if self._starts_expr(i):
+                (p, _k), i = self.expr(i, hi, boolctx=False)
+                pieces.append(p)
+                continue
+            pieces.append(self._tokp(i))
+            i += 1
+        return self._join(pieces), i
+
+    def _starts_expr(self, i: int) -> bool:
+        t = self.T[i]
+        if t.kind == "word" and t.low in _RESERVED:
+            return (t.low in _CALLABLE_RESERVED
+                    and i + 1 < len(self.T) and self.T[i + 1].text == "(")
+        return (t.kind in ("num", "str", "bt", "word")
+                or t.text == "(" or t.text in ("+", "-", "~"))
+
+    # -- expression grammar (SQLite precedence) --------------------------
+    def expr(self, i: int, hi: int, boolctx: bool) -> tuple[tuple[_P, str], int]:
+        """OR level; returns ((piece, kind), next_index)."""
+        items: list[tuple[_P, str]] = []
+        seps: list[_P] = []
+        r, i = self._and(i, hi)
+        items.append(r)
+        while i < hi and self.T[i].low == "or":
+            seps.append(self._tokp(i))
+            rr, i = self._and(i + 1, hi)
+            items.append(rr)
+        if len(items) == 1:
+            p, k = items[0]
+            if boolctx:
+                p2 = self._truthify(p, k)
+                return (p2, "bool" if p2 is not p or k == "bool" else k), i
+            return (p, k), i
+        merged: list[_P] = []
+        for n, (p, k) in enumerate(items):
+            if n:
+                merged.append(seps[n - 1])
+            merged.append(self._truthify(p, k))
+        return (self._join(merged), "bool"), i
+
+    def _and(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
+        items: list[tuple[_P, str]] = []
+        seps: list[_P] = []
+        r, i = self._not(i, hi)
+        items.append(r)
+        while i < hi and self.T[i].low == "and":
+            seps.append(self._tokp(i))
+            rr, i = self._not(i + 1, hi)
+            items.append(rr)
+        if len(items) == 1:
+            return items[0], i
+        merged: list[_P] = []
+        for n, (p, k) in enumerate(items):
+            if n:
+                merged.append(seps[n - 1])
+            merged.append(self._truthify(p, k))
+        return (self._join(merged), "bool"), i
+
+    def _not(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
+        if i < hi and self.T[i].low == "not":
+            t = self._tokp(i)
+            (p, k), j = self._not(i + 1, hi)
+            wrapped = self._truthify(p, k)
+            return (self._join([t, wrapped]), "bool"), j
+        return self._cmp(i, hi)
+
+    def _truthify(self, p: _P, k: str) -> _P:
+        """SQLite truthiness: coerce to NUMERIC, compare ≠ 0 (NULL stays
+        NULL).  'unknown'/'blob'/'bool' pass through — acting only on
+        known kinds means a Spark-boolean expression is never
+        double-wrapped and an untyped expression keeps today's
+        loud-failure behavior (PARITY.md)."""
+        if k in ("bool", "unknown", "blob"):
+            return p
+        if k == "null":
+            return _P("CAST(NULL AS BOOLEAN)", p.s, p.e)
+        if k == "text":
+            pre = f"regexp_extract(({p.text}), {_REAL_PREFIX}, 1)"
+            return _P(
+                f"(CASE WHEN ({p.text}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+                f"ELSE coalesce(CAST({pre} AS DOUBLE), CAST(0 AS DOUBLE)) "
+                f"<> CAST(0 AS DOUBLE) END)", p.s, p.e)
+        return _P(f"({p.text}) <> 0", p.s, p.e)
+
+    def _cmp(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
+        (lp, lk), i = self._add(i, hi)
+        T = self.T
+        made_bool = False
+        pieces = [lp]
+        while i < hi:
+            t = T[i]
+            nxt = T[i + 1] if i + 1 < hi else None
+            if t.kind == "op" and t.text in _CMP_OPS:
+                pieces.append(self._tokp(i))
+                (rp, _rk), i = self._add(i + 1, hi)
+                pieces.append(rp)
+                made_bool = True
+                continue
+            if t.low == "is":
+                pieces.append(self._tokp(i))
+                i += 1
+                while i < hi and T[i].low in ("not", "distinct", "from"):
+                    pieces.append(self._tokp(i))
+                    i += 1
+                if i < hi and self._starts_expr(i):
+                    (rp, _rk), i = self._add(i, hi)
+                    pieces.append(rp)
+                made_bool = True
+                continue
+            if (t.low == "not" and nxt is not None
+                    and nxt.low in _CMP_WORDS | {"in", "between"}):
+                pieces.append(self._tokp(i))
+                i += 1
+                continue
+            if t.low == "in":
+                pieces.append(self._tokp(i))
+                i += 1
+                if i < hi and T[i].text == "(":
+                    gp, i = self._group(i, hi)
+                    pieces.append(gp)
+                elif i < hi and T[i].kind in ("word", "bt"):
+                    pieces.append(self._tokp(i))
+                    i += 1
+                made_bool = True
+                continue
+            if t.low in _CMP_WORDS:
+                pieces.append(self._tokp(i))
+                rhs0 = i + 1
+                (rp, _rk), i = self._add(i + 1, hi)
+                if (t.low in ("rlike", "regexp") and i == rhs0 + 1
+                        and T[rhs0].kind == "str"):
+                    rp = _P(_go_regex_to_java(rp.text), rp.s, rp.e)
+                pieces.append(rp)
+                if i < hi and T[i].low == "escape":
+                    pieces.append(self._tokp(i))
+                    (ep, _ek), i = self._add(i + 1, hi)
+                    pieces.append(ep)
+                made_bool = True
+                continue
+            if t.low == "between":
+                pieces.append(self._tokp(i))
+                (b1, _), i = self._add(i + 1, hi)
+                pieces.append(b1)
+                if i < hi and T[i].low == "and":
+                    pieces.append(self._tokp(i))
+                    (b2, _), i = self._add(i + 1, hi)
+                    pieces.append(b2)
+                made_bool = True
+                continue
+            break
+        kind = "bool" if made_bool else lk
+        return (self._join(pieces), kind), i
+
+    def _add(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
+        (lp, lk), i = self._mul(i, hi)
+        T = self.T
+        pieces, kind = [lp], lk
+        while i < hi and T[i].kind == "op" and T[i].text in _ADD_OPS:
+            op = T[i]
+            pieces.append(self._tokp(i))
+            (rp, rk), i = self._mul(i + 1, hi)
+            pieces.append(rp)
+            kind = "int" if op.text in ("&", "|", "<<", ">>") else _arith(kind, rk)
+        return (self._join(pieces), kind), i
+
+    def _mul(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
+        (lp, lk), i = self._unary(i, hi)
+        T = self.T
+        while i < hi and T[i].kind == "op" and T[i].text in _MUL_OPS:
+            op = T[i]
+            (rp, rk), i = self._unary(i + 1, hi)
+            if op.text != "/":
+                lp = self._join([lp, _P(op.text, op.start, op.end), rp])
+                lk = _arith(lk, rk)
+                continue
+            lp, lk = self._divide(lp, lk, rp, rk, op)
+        return (lp, lk), i
+
+    def _divide(self, lp: _P, lk: str, rp: _P, rk: str,
+                op: Tok) -> tuple[_P, str]:
+        """Compile one `/` per the statically-inferred operand kinds."""
+        verbatim = self._join([lp, _P(op.text, op.start, op.end), rp])
+        if "null" in (lk, rk):
+            return verbatim, "null"
+        if lk in _INTISH and rk in _INTISH:
+            return (_P(f"(CAST({lp.text} AS BIGINT) DIV "
+                       f"CAST({rp.text} AS BIGINT))", lp.s, rp.e), "int")
+        if "real" in (lk, rk) and "text" not in (lk, rk):
+            # one REAL operand forces SQLite REAL division whatever the
+            # other side turns out to be — Spark's `/` already does that,
+            # so the common unknown-fn / real-literal shape (the compiled
+            # datetime chains) stays byte-verbatim and plan-clean.
+            return verbatim, "real"
+        li, ln, ld = _div_operand(lp.text, lk)
+        ri, rn, rd = _div_operand(rp.text, rk)
+        if "real" in (lk, rk):  # text ÷ real: coerce the text, stay REAL
+            return (_P(f"(CASE WHEN ({lp.text}) IS NULL OR ({rp.text}) IS NULL "
+                       f"THEN CAST(NULL AS DOUBLE) "
+                       f"ELSE try_divide({ld}, {rd}) END)", lp.s, rp.e), "real")
+        return (_P(f"(CASE WHEN ({lp.text}) IS NULL OR ({rp.text}) IS NULL "
+                   f"THEN CAST(NULL AS DOUBLE) "
+                   f"WHEN {li} AND {ri} THEN CAST({ln} DIV {rn} AS DOUBLE) "
+                   f"ELSE try_divide({ld}, {rd}) END)", lp.s, rp.e), "unknown")
+
+    def _unary(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
+        T = self.T
+        prefixes: list[_P] = []
+        while i < hi and T[i].kind == "op" and T[i].text in ("+", "-", "~"):
+            prefixes.append(self._tokp(i))
+            i += 1
+        if i >= hi:
+            raise _Unsupported("dangling unary operator")
+        (pp, pk), i = self._primary(i, hi)
+        if prefixes:
+            pk = "int" if any(p.text == "~" for p in prefixes) else _numlike(pk)
+            pp = self._join(prefixes + [pp])
+        pieces = [pp]
+        while i < hi:
+            t = T[i]
+            if t.low == "collate" and i + 1 < hi:
+                pieces.append(self._tokp(i))
+                pieces.append(self._tokp(i + 1))
+                i += 2
+                continue
+            if t.kind == "op" and t.text == "||":
+                pieces.append(self._tokp(i))
+                (rp, _rk), i = self._unary(i + 1, hi)
+                pieces.append(rp)
+                pk = "text"
+                continue
+            break
+        return (self._join(pieces), pk), i
+
+    # -- primaries --------------------------------------------------------
+    def _match_paren(self, i: int, hi: int) -> int:
+        depth = 0
+        for j in range(i, hi):
+            t = self.T[j]
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+                if depth == 0:
+                    return j
+        raise _Unsupported("unbalanced parens")
+
+    def _group(self, i: int, hi: int) -> tuple[_P, int]:
+        """Balanced ( … ) with the contents rebuilt via seq()."""
+        j = self._match_paren(i, hi)
+        if j == i + 1:
+            return _P("()", self.T[i].start, self.T[j].end), j + 1
+        inner, _ = self.seq(i + 1, j)
+        return self._join([self._tokp(i), inner, self._tokp(j)]), j + 1
+
+    def _primary(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
+        T = self.T
+        t = T[i]
+        if t.kind == "num":
+            body = t.text[:-2] if t.text[-2:].lower() == "bd" else \
+                (t.text[:-1] if t.text[-1].isalpha() else t.text)
+            real = ("." in body or "e" in body.lower()
+                    or t.text[-1] in "DdFf" or t.text[-2:].lower() == "bd")
+            return ((self._tokp(i), "real" if real else "int"), i + 1)
+        if t.kind == "str":
+            return ((self._tokp(i), "text"), i + 1)
+        if t.text == "(":
+            j = self._match_paren(i, hi)
+            if j == i + 1:
+                return ((_P("()", t.start, T[j].end), "unknown"), j + 1)
+            first = T[i + 1]
+            if first.low in ("select", "with", "values"):
+                gp, j2 = self._group(i, hi)
+                return ((gp, "unknown"), j2)
+            (ep, ek), k = self.expr(i + 1, j, boolctx=False)
+            if k < j:  # leftovers (comma list / row value): loose rebuild
+                rest, _ = self.seq(k, j)
+                ep, ek = self._join([ep, rest]), "unknown"
+            return ((self._join([self._tokp(i), ep, self._tokp(j)]), ek),
+                    j + 1)
+        if t.kind in ("bt", "word"):
+            if t.kind == "word":
+                if t.low == "case":
+                    return self._case(i, hi)
+                if t.low == "cast" and i + 1 < hi and T[i + 1].text == "(":
+                    return self._cast(i, hi)
+                if t.low == "exists" and i + 1 < hi and T[i + 1].text == "(":
+                    gp, j = self._group(i + 1, hi)
+                    return ((self._join([self._tokp(i), gp]), "bool"), j)
+                if t.low == "null":
+                    return ((self._tokp(i), "null"), i + 1)
+                if t.low in ("true", "false"):
+                    return ((self._tokp(i), "bool"), i + 1)
+                if (t.low == "x" and i + 1 < hi and T[i + 1].kind == "str"
+                        and T[i + 1].start == t.end):
+                    return ((self._join([self._tokp(i), self._tokp(i + 1)]),
+                             "blob"), i + 2)
+            return self._ident_or_call(i, hi)
+        raise _Unsupported(f"primary at {t.text!r}")
+
+    def _ident_or_call(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
+        T = self.T
+        pieces = [self._tokp(i)]
+        last_name = T[i].text.strip("`")
+        star_end = False
+        i += 1
+        while (i + 1 < hi and T[i].text == "." and
+               (T[i + 1].kind in ("word", "bt") or T[i + 1].text == "*")):
+            pieces.append(self._tokp(i))
+            pieces.append(self._tokp(i + 1))
+            last_name = T[i + 1].text.strip("`")
+            star_end = T[i + 1].text == "*"
+            i += 2
+        if i < hi and T[i].text == "(" and not star_end:
+            fname = last_name.lower()
+            args_p, arg_kinds, i = self._call_args(i, hi, fname)
+            pieces.append(args_p)
+            kind = self._fn_kind(fname, arg_kinds)
+            post, i = self._call_postfix(i, hi)
+            pieces.extend(post)
+            return ((self._join(pieces), kind), i)
+        kind = self.schema.get(last_name.lower(), "unknown")
+        return ((self._join(pieces), kind), i)
+
+    def _call_args(self, i: int, hi: int,
+                   fname: str) -> tuple[_P, list[str], int]:
+        """'(' arg [, arg]* ')'; each arg = [DISTINCT|ALL] expr [loose
+        tail]; iif/if put their first argument in boolean context."""
+        T = self.T
+        j = self._match_paren(i, hi)
+        pieces = [self._tokp(i)]
+        kinds: list[str] = []
+        k = i + 1
+        ordinal = 0
+        while k < j:
+            t = T[k]
+            if t.low in ("distinct", "all") or t.text == ",":
+                if t.text == ",":
+                    ordinal += 1
+                pieces.append(self._tokp(k))
+                k += 1
+                continue
+            if not self._starts_expr(k):
+                pieces.append(self._tokp(k))
+                k += 1
+                continue
+            boolctx = ordinal == 0 and fname in ("iif", "if")
+            a0 = k
+            (ep, ek), k = self.expr(k, j, boolctx=boolctx)
+            if (ordinal == 1 and fname in _REGEXP_FNS
+                    and k == a0 + 1 and T[a0].kind == "str"):
+                ep = _P(_go_regex_to_java(ep.text), ep.s, ep.e)
+            pieces.append(ep)
+            kinds.append(ek)
+        pieces.append(self._tokp(j))
+        return self._join(pieces), kinds, j + 1
+
+    def _call_postfix(self, i: int, hi: int) -> tuple[list[_P], int]:
+        """FILTER (...), IGNORE/RESPECT NULLS, WITHIN GROUP (...), OVER
+        (window | name) — consumed so a following `/` sees the whole
+        windowed aggregate as its operand."""
+        T = self.T
+        out: list[_P] = []
+        while i < hi and T[i].kind == "word":
+            w = T[i].low
+            if w == "filter" and i + 1 < hi and T[i + 1].text == "(":
+                out.append(self._tokp(i))
+                gp, i = self._group(i + 1, hi)
+                out.append(gp)
+                continue
+            if w in ("ignore", "respect") and i + 1 < hi and \
+                    T[i + 1].low == "nulls":
+                out.extend((self._tokp(i), self._tokp(i + 1)))
+                i += 2
+                continue
+            if w == "within" and i + 2 < hi and T[i + 1].low == "group" \
+                    and T[i + 2].text == "(":
+                out.extend((self._tokp(i), self._tokp(i + 1)))
+                gp, i = self._group(i + 2, hi)
+                out.append(gp)
+                continue
+            if w == "over" and i + 1 < hi and T[i + 1].text == "(":
+                out.append(self._tokp(i))
+                gp, i = self._group(i + 1, hi)
+                out.append(gp)
+                continue
+            if w == "over" and i + 1 < hi and T[i + 1].kind in ("word", "bt"):
+                out.extend((self._tokp(i), self._tokp(i + 1)))
+                i += 2
+                continue
+            break
+        return out, i
+
+    def _fn_kind(self, fname: str, arg_kinds: list[str]) -> str:
+        if fname in _FN_INT:
+            return "int"
+        if fname in _FN_REAL:
+            return "real"
+        if fname in _FN_TEXT:
+            return "text"
+        if fname in _FN_NUMLIKE:
+            return _numlike(arg_kinds[0]) if arg_kinds else "unknown"
+        if fname == "sum":
+            k = arg_kinds[0] if arg_kinds else "unknown"
+            return k if k in ("int", "real") else "unknown"
+        if fname in _FN_ARG0:
+            return arg_kinds[0] if arg_kinds else "unknown"
+        if fname in _FN_UNION:
+            return _union_all(arg_kinds) if arg_kinds else "unknown"
+        if fname in ("iif", "if"):
+            return (_union_all(arg_kinds[1:3])
+                    if len(arg_kinds) >= 3 else "unknown")
+        if fname == "mod" and len(arg_kinds) == 2:
+            return _arith(arg_kinds[0], arg_kinds[1])
+        return "unknown"
+
+    def _case(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
+        T = self.T
+        pieces = [self._tokp(i)]
+        i += 1
+        searched = i < hi and T[i].low == "when"
+        if not searched and i < hi and self._starts_expr(i):
+            (bp, _bk), i = self.expr(i, hi, boolctx=False)
+            pieces.append(bp)
+        arm_kinds: list[str] = []
+        while i < hi and T[i].low == "when":
+            pieces.append(self._tokp(i))
+            (cp, _ck), i = self.expr(i + 1, hi, boolctx=searched)
+            pieces.append(cp)
+            if i < hi and T[i].low == "then":
+                pieces.append(self._tokp(i))
+                (vp, vk), i = self.expr(i + 1, hi, boolctx=False)
+                pieces.append(vp)
+                arm_kinds.append(vk)
+        if i < hi and T[i].low == "else":
+            pieces.append(self._tokp(i))
+            (vp, vk), i = self.expr(i + 1, hi, boolctx=False)
+            pieces.append(vp)
+            arm_kinds.append(vk)
+        if i < hi and T[i].low == "end":
+            pieces.append(self._tokp(i))
+            i += 1
+        kind = _union_all(arm_kinds) if arm_kinds else "unknown"
+        return ((self._join(pieces), kind), i)
+
+    def _cast(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
+        """CAST(expr AS type): SQLite type names map to Spark types
+        (TEXT/INTEGER/INT/REAL/NUMERIC/BLOB → STRING/BIGINT/DOUBLE/BINARY,
+        previously _cast_alias in dsq_spark.functions); text sources to
+        INTEGER/REAL affinities additionally get the numeric-prefix parse
+        (sqlite.org/lang_expr.html#castexpr), statically when the source
+        kind is known, else dispatched on (foldable) typeof()."""
+        T = self.T
+        j = self._match_paren(i + 1, hi)
+        (ep, ek), k = self.expr(i + 2, j, boolctx=False)
+        tname = None
+        if (k + 1 < j and T[k].low == "as" and T[k + 1].kind == "word"
+                and k + 2 == j):  # plain one-word type name
+            tname = T[k + 1].low
+        if tname is None:  # parameterized / unusual shape: loose rebuild
+            inner, _ = self.seq(i + 2, j)
+            p = self._join([self._tokp(i), self._tokp(i + 1), inner,
+                            self._tokp(j)])
+            return ((p, "unknown"), j + 1)
+        span = (T[i].start, T[j].end)
+        if tname in _CAST_INT:
+            return ((_P(self._cast_int(ep.text, ek), *span), "int"), j + 1)
+        if tname in _CAST_REAL:
+            return ((_P(self._cast_real(ep.text, ek), *span), "real"), j + 1)
+        if tname == "text":
+            return ((_P(f"CAST({ep.text} AS STRING)", *span), "text"), j + 1)
+        if tname == "blob":
+            return ((_P(f"CAST({ep.text} AS BINARY)", *span), "blob"), j + 1)
+        kind = {"bigint": "int", "smallint": "int", "tinyint": "int",
+                "long": "int", "double": "real", "float": "real",
+                "string": "text", "varchar": "text", "binary": "blob",
+                "boolean": "bool"}.get(tname, "unknown")
+        p = self._join([self._tokp(i), self._tokp(i + 1), ep,
+                        self._tokp(k), self._tokp(k + 1), self._tokp(j)])
+        return ((p, kind), j + 1)
+
+    def _cast_int(self, et: str, ek: str) -> str:
+        if ek == "text":
+            return _int_prefix_bigint(et)
+        if ek in ("int", "real", "bool", "null"):
+            return f"CAST({et} AS BIGINT)"
+        return (f"(CASE WHEN typeof({et}) = 'string' "
+                f"THEN {_int_prefix_bigint(f'CAST({et} AS STRING)')} "
+                f"ELSE CAST({et} AS BIGINT) END)")
+
+    def _cast_real(self, et: str, ek: str) -> str:
+        if ek == "text":
+            return _real_prefix_double(et)
+        if ek in ("int", "real", "bool", "null"):
+            return f"CAST({et} AS DOUBLE)"
+        return (f"(CASE WHEN typeof({et}) = 'string' "
+                f"THEN {_real_prefix_double(f'CAST({et} AS STRING)')} "
+                f"ELSE CAST({et} AS DOUBLE) END)")
+
+
+def spark_schema_kinds(dtypes) -> dict[str, str]:
+    """Map Spark (name, dtype) pairs to SQLite storage-class kinds for the
+    rewriter.  Boolean and complex types map to 'unknown' so the rewriter
+    stays hands-off (SQLite has no such columns to mimic); a column name
+    appearing with conflicting kinds across views degrades to 'unknown'."""
+    out: dict[str, str] = {}
+    for name, dt in dtypes:
+        base = dt.split("(")[0].lower()
+        if base in ("tinyint", "smallint", "int", "bigint", "long", "integer"):
+            kind = "int"
+        elif base in ("float", "double", "decimal"):
+            kind = "real"
+        elif base == "string":
+            kind = "text"
+        elif base == "binary":
+            kind = "blob"
+        else:
+            kind = "unknown"
+        key = name.lower()
+        if key in out and out[key] != kind:
+            out[key] = "unknown"
+        else:
+            out[key] = kind
+    return out
+
+
+def rewrite_semantics(sql: str, schema: dict[str, str] | None = None) -> str:
+    """Entry point: apply SQLite division/CAST/truthiness semantics.
+
+    Runs LAST in the rewrite pipeline (after real-literal D-suffixing, so
+    literal kinds are settled).  On any parse surprise the original SQL is
+    returned unchanged — never worse than the previous behavior — unless
+    DSQ_SQLEXPR_STRICT is set (tests set it to surface parser gaps)."""
+    try:
+        toks = tokenize(sql)
+        if not toks:
+            return sql
+        out, _ = _Rw(sql, toks, schema or {}).seq(0, len(toks))
+        return sql[:toks[0].start] + out.text + sql[toks[-1].end:]
+    except Exception:
+        if os.environ.get("DSQ_SQLEXPR_STRICT"):
+            raise
+        return sql

@@ -117,7 +117,15 @@ def run_stream_to_memory(sdf: DataFrame, query_name: str,
         sdf.writeStream.format("memory").queryName(query_name)
         .outputMode(output_mode).trigger(availableNow=True).start()
     )
-    q.awaitTermination(timeout_s)
+    # awaitTermination returns False on timeout; reading the sink then
+    # would surface a PARTIAL mid-trigger aggregate as if it were the
+    # answer — fail loudly instead, and stop the orphaned stream (ADVICE
+    # r3: a slow machine must not turn a correctness gate into a silent
+    # wrong answer).
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream {query_name!r} did not finish within {timeout_s}s")
     return q
 
 

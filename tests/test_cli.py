@@ -304,3 +304,30 @@ def test_write_zordered_dataset_skips_on_both_columns(spark, tmp_path, sf_dir):
         hi = glo + 0.55 * span
         touched = sum(1 for a, b in ranges if a <= hi and b >= lo)
         assert touched <= max(2, (2 * n_files) // 3), (cname, touched, n_files)
+
+
+def test_pretty_table_streams_without_collect(spark, monkeypatch):
+    """pretty_table must never materialize the result driver-side: widths
+    come from a first toLocalIterator pass, rows stream in a second — an
+    un-LIMITed --pretty at cluster scale stays one-partition-bounded
+    (r3 verdict item)."""
+    import io
+
+    from pyspark.sql import DataFrame
+
+    from dsq_spark.io_out import pretty_table
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "b" * 20), (3, None)], "n int, s string")
+
+    def boom(self):
+        raise AssertionError("pretty_table must not collect()")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    buf = io.StringIO()
+    pretty_table(df.orderBy("n"), buf)
+    out = buf.getvalue()
+    assert out.endswith("(3 rows)\n")
+    assert "| " + "b" * 20 + " |" in out
+    # numeric right-alignment and centered header survive the streaming path
+    assert out.splitlines()[1].startswith("|")

@@ -118,23 +118,24 @@ def test_patch_matrix(con):
 
 
 def test_tree_matrix(con):
+    cols = "key, value, type, atom, id, parent, fullkey, path"
     for d in DOCS:
         for p in [None, '$', '$.a', '$.a.y', '$[1]', '$.zz', '$.a.y[0]',
                   '$.n.m', '$."k ey"']:
             try:
                 if p is None:
                     want = con.execute(
-                        "SELECT key, value, type, atom, fullkey, path "
-                        "FROM json_tree(?)", (d,)).fetchall()
+                        f"SELECT {cols} FROM json_tree(?)", (d,)).fetchall()
                 else:
                     want = con.execute(
-                        "SELECT key, value, type, atom, fullkey, path "
-                        "FROM json_tree(?, ?)", (d, p)).fetchall()
+                        f"SELECT {cols} FROM json_tree(?, ?)",
+                        (d, p)).fetchall()
             except sqlite3.OperationalError:
                 continue
             want = [tuple(None if x is None else str(x) for x in r)
                     for r in want]
-            got = [tuple(r) for r in (json_tree_rows(d, p) or [])]
+            got = [tuple(None if x is None else str(x) for x in r)
+                   for r in (json_tree_rows(d, p) or [])]
             assert got == want, (d, p)
 
 

@@ -317,3 +317,23 @@ def test_remove_dup_spans_equi_joins_only(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_remove_dup_spans")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dialect_division_folds_to_plain_div(spark, sf_dir):
+    """The SQLite-semantics division/CAST/truthiness compilation must cost
+    nothing physically: sqlexpr's typeof()-guards are foldable, so the
+    optimized plan contains a bare `div` inside WholeStageCodegen — no
+    CASE residue, no Python, and the LIMIT becomes a TakeOrderedAndProject
+    (top-k, never a global sort) with the scan still column-pruned."""
+    plan = plan_of(spark, sf_dir, "dialect_int_division")
+    assert " div " in plan
+    assert "typeof" not in plan          # folded away at optimize time
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_quantity" not in read_schema  # pruning survives the rewrite
+    for name in ("dialect_cast_affinity", "dialect_truthiness"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "typeof" not in plan, name

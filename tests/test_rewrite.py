@@ -202,3 +202,44 @@ def test_explain_query_plan(spark):
     rows = spark.sql(
         rewrite_query("EXPLAIN QUERY PLAN SELECT 1 AS one")).collect()
     assert rows and "Project" in rows[0][0] or "Scan" in rows[0][0]
+
+
+def test_go_regex_translation_matrix(spark):
+    """README.md:405-415 documents the reference's REGEXP as Go regexp
+    (RE2) vs our Java regex.  The mechanical subset is translated when the
+    pattern is a literal in regexp position — named groups (?P<n>…) →
+    (?<n>…) and POSIX classes [[:alpha:]] → [\\p{Alpha}] — and the
+    non-mechanical deltas are pinned here as the documented matrix:
+
+    | construct            | RE2 (reference) | Java (ours)  | handling   |
+    |----------------------|-----------------|--------------|------------|
+    | (?P<name>…)          | yes             | (?<name>…)   | translated |
+    | [[:alpha:]] etc.     | yes             | \\p{Alpha}   | translated |
+    | \\p{L}, \\d, \\b     | yes             | yes          | identical  |
+    | backrefs \\1         | REJECTED        | yes          | superset   |
+    | lookaround (?=…)     | REJECTED        | yes          | superset   |
+    | possessive a*+       | REJECTED        | yes          | superset   |
+    | (?U) flag            | ungreedy        | UNICODE_CASE | documented |
+    """
+    from dsq_spark.functions import register_all
+
+    register_all(spark)
+    # translation fires for RLIKE / REGEXP literals and regexp_* pattern args
+    out = rewrite_query("SELECT * FROM {} WHERE a REGEXP '(?P<y>[0-9]+)'")
+    assert "(?<y>[0-9]+)" in out and "(?P<" not in out
+    out = rewrite_query("SELECT regexp_extract(a, '[[:digit:]]+', 0) FROM {}")
+    assert "\\\\p{Digit}" in out and "[:digit:]" not in out
+    # mixed class members keep their position inside the class
+    out = rewrite_query("SELECT * FROM {} WHERE a REGEXP '[[:alpha:]_]'")
+    assert "[\\\\p{Alpha}_]" in out
+    # NOT in regexp position -> untouched (a plain string stays verbatim)
+    out = rewrite_query("SELECT '(?P<y>x)' AS lit FROM {}")
+    assert "(?P<y>x)" in out
+    # end-to-end: translated patterns actually match through Spark
+    spark.createDataFrame([("ab12",), ("xy",)], ["s"]).createOrReplaceTempView("rx_t")
+    rows = spark.sql(rewrite_query(
+        "SELECT s FROM rx_t WHERE s REGEXP '[[:alpha:]]+[[:digit:]]+'")).collect()
+    assert [r["s"] for r in rows] == ["ab12"]
+    rows = spark.sql(rewrite_query(
+        "SELECT regexp_extract(s, '(?P<num>[0-9]+)', 1) AS n FROM rx_t")).collect()
+    assert sorted(r["n"] for r in rows) == ["", "12"]
