@@ -763,6 +763,10 @@ def _trim_alias(kind: str):
     def build(parts: list[str]) -> str:
         name = {"BOTH": "trim", "LEADING": "ltrim", "TRAILING": "rtrim"}[kind]
         if len(parts) == 1:
+            # already-compiled TRIM(BOTH/LEADING/TRAILING … FROM …) re-entering
+            # via the case-insensitive TRIM( match: keep verbatim (idempotence)
+            if _re.match(r"(?is)\s*(BOTH|LEADING|TRAILING)\b", parts[0]):
+                return f"TRIM({parts[0]})"
             return f"{name}({parts[0]})"
         return f"TRIM({kind} {parts[1].strip()} FROM {parts[0].strip()})"
 
@@ -798,7 +802,9 @@ def _quote_alias(parts: list[str]) -> str:
     return (
         f"CASE WHEN {x} IS NULL THEN 'NULL' "
         f"WHEN {t} IN ('tinyint', 'smallint', 'int', 'bigint', 'boolean', "
-        f"'float', 'double') OR {t} LIKE 'decimal%' THEN CAST({x} AS STRING) "
+        f"'float', 'double') OR {t} ILIKE 'decimal%' THEN CAST({x} AS STRING) "
+        # (the hex alias's idempotence guard recognizes this emitted
+        # concat('X''', upper(hex(  prefix and leaves the byte-hex alone)
         f"WHEN {t} = 'binary' THEN concat('X''', upper(hex({x})), '''') "
         f"ELSE concat('''', replace(CAST({x} AS STRING), '''', ''''''), '''') END")
 
@@ -828,7 +834,11 @@ def _printf_alias(parts: list[str]) -> str:
         coerced = []
         for i, arg in enumerate(ps[1:]):
             conv = convs[i] if i < len(convs) else "s"
-            if conv in "diuxXo":
+            if arg.startswith("coalesce(CAST("):
+                # our own emitted coercion re-entering on a second rewrite
+                # pass — already NULL-safe and typed (idempotence)
+                coerced.append(arg)
+            elif conv in "diuxXo":
                 coerced.append(f"coalesce(CAST({arg} AS BIGINT), 0)")
             elif conv in "feEgG":
                 coerced.append(f"coalesce(CAST({arg} AS DOUBLE), 0.0D)")
@@ -849,7 +859,7 @@ def _typeof_alias(parts: list[str]) -> str:
     return (
         f"CASE WHEN {x} IS NULL THEN 'null' "
         f"WHEN {t} IN ('tinyint', 'smallint', 'int', 'bigint', 'boolean') THEN 'integer' "
-        f"WHEN {t} IN ('float', 'double') OR {t} LIKE 'decimal%' THEN 'real' "
+        f"WHEN {t} IN ('float', 'double') OR {t} ILIKE 'decimal%' THEN 'real' "
         f"WHEN {t} = 'binary' THEN 'blob' "
         "ELSE 'text' END")
 

@@ -392,6 +392,39 @@ def _rewrite_fn_aliases(sql: str) -> str:
             elif ch == ")":
                 depth -= 1
             j += 1
+        # Idempotence guards: several aliases EMIT a call to their own name
+        # (round/sign inside their CAST type pin, hex's inner byte-hex,
+        # typeof comparing Spark type names).  A second rewrite pass must
+        # not re-expand those — each guard matches the exact textual
+        # signature of the emitted form, which no SQLite-dialect user query
+        # produces with a different meaning (found by
+        # test_rewrite_idempotent_on_dialect_grammar).
+        name = m.group(1).lower()
+        argtext = sql[m.end():j - 1].strip()
+        after = sql[j:].lstrip().upper()
+        before = sql[:m.start()].rstrip().upper()
+        skip = False
+        if name == "round":
+            skip = before.endswith("CAST(") and after.startswith("AS DOUBLE)")
+        elif name == "sign":
+            skip = before.endswith("CAST(") and after.startswith(
+                ("AS INT)", "AS BIGINT)"))
+        elif name == "hex":
+            # already byte-hex: the expansion's own encode(...) form, or
+            # quote()'s emitted blob branch (both mean "hex these bytes" —
+            # exactly what un-expanded Spark hex() does)
+            skip = argtext.startswith("encode(") or \
+                before.endswith("CONCAT('X''', UPPER(")
+        elif name == "typeof":
+            # the expansion compares raw Spark typeof() against SPARK type
+            # names — meaningless in the SQLite dialect, so only our own
+            # emitted text looks like this
+            skip = after.startswith(("IN ('TINYINT'", "IN ('FLOAT', 'DOUBLE')",
+                                     "ILIKE 'DECIMAL%'", "= 'BINARY'"))
+        if skip:
+            out.append(sql[m.start():j])
+            i = j
+            continue
         # recurse into the arg list first so nested alias calls
         # (e.g. date(datetime(x, '+1 day'))) are expanded too
         args = _rewrite_fn_aliases(sql[m.end():j - 1])

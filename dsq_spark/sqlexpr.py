@@ -46,10 +46,18 @@ actually fires on its span, and the pass is idempotent — no generated
 form contains a bare ``/``, an un-suffixed real literal, a SQLite CAST
 type name, or a bare-numeric boolean operand.
 
+Non-division arithmetic follows SQLite too: '+','-','*' coerce TEXT
+operands through their longest numeric prefix ('5kg' + 1 = 6, junk → 0,
+NULL propagates, unary '+' is a no-op that keeps TEXT as TEXT), bitwise
+ops coerce to INTEGER, and '%' casts BOTH operands to INTEGER for the
+computation while keeping a REAL result type when either operand was
+REAL (all probed vs sqlite3).
+
 Documented residual deltas (PARITY.md): nested division over text
-operands re-divides a DOUBLE ('7'/'2'/2 = 1.5 vs SQLite 1);
-unknown-typed operands (no schema) keep strict Spark coercion for
-truthiness; '%' and '+'/'-' do not text-coerce.
+operands re-divides a DOUBLE ('7'/'2'/2 = 1.5 vs SQLite 1); the
+int-vs-real storage class of text-coerced arithmetic surfaces as DOUBLE
+(value exact, rendering differs); unknown-typed operands (no schema)
+keep strict Spark coercion.
 """
 
 from __future__ import annotations
@@ -228,10 +236,16 @@ _CAST_INT = frozenset(("integer", "int"))
 _CAST_REAL = frozenset(("real", "numeric"))
 
 # Longest-numeric-prefix patterns (SQLite text→number coercion).  These are
-# emitted into Spark SQL string literals, whose parser processes C escapes —
-# hence the doubled backslashes.
-_INT_PREFIX = r"'^\\s*([+-]?[0-9]+)'"
-_REAL_PREFIX = r"'^\\s*([+-]?(?:[0-9]+\\.?[0-9]*|\\.[0-9]+)(?:[eE][+-]?[0-9]+)?)'"
+# emitted into Spark SQL string literals and MUST be backslash-free: the
+# rewrite pipeline's literal-escaping pass doubles backslashes on every
+# pass (SQLite literals are escape-free, Spark's parser is not), so a
+# backslash in an emitted literal would break rewrite idempotence.  The
+# whitespace set is SQLite's isspace() as raw characters, and '.' is a
+# bracket class.
+_WS = " \t\n\x0b\x0c\r"
+_INT_PREFIX = f"'^[{_WS}]*([+-]?[0-9]+)'"
+_REAL_PREFIX = (f"'^[{_WS}]*([+-]?(?:[0-9]+[.]?[0-9]*|[.][0-9]+)"
+                f"(?:[eE][+-]?[0-9]+)?)'")
 _IS_INT_PREFIX = r"'^[+-]?[0-9]*$'"  # '' coerces to integer 0
 
 _TYPEOF_INTS = "('tinyint', 'smallint', 'int', 'bigint')"
@@ -320,7 +334,12 @@ class _Unsupported(Exception):
 # MECHANICALLY translatable and rewritten here when the pattern is a string
 # literal in regexp position (RLIKE rhs / regexp_* pattern argument):
 #   * named groups:  (?P<name>…)  →  (?<name>…)
-#   * POSIX classes: [[:alpha:]]  →  [\p{Alpha}]  (Java has no [: :])
+#   * POSIX classes: [[:alpha:]]  →  [a-zA-Z]  (Java has no [: :]; RE2's
+#     POSIX classes are ASCII-only, so ASCII ranges are the EXACT
+#     translation — and they keep emitted literals backslash-free, which
+#     rewrite idempotence requires).  punct/graph/print/cntrl are left
+#     untranslated (their ASCII sets need metacharacters); Java then
+#     rejects them loudly — documented.
 # The non-mechanical deltas stay documented, not silently rewritten:
 # RE2 rejects backreferences/lookaround (Java accepts them — our surface is
 # a superset there), and RE2's longest-match flag `(?U)` means something
@@ -331,22 +350,20 @@ _REGEXP_FNS = frozenset((
     "regexp_instr", "regexp_substr", "rlike", "regexp", "regexp_extract_all",
 ))
 _POSIX_CLASSES = {
-    "alpha": "Alpha", "digit": "Digit", "alnum": "Alnum", "space": "Space",
-    "upper": "Upper", "lower": "Lower", "punct": "Punct", "graph": "Graph",
-    "print": "Print", "cntrl": "Cntrl", "xdigit": "XDigit", "blank": "Blank",
+    "alpha": "a-zA-Z", "digit": "0-9", "alnum": "0-9a-zA-Z",
+    "upper": "A-Z", "lower": "a-z", "xdigit": "0-9a-fA-F",
+    "blank": " \t", "space": _WS,
 }
 
 
 def _go_regex_to_java(lit: str) -> str:
-    """Translate a single-quoted pattern literal.  Runs AFTER the chunk
-    escaping pass doubled backslashes, so emitted metacharacters are
-    doubled too (Spark's parser will process one level of escapes)."""
+    """Translate a single-quoted pattern literal (backslash-free output)."""
     body = lit[1:-1]
     body = body.replace("(?P<", "(?<")
 
     def posix(m: re.Match) -> str:
-        name = _POSIX_CLASSES.get(m.group(1))
-        return f"\\\\p{{{name}}}" if name else m.group(0)
+        chars = _POSIX_CLASSES.get(m.group(1))
+        return chars if chars is not None else m.group(0)
 
     body = re.sub(r"\[:(\w+):\]", posix, body)
     return f"'{body}'"
@@ -559,16 +576,34 @@ class _Rw:
         kind = "bool" if made_bool else lk
         return (self._join(pieces), kind), i
 
+    def _coerce_num(self, p: _P, k: str, bitwise: bool) -> tuple[_P, str]:
+        """SQLite coerces TEXT operands in arithmetic through their longest
+        numeric prefix ('5kg' + 1 = 6, 'x' * 2 = 0, NULL propagates) —
+        Spark's strict cast NULLs the whole expression instead, which on
+        dsq's all-TEXT CSV ingest silently loses rows.  Bitwise ops coerce
+        to INTEGER, the rest to REAL (the int-vs-real storage class of the
+        result is dynamic in SQLite and surfaces here as DOUBLE — a
+        documented rendering delta, PARITY.md)."""
+        if k != "text":
+            return p, k
+        fn = _int_prefix_bigint if bitwise else _real_prefix_double
+        return _P(fn(p.text), p.s, p.e), ("int" if bitwise else "real")
+
     def _add(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
         (lp, lk), i = self._mul(i, hi)
         T = self.T
         pieces, kind = [lp], lk
         while i < hi and T[i].kind == "op" and T[i].text in _ADD_OPS:
             op = T[i]
+            bitwise = op.text in ("&", "|", "<<", ">>")
+            if len(pieces) == 1:  # coerce the left side once, lazily
+                p0, k0 = self._coerce_num(lp, lk, bitwise)
+                pieces, kind = [p0], k0
             pieces.append(self._tokp(i))
             (rp, rk), i = self._mul(i + 1, hi)
+            rp, rk = self._coerce_num(rp, rk, bitwise)
             pieces.append(rp)
-            kind = "int" if op.text in ("&", "|", "<<", ">>") else _arith(kind, rk)
+            kind = "int" if bitwise else _arith(kind, rk)
         return (self._join(pieces), kind), i
 
     def _mul(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
@@ -577,12 +612,40 @@ class _Rw:
         while i < hi and T[i].kind == "op" and T[i].text in _MUL_OPS:
             op = T[i]
             (rp, rk), i = self._unary(i + 1, hi)
+            if op.text == "%":
+                lp, lk = self._modulo(lp, lk, rp, rk, op)
+                continue
             if op.text != "/":
+                lp, lk = self._coerce_num(lp, lk, bitwise=False)
+                rp, rk = self._coerce_num(rp, rk, bitwise=False)
                 lp = self._join([lp, _P(op.text, op.start, op.end), rp])
                 lk = _arith(lk, rk)
                 continue
             lp, lk = self._divide(lp, lk, rp, rk, op)
         return (lp, lk), i
+
+    def _modulo(self, lp: _P, lk: str, rp: _P, rk: str,
+                op: Tok) -> tuple[_P, str]:
+        """SQLite `%` casts BOTH operands to INTEGER for the computation
+        (2.5 % 4 = 2.0, '2.5' % 4 = 2.0) but the result keeps REAL type if
+        either operand was REAL — probed vs sqlite3.  All-integer operands
+        (the common case) stay byte-verbatim: Spark's bigint % already
+        matches SQLite's sign-follows-dividend remainder."""
+        verbatim = self._join([lp, _P(op.text, op.start, op.end), rp])
+        if {lk, rk} <= _INTISH:
+            return verbatim, "int"
+        if "null" in (lk, rk) or "unknown" in (lk, rk) or "blob" in (lk, rk):
+            return verbatim, ("null" if "null" in (lk, rk) else "unknown")
+
+        def as_int(t: str, k: str) -> str:
+            if k in _INTISH:
+                return t
+            if k == "real":
+                return f"CAST(({t}) AS BIGINT)"
+            return _int_prefix_bigint(t)  # text
+
+        return (_P(f"CAST({as_int(lp.text, lk)} % {as_int(rp.text, rk)} "
+                   f"AS DOUBLE)", lp.s, rp.e), "real")
 
     def _divide(self, lp: _P, lk: str, rp: _P, rk: str,
                 op: Tok) -> tuple[_P, str]:
@@ -620,8 +683,20 @@ class _Rw:
             raise _Unsupported("dangling unary operator")
         (pp, pk), i = self._primary(i, hi)
         if prefixes:
-            pk = "int" if any(p.text == "~" for p in prefixes) else _numlike(pk)
-            pp = self._join(prefixes + [pp])
+            tilde = any(p.text == "~" for p in prefixes)
+            minus = any(p.text == "-" for p in prefixes)
+            if tilde or minus:
+                pp, pk = self._coerce_num(pp, pk, bitwise=tilde)
+                pk = "int" if tilde else _numlike(pk)
+                pp = self._join(prefixes + [pp])
+            elif pk == "text":
+                # SQLite's unary '+' is a NO-OP (TEXT stays TEXT) while
+                # Spark's implicitly casts to a number: drop the '+' (the
+                # piece must still COVER the prefix span, or the dropped
+                # token re-enters via gap restoration)
+                pp = _P(pp.text, prefixes[0].s, pp.e)
+            else:
+                pp = self._join(prefixes + [pp])
         pieces = [pp]
         while i < hi:
             t = T[i]

@@ -521,3 +521,60 @@ def _is_num(x: str) -> bool:
         return True
     except (TypeError, ValueError):
         return False
+
+
+def test_rewrite_idempotent_on_dialect_grammar():
+    """rewrite_query must be a FIXPOINT on the full dialect grammar —
+    including the new sqlexpr forms: a second pass over compiled DIV /
+    prefix-parse / truthiness output must change nothing (the generated
+    text contains no bare '/', no SQLite CAST names, no un-suffixed real
+    literals, no bare-numeric booleans)."""
+    import os
+
+    os.environ["DSQ_SQLEXPR_STRICT"] = "1"
+    try:
+        g = Gen(random.Random(0xF1CD))
+        for _ in range(250):
+            q = (f"SELECT {g.any_(2)} AS r0, {g.any_(2)} AS r1 FROM td "
+                 f"WHERE {g.bool_(1)}")
+            once = rewrite_query(q, SCHEMA)
+            assert rewrite_query(once, SCHEMA) == once, q
+    finally:
+        os.environ.pop("DSQ_SQLEXPR_STRICT", None)
+
+
+def test_differential_text_arithmetic(engines):
+    """Non-division arithmetic over TEXT operands (the all-TEXT CSV case):
+    SQLite coerces each operand through its longest numeric prefix ('5kg'
+    + 1 = 6, 'x' * 2 = 0, NULL propagates; bitwise ops coerce to
+    INTEGER).  Values must match; the result's int-vs-real storage class
+    is dynamic in SQLite and surfaces as DOUBLE here (rendering delta,
+    canonicalized away by _canon)."""
+    spark, con = engines
+    con.execute("CREATE TABLE ta(s TEXT)")
+    vals = ["7", "2.5", "5kg", "x", "", None, "-3", " 12abc", "3e2", "1e",
+            "+4", "0", ".5x"]
+    con.executemany("INSERT INTO ta VALUES (?)", [(v,) for v in vals])
+    spark.createDataFrame([(v,) for v in vals], "s string") \
+        .createOrReplaceTempView("ta")
+    sch = {"s": "text"}
+    for q in ["SELECT s + 1 AS r FROM ta",
+              "SELECT s - 2 AS r FROM ta",
+              "SELECT s * 3 AS r FROM ta",
+              "SELECT s % 4 AS r FROM ta",
+              "SELECT 1 + s AS r FROM ta",
+              "SELECT s + s AS r FROM ta",
+              "SELECT s & 3 AS r FROM ta",
+              "SELECT s | 8 AS r FROM ta",
+              "SELECT s << 1 AS r FROM ta",
+              "SELECT -s AS r FROM ta",
+              "SELECT +s AS r FROM ta",
+              "SELECT ~s AS r FROM ta",
+              "SELECT s + 1.5 AS r FROM ta",
+              "SELECT abs(s * -1) AS r FROM ta"]:
+        want = sorted(tuple(_canon(v) for v in r)
+                      for r in con.execute(q).fetchall())
+        got = sorted(tuple(_canon(v) for v in r)
+                     for r in spark.sql(rewrite_query(q, sch)).collect())
+        assert want == got, (q, want[:6], got[:6])
+    con.execute("DROP TABLE ta")
