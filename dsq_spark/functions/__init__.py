@@ -135,6 +135,30 @@ _GLOB_REGEX_UDF = (
 ).replace("GLOBESC_PRIOR", _g_esc("a.prior")).replace("GLOBESC_C", _g_esc("c"))
 
 
+def _trim_g(s: str) -> str:
+    """%g mantissa cleanup: strip trailing zeros, then guarantee a
+    fractional part ('2.50000…'→'2.5', '100.000…'→'100.0', '1'→'1.0')."""
+    t = f"(CASE WHEN contains({s}, '.') THEN regexp_replace({s}, '0+$', '') ELSE {s} END)"
+    return (f"(CASE WHEN endswith({t}, '.') THEN concat({t}, '0') "
+            f"WHEN NOT contains({t}, '.') THEN concat({t}, '.0') "
+            f"ELSE {t} END)")
+
+
+_G15 = "format_string('%.15g', x)"
+_REAL_TEXT_UDF = (
+    "CREATE OR REPLACE TEMPORARY FUNCTION dsq_real_text(x DOUBLE) "
+    "RETURNS STRING RETURN "
+    "CASE WHEN x IS NULL OR isnan(x) THEN NULL "
+    "WHEN x = CAST(0 AS DOUBLE) THEN '0.0' "  # also normalizes -0.0
+    "WHEN x = double('Infinity') THEN 'Inf' "
+    "WHEN x = double('-Infinity') THEN '-Inf' "
+    f"WHEN contains({_G15}, 'e') THEN "
+    "concat(" + _trim_g(f"substring_index({_G15}, 'e', 1)") + ", 'e', "
+    f"substring_index({_G15}, 'e', -1)) "
+    f"ELSE {_trim_g(_G15)} END"
+)
+
+
 def _sql_udfs() -> list[str]:
     date_parts = {
         "date_year": "year", "date_month": "month", "date_day": "day",
@@ -197,6 +221,19 @@ def _sql_udfs() -> list[str]:
         # delta, same purpose.
         "CREATE OR REPLACE TEMPORARY FUNCTION unicode(s STRING) RETURNS INT "
         "RETURN CASE WHEN length(s) = 0 THEN NULL ELSE ascii(s) END",  # '' -> NULL like SQLite
+        # SQLite REAL→TEXT rendering (C printf %!.15g, sqlite3 src/func.c):
+        # 15 significant digits, trailing zeros trimmed, a mandatory
+        # fractional part ('100.0', '1.0e+20'), scientific form exactly
+        # when the decimal exponent is < -4 or >= 15, lowercase 'e' with a
+        # signed 2+-digit exponent.  Java's %.15g shares the threshold and
+        # exponent syntax but keeps trailing zeros — trimmed here.  Used by
+        # CAST(real AS TEXT) and real-operand || via dsq_spark.sqlexpr.
+        # Deltas (documented, ~2% of RANDOM doubles, none of typical data):
+        # subnormals render with Java's shortened digits, and doubles whose
+        # shortest repr is 16 digits ending in 5 can differ in the 15th
+        # digit (Java rounds the shortest repr, C the exact expansion).
+        # NaN is NULL (SQLite cannot store NaN); ±Inf prints 'Inf'/'-Inf'.
+        _REAL_TEXT_UDF,
         # SQLite cross-type sort key for dynamically-typed (varied) columns:
         # SQLite orders NULL < numeric (by value) < TEXT (lexically) in ONE
         # column (datatype3.html#sort_order); our varied columns land as

@@ -219,7 +219,7 @@ _FN_TEXT = frozenset((
     "translate", "initcap", "left", "right", "group_concat", "listagg",
     "string_agg", "soundex", "regexp_extract", "regexp_replace",
     "get_json_object", "json_quote", "json_array", "json_object", "json",
-    "glob_regex", "base64", "md5", "sha1", "space",
+    "glob_regex", "base64", "md5", "sha1", "space", "dsq_real_text",
     "url_scheme", "url_host", "url_path", "url_fragment", "url_param",
 ))
 _FN_ARG0 = frozenset((
@@ -706,8 +706,15 @@ class _Rw:
                 i += 2
                 continue
             if t.kind == "op" and t.text == "||":
+                if pk == "real":  # SQLite renders REAL via %!.15g in concat
+                    lp0 = self._join(pieces)
+                    pieces = [_P(f"dsq_real_text(CAST({lp0.text} AS DOUBLE))",
+                                 lp0.s, lp0.e)]
                 pieces.append(self._tokp(i))
-                (rp, _rk), i = self._unary(i + 1, hi)
+                (rp, rk), i = self._unary(i + 1, hi)
+                if rk == "real":
+                    rp = _P(f"dsq_real_text(CAST({rp.text} AS DOUBLE))",
+                            rp.s, rp.e)
                 pieces.append(rp)
                 pk = "text"
                 continue
@@ -950,9 +957,16 @@ class _Rw:
         if tname in _CAST_REAL:
             return ((_P(self._cast_real(ep.text, ek), *span), "real"), j + 1)
         if tname == "text":
-            return ((_P(f"CAST({ep.text} AS STRING)", *span), "text"), j + 1)
+            return ((_P(self._cast_text(ep.text, ek), *span), "text"), j + 1)
         if tname == "blob":
             return ((_P(f"CAST({ep.text} AS BINARY)", *span), "blob"), j + 1)
+        if tname in ("string", "varchar") and ek == "real":
+            # Spark-name string casts of a KNOWN-real source are still our
+            # own text conversions (e.g. the hex alias's inner CAST) — use
+            # SQLite's %!.15g rendering there too.  Unknown sources keep
+            # the plain cast: the datetime compiler's probe chains depend
+            # on that exact shape (test_julianday_compile_shortcuts).
+            return ((_P(self._cast_text(ep.text, ek), *span), "text"), j + 1)
         kind = {"bigint": "int", "smallint": "int", "tinyint": "int",
                 "long": "int", "double": "real", "float": "real",
                 "string": "text", "varchar": "text", "binary": "blob",
@@ -969,6 +983,19 @@ class _Rw:
         return (f"(CASE WHEN typeof({et}) = 'string' "
                 f"THEN {_int_prefix_bigint(f'CAST({et} AS STRING)')} "
                 f"ELSE CAST({et} AS BIGINT) END)")
+
+    def _cast_text(self, et: str, ek: str) -> str:
+        """CAST(x AS TEXT): REAL sources render via SQLite's %!.15g
+        (dsq_real_text — '1.0e+20' not Java's '1.0E20', decimal form up to
+        15 significant digits); everything else is Spark's string cast,
+        which already matches SQLite for INTEGER/TEXT."""
+        if ek == "real":
+            return f"dsq_real_text(CAST({et} AS DOUBLE))"
+        if ek == "unknown":
+            return (f"(CASE WHEN typeof({et}) IN ('float', 'double') "
+                    f"THEN dsq_real_text(CAST(({et}) AS DOUBLE)) "
+                    f"ELSE CAST(({et}) AS STRING) END)")
+        return f"CAST({et} AS STRING)"
 
     def _cast_real(self, et: str, ek: str) -> str:
         if ek == "text":

@@ -12,7 +12,9 @@ CAST-affinity and truthiness semantics, so the grammar generates int/int
 and text divisions, CASTs of text to INTEGER/REAL, and bare-numeric /
 bare-text boolean leaves ('WHERE a', 'a AND 1', 'NOT c').  Residual
 documented deltas, still excluded by construction (PARITY.md):
-  * REAL→TEXT formatting edges (1e20 renders differently);
+  * REAL→TEXT edges narrowed to subnormals and 16-digit-ending-in-5
+    doubles (CAST(real AS TEXT) and real || now render via SQLite's
+    %!.15g — see test_real_to_text_rendering);
   * mixed-type comparisons (SQLite orders across types);
   * nested text division ('7'/'2'/2 — the inner result re-divides as
     DOUBLE) — text operands appear only at the outermost '/' here.
@@ -164,8 +166,11 @@ class Gen:
             lambda: f"substr({self.text(d-1)}, {r.choice([1, 2])}, 2)",
             lambda: f"hex({self.int_(d-1)})",
             lambda: f"hex({self.text(d-1)})",
+            lambda: f"hex({self.real(d-1)})",  # via %!.15g text conversion
             lambda: f"typeof({r.choice(['a', 'b', 'c'])})",
             lambda: f"CAST({self.int_(d-1)} AS TEXT)",
+            # REAL→TEXT rendering is %!.15g-exact since r4 (dsq_real_text)
+            lambda: f"CAST({self.real(d-1)} AS TEXT)",
             lambda: f"ltrim({self.text(d-1)}, 'fo ')",
             lambda: f"rtrim({self.text(d-1)}, 'o ')",
             lambda: f"char({r.randint(97, 122)}, {r.randint(97, 122)})",
@@ -578,3 +583,32 @@ def test_differential_text_arithmetic(engines):
                      for r in spark.sql(rewrite_query(q, sch)).collect())
         assert want == got, (q, want[:6], got[:6])
     con.execute("DROP TABLE ta")
+
+
+def test_real_to_text_rendering(engines):
+    """REAL→TEXT now follows SQLite's %!.15g (CAST(real AS TEXT) and
+    real-operand ||): trailing-zero trim, mandatory '.0', scientific form
+    exactly when the decimal exponent is < -4 or >= 15, 'e+NN' exponent
+    spelling.  Residual (documented): subnormals and doubles whose
+    shortest repr is 16 digits ending in 5 round differently in the 15th
+    digit — none appear here."""
+    spark, con = engines
+    vals = [1e20, 2.5, 2.0, 1e7, 12345678.0, 1.5e-5, 0.0001,
+            123456789012345.0, 1234567890123456.0, 1e15, 1e16,
+            3.141592653589793, 1e-300, -1e20, 100.0, 0.5, 2.0 / 3.0,
+            1e-10, 0.0, -0.0, 123.456, 1e100, -2.5e-7, 7.0, 1e-5,
+            0.30000000000000004, 1.7976931348623157e308]
+    spark.createDataFrame([(float(v),) for v in vals], "v double") \
+        .createOrReplaceTempView("trt")
+    sch = {"v": "real"}
+    for q in ["SELECT CAST(v AS TEXT) AS t FROM trt",
+              "SELECT v || '' AS t FROM trt",
+              "SELECT 'x=' || v AS t FROM trt",
+              "SELECT length(CAST(v AS TEXT)) AS t FROM trt",
+              "SELECT substr(CAST(v AS TEXT), 1, 4) AS t FROM trt"]:
+        got = [r["t"] for r in spark.sql(rewrite_query(q, sch)).collect()]
+        expr = q.split(" AS t ")[0][len("SELECT "):]
+        want = [con.execute("SELECT " + expr.replace("v", "?"),
+                            (v,)).fetchone()[0] for v in vals]
+        assert [str(w) if w is not None else None for w in want] == \
+            [str(g) if g is not None else None for g in got], q
