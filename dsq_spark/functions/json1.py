@@ -44,7 +44,7 @@ import re
 __all__ = [
     "json_set_text", "json_insert_text", "json_replace_text",
     "json_remove_text", "json_patch_text", "json_tree_rows",
-    "register_json1",
+    "json_each_rows", "register_json1",
 ]
 
 
@@ -430,10 +430,14 @@ def _node_size(node) -> int:
     return 1
 
 
-def json_tree_rows(j, path=None):
-    """list of (key, value, type, atom, id, parent, fullkey, path) rows,
-    DFS pre-order; None (empty result) for malformed JSON or a
-    non-existent start path."""
+def _resolve_start(j, path, rebase_index=True):
+    """Shared json_each/json_tree start-node resolution: parse the doc,
+    descend `path` while counting skipped node-array slots (ids number
+    from the DOCUMENT root even under a path — probed).  Returns
+    (node, start_id, fullkey, start_key) or None for malformed JSON /
+    missing path.  `rebase_index` reproduces json_tree's probed quirk of
+    rewriting an array-index step to '[0]' in fullkey; json_each keeps
+    the true index ('$[1]' start → fullkey '$[1]')."""
     if j is None:
         return None
     try:
@@ -473,10 +477,10 @@ def json_tree_rows(j, path=None):
                         break
                     pos += _node_size(v)
                 node = node[idx]
-                # SQLite quirk (probed on 3.40): an array-index start is
-                # REBASED — the selected element walks as if it were
-                # element [0] of a one-element iteration
-                fullkey += "[0]"
+                # SQLite quirk (probed on 3.40): a json_tree array-index
+                # start is REBASED — the selected element walks as if it
+                # were element [0]; json_each keeps the real index
+                fullkey += "[0]" if rebase_index else f"[{idx}]"
                 start_key, last_was_key = None, False
         doc = node
         # start-row key: only a container reached via an object key keeps
@@ -484,6 +488,17 @@ def json_tree_rows(j, path=None):
         if not last_was_key or not isinstance(node, (dict, list)) \
                 or isinstance(node, str):
             start_key = None
+    return doc, start_id, fullkey, start_key
+
+
+def json_tree_rows(j, path=None):
+    """list of (key, value, type, atom, id, parent, fullkey, path) rows,
+    DFS pre-order; None (empty result) for malformed JSON or a
+    non-existent start path."""
+    start = _resolve_start(j, path)
+    if start is None:
+        return None
+    doc, start_id, fullkey, start_key = start
 
     rows: list[tuple] = []
 
@@ -510,6 +525,39 @@ def json_tree_rows(j, path=None):
     walk(doc, start_key, fullkey, parent if fullkey != "$" else "$",
          start_id, None)
     return rows
+
+
+def json_each_rows(j, path=None):
+    """SQLite json_each: DIRECT children of the (path-resolved) node — or
+    the scalar itself as one row with a NULL key (even when reached via an
+    object key — probed).  Same 8 columns as json_tree; `parent` is
+    always NULL and ids use the same document-rooted node-array numbering
+    ('{"a":[1,2],"b":…}' children get ids 2 and 6)."""
+    start = _resolve_start(j, path, rebase_index=False)
+    if start is None:
+        return None
+    doc, start_id, fullkey, _start_key = start
+
+    def row(node, key, nid, fk):
+        is_container = (isinstance(node, (dict, list))
+                        and not isinstance(node, str))
+        value = _dumps(node) if is_container else _scalar_text(node)
+        atom = None if is_container else value
+        return (key, value, _type_of(node), atom, nid, None, fk, fullkey)
+
+    if isinstance(node_ := doc, dict):
+        rows, pos = [], start_id + 1
+        for k, v in node_.items():
+            rows.append(row(v, k, pos + 1, fullkey + _key_seg(k)))
+            pos += 1 + _node_size(v)
+        return rows
+    if isinstance(doc, list) and not isinstance(doc, str):
+        rows, pos = [], start_id + 1
+        for i, v in enumerate(doc):
+            rows.append(row(v, str(i), pos, f"{fullkey}[{i}]"))
+            pos += _node_size(v)
+        return rows
+    return [row(doc, None, start_id, fullkey)]
 
 
 # --------------------------------------------------------------------------
@@ -564,3 +612,7 @@ def register_json1(spark) -> None:
         StructField("path", StringType()),
     ]))
     spark.udf.register("dsq_json_tree", json_tree_rows, tree_schema)
+    # json_each's FULL-column lowering (used by the rewriter only when the
+    # query references type/atom/id/parent/fullkey/path — the common
+    # key/value case keeps the pure-Catalyst entries-array lowering)
+    spark.udf.register("dsq_json_each", json_each_rows, tree_schema)

@@ -416,11 +416,14 @@ def _rewrite_fn_aliases(sql: str) -> str:
             skip = argtext.startswith("encode(") or \
                 before.endswith("CONCAT('X''', UPPER(")
         elif name == "typeof":
-            # the expansion compares raw Spark typeof() against SPARK type
-            # names — meaningless in the SQLite dialect, so only our own
+            # the expansion (and sqlexpr's typeof-dispatched dynamic
+            # forms) compare raw Spark typeof() against SPARK type names —
+            # meaningless in the SQLite dialect (SQLite typeof never
+            # returns 'boolean'/'string'/'bigint'), so only our own
             # emitted text looks like this
             skip = after.startswith(("IN ('TINYINT'", "IN ('FLOAT', 'DOUBLE')",
-                                     "ILIKE 'DECIMAL%'", "= 'BINARY'"))
+                                     "ILIKE 'DECIMAL%'", "= 'BINARY'",
+                                     "= 'BOOLEAN'", "= 'STRING'"))
         if skip:
             out.append(sql[m.start():j])
             i = j
@@ -467,6 +470,21 @@ def _split_top_commas(args: str) -> list[str]:
 _JSON_EACH = re.compile(
     r"(,\s*|\bjoin\s+)?\bjson_(each|tree)\s*\(", re.IGNORECASE)
 
+_RICH_JSON_COLS = ("type", "atom", "id", "parent", "fullkey", "path")
+
+
+def _wants_rich_json_each(sql: str, alias: str) -> bool:
+    """True when the statement references json_each columns beyond
+    key/value (qualified `alias.col`, or the distinctively-named bare
+    `fullkey`/`atom`).  A false positive only costs the faster lowering —
+    the rich walker returns identical key/value columns."""
+    pat = re.compile(
+        rf"\b{re.escape(alias)}\s*\.\s*(?:{'|'.join(_RICH_JSON_COLS)})\b"
+        r"|\b(?:fullkey|atom)\b", re.IGNORECASE)
+    spans = _literal_spans(sql)
+    return any(not any(a <= m.start() < b for a, b in spans)
+               for m in pat.finditer(sql))
+
 
 def _rewrite_json_each(sql: str) -> str:
     """SQLite's json_each / json_tree table-valued functions → LATERAL VIEW.
@@ -488,12 +506,19 @@ def _rewrite_json_each(sql: str) -> str:
     parent, fullkey, path` (recursive DFS walk — functions/json1.py — with
     SQLite's node-array rowid numbering for id/parent).
 
+    When the statement references json_each columns beyond key/value
+    (type/atom/id/parent/fullkey/path — SQLite's full json_each shape),
+    the lowering switches to `inline(dsq_json_each(arg, path))`: the same
+    walker family as json_tree, direct children only, parent always NULL,
+    document-rooted ids, pinned vs sqlite3 (tests/test_json1.py
+    test_each_matrix). The key/value fast path stays pure Catalyst.
+
     A bare `FROM json_each('...')` (no base relation) gets a one-row
     `(SELECT 1)` anchor, and the 2-arg path form `json_each(x, '$.p')`
-    drills in with get_json_object first (json_tree passes the path to the
-    walker, which mirrors SQLite's start-node quirks). Documented deltas vs
-    SQLite: keys surface as TEXT (SQLite uses integers for arrays), and
-    values surface as TEXT."""
+    drills in with get_json_object first (json_tree and rich json_each
+    pass the path to the walker, which mirrors SQLite's start-node
+    quirks). Documented deltas vs SQLite: keys surface as TEXT (SQLite
+    uses integers for arrays), and values surface as TEXT."""
     spans = _skip_spans(sql)
     out, i = [], 0
     while True:
@@ -537,6 +562,16 @@ def _rewrite_json_each(sql: str) -> str:
                 f" LATERAL VIEW inline(dsq_json_tree("
                 f"{arg_parts[0].strip()}, {path or 'CAST(NULL AS STRING)'})) "
                 f"{alias or 'json_tree'} "
+                f"AS key, value, type, atom, id, parent, fullkey, path")
+        elif _wants_rich_json_each(sql, alias or "json_each"):
+            # the query touches type/atom/id/parent/fullkey/path — lower
+            # through the full walker (same 8 columns as json_tree, direct
+            # children only, parent always NULL, pinned vs sqlite3); the
+            # common key/value case keeps the pure-Catalyst path below
+            lateral = (
+                f" LATERAL VIEW inline(dsq_json_each("
+                f"{arg_parts[0].strip()}, {path or 'CAST(NULL AS STRING)'})) "
+                f"{alias or 'json_each'} "
                 f"AS key, value, type, atom, id, parent, fullkey, path")
         else:
             # entries as array<struct<key,value>> + inline (NOT a map +

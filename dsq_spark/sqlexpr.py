@@ -489,22 +489,35 @@ class _Rw:
             return (self._join([t, wrapped]), "bool"), j
         return self._cmp(i, hi)
 
+    def _text_truthy(self, t: str) -> str:
+        pre = f"regexp_extract(({t}), {_REAL_PREFIX}, 1)"
+        return (f"(CASE WHEN ({t}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+                f"ELSE coalesce(CAST({pre} AS DOUBLE), CAST(0 AS DOUBLE)) "
+                f"<> CAST(0 AS DOUBLE) END)")
+
     def _truthify(self, p: _P, k: str) -> _P:
         """SQLite truthiness: coerce to NUMERIC, compare ≠ 0 (NULL stays
-        NULL).  'unknown'/'blob'/'bool' pass through — acting only on
-        known kinds means a Spark-boolean expression is never
-        double-wrapped and an untyped expression keeps today's
-        loud-failure behavior (PARITY.md)."""
-        if k in ("bool", "unknown", "blob"):
+        NULL).  'bool' passes through (a Spark-boolean expression is never
+        double-wrapped); 'unknown' dispatches on foldable typeof() — the
+        boolean arm keeps Spark-boolean functions working, the string arm
+        applies the text coercion, everything else compares its DOUBLE
+        cast (so `WHERE a` works even with no schema); 'blob' passes
+        through (loud, like today — SQLite can't ingest blobs here)."""
+        if k in ("bool", "blob"):
             return p
         if k == "null":
             return _P("CAST(NULL AS BOOLEAN)", p.s, p.e)
         if k == "text":
-            pre = f"regexp_extract(({p.text}), {_REAL_PREFIX}, 1)"
+            return _P(self._text_truthy(p.text), p.s, p.e)
+        if k == "unknown":
+            t = p.text
             return _P(
-                f"(CASE WHEN ({p.text}) IS NULL THEN CAST(NULL AS BOOLEAN) "
-                f"ELSE coalesce(CAST({pre} AS DOUBLE), CAST(0 AS DOUBLE)) "
-                f"<> CAST(0 AS DOUBLE) END)", p.s, p.e)
+                f"(CASE WHEN typeof({t}) = 'boolean' "
+                f"THEN CAST(({t}) AS BOOLEAN) "
+                f"WHEN typeof({t}) = 'string' "
+                f"THEN {self._text_truthy(f'CAST(({t}) AS STRING)')} "
+                f"ELSE CAST(({t}) AS DOUBLE) <> CAST(0 AS DOUBLE) END)",
+                p.s, p.e)
         return _P(f"({p.text}) <> 0", p.s, p.e)
 
     def _cmp(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:

@@ -331,3 +331,29 @@ def test_pretty_table_streams_without_collect(spark, monkeypatch):
     assert "| " + "b" * 20 + " |" in out
     # numeric right-alignment and centered header survive the streaming path
     assert out.splitlines()[1].startswith("|")
+
+
+def test_csv_sqlite_arithmetic_semantics(spark, tmp_path):
+    """The flagship dsq scenario: CSV ingest makes every column TEXT, and
+    SQLite's coercion rules are what make arithmetic on it usable.
+    Through the real CLI path (schema kinds fed to the rewriter):
+    integer division on text ('7'/2 = 3), CAST prefix-parse + arithmetic,
+    text-coercion in '*', and bare-column truthiness filtering."""
+    csv = tmp_path / "inv.csv"
+    csv.write_text("name,qty,price\nwidget,7,2.50\ngadget,3,10\njunk,x,5kg\n")
+    rc, out = _run([str(csv),
+                    "SELECT name, qty / 2 AS half, "
+                    "CAST(qty AS INTEGER) + 1 AS nxt, price * 2 AS dbl "
+                    "FROM {} WHERE qty"], spark)
+    assert rc == 0
+    assert json.loads(out) == [
+        {"name": "widget", "half": 3, "nxt": 8, "dbl": 5},
+        {"name": "gadget", "half": 1, "nxt": 4, "dbl": 20},
+    ]
+    # '5kg' is truthy (numeric prefix 5), 'x' is falsy (no prefix -> 0)
+    rc, out = _run([str(csv), "SELECT count(*) AS n FROM {} WHERE price"],
+                   spark)
+    assert json.loads(out) == [{"n": 3}]
+    rc, out = _run([str(csv), "SELECT count(*) AS n FROM {} WHERE qty"],
+                   spark)
+    assert json.loads(out) == [{"n": 2}]

@@ -190,3 +190,62 @@ def test_sql_surface(spark):
     got = [(str(r["id"]), r["fk"], r["atom"])
            for r in spark.sql(rewrite_query(q)).collect()]
     assert got == want
+
+
+def test_each_matrix(con):
+    """json_each's full 8-column shape vs sqlite3 over the same doc×path
+    matrix json_tree is pinned on: direct children only (a scalar yields
+    itself with a NULL key even when reached via an object key), parent
+    always NULL, ids in the shared document-rooted node numbering."""
+    from dsq_spark.functions.json1 import json_each_rows
+
+    cols = "key, value, type, atom, id, parent, fullkey, path"
+    for d in DOCS:
+        for p in [None, '$', '$.a', '$.a.y', '$[1]', '$.zz', '$.a.y[0]',
+                  '$.n.m', '$."k ey"']:
+            try:
+                if p is None:
+                    want = con.execute(
+                        f"SELECT {cols} FROM json_each(?)", (d,)).fetchall()
+                else:
+                    want = con.execute(
+                        f"SELECT {cols} FROM json_each(?, ?)",
+                        (d, p)).fetchall()
+            except sqlite3.OperationalError:
+                continue
+            want = [tuple(None if x is None else str(x) for x in r)
+                    for r in want]
+            got = [tuple(None if x is None else str(x) for x in r)
+                   for r in (json_each_rows(d, p) or [])]
+            assert got == want, (d, p)
+
+
+def test_each_rich_columns_sql_surface(spark):
+    """Through the rewriter: referencing type/fullkey/atom/id switches
+    json_each to the full-column lowering; the plain key/value shape keeps
+    the pure-Catalyst path (no Python in that plan)."""
+    import io
+    import sqlite3 as s3
+    from contextlib import redirect_stdout
+
+    from dsq_spark.functions import register_all
+    from dsq_spark.rewrite import rewrite_query
+
+    register_all(spark)
+    con = s3.connect(":memory:")
+    doc = '{"a":[1,{"b":2}],"n":7,"s":"x"}'
+    q = (f"SELECT je.key AS k, je.type AS ty, je.atom AS at, je.id AS i, "
+         f"je.fullkey AS fk FROM json_each('{doc}') je ORDER BY i")
+    want = [tuple(None if x is None else str(x) for x in r)
+            for r in con.execute(q).fetchall()]
+    got = [tuple(None if x is None else str(x) for x in r)
+           for r in spark.sql(rewrite_query(q)).collect()]
+    assert got == want
+    # fast path stays Catalyst-only: no Python eval nodes in the plan
+    q2 = f"SELECT je.key, je.value FROM json_each('{doc}') je"
+    df = spark.sql(rewrite_query(q2))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -612,3 +612,43 @@ def test_real_to_text_rendering(engines):
                             (v,)).fetchone()[0] for v in vals]
         assert [str(w) if w is not None else None for w in want] == \
             [str(g) if g is not None else None for g in got], q
+
+
+def test_rewrite_idempotent_without_schema():
+    """Same fixpoint property with NO schema: every operand kind is
+    'unknown', so the typeof()-dispatched dynamic forms (division, CAST
+    affinity, truthiness) are what gets emitted — and a second pass must
+    not re-expand the raw typeof() calls inside them (the alias guard in
+    _rewrite_fn_aliases recognizes our emitted Spark-type-name
+    comparisons)."""
+    import os
+
+    os.environ["DSQ_SQLEXPR_STRICT"] = "1"
+    try:
+        g = Gen(random.Random(0xD00D))
+        for _ in range(200):
+            q = (f"SELECT {g.any_(2)} AS r0 FROM td "
+                 f"WHERE {g.bool_(1)}")
+            once = rewrite_query(q)  # no schema on purpose
+            assert rewrite_query(once) == once, q
+    finally:
+        os.environ.pop("DSQ_SQLEXPR_STRICT", None)
+
+
+def test_truthiness_without_schema(engines):
+    """With NO column kinds (schema-less rewrite_query), truthiness now
+    dispatches on foldable typeof(): `WHERE a` works for int, real and
+    text columns alike, and boolean-returning Spark expressions still pass
+    through the boolean arm."""
+    spark, con = engines
+    for q in ["SELECT a, b, c FROM td WHERE a",
+              "SELECT a FROM td WHERE c",
+              "SELECT a FROM td WHERE b",
+              "SELECT a FROM td WHERE NOT a AND 1",
+              "SELECT iif(a, 1, 0) AS v FROM td",
+              "SELECT a FROM td WHERE a > 1 OR c"]:
+        want = sorted(tuple(_canon(v) for v in r)
+                      for r in con.execute(q).fetchall())
+        got = sorted(tuple(_canon(v) for v in r)
+                     for r in spark.sql(rewrite_query(q)).collect())
+        assert want == got, q
