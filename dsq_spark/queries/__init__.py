@@ -62,10 +62,12 @@ _PRIORITY = [
     "sim_neardup_components",
     "sim_ivf_recall",
     "sim_ivf_multiprobe",
-    # (b) new this round: SQLite arithmetic/affinity dialect semantics
+    # (b) new this round: SQLite arithmetic/affinity dialect semantics +
+    # the quality-bucketed token-budget curation recipe
     "dialect_int_division",
     "dialect_cast_affinity",
     "dialect_truthiness",
+    "pipeline_quality_mix",
     # (b) changed this round
     "json_each_props",
     "json1_mutators",
@@ -102,15 +104,16 @@ _PRIORITY = [
     "unpivot_charge_components",
     "window_lag_lead",
     "text_contamination_check",
-    "text_gopher_rules",
     "text_pii_scrub",
     "mix_token_budget",
     "mm_image_meta",
     # --- everything below is PAST the 50-row window this round ---
+    "text_gopher_rules",
     # r2-verified, deferred to round 5: each has an in-window sibling
     # exercising the same machinery (approx aggs, cube/rollup, multimodal
     # stubs, k-means IVF, incremental LSH, int8 scan, shard packing,
-    # stratified windows, distribution windows) plus the local oracle suite.
+    # stratified windows, distribution windows, gopher-rule token HOFs)
+    # plus the local oracle suite.
     "agg_cube",
     "mm_feature_neighbors",
     "agg_approx_quantile",

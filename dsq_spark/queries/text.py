@@ -636,6 +636,102 @@ def mix_token_budget(spark, sf_dir):
 
 
 @register(
+    "pipeline_quality_mix",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         length({D_TOKENS}) AS n_tok,
+         length(list_distinct({D_TOKENS})) * 1.0 / length({D_TOKENS})
+           * ln(1 + length({D_TOKENS})) AS q
+  FROM documents
+),
+b AS (
+  SELECT quantile_cont(q, 0.25) AS q1, quantile_cont(q, 0.5) AS q2,
+         quantile_cont(q, 0.75) AS q3, sum(n_tok) AS tot
+  FROM s
+),
+g AS (
+  SELECT s.doc_id, s.n_tok, s.q, b.tot,
+         1 + CAST(s.q > b.q1 AS INT) + CAST(s.q > b.q2 AS INT)
+           + CAST(s.q > b.q3 AS INT) AS bucket
+  FROM s CROSS JOIN b
+),
+sel AS (
+  SELECT bucket, n_tok,
+         CAST(floor(tot * (bucket * 0.1)) AS BIGINT) AS tok_budget,
+         sum(n_tok) OVER (PARTITION BY bucket ORDER BY q DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM g
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN cum <= tok_budget THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       CAST(sum(CASE WHEN cum <= tok_budget THEN n_tok ELSE 0 END) AS BIGINT)
+         AS tok_selected,
+       tok_budget
+FROM sel GROUP BY bucket, tok_budget ORDER BY bucket
+""",
+    doc=(
+        "Quality-bucketed token-budget mixing — the curation recipe that "
+        "composes quality scoring with budgeted selection: score each doc "
+        "(unique-token ratio x log-length), bucket into quality quartiles "
+        "by comparing against a 1-row broadcast of exact quantile "
+        "boundaries (NO global sort or ntile — the corpus pays one scan "
+        "plus a tiny cross join), give higher quartiles larger token "
+        "budgets (10/20/30/40% of the corpus), and greedily admit docs "
+        "per bucket (quality-descending running token sum vs the budget). "
+        "Scale notes: exact percentile + exact greedy keep the oracle "
+        "bit-deterministic at verification scale; at 100 TB both swap for "
+        "their sketch forms — approx_percentile boundaries and a "
+        "token-weighted quality-threshold cut (map-side filter) instead "
+        "of the per-bucket window — the same exact-for-oracle / "
+        "sketch-for-scale split the ANN recall metrics use. Boundary "
+        "comparisons are engine-stable: interpolated quantiles land "
+        "strictly between distinct neighbors, and exact-tie boundaries "
+        "reduce to the element value in both engines."
+    ),
+)
+def pipeline_quality_mix(spark, sf_dir):
+    t(spark, sf_dir, "documents").createOrReplaceTempView("dsq_qmix_docs")
+    return spark.sql(f"""
+WITH s AS (
+  SELECT doc_id,
+         size({TOKENS}) AS n_tok,
+         size(array_distinct({TOKENS})) * 1.0 / size({TOKENS})
+           * ln(1 + size({TOKENS})) AS q
+  FROM dsq_qmix_docs
+),
+b AS (
+  SELECT percentile(q, 0.25) AS q1, percentile(q, 0.5) AS q2,
+         percentile(q, 0.75) AS q3, sum(n_tok) AS tot
+  FROM s
+),
+g AS (
+  SELECT s.doc_id, s.n_tok, s.q, b.tot,
+         1 + CAST(s.q > b.q1 AS INT) + CAST(s.q > b.q2 AS INT)
+           + CAST(s.q > b.q3 AS INT) AS bucket
+  FROM s CROSS JOIN b
+),
+sel AS (
+  SELECT bucket, n_tok,
+         CAST(floor(tot * (bucket * 0.1)) AS BIGINT) AS tok_budget,
+         sum(n_tok) OVER (PARTITION BY bucket ORDER BY q DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM g
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN cum <= tok_budget THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       CAST(sum(CASE WHEN cum <= tok_budget THEN n_tok ELSE 0 END) AS BIGINT)
+         AS tok_selected,
+       tok_budget
+FROM sel GROUP BY bucket, tok_budget ORDER BY bucket
+""")
+
+
+@register(
     "doc_tfidf_keywords",
     oracle=f"""
 WITH tok AS (

@@ -337,3 +337,16 @@ def test_dialect_division_folds_to_plain_div(spark, sf_dir):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "typeof" not in plan, name
+
+
+def test_quality_mix_no_global_structures(spark, sf_dir):
+    """pipeline_quality_mix: quartile boundaries broadcast as ONE row onto
+    the corpus scan (never a sort-merge join), and the greedy-selection
+    window partitions by bucket — the only global sort in the plan is the
+    final ORDER BY over the 4 aggregated output rows."""
+    plan = plan_of(spark, sf_dir, "pipeline_quality_mix")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert n_nodes(plan, r"Window(?!GroupLimit)") == 1
+    assert "windowspecdefinition(bucket" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
