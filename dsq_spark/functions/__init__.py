@@ -560,6 +560,13 @@ _STRFTIME_EXPR = {
     "U": lambda e: ("lpad(CAST(CAST(floor((dayofyear(" + e + ") - 1 + 7 - "
                     "(dayofweek(" + e + ") - 1)) / 7.0d) AS INT) AS STRING), 2, '0')"),
     "s": lambda e: f"CAST(CAST(floor(unix_micros({e}) / 1000000.0d) AS BIGINT) AS STRING)",
+    # %J: fractional Julian day number, printed the way SQLite renders it
+    # (%.16g with trailing zeros trimmed — '2451910.5', not '...500000000';
+    # Java's %g keeps the zeros, hence the regexp trim + dot strip)
+    "J": lambda e: (
+        "regexp_replace(regexp_replace(format_string('%.16g', "
+        f"unix_micros({e}) / 86400000000.0d + 2440587.5d), "
+        "'0+$', ''), '[.]$', '')"),
 }
 
 
@@ -599,9 +606,12 @@ def _strftime_concat(fmt: str, e: str) -> str:
             flush()
             parts.append(_STRFTIME_EXPR[code](e))
         else:
-            raise ValueError(
-                f"unsupported strftime code %{code} (supported: "
-                f"%{' %'.join(sorted(_STRFTIME_JAVA) + sorted(_STRFTIME_EXPR))} %%)")
+            # the pinned amalgamation (3.39.2, go.mod:78) returns NULL for
+            # any %-code it doesn't know (%I %k %l %p %P … arrived in
+            # 3.44) — match that instead of raising; the codes we DO
+            # support beyond 3.39.2 (%e %F %R %T %u %G %g %V) are a
+            # documented superset agreeing with 3.44+'s definitions
+            return "CAST(NULL AS STRING)"
     flush()
     has_ts_part = any(not p.startswith("'") for p in parts)
     if not has_ts_part:

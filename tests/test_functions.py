@@ -263,11 +263,11 @@ def test_strftime_extended_codes(spark):
     for q, want in cases:
         got = spark.sql(rewrite_query(q) + " AS v").collect()[0]["v"]
         assert str(got) == want, q
-    # unsupported code is a clear error, not silent garbage
-    import pytest
-
-    with pytest.raises(ValueError, match="unsupported strftime code"):
-        rewrite_query("SELECT strftime('%V', '2022-03-05')")
+    # a code neither we nor the pinned 3.39.2 amalgamation knows compiles
+    # to NULL — exactly what the reference's SQLite returns (r4; the old
+    # behavior raised, which no SQLite ever does)
+    out = rewrite_query("SELECT strftime('%Q', '2022-03-05') AS v")
+    assert spark.sql(out).collect()[0]["v"] is None
 
 
 def test_scalar_minmax_and_json(spark):
@@ -525,3 +525,22 @@ def test_sqlite_core_scalars_vs_sqlite(spark):
         if isinstance(got, (bytes, bytearray)):
             got = bytes(got)
         assert str(got) == str(want), f"{e}: {got!r} != {want!r}"
+
+
+def test_strftime_julian_and_unknown_codes(spark):
+    """%J (fractional Julian day — supported by the reference's pinned
+    SQLite) renders with trimmed %.16g; codes the pinned 3.39.2
+    amalgamation does NOT know (%I %k %l %p %P — added in 3.44) compile to
+    NULL like it returns, instead of raising."""
+    import sqlite3
+
+    from dsq_spark.rewrite import rewrite_query
+
+    con = sqlite3.connect(":memory:")
+    for code in ("%J", "%I", "%k", "%l", "%p", "%P"):
+        for ts in ("2013-10-07 08:23:19.120", "2001-01-01 00:00:00",
+                   "1970-01-01 12:00:00"):
+            q = f"SELECT strftime('x{code}y', '{ts}') AS v"
+            want = con.execute(q).fetchone()[0]
+            got = spark.sql(rewrite_query(q)).collect()[0]["v"]
+            assert str(want) == str(got), (code, ts, want, got)
