@@ -46,7 +46,7 @@ from dsq_spark.queries import streaming_q  # noqa: F401,E402
 # (the json_each lowering gained SQLite's scalar null/true/false rows),
 # json1_mutators (json_tree gained id/parent), and streaming_window_counts
 # (replay memo + awaitTermination hardening) — then (c) r2-verified queries
-# oldest-first.  107 + 3 registered vs a 50-row window means ten r2-verified
+# oldest-first.  111 registered vs a 50-row window means eleven r2-verified
 # queries must wait for round 5 (listed LAST below, chosen as the ones whose
 # machinery is also exercised by an in-window sibling); every registered
 # query, in-window or not, stays green in the identical local oracle suite
