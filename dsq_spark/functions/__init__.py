@@ -881,14 +881,20 @@ def _printf_alias(parts: list[str]) -> str:
         coerced = []
         for i, arg in enumerate(ps[1:]):
             conv = convs[i] if i < len(convs) else "s"
-            if arg.startswith("coalesce(CAST("):
+            if arg.startswith(("coalesce(CAST(", "(coalesce(CAST(")):
                 # our own emitted coercion re-entering on a second rewrite
                 # pass — already NULL-safe and typed (idempotence)
                 coerced.append(arg)
             elif conv in "diuxXo":
                 coerced.append(f"coalesce(CAST({arg} AS BIGINT), 0)")
             elif conv in "feEgG":
-                coerced.append(f"coalesce(CAST({arg} AS DOUBLE), 0.0D)")
+                # + 0.0 normalizes EXACT negative zero: SQLite's printf
+                # renders -0.0 unsigned under float conversions where
+                # java.util.Formatter prints '-0.00' (values that merely
+                # ROUND to zero keep their sign in both — probed)
+                coerced.append(
+                    f"(coalesce(CAST({arg} AS DOUBLE), 0.0D) "
+                    f"+ CAST(0 AS DOUBLE))")
             elif conv == "s":
                 coerced.append(f"coalesce(CAST({arg} AS STRING), '')")
             else:

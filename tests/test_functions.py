@@ -544,3 +544,21 @@ def test_strftime_julian_and_unknown_codes(spark):
             want = con.execute(q).fetchone()[0]
             got = spark.sql(rewrite_query(q)).collect()[0]["v"]
             assert str(want) == str(got), (code, ts, want, got)
+
+
+def test_printf_negative_zero(spark):
+    """SQLite's printf renders EXACT -0.0 unsigned under float conversions
+    (java.util.Formatter prints '-0.00'); values that merely round to zero
+    keep their sign in both engines. Found by a random-seed fuzz sweep."""
+    import sqlite3
+
+    from dsq_spark.rewrite import rewrite_query
+
+    con = sqlite3.connect(":memory:")
+    for q in ["SELECT printf('[%.2f]', 0 / -1.75) AS v",
+              "SELECT printf('%f', -0.0) AS v",
+              "SELECT printf('[%.2f]', -0.004) AS v",
+              "SELECT printf('[%.2f]', 0.0) AS v"]:
+        want = con.execute(q).fetchone()[0]
+        got = spark.sql(rewrite_query(q)).collect()[0]["v"]
+        assert str(want) == str(got), q
