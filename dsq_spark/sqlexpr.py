@@ -72,7 +72,7 @@ from dataclasses import dataclass, field
 
 _NUM = re.compile(r"(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?(?:BD|[dDfFlLsSyY])?")
 _WORD = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
-_OPS = ("->>", "||", "<<", ">>", "<=", ">=", "<>", "!=", "==", "->")
+_OPS = ("<=>", "->>", "||", "<<", ">>", "<=", ">=", "<>", "!=", "==", "->")
 
 
 @dataclass
@@ -250,7 +250,7 @@ _IS_INT_PREFIX = r"'^[+-]?[0-9]*$'"  # '' coerces to integer 0
 
 _TYPEOF_INTS = "('tinyint', 'smallint', 'int', 'bigint')"
 
-_CMP_OPS = frozenset(("=", "==", "!=", "<>", "<", ">", "<=", ">="))
+_CMP_OPS = frozenset(("=", "==", "!=", "<>", "<", ">", "<=", ">=", "<=>"))
 _ADD_OPS = frozenset(("+", "-", "&", "|", "<<", ">>"))
 _MUL_OPS = frozenset(("*", "/", "%"))
 _CMP_WORDS = frozenset(("like", "ilike", "rlike", "glob", "match", "regexp"))
@@ -423,6 +423,12 @@ class _Rw:
                     (p, _k), i = self.expr(i, hi, boolctx=True)
                     pieces.append(p)
                 continue
+            if t.kind == "word" and t.low == "limit":
+                p, i2 = self._limit_clause(i, hi)
+                if p is not None:
+                    pieces.append(p)
+                    i = i2
+                    continue
             if self._starts_expr(i):
                 (p, _k), i = self.expr(i, hi, boolctx=False)
                 pieces.append(p)
@@ -430,6 +436,42 @@ class _Rw:
             pieces.append(self._tokp(i))
             i += 1
         return self._join(pieces), i
+
+    def _limit_clause(self, i: int, hi: int):
+        """SQLite LIMIT spellings Spark lacks (literal operands only):
+        `LIMIT -n` = no limit (the clause is dropped — Spark supports a
+        standalone OFFSET), and the MySQL-compat comma form
+        `LIMIT offset, count` = `LIMIT count OFFSET offset` (with a
+        negative count again meaning unlimited).  Returns (piece, next)
+        or (None, i) to fall through to verbatim handling."""
+        T = self.T
+
+        def lit_num(k):
+            """(text, end_index) of a [-]digits literal at k, else None."""
+            if k < hi and T[k].kind == "num" and "." not in T[k].text \
+                    and T[k].text.isdigit():
+                return T[k].text, k + 1
+            if (k + 1 < hi and T[k].text == "-" and T[k + 1].kind == "num"
+                    and T[k + 1].text.isdigit()):
+                return "-" + T[k + 1].text, k + 2
+            return None
+
+        first = lit_num(i + 1)
+        if first is None:
+            return None, i
+        cnt, j = first
+        if j < hi and T[j].text == ",":
+            second = lit_num(j + 1)
+            if second is None:
+                return None, i
+            cnt2, j2 = second
+            off = cnt
+            text = (f"OFFSET {off}" if cnt2.startswith("-")
+                    else f"LIMIT {cnt2} OFFSET {off}")
+            return _P(text, T[i].start, T[j2 - 1].end), j2
+        if cnt.startswith("-"):
+            return _P("", T[i].start, T[j - 1].end), j
+        return None, i
 
     def _starts_expr(self, i: int) -> bool:
         t = self.T[i]
@@ -535,14 +577,34 @@ class _Rw:
                 made_bool = True
                 continue
             if t.low == "is":
-                pieces.append(self._tokp(i))
+                # SQLite's IS is general null-safe equality (`a IS 1`,
+                # `a IS NOT b`), not just the NULL/TRUE/FALSE test — those
+                # spellings (and IS [NOT] DISTINCT FROM) stay verbatim,
+                # anything else compiles to Spark's `<=>`.
+                is_toks = [self._tokp(i)]
                 i += 1
+                negated = False
+                distinct_form = False
                 while i < hi and T[i].low in ("not", "distinct", "from"):
-                    pieces.append(self._tokp(i))
+                    negated = negated or T[i].low == "not"
+                    distinct_form = distinct_form or T[i].low == "distinct"
+                    is_toks.append(self._tokp(i))
                     i += 1
                 if i < hi and self._starts_expr(i):
-                    (rp, _rk), i = self._add(i, hi)
-                    pieces.append(rp)
+                    (rp, rk), i = self._add(i, hi)
+                    if (distinct_form or rk in ("null", "bool")
+                            or rp.text.upper() in ("TRUE", "FALSE", "NULL",
+                                                   "UNKNOWN")):
+                        pieces.extend(is_toks)
+                        pieces.append(rp)
+                    else:
+                        lhs = self._join(pieces)
+                        expr = f"({lhs.text} <=> {rp.text})"
+                        if negated:
+                            expr = f"NOT {expr}"
+                        pieces = [_P(expr, lhs.s, rp.e)]
+                else:
+                    pieces.extend(is_toks)
                 made_bool = True
                 continue
             if (t.low == "not" and nxt is not None

@@ -199,6 +199,10 @@ class Gen:
             lambda: "({} GLOB {})".format(
                 self.text(d-1), r.choice(["'f*'", "'*o'", "'?a*'", "'*'"])),
             lambda: f"({r.choice(['a', 'b', 'c'])} IS NULL)",
+            # IS as general null-safe equality (r4: compiles to <=>)
+            lambda: f"({self.int_(d-1)} IS {self.int_(d-1)})",
+            lambda: f"({self.int_(d-1)} IS NOT {self.int_(d-1)})",
+            lambda: f"({self.text(d-1)} IS {self.text(d-1)})",
             lambda: f"({self.text(d-1)} COLLATE NOCASE = 'foo')",
             lambda: f"({r.choice(['a', 'b', 'c'])} IS NOT NULL)",
             lambda: f"({self.int_(d-1)} IN (1, 2, 5))",
@@ -651,4 +655,41 @@ def test_truthiness_without_schema(engines):
                       for r in con.execute(q).fetchall())
         got = sorted(tuple(_canon(v) for v in r)
                      for r in spark.sql(rewrite_query(q)).collect())
+        assert want == got, q
+
+
+def test_limit_spellings(engines):
+    """SQLite's LIMIT forms Spark lacks: `LIMIT -1` (negative = no limit,
+    dropped; a following OFFSET stands alone) and the MySQL-compat comma
+    form `LIMIT offset, count`."""
+    spark, con = engines
+    for q in ["SELECT a, b, c FROM td ORDER BY a, b, c LIMIT -1",
+              "SELECT a, b, c FROM td ORDER BY a, b, c LIMIT 3, 4",
+              "SELECT a, b, c FROM td ORDER BY a, b, c LIMIT -1 OFFSET 7",
+              "SELECT a, b, c FROM td ORDER BY a, b, c LIMIT 2, -1",
+              "SELECT a, b, c FROM td ORDER BY a, b, c LIMIT 2 OFFSET 1"]:
+        want = [tuple(_canon(v) for v in r) for r in con.execute(q).fetchall()]
+        got = [tuple(_canon(v) for v in r)
+               for r in spark.sql(rewrite_query(q, SCHEMA)).collect()]
+        assert want == got, q  # compared IN ORDER (total tiebreak)
+
+
+def test_is_null_safe_equality(engines):
+    """SQLite `a IS b` is null-safe equality over any operands — compiled
+    to Spark's <=> (IS [NOT] NULL/TRUE/FALSE/DISTINCT FROM stay native).
+    Cross-type IS ('1' IS 1: SQLite false, type-sensitive) remains under
+    the documented mixed-type exclusion."""
+    spark, con = engines
+    for q in ["SELECT a FROM td WHERE a IS 5",
+              "SELECT a FROM td WHERE a IS NOT 5",
+              "SELECT a FROM td WHERE b IS 0.5",
+              "SELECT a FROM td WHERE c IS 'foo'",
+              "SELECT a FROM td WHERE a IS NULL",
+              "SELECT (a IS 5) AS v FROM td",
+              "SELECT (b IS NOT 0.5) AS v FROM td",
+              "SELECT a FROM td t1 WHERE t1.a IS (SELECT max(a) FROM td)"]:
+        want = sorted(tuple(_canon(v) for v in r)
+                      for r in con.execute(q).fetchall())
+        got = sorted(tuple(_canon(v) for v in r)
+                     for r in spark.sql(rewrite_query(q, SCHEMA)).collect())
         assert want == got, q
