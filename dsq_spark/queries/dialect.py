@@ -29,6 +29,17 @@ def _run_rewritten(spark, sf_dir, view, table, sql):
     from dsq_spark.rewrite import rewrite_query
     from dsq_spark.sqlexpr import spark_schema_kinds
 
+    # The driver's harness session never goes through session.get_spark,
+    # so it runs Spark 4's ANSI-on default — r4's red row was the emitted
+    # `DIV` throwing DIVIDE_BY_ZERO there.  The emitted SQL is now
+    # ANSI-neutral (try_cast/try_divide/try_mod, guarded DIV), and
+    # belt-and-braces the dialect rows also DECLARE their semantics by
+    # pinning the runtime conf, like queries/base.py:t() does for the
+    # events read (precedent base.py:89-94).
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    except Exception:
+        pass  # conf not runtime-settable on this build: rely on neutrality
     df = t(spark, sf_dir, table)
     df.createOrReplaceTempView(view)
     return spark.sql(rewrite_query(sql, spark_schema_kinds(df.dtypes)))
@@ -102,6 +113,55 @@ def dialect_cast_affinity(spark, sf_dir):
         "AS real_prefix, "
         "CAST(o_orderpriority AS INTEGER) AS prio_num "
         "FROM dsq_cast_ord ORDER BY o_orderkey LIMIT 2000")
+
+
+@register(
+    "dialect_bitwise_shifts",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_orderkey * 8 AS BIGINT) AS shl3,
+       CAST(l_orderkey // 4 AS BIGINT) AS shr2,
+       CAST(CASE l_orderkey % 4 WHEN 0 THEN 0
+            WHEN 1 THEN 4611686018427387904
+            WHEN 2 THEN -9223372036854775808
+            ELSE -4611686018427387904 END AS BIGINT) AS shl62,
+       CAST(l_orderkey * CAST(power(2, l_linenumber) AS BIGINT) AS BIGINT)
+           AS shl_dyn,
+       CAST(0 AS BIGINT) AS shr70,
+       CAST(l_orderkey // 2 AS BIGINT) AS shl_neg,
+       CAST((l_orderkey & 1) | (l_linenumber & 6) AS BIGINT) AS masked,
+       CAST(CAST(trunc(l_extendedprice) AS BIGINT) & 255 AS BIGINT)
+           AS masked_price
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+LIMIT 2000
+""",
+    doc=(
+        "SQLite 64-bit bitwise/shift semantics through the rewrite "
+        "pipeline (new r5): `<<`/`>>` are 64-bit with saturating counts "
+        "(x >> 70 = 0) and direction reversal on negative counts "
+        "(x << -1 = x >> 1) — Spark's native operators are 32-bit with a "
+        "MASKED count (3 << 62 = -1073741824, a silent wrong value before "
+        "r5); REAL bitwise operands saturate-truncate to INTEGER. The "
+        "oracle spells each value arithmetically (multiply/floor-divide/"
+        "two's-complement CASE) so it is engine-independent. All emitted "
+        "forms are ANSI-neutral; in-range literal counts compile to bare "
+        "shiftleft/shiftright (plan gate)."
+    ),
+)
+def dialect_bitwise_shifts(spark, sf_dir):
+    return _run_rewritten(
+        spark, sf_dir, "dsq_bits_li", "lineitem",
+        "SELECT l_orderkey, l_linenumber, "
+        "l_orderkey << 3 AS shl3, "
+        "l_orderkey >> 2 AS shr2, "
+        "l_orderkey << 62 AS shl62, "
+        "l_orderkey << l_linenumber AS shl_dyn, "
+        "l_orderkey >> 70 AS shr70, "
+        "l_orderkey << -1 AS shl_neg, "
+        "(l_orderkey & 1) | (l_linenumber & 6) AS masked, "
+        "CAST(l_extendedprice AS INTEGER) & 255 AS masked_price "
+        "FROM dsq_bits_li ORDER BY l_orderkey, l_linenumber LIMIT 2000")
 
 
 @register(

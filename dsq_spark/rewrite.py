@@ -548,8 +548,6 @@ def _rewrite_json_each(sql: str) -> str:
         arg = sql[m.end():j - 1]
         arg_parts = _split_top_commas(arg)
         path = arg_parts[1].strip() if len(arg_parts) == 2 else None
-        if kind == "each" and path:  # json_each(x, '$.path') — drill in first
-            arg = f"get_json_object({arg_parts[0].strip()}, {path})"
         # optional alias after the closing paren
         am = re.match(r"\s*(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)", sql[j:],
                       re.IGNORECASE)
@@ -563,11 +561,16 @@ def _rewrite_json_each(sql: str) -> str:
                 f"{arg_parts[0].strip()}, {path or 'CAST(NULL AS STRING)'})) "
                 f"{alias or 'json_tree'} "
                 f"AS key, value, type, atom, id, parent, fullkey, path")
-        elif _wants_rich_json_each(sql, alias or "json_each"):
-            # the query touches type/atom/id/parent/fullkey/path — lower
-            # through the full walker (same 8 columns as json_tree, direct
-            # children only, parent always NULL, pinned vs sqlite3); the
-            # common key/value case keeps the pure-Catalyst path below
+        elif path or _wants_rich_json_each(sql, alias or "json_each"):
+            # the query touches type/atom/id/parent/fullkey/path, or uses
+            # the 2-arg PATH form — lower through the full walker (same 8
+            # columns as json_tree, direct children only, parent always
+            # NULL, pinned vs sqlite3).  The path form must go through the
+            # walker even for key/value-only queries: a get_json_object
+            # drill-in cannot distinguish a JSON null at the path (SQLite:
+            # one (NULL,NULL) row) from a missing path (zero rows) — both
+            # surface as SQL NULL (ADVICE r4).  The common 1-arg key/value
+            # case keeps the pure-Catalyst path below.
             lateral = (
                 f" LATERAL VIEW inline(dsq_json_each("
                 f"{arg_parts[0].strip()}, {path or 'CAST(NULL AS STRING)'})) "

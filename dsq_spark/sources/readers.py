@@ -68,6 +68,84 @@ def read_tsv(spark: SparkSession, path: str, convert_numbers: bool = False) -> D
 NOT_ARRAY_ERROR = "Input is not an array of objects"
 
 
+_VARIED_SAMPLE = 1000
+
+
+def _sample_json_records(path: str, array: bool, limit: int = _VARIED_SAMPLE):
+    """Driver-side head sample of a JSON file's records (first ~1 MB /
+    `limit` records) for mixed-type shape detection.  Sample-based on
+    purpose: a field the sample shows with ≥2 scalar types IS varied in
+    the full file (sample ⊆ file), while a miss just keeps the previous
+    (lexical string) behavior — never a wrong positive."""
+    try:
+        with open(path, encoding="utf-8", errors="replace") as fh:
+            if array:
+                head = fh.read(1 << 20).lstrip()
+                if not head.startswith("["):
+                    return []
+                recs, i, dec = [], 1, json.JSONDecoder()
+                while len(recs) < limit:
+                    while i < len(head) and head[i] in " \t\r\n,":
+                        i += 1
+                    if i >= len(head) or head[i] == "]":
+                        break
+                    try:
+                        obj, i = dec.raw_decode(head, i)
+                    except ValueError:
+                        break  # truncated tail of the head sample
+                    recs.append(obj)
+                return recs
+            recs = []
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    recs.append(json.loads(line))
+                except ValueError:
+                    continue
+                if len(recs) >= limit:
+                    break
+            return recs
+    except OSError:
+        return []
+
+
+def _tag_varied_columns(df: DataFrame, records) -> DataFrame:
+    """Attach `dsq_varied` metadata to top-level fields whose sampled JSON
+    values mix scalar types (number + string + boolean in one field).
+    SQLite — the engine the reference embeds — keeps per-VALUE storage
+    classes for such a column (dsq creates untyped columns, so a JSON
+    number stays numeric); Spark widens the column to string.  The
+    metadata feeds (a) the schema dump's `Varied of …` shape (io_out,
+    like the Avro-union path) and (b) the rewriter's cross-type ORDER BY
+    key (sqlexpr), restoring SQLite's NULL < numeric < TEXT sort."""
+    seen: dict[str, set] = {}
+    for rec in records:
+        if not isinstance(rec, dict):
+            continue
+        for k, v in rec.items():
+            s = seen.setdefault(k, set())
+            if v is None:
+                s.add("null")
+            elif isinstance(v, bool):
+                s.add("boolean")
+            elif isinstance(v, (int, float)):
+                s.add("number")
+            elif isinstance(v, str):
+                s.add("string")
+            else:
+                s.add("complex")
+    for name, s in seen.items():
+        scalars = sorted(s & {"number", "string", "boolean"})
+        if len(scalars) >= 2 and "complex" not in s and name in df.columns:
+            shapes = [{"kind": "scalar", "scalar": t} for t in scalars]
+            if "null" in s:
+                shapes.append({"kind": "unknown"})
+            df = df.withMetadata(name, {"dsq_varied": shapes})
+    return df
+
+
 def read_json_array(spark: SparkSession, path: str, doc_path: str | None = None) -> DataFrame:
     """JSON file whose top level is an array of objects; with `doc_path`,
     navigate to a nested array-of-objects first ({N, "obj.path"} tables —
@@ -90,7 +168,7 @@ def read_json_array(spark: SparkSession, path: str, doc_path: str | None = None)
         raise ValueError(NOT_ARRAY_ERROR)
     if df.columns == ["_corrupt_record"]:
         raise ValueError(NOT_ARRAY_ERROR)
-    return df
+    return _tag_varied_columns(df, _sample_json_records(path, array=True))
 
 
 def _is_array(df: DataFrame, col: str) -> bool:
@@ -100,7 +178,8 @@ def _is_array(df: DataFrame, col: str) -> bool:
 
 
 def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.json(path)
+    df = spark.read.json(path)
+    return _tag_varied_columns(df, _sample_json_records(path, array=False))
 
 
 def read_cjson(spark: SparkSession, path: str) -> DataFrame:
@@ -118,7 +197,8 @@ def read_cjson(spark: SparkSession, path: str) -> DataFrame:
             break
         obj, i = dec.raw_decode(text, i)
         rows.append(obj)
-    return _rows_to_df(spark, rows)
+    return _tag_varied_columns(_rows_to_df(spark, rows),
+                               rows[:_VARIED_SAMPLE])
 
 
 def _rows_to_df(spark: SparkSession, rows: list) -> DataFrame:

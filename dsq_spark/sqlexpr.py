@@ -46,18 +46,37 @@ actually fires on its span, and the pass is idempotent — no generated
 form contains a bare ``/``, an un-suffixed real literal, a SQLite CAST
 type name, or a bare-numeric boolean operand.
 
+Every emitted form is ANSI-NEUTRAL (r5, the r4 verdict's top action):
+identical results whether the executing session runs
+spark.sql.ansi.enabled=true (Spark 4's default — the driver harness) or
+false (the engine's own sessions).  Division/modulo by zero is NULL via
+guarded DIV / try_divide / try_mod, text→number coercion uses try_cast
+with explicit int64 saturation arms, and REAL→INTEGER casts spell out
+SQLite's saturating truncation.  Statically-nonzero literal divisors and
+in-range literal shift counts skip the guards, so hot plans are
+byte-identical to the unguarded forms.
+
 Non-division arithmetic follows SQLite too: '+','-','*' coerce TEXT
 operands through their longest numeric prefix ('5kg' + 1 = 6, junk → 0,
 NULL propagates, unary '+' is a no-op that keeps TEXT as TEXT), bitwise
-ops coerce to INTEGER, and '%' casts BOTH operands to INTEGER for the
-computation while keeping a REAL result type when either operand was
-REAL (all probed vs sqlite3).
+ops bind BELOW +/- (SQLite precedence) and coerce to INTEGER (REAL
+operands saturate-truncate), '<<'/'>>' compile to 64-bit shifts with
+SQLite's count semantics (|count| >= 64 saturates, negative reverses
+direction — Spark's native operators are 32-bit with a masked count),
+and '%' casts BOTH operands to INTEGER for the computation while keeping
+a REAL result type when either operand was REAL (all probed vs sqlite3).
 
-Documented residual deltas (PARITY.md): nested division over text
-operands re-divides a DOUBLE ('7'/'2'/2 = 1.5 vs SQLite 1); the
-int-vs-real storage class of text-coerced arithmetic surfaces as DOUBLE
-(value exact, rendering differs); unknown-typed operands (no schema)
-keep strict Spark coercion.
+Nested division over text operands is exact (r5): a compiled dynamic
+division carries its (null, is-int, int, double) arms on the piece, and
+a further '/'-chain (also through parens and unary +/-) reuses them, so
+'7'/'2'/2 = 1 with the inner INTEGER storage class preserved.
+
+Documented residual deltas (PARITY.md): the int-vs-real storage class of
+text-coerced arithmetic surfaces as DOUBLE (value exact, rendering
+differs); unknown-typed operands (no schema) keep strict Spark coercion;
+int64 +,-,* overflow wraps where SQLite promotes the result to REAL
+(§overflow-promotion row — inexpressible under static typing without
+demoting every integer column to DOUBLE).
 """
 
 from __future__ import annotations
@@ -202,6 +221,7 @@ _FN_INT = frozenset((
     "strpos", "position", "unixepoch", "ascii", "levenshtein", "random",
     "glob", "url_port", "json_valid", "last_insert_rowid", "changes",
     "approx_count_distinct", "grouping", "grouping_id", "bit_count",
+    "shiftleft", "shiftright",
 ))
 _FN_REAL = frozenset((
     "avg", "total", "round", "julianday", "percent_rank", "cume_dist",
@@ -229,6 +249,10 @@ _FN_ARG0 = frozenset((
 _FN_UNION = frozenset(("min", "max", "greatest", "least", "coalesce",
                        "ifnull", "nvl"))
 _FN_NUMLIKE = frozenset(("abs", "floor", "ceil", "ceiling"))
+_FN_BOOL = frozenset((
+    "startswith", "endswith", "contains", "isnan", "isnull", "isnotnull",
+    "regexp_like",
+))
 
 # SQLite CAST type names (affinity buckets); names NOT here pass through
 # verbatim (already-Spark types: BIGINT, DOUBLE, STRING, DATE, DECIMAL(p,s)).
@@ -251,7 +275,13 @@ _IS_INT_PREFIX = r"'^[+-]?[0-9]*$'"  # '' coerces to integer 0
 _TYPEOF_INTS = "('tinyint', 'smallint', 'int', 'bigint')"
 
 _CMP_OPS = frozenset(("=", "==", "!=", "<>", "<", ">", "<=", ">=", "<=>"))
-_ADD_OPS = frozenset(("+", "-", "&", "|", "<<", ">>"))
+# SQLite binds +/- TIGHTER than the bitwise ops (`a & b + c` is
+# `a & (b + c)` — expr.html operator table), so bitwise gets its own
+# (lower) precedence level; Spark's grammar agrees, so emitted token order
+# was always right, but operand COERCION must target the same
+# subexpressions SQLite coerces (ADVICE r4).
+_ADD_OPS = frozenset(("+", "-"))
+_BIT_OPS = frozenset(("&", "|", "<<", ">>"))
 _MUL_OPS = frozenset(("*", "/", "%"))
 _CMP_WORDS = frozenset(("like", "ilike", "rlike", "glob", "match", "regexp"))
 _CLAUSE_BOOL = frozenset(("where", "having", "on"))
@@ -276,15 +306,108 @@ _RESERVED = frozenset((
 _CALLABLE_RESERVED = frozenset(("left", "right"))
 
 
+# Every emitted form below must behave IDENTICALLY under both values of
+# spark.sql.ansi.enabled: the driver's harness session runs Spark 4's
+# ANSI-on default while the engine's own sessions declare ANSI off
+# (session.py), and the r4 verdict's one red row was a bare `DIV` throwing
+# DIVIDE_BY_ZERO on the session the engine didn't own.  try_cast /
+# try_divide / try_mod evaluate the same way under both settings; strict
+# CAST, bare `/` `%` `DIV`, and int +/-/* overflow do not.
+_LONG_MAX = "9223372036854775807L"
+_LONG_MIN = "-9223372036854775808L"
+
+_LIT_NUM = re.compile(
+    r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?(?:BD|[dDfFlLsSyY])?")
+
+
+def _lit_value(text: str) -> float | None:
+    """Numeric value of a literal piece (possibly parenthesized), else
+    None.  Statically-known divisors/shift-counts let the common emissions
+    skip their runtime guards entirely, keeping plans byte-clean."""
+    s = text.strip()
+    while len(s) > 1 and s[0] == "(" and s[-1] == ")":
+        s = s[1:-1].strip()
+    if not _LIT_NUM.fullmatch(s):
+        return None
+    body = s[:-2] if s[-2:].lower() == "bd" else \
+        (s[:-1] if s[-1].isalpha() else s)
+    try:
+        return float(body)
+    except ValueError:
+        return None
+
+
+def _prefix_int_chain(pre: str) -> str:
+    """Numeric-prefix string → BIGINT with SQLite's int64 saturation on
+    overflow and 0 for the empty prefix.  `pre` is a regexp_extract result
+    (sign+digits or ''), so try_cast fails exactly on '' or overflow, and
+    the overflow sign is the leading '-' (pinned vs sqlite3 in
+    tests/test_sqlite_differential.py::test_cast_prefix_matrix)."""
+    return (f"coalesce(try_cast({pre} AS BIGINT), "
+            f"CASE WHEN startswith({pre}, '-') THEN {_LONG_MIN} "
+            f"WHEN length({pre}) > 0 THEN {_LONG_MAX} "
+            f"WHEN {pre} = '' THEN CAST(0 AS BIGINT) END)")
+
+
+def _sat_bigint(d: str) -> str:
+    """DOUBLE → BIGINT with Java's (long) saturation — what SQLite's CAST
+    does and what Spark's non-ANSI cast did; try_cast alone would NULL the
+    overflow instead.  2^63 is exactly representable, so >= 2^63 covers
+    every overflowing double; NaN falls through every arm to 0 (matching
+    the legacy cast).  Truncation toward zero for in-range values is not a
+    'runtime error', so try_cast keeps it under both ANSI settings."""
+    return (f"(CASE WHEN ({d}) IS NULL THEN CAST(NULL AS BIGINT) "
+            f"WHEN ({d}) >= 9.223372036854775807e18D THEN {_LONG_MAX} "
+            f"WHEN ({d}) <= -9.223372036854775808e18D THEN {_LONG_MIN} "
+            f"ELSE coalesce(try_cast(({d}) AS BIGINT), CAST(0 AS BIGINT)) "
+            f"END)")
+
+
+def _int_div(lx: str, rx: str, l_lit: float | None = None,
+             r_lit: float | None = None) -> str:
+    """ANSI-neutral BIGINT integral division: x DIV 0 → NULL (never
+    DIVIDE_BY_ZERO), LONG_MIN DIV -1 → LONG_MIN (the two's-complement wrap
+    the engine's declared ANSI-off config produces; SQLite promotes that
+    one quotient to REAL 9.22e18 — PARITY residual, overflow-promotion
+    row).  A statically-nonzero literal divisor (≠ -1) skips the guard so
+    the common plans keep a bare `div`."""
+    if r_lit is not None and r_lit != 0 and r_lit != -1:
+        return f"({lx} DIV {rx})"
+    if r_lit == 0:
+        return "CAST(NULL AS BIGINT)"
+    return (f"(CASE WHEN ({rx}) = 0 THEN CAST(NULL AS BIGINT) "
+            f"WHEN ({lx}) = {_LONG_MIN} AND ({rx}) = -1 THEN {_LONG_MIN} "
+            f"ELSE ({lx}) DIV ({rx}) END)")
+
+
+def _typed_key_sql(t: str) -> str:
+    """SQLite cross-type sort key, inlined (the dsq_typed_key SQL UDF's
+    body — Spark 4 rejects SQL-UDF CALLS directly under Sort, but the
+    expanded expression is a plain orderable struct): NULL < numeric (by
+    value) < TEXT, where 'numeric' means the whole trimmed string parses
+    as a number — how a JSON-sourced number surfaces in a varied column
+    (datatype3.html#sort_order; pinned vs sqlite3 in
+    test_sqlite_differential.py::test_mixed_type_order_delta_and_typed_key).
+    The regex is backslash-free ([.] classes) — rewrite idempotence
+    requires emitted literals to survive the literal-escaping pass."""
+    s = f"CAST(({t}) AS STRING)"
+    num = "'^[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)([eE][+-]?[0-9]+)?$'"
+    return (f"(CASE WHEN ({t}) IS NULL THEN "
+            f"named_struct('r', 0, 'n', CAST(0 AS DOUBLE), 't', '') "
+            f"WHEN trim({s}) RLIKE {num} THEN named_struct('r', 1, 'n', "
+            f"coalesce(try_cast(trim({s}) AS DOUBLE), CAST(0 AS DOUBLE)), "
+            f"'t', '') "
+            f"ELSE named_struct('r', 2, 'n', CAST(0 AS DOUBLE), 't', {s}) "
+            f"END)")
+
+
 def _int_prefix_bigint(t: str) -> str:
     """SQLite CAST(text AS INTEGER): longest integer prefix, 0 if none,
-    int64 saturation on overflow (the direct BIGINT cast NULLs out, the
-    DOUBLE path saturates per Java (long) conversion — pinned vs sqlite3
-    in tests/test_sqlite_differential.py)."""
+    int64 saturation on overflow (pinned vs sqlite3 in
+    tests/test_sqlite_differential.py)."""
     pre = f"regexp_extract(({t}), {_INT_PREFIX}, 1)"
     return (f"(CASE WHEN ({t}) IS NULL THEN CAST(NULL AS BIGINT) "
-            f"ELSE coalesce(CAST({pre} AS BIGINT), "
-            f"CAST(CAST({pre} AS DOUBLE) AS BIGINT), CAST(0 AS BIGINT)) END)")
+            f"ELSE {_prefix_int_chain(pre)} END)")
 
 
 def _real_prefix_double(t: str) -> str:
@@ -292,36 +415,50 @@ def _real_prefix_double(t: str) -> str:
     ('3.9e2x' → 390.0, '1e' → 1.0, 'inf' → 0.0 — pinned vs sqlite3)."""
     pre = f"regexp_extract(({t}), {_REAL_PREFIX}, 1)"
     return (f"(CASE WHEN ({t}) IS NULL THEN CAST(NULL AS DOUBLE) "
-            f"ELSE coalesce(CAST({pre} AS DOUBLE), CAST(0 AS DOUBLE)) END)")
+            f"ELSE coalesce(try_cast({pre} AS DOUBLE), CAST(0 AS DOUBLE)) "
+            f"END)")
 
 
-def _div_operand(t: str, k: str) -> tuple[str, str, str]:
-    """(is_integer_sql, int64_sql, double_sql) for one division operand.
-    For 'unknown' the three are typeof()-dispatched — typeof is foldable,
-    so for any concretely-typed input the CASEs collapse at optimize time
-    and only one arm survives into the physical plan."""
+def _div_operand(p: "_P", k: str) -> tuple[str, str, str, str]:
+    """(null_sql, is_integer_sql, int64_sql, double_sql) for one division
+    operand.  For 'unknown' the arms are typeof()-dispatched — typeof is
+    foldable, so for any concretely-typed input the CASEs collapse at
+    optimize time and only one arm survives into the physical plan.  A
+    piece that is ITSELF a compiled dynamic division carries its quad on
+    `p.trip`, so nested text division ('7'/'2'/2) keeps the inner
+    quotient's int-vs-real storage class instead of re-dividing a DOUBLE —
+    the r4 PARITY delta, now closed for chained and parenthesized
+    nesting."""
+    if p.trip is not None:
+        # the quad's dsql is only the not-integer branch; the operand's
+        # full DOUBLE value dispatches on the int condition first
+        # ('7'/'2' ÷ '2.5' must divide 3.0, not 3.5)
+        nn, cond, isql, dsql = p.trip
+        dbl = f"(CASE WHEN {cond} THEN CAST({isql} AS DOUBLE) ELSE {dsql} END)"
+        return nn, cond, isql, dbl
+    t = p.text
+    null = f"(({t}) IS NULL)"
     if k in _INTISH:
-        return "true", f"CAST({t} AS BIGINT)", f"CAST({t} AS DOUBLE)"
+        return null, "true", f"CAST({t} AS BIGINT)", f"CAST({t} AS DOUBLE)"
     if k == "real":
-        return "false", "CAST(0 AS BIGINT)", f"CAST({t} AS DOUBLE)"
+        return null, "false", "CAST(0 AS BIGINT)", f"CAST({t} AS DOUBLE)"
     if k == "text":
         pre = f"regexp_extract(({t}), {_REAL_PREFIX}, 1)"
-        return (f"({pre} RLIKE {_IS_INT_PREFIX})",
-                f"coalesce(CAST({pre} AS BIGINT), "
-                f"CAST(CAST({pre} AS DOUBLE) AS BIGINT), CAST(0 AS BIGINT))",
-                f"coalesce(CAST({pre} AS DOUBLE), CAST(0 AS DOUBLE))")
+        return (null,
+                f"({pre} RLIKE {_IS_INT_PREFIX})",
+                _prefix_int_chain(pre),
+                f"coalesce(try_cast({pre} AS DOUBLE), CAST(0 AS DOUBLE))")
     pre = f"regexp_extract(CAST(({t}) AS STRING), {_REAL_PREFIX}, 1)"
     is_int = (f"(CASE WHEN typeof({t}) IN {_TYPEOF_INTS} THEN true "
               f"WHEN typeof({t}) = 'string' THEN ({pre} RLIKE {_IS_INT_PREFIX}) "
               f"ELSE false END)")
     as_i = (f"(CASE WHEN typeof({t}) = 'string' THEN "
-            f"coalesce(CAST({pre} AS BIGINT), "
-            f"CAST(CAST({pre} AS DOUBLE) AS BIGINT), CAST(0 AS BIGINT)) "
+            f"{_prefix_int_chain(pre)} "
             f"ELSE CAST(({t}) AS BIGINT) END)")
     as_d = (f"(CASE WHEN typeof({t}) = 'string' THEN "
-            f"coalesce(CAST({pre} AS DOUBLE), CAST(0 AS DOUBLE)) "
+            f"coalesce(try_cast({pre} AS DOUBLE), CAST(0 AS DOUBLE)) "
             f"ELSE CAST(({t}) AS DOUBLE) END)")
-    return is_int, as_i, as_d
+    return null, is_int, as_i, as_d
 
 
 class _Unsupported(Exception):
@@ -370,12 +507,20 @@ def _go_regex_to_java(lit: str) -> str:
 
 
 class _P:
-    """A parsed piece: rewritten text covering original chars [s, e)."""
+    """A parsed piece: rewritten text covering original chars [s, e).
 
-    __slots__ = ("text", "s", "e")
+    `trip` carries the (null, is_int, int_sql, dbl_sql) quad of a compiled
+    dynamic division so a chained/parenthesized re-division can reuse the
+    exact arms instead of re-dispatching on a collapsed DOUBLE; `varied`
+    marks a bare column whose ingest shape was mixed-typed (JSON/Avro
+    unions), the trigger for SQLite cross-type ORDER BY keys."""
+
+    __slots__ = ("text", "s", "e", "trip", "varied")
 
     def __init__(self, text: str, s: int, e: int):
         self.text, self.s, self.e = text, s, e
+        self.trip = None
+        self.varied = False
 
 
 class _Rw:
@@ -398,7 +543,10 @@ class _Rw:
                 out.append(self.sql[prev:p.s])
             out.append(p.text)
             prev = p.e
-        return _P("".join(out), pieces[0].s, pieces[-1].e)
+        j = _P("".join(out), pieces[0].s, pieces[-1].e)
+        if len(pieces) == 1:  # pure passthrough keeps the piece's tags
+            j.trip, j.varied = pieces[0].trip, pieces[0].varied
+        return j
 
     def _tokp(self, i: int) -> _P:
         t = self.T[i]
@@ -429,6 +577,12 @@ class _Rw:
                     pieces.append(p)
                     i = i2
                     continue
+            if (t.kind == "word" and t.low == "order"
+                    and i + 1 < hi and T[i + 1].low == "by"):
+                pieces.append(self._tokp(i))
+                pieces.append(self._tokp(i + 1))
+                i = self._order_keys(i + 2, hi, pieces)
+                continue
             if self._starts_expr(i):
                 (p, _k), i = self.expr(i, hi, boolctx=False)
                 pieces.append(p)
@@ -436,6 +590,32 @@ class _Rw:
             pieces.append(self._tokp(i))
             i += 1
         return self._join(pieces), i
+
+    def _order_keys(self, i: int, hi: int, pieces: list[_P]) -> int:
+        """Sort-key list after ORDER BY.  A key that is a bare column of
+        'varied' ingest shape (mixed-typed JSON/Avro field — the dynamic
+        typing SQLite would have kept) is wrapped with the inline
+        cross-type sort key, auto-applying SQLite's NULL < numeric < TEXT
+        order; everything else reconstructs byte-identically.  ASC/DESC/
+        NULLS FIRST|LAST pass through and compose with the struct key
+        (struct ASC sorts NULLs-rank first, struct DESC last — exactly
+        SQLite's directional NULL placement for its dynamic order)."""
+        T = self.T
+        while i < hi and self._starts_expr(i):
+            (p, _k), i = self.expr(i, hi, boolctx=False)
+            if p.varied:
+                p = _P(_typed_key_sql(p.text), p.s, p.e)
+            pieces.append(p)
+            while i < hi and T[i].kind == "word" and \
+                    T[i].low in ("asc", "desc", "nulls", "first", "last"):
+                pieces.append(self._tokp(i))
+                i += 1
+            if i < hi and T[i].text == ",":
+                pieces.append(self._tokp(i))
+                i += 1
+                continue
+            break
+        return i
 
     def _limit_clause(self, i: int, hi: int):
         """SQLite LIMIT spellings Spark lacks (literal operands only):
@@ -534,7 +714,7 @@ class _Rw:
     def _text_truthy(self, t: str) -> str:
         pre = f"regexp_extract(({t}), {_REAL_PREFIX}, 1)"
         return (f"(CASE WHEN ({t}) IS NULL THEN CAST(NULL AS BOOLEAN) "
-                f"ELSE coalesce(CAST({pre} AS DOUBLE), CAST(0 AS DOUBLE)) "
+                f"ELSE coalesce(try_cast({pre} AS DOUBLE), CAST(0 AS DOUBLE)) "
                 f"<> CAST(0 AS DOUBLE) END)")
 
     def _truthify(self, p: _P, k: str) -> _P:
@@ -563,7 +743,7 @@ class _Rw:
         return _P(f"({p.text}) <> 0", p.s, p.e)
 
     def _cmp(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
-        (lp, lk), i = self._add(i, hi)
+        (lp, lk), i = self._bit(i, hi)
         T = self.T
         made_bool = False
         pieces = [lp]
@@ -572,7 +752,7 @@ class _Rw:
             nxt = T[i + 1] if i + 1 < hi else None
             if t.kind == "op" and t.text in _CMP_OPS:
                 pieces.append(self._tokp(i))
-                (rp, _rk), i = self._add(i + 1, hi)
+                (rp, _rk), i = self._bit(i + 1, hi)
                 pieces.append(rp)
                 made_bool = True
                 continue
@@ -591,7 +771,7 @@ class _Rw:
                     is_toks.append(self._tokp(i))
                     i += 1
                 if i < hi and self._starts_expr(i):
-                    (rp, rk), i = self._add(i, hi)
+                    (rp, rk), i = self._bit(i, hi)
                     if (distinct_form or rk in ("null", "bool")
                             or rp.text.upper() in ("TRUE", "FALSE", "NULL",
                                                    "UNKNOWN")):
@@ -626,24 +806,24 @@ class _Rw:
             if t.low in _CMP_WORDS:
                 pieces.append(self._tokp(i))
                 rhs0 = i + 1
-                (rp, _rk), i = self._add(i + 1, hi)
+                (rp, _rk), i = self._bit(i + 1, hi)
                 if (t.low in ("rlike", "regexp") and i == rhs0 + 1
                         and T[rhs0].kind == "str"):
                     rp = _P(_go_regex_to_java(rp.text), rp.s, rp.e)
                 pieces.append(rp)
                 if i < hi and T[i].low == "escape":
                     pieces.append(self._tokp(i))
-                    (ep, _ek), i = self._add(i + 1, hi)
+                    (ep, _ek), i = self._bit(i + 1, hi)
                     pieces.append(ep)
                 made_bool = True
                 continue
             if t.low == "between":
                 pieces.append(self._tokp(i))
-                (b1, _), i = self._add(i + 1, hi)
+                (b1, _), i = self._bit(i + 1, hi)
                 pieces.append(b1)
                 if i < hi and T[i].low == "and":
                     pieces.append(self._tokp(i))
-                    (b2, _), i = self._add(i + 1, hi)
+                    (b2, _), i = self._bit(i + 1, hi)
                     pieces.append(b2)
                 made_bool = True
                 continue
@@ -659,27 +839,82 @@ class _Rw:
         to INTEGER, the rest to REAL (the int-vs-real storage class of the
         result is dynamic in SQLite and surfaces here as DOUBLE — a
         documented rendering delta, PARITY.md)."""
-        if k != "text":
-            return p, k
-        fn = _int_prefix_bigint if bitwise else _real_prefix_double
-        return _P(fn(p.text), p.s, p.e), ("int" if bitwise else "real")
+        if k == "text":
+            fn = _int_prefix_bigint if bitwise else _real_prefix_double
+            return _P(fn(p.text), p.s, p.e), ("int" if bitwise else "real")
+        if bitwise and k == "real":
+            # SQLite casts REAL bitwise operands to INTEGER with int64
+            # saturation (2.5 & 3 = 2, 1e30 & 1 = 1 — probed vs sqlite3);
+            # Spark rejects double operands outright.
+            return _P(_sat_bigint(f"CAST(({p.text}) AS DOUBLE)"),
+                      p.s, p.e), "int"
+        return p, k
 
     def _add(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
         (lp, lk), i = self._mul(i, hi)
         T = self.T
         pieces, kind = [lp], lk
         while i < hi and T[i].kind == "op" and T[i].text in _ADD_OPS:
-            op = T[i]
-            bitwise = op.text in ("&", "|", "<<", ">>")
             if len(pieces) == 1:  # coerce the left side once, lazily
-                p0, k0 = self._coerce_num(lp, lk, bitwise)
+                p0, k0 = self._coerce_num(lp, lk, bitwise=False)
                 pieces, kind = [p0], k0
             pieces.append(self._tokp(i))
             (rp, rk), i = self._mul(i + 1, hi)
-            rp, rk = self._coerce_num(rp, rk, bitwise)
+            rp, rk = self._coerce_num(rp, rk, bitwise=False)
             pieces.append(rp)
-            kind = "int" if bitwise else _arith(kind, rk)
+            kind = _arith(kind, rk)
         return (self._join(pieces), kind), i
+
+    def _bit(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
+        """SQLite's `& | << >>` level (below +/-).  Operands coerce to
+        INTEGER (text via numeric prefix, REAL via saturating truncation);
+        shifts compile to 64-bit shiftleft/shiftright with SQLite's
+        count semantics — |count| >= 64 saturates (0, or sign-fill for a
+        right shift) and a negative count reverses direction — where
+        Spark's native operators work on INT32 and MASK the count
+        (3 << 62 = -1073741824 vs SQLite's -4611686018427387904, a silent
+        wrong-value delta before this level existed).  In-range literal
+        counts skip the guards."""
+        (lp, lk), i = self._add(i, hi)
+        T = self.T
+        while i < hi and T[i].kind == "op" and T[i].text in _BIT_OPS:
+            op = T[i]
+            lp, lk = self._coerce_num(lp, lk, bitwise=True)
+            (rp, rk), i = self._add(i + 1, hi)
+            if op.text in ("<<", ">>"):
+                lp, lk = self._shift(lp, lk, rp, rk, op)
+                continue
+            rp, rk = self._coerce_num(rp, rk, bitwise=True)
+            lp = self._join([lp, _P(op.text, op.start, op.end), rp])
+            lk = "int"
+        return (lp, lk), i
+
+    def _shift(self, lp: _P, lk: str, rp: _P, rk: str,
+               op: Tok) -> tuple[_P, str]:
+        left = op.text == "<<"
+        verbatim = self._join([lp, _P(op.text, op.start, op.end), rp])
+        if "null" in (lk, rk):
+            return verbatim, "null"
+        if lk not in _NUMERIC | {"text"} or rk not in _NUMERIC | {"text"}:
+            return verbatim, "unknown"  # unknown/blob: strict Spark (doc'd)
+        rp, _rk = self._coerce_num(rp, rk, bitwise=True)
+        x = f"CAST(({lp.text}) AS BIGINT)"
+        n = rp.text
+        n_lit = _lit_value(rp.text) if rk in _NUMERIC else None
+        fn = "shiftleft" if left else "shiftright"
+        if n_lit is not None and 0 <= n_lit < 64 and n_lit == int(n_lit):
+            return _P(f"{fn}({x}, {int(n_lit)})", lp.s, rp.e), "int"
+        rev = "shiftright" if left else "shiftleft"
+        fill = f"(CASE WHEN {x} < 0 THEN -1L ELSE CAST(0 AS BIGINT) END)"
+        hi_arm = "CAST(0 AS BIGINT)" if left else fill
+        lo_arm = fill if left else "CAST(0 AS BIGINT)"
+        return (_P(f"(CASE WHEN ({n}) IS NULL OR ({lp.text}) IS NULL "
+                   f"THEN CAST(NULL AS BIGINT) "
+                   f"WHEN ({n}) >= 64 THEN {hi_arm} "
+                   f"WHEN ({n}) >= 0 THEN {fn}({x}, CAST(({n}) AS SMALLINT)) "
+                   f"WHEN ({n}) <= -64 THEN {lo_arm} "
+                   f"ELSE {rev}({x}, CAST(-({n}) AS SMALLINT)) END)",
+                   lp.s, rp.e), "int")
 
     def _mul(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
         (lp, lk), i = self._unary(i, hi)
@@ -703,50 +938,81 @@ class _Rw:
                 op: Tok) -> tuple[_P, str]:
         """SQLite `%` casts BOTH operands to INTEGER for the computation
         (2.5 % 4 = 2.0, '2.5' % 4 = 2.0) but the result keeps REAL type if
-        either operand was REAL — probed vs sqlite3.  All-integer operands
-        (the common case) stay byte-verbatim: Spark's bigint % already
-        matches SQLite's sign-follows-dividend remainder."""
+        either operand was REAL — probed vs sqlite3.  x % 0 is NULL in
+        SQLite and in Spark's non-ANSI `%` but THROWS under ANSI, so a
+        divisor that is not a statically-nonzero literal goes through
+        try_mod (identical result under both ANSI settings; same
+        sign-follows-dividend remainder, LONG_MIN % -1 = 0 without
+        overflow in both engines)."""
         verbatim = self._join([lp, _P(op.text, op.start, op.end), rp])
+        r_lit = _lit_value(rp.text)
         if {lk, rk} <= _INTISH:
-            return verbatim, "int"
-        if "null" in (lk, rk) or "unknown" in (lk, rk) or "blob" in (lk, rk):
+            if r_lit is not None and r_lit != 0:
+                return verbatim, "int"
+            return _P(f"try_mod({lp.text}, {rp.text})", lp.s, rp.e), "int"
+        if "null" in (lk, rk) or "blob" in (lk, rk):
             return verbatim, ("null" if "null" in (lk, rk) else "unknown")
+        if "unknown" in (lk, rk):
+            # dynamic operands keep strict Spark coercion (documented) but
+            # must not be ANSI-fragile on a zero divisor
+            if r_lit is not None and r_lit != 0:
+                return verbatim, "unknown"
+            return (_P(f"try_mod({lp.text}, {rp.text})", lp.s, rp.e),
+                    "unknown")
 
         def as_int(t: str, k: str) -> str:
             if k in _INTISH:
                 return t
             if k == "real":
-                return f"CAST(({t}) AS BIGINT)"
+                return _sat_bigint(f"CAST(({t}) AS DOUBLE)")
             return _int_prefix_bigint(t)  # text
 
-        return (_P(f"CAST({as_int(lp.text, lk)} % {as_int(rp.text, rk)} "
-                   f"AS DOUBLE)", lp.s, rp.e), "real")
+        return (_P(f"CAST(try_mod({as_int(lp.text, lk)}, "
+                   f"{as_int(rp.text, rk)}) AS DOUBLE)", lp.s, rp.e), "real")
 
     def _divide(self, lp: _P, lk: str, rp: _P, rk: str,
                 op: Tok) -> tuple[_P, str]:
-        """Compile one `/` per the statically-inferred operand kinds."""
+        """Compile one `/` per the statically-inferred operand kinds.
+        Every emitted form returns NULL on a zero divisor under BOTH ANSI
+        settings (SQLite: x/0 = NULL for every storage class)."""
         verbatim = self._join([lp, _P(op.text, op.start, op.end), rp])
         if "null" in (lk, rk):
             return verbatim, "null"
+        l_lit, r_lit = _lit_value(lp.text), _lit_value(rp.text)
         if lk in _INTISH and rk in _INTISH:
-            return (_P(f"(CAST({lp.text} AS BIGINT) DIV "
-                       f"CAST({rp.text} AS BIGINT))", lp.s, rp.e), "int")
-        if "real" in (lk, rk) and "text" not in (lk, rk):
+            return (_P(_int_div(f"CAST({lp.text} AS BIGINT)",
+                                f"CAST({rp.text} AS BIGINT)", l_lit, r_lit),
+                       lp.s, rp.e), "int")
+        if ("real" in (lk, rk) and "text" not in (lk, rk)
+                and lp.trip is None and rp.trip is None):
             # one REAL operand forces SQLite REAL division whatever the
-            # other side turns out to be — Spark's `/` already does that,
-            # so the common unknown-fn / real-literal shape (the compiled
-            # datetime chains) stays byte-verbatim and plan-clean.
-            return verbatim, "real"
-        li, ln, ld = _div_operand(lp.text, lk)
-        ri, rn, rd = _div_operand(rp.text, rk)
-        if "real" in (lk, rk):  # text ÷ real: coerce the text, stay REAL
-            return (_P(f"(CASE WHEN ({lp.text}) IS NULL OR ({rp.text}) IS NULL "
-                       f"THEN CAST(NULL AS DOUBLE) "
-                       f"ELSE try_divide({ld}, {rd}) END)", lp.s, rp.e), "real")
-        return (_P(f"(CASE WHEN ({lp.text}) IS NULL OR ({rp.text}) IS NULL "
-                   f"THEN CAST(NULL AS DOUBLE) "
-                   f"WHEN {li} AND {ri} THEN CAST({ln} DIV {rn} AS DOUBLE) "
-                   f"ELSE try_divide({ld}, {rd}) END)", lp.s, rp.e), "unknown")
+            # other side turns out to be — Spark's `/` agrees, so with a
+            # statically-nonzero literal divisor (the compiled datetime
+            # chains' shape) this stays byte-verbatim and plan-clean;
+            # other divisors go through try_divide (same value under both
+            # ANSI settings, bare `/` throws DIVIDE_BY_ZERO under ANSI).
+            if r_lit is not None and r_lit != 0:
+                return verbatim, "real"
+            return (_P(f"try_divide({lp.text}, {rp.text})", lp.s, rp.e),
+                    "real")
+        l_nn, li, ln, ld = _div_operand(lp, lk)
+        r_nn, ri, rn, rd = _div_operand(rp, rk)
+        nn = f"({l_nn} OR {r_nn})"
+        dbl = f"try_divide({ld}, {rd})"
+        if "real" in (lk, rk):  # text/dynamic ÷ real: coerce, stay REAL
+            return (_P(f"(CASE WHEN {nn} THEN CAST(NULL AS DOUBLE) "
+                       f"ELSE {dbl} END)", lp.s, rp.e), "real")
+        cond = f"({li} AND {ri})"
+        int_sql = _int_div(ln, rn)
+        out = _P(f"(CASE WHEN {nn} THEN CAST(NULL AS DOUBLE) "
+                 f"WHEN {cond} THEN CAST({int_sql} AS DOUBLE) "
+                 f"ELSE {dbl} END)", lp.s, rp.e)
+        # A further `/` over this result reuses the exact arms via the
+        # quad instead of typeof()-dispatching the collapsed DOUBLE —
+        # keeps the inner quotient's int-vs-real storage class
+        # ('7'/'2'/2 = 1, not 1.5).
+        out.trip = (nn, cond, int_sql, dbl)
+        return out, "unknown"
 
     def _unary(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
         T = self.T
@@ -759,11 +1025,31 @@ class _Rw:
         (pp, pk), i = self._primary(i, hi)
         if prefixes:
             tilde = any(p.text == "~" for p in prefixes)
-            minus = any(p.text == "-" for p in prefixes)
-            if tilde or minus:
+            minus_n = sum(1 for p in prefixes if p.text == "-")
+            minus = minus_n > 0
+            trip0 = pp.trip
+            if tilde and trip0 is not None:
+                # ~ casts its operand to INTEGER: materialize the division
+                # quad as a BIGINT (int branch exact, real branch
+                # truncated like SQLite's CAST) instead of re-dispatching
+                # on the collapsed DOUBLE
+                nn, cond, isql, dsql = trip0
+                pp = _P(f"(CASE WHEN {nn} THEN CAST(NULL AS BIGINT) "
+                        f"WHEN {cond} THEN {isql} "
+                        f"ELSE {_sat_bigint(dsql)} END)", pp.s, pp.e)
+                pk = "int"
+                pp = self._join(prefixes + [pp])
+            elif tilde or minus:
                 pp, pk = self._coerce_num(pp, pk, bitwise=tilde)
                 pk = "int" if tilde else _numlike(pk)
                 pp = self._join(prefixes + [pp])
+                if trip0 is not None and not tilde:
+                    # negation is transparent to the division quad (keeps
+                    # nested text division exact through `-(c/c)/2`)
+                    nn, cond, isql, dsql = trip0
+                    if minus_n % 2:
+                        isql, dsql = f"(- ({isql}))", f"(- ({dsql}))"
+                    pp.trip = (nn, cond, isql, dsql)
             elif pk == "text":
                 # SQLite's unary '+' is a NO-OP (TEXT stays TEXT) while
                 # Spark's implicitly casts to a number: drop the '+' (the
@@ -772,6 +1058,7 @@ class _Rw:
                 pp = _P(pp.text, prefixes[0].s, pp.e)
             else:
                 pp = self._join(prefixes + [pp])
+                pp.trip = trip0  # unary '+' is a no-op: the quad survives
         pieces = [pp]
         while i < hi:
             t = T[i]
@@ -840,8 +1127,9 @@ class _Rw:
             if k < j:  # leftovers (comma list / row value): loose rebuild
                 rest, _ = self.seq(k, j)
                 ep, ek = self._join([ep, rest]), "unknown"
-            return ((self._join([self._tokp(i), ep, self._tokp(j)]), ek),
-                    j + 1)
+            gp = self._join([self._tokp(i), ep, self._tokp(j)])
+            gp.trip, gp.varied = ep.trip, ep.varied  # parens are transparent
+            return ((gp, ek), j + 1)
         if t.kind in ("bt", "word"):
             if t.kind == "word":
                 if t.low == "case":
@@ -884,7 +1172,13 @@ class _Rw:
             pieces.extend(post)
             return ((self._join(pieces), kind), i)
         kind = self.schema.get(last_name.lower(), "unknown")
-        return ((self._join(pieces), kind), i)
+        pp = self._join(pieces)
+        if kind == "varied":
+            # mixed-typed ingest shape (JSON/Avro union): dynamic
+            # everywhere, plus the ORDER BY cross-type key trigger
+            pp.varied = True
+            kind = "unknown"
+        return ((pp, kind), i)
 
     def _call_args(self, i: int, hi: int,
                    fname: str) -> tuple[_P, list[str], int]:
@@ -962,6 +1256,8 @@ class _Rw:
             return "real"
         if fname in _FN_TEXT:
             return "text"
+        if fname in _FN_BOOL:
+            return "bool"
         if fname in _FN_NUMLIKE:
             return _numlike(arg_kinds[0]) if arg_kinds else "unknown"
         if fname == "sum":
@@ -974,7 +1270,7 @@ class _Rw:
         if fname in ("iif", "if"):
             return (_union_all(arg_kinds[1:3])
                     if len(arg_kinds) >= 3 else "unknown")
-        if fname == "mod" and len(arg_kinds) == 2:
+        if fname in ("mod", "try_mod") and len(arg_kinds) == 2:
             return _arith(arg_kinds[0], arg_kinds[1])
         return "unknown"
 
@@ -1053,10 +1349,18 @@ class _Rw:
     def _cast_int(self, et: str, ek: str) -> str:
         if ek == "text":
             return _int_prefix_bigint(et)
-        if ek in ("int", "real", "bool", "null"):
+        if ek == "real":
+            # SQLite saturates REAL→INTEGER overflow to ±int64 max; the
+            # non-ANSI Spark cast agreed but the ANSI one throws, so the
+            # saturation is spelled out (same plan after folding for
+            # in-range literals).
+            return _sat_bigint(f"CAST({et} AS DOUBLE)")
+        if ek in ("int", "bool", "null"):
             return f"CAST({et} AS BIGINT)"
         return (f"(CASE WHEN typeof({et}) = 'string' "
                 f"THEN {_int_prefix_bigint(f'CAST({et} AS STRING)')} "
+                f"WHEN typeof({et}) IN ('float', 'double') "
+                f"THEN {_sat_bigint(f'CAST(({et}) AS DOUBLE)')} "
                 f"ELSE CAST({et} AS BIGINT) END)")
 
     def _cast_text(self, et: str, ek: str) -> str:
@@ -1082,11 +1386,16 @@ class _Rw:
                 f"ELSE CAST({et} AS DOUBLE) END)")
 
 
-def spark_schema_kinds(dtypes) -> dict[str, str]:
+def spark_schema_kinds(dtypes, varied=()) -> dict[str, str]:
     """Map Spark (name, dtype) pairs to SQLite storage-class kinds for the
     rewriter.  Boolean and complex types map to 'unknown' so the rewriter
     stays hands-off (SQLite has no such columns to mimic); a column name
-    appearing with conflicting kinds across views degrades to 'unknown'."""
+    appearing with conflicting kinds across views degrades to 'unknown'.
+
+    ``varied`` names columns whose INGEST shape was mixed-typed (JSON/Avro
+    unions — they land as Spark strings but SQLite would have kept dynamic
+    typing); the rewriter treats them as dynamically typed and auto-applies
+    the cross-type sort key when they are ORDER BY keys."""
     out: dict[str, str] = {}
     for name, dt in dtypes:
         base = dt.split("(")[0].lower()
@@ -1105,7 +1414,32 @@ def spark_schema_kinds(dtypes) -> dict[str, str]:
             out[key] = "unknown"
         else:
             out[key] = kind
+    for name in varied:
+        key = name.lower()
+        # only a string-surfaced (or unconflicted) column can be varied; a
+        # same-named typed column in another view wins conservatism
+        if out.get(key) in ("text", "unknown", None):
+            out[key] = "varied"
     return out
+
+
+def _alias_shadowed(toks: list[Tok]) -> set[str]:
+    """Names bound by `AS <name>` anywhere in the statement (select-list
+    and derived-table aliases).  A subquery alias can SHADOW a schema
+    column of a different kind (`SELECT a / 2 FROM (SELECT c AS a FROM
+    t)`), and the rewriter has no scoping — so every AS-bound name
+    degrades to 'unknown' before rewriting and the (correct) dynamic
+    typeof() dispatch takes over; typeof is foldable, so the degrade
+    costs nothing physically (ADVICE r4)."""
+    names: set[str] = set()
+    for i, t in enumerate(toks[:-1]):
+        if t.kind == "word" and t.low == "as":
+            nxt = toks[i + 1]
+            if nxt.kind == "bt":
+                names.add(nxt.text.strip("`").lower())
+            elif nxt.kind == "word" and nxt.low not in _RESERVED:
+                names.add(nxt.low)
+    return names
 
 
 def rewrite_semantics(sql: str, schema: dict[str, str] | None = None) -> str:
@@ -1119,7 +1453,11 @@ def rewrite_semantics(sql: str, schema: dict[str, str] | None = None) -> str:
         toks = tokenize(sql)
         if not toks:
             return sql
-        out, _ = _Rw(sql, toks, schema or {}).seq(0, len(toks))
+        kinds = dict(schema or {})
+        for name in _alias_shadowed(toks):
+            if name in kinds:
+                kinds[name] = "unknown"
+        out, _ = _Rw(sql, toks, kinds).seq(0, len(toks))
         return sql[:toks[0].start] + out.text + sql[toks[-1].end:]
     except Exception:
         if os.environ.get("DSQ_SQLEXPR_STRICT"):

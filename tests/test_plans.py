@@ -339,6 +339,21 @@ def test_dialect_division_folds_to_plain_div(spark, sf_dir):
         assert "typeof" not in plan, name
 
 
+def test_dialect_shifts_compile_to_bare_shifts(spark, sf_dir):
+    """dialect_bitwise_shifts (r5): in-range literal shift counts compile
+    to bare 64-bit shiftleft/shiftright (no guard CASE survives constant
+    folding for the literal-count columns), out-of-range literal counts
+    fold to their saturation constants, and the whole query stays
+    JVM-side with the top-k sort and column pruning intact."""
+    plan = plan_of(spark, sf_dir, "dialect_bitwise_shifts")
+    assert "shiftleft" in plan
+    assert "typeof" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_quantity" not in read_schema
+
+
 def test_quality_mix_no_global_structures(spark, sf_dir):
     """pipeline_quality_mix: quartile boundaries broadcast as ONE row onto
     the corpus scan (never a sort-merge join), and the greedy-selection

@@ -10,14 +10,21 @@ inside the dialect surface the engine maps 1:1.  The round-3 exclusions
 booleans) are GONE — dsq_spark.sqlexpr now compiles SQLite's division,
 CAST-affinity and truthiness semantics, so the grammar generates int/int
 and text divisions, CASTs of text to INTEGER/REAL, and bare-numeric /
-bare-text boolean leaves ('WHERE a', 'a AND 1', 'NOT c').  Residual
-documented deltas, still excluded by construction (PARITY.md):
+bare-text boolean leaves ('WHERE a', 'a AND 1', 'NOT c').  The round-4
+nested-text-division exclusion is GONE too (r5): compiled dynamic
+divisions carry their int/real arms, so '7'/'2'/2 = 1 exactly —
+test_differential_text_division generates nested chains now, and the
+shift arms generate out-of-range/negative counts (SQLite 64-bit shift
+semantics, compiled; Spark's native operators are 32-bit count-masked).
+Residual documented deltas, still excluded by construction (PARITY.md):
   * REAL→TEXT edges narrowed to subnormals and 16-digit-ending-in-5
     doubles (CAST(real AS TEXT) and real || now render via SQLite's
     %!.15g — see test_real_to_text_rendering);
   * mixed-type comparisons (SQLite orders across types);
-  * nested text division ('7'/'2'/2 — the inner result re-divides as
-    DOUBLE) — text operands appear only at the outermost '/' here.
+  * int64 +/-/* overflow: SQLite promotes the result to REAL, this
+    engine wraps (static typing cannot keep int64-exact-else-double) —
+    generated literal magnitudes stay below the boundary, and
+    test_integer_overflow_promotion_delta pins the exact delta.
 
 Found-by-this-fuzz fixes now pinned here: scalar min()/max() NULL
 propagation, hex() of non-BLOBs, LIKE case-insensitivity (→ ILIKE), REAL
@@ -113,8 +120,20 @@ class Gen:
                      f"ELSE {self.int_(d-1)} END"),
             lambda: f"({self.int_(d-1)} & {self.int_(d-1)})",
             lambda: f"({self.int_(d-1)} | {self.int_(d-1)})",
+            # r5: REAL bitwise operands saturate-truncate to INTEGER, and
+            # bitwise binds BELOW +/- (coercion must target the right
+            # subexpression — ADVICE r4)
+            lambda: f"({self.real(d-1)} & {self.int_(d-1)})",
+            lambda: f"({self.int_(d-1)} | {self.real(d-1)})",
+            lambda: f"({self.int_(d-1)} & {self.int_(d-1)} + {self.int_(d-1)})",
+            # r5: SQLite 64-bit shift semantics — out-of-range counts
+            # saturate (0 / sign-fill), negative counts reverse direction
             lambda: f"({self.int_(d-1)} << {r.randint(0, 4)})",
             lambda: f"({self.int_(d-1)} >> {r.randint(0, 4)})",
+            lambda: f"({self.int_(d-1)} << {r.choice([31, 40, 62, 64, 70, -1, -5, -70])})",
+            lambda: f"({self.int_(d-1)} >> {r.choice([31, 40, 63, 64, 70, -2, -70])})",
+            lambda: f"({self.int_(d-1)} << {self.int_(d-1)})",
+            lambda: f"({self.int_(d-1)} >> {self.int_(d-1)})",
             lambda: f"(~{self.int_(d-1)})",
             lambda: f"CAST({self.real(d-1)} AS INTEGER)",
             lambda: f"unicode({self.text(d-1)})",
@@ -406,9 +425,11 @@ def test_differential_text_division(engines):
     """dsq's default CSV ingest makes every column TEXT, so `price/2` on a
     CSV is TEXT division — SQLite coerces each operand through its longest
     numeric prefix and picks INTEGER division iff both coerce to integers
-    ('7'/'2' = 3, '3e2'/2 = 150.0, ''/2 = 0, 'x'/'y' = NULL).  Flat (not
-    nested) on purpose: the compiled form's result type is DOUBLE, so a
-    nested re-division is a documented delta (PARITY.md)."""
+    ('7'/'2' = 3, '3e2'/2 = 150.0, ''/2 = 0, 'x'/'y' = NULL).  NESTED
+    chains are exact since r5 ('7'/'2'/2 = 1: the compiled division
+    carries its int/real arms and a chained `/` — also through parens and
+    unary +/- — reuses them), so the old flat-only restriction and its
+    PARITY delta are gone."""
     spark, con = engines
     con.execute("CREATE TABLE tt(s TEXT, t TEXT)")
     vals = ["7", "2", "2.5", "0.5", "3e2", "", "x", "-3", " 12abc",
@@ -422,7 +443,12 @@ def test_differential_text_division(engines):
               "SELECT s / 2 AS r FROM tt",
               "SELECT s / 2.0 AS r FROM tt",
               "SELECT 7 / t AS r FROM tt",
-              "SELECT s / t / 1.0 AS r FROM tt"]:
+              "SELECT s / t / 1.0 AS r FROM tt",
+              "SELECT s / t / 2 AS r FROM tt",
+              "SELECT (s / t) / t AS r FROM tt",
+              "SELECT -(s / t) / 2 AS r FROM tt",
+              "SELECT s / t / s AS r FROM tt",
+              "SELECT +(s / t) / 2 AS r FROM tt"]:
         want = sorted(tuple(_canon(v) for v in r)
                       for r in con.execute(q).fetchall())
         got = sorted(tuple(_canon(v) for v in r)
@@ -530,6 +556,75 @@ def _is_num(x: str) -> bool:
         return True
     except (TypeError, ValueError):
         return False
+
+
+def test_integer_overflow_promotion_delta(engines):
+    """PARITY residual, pinned EXACTLY on both sides so it can never
+    drift silently: SQLite promotes int64 +,-,* overflow to REAL
+    (9223372036854775807+1 = 9.223372036854776e18); Spark's static typing
+    cannot express int64-exact-else-double, so the engine declares
+    two's-complement WRAP (its ANSI-off arithmetic).  In-range boundary
+    arithmetic stays bit-exact in both engines."""
+    spark, con = engines
+    LMIN = -9223372036854775808
+    cases = [
+        ("9223372036854775807 + 1", 9.223372036854776e18, LMIN),
+        ("9223372036854775806 + 1", 9223372036854775807, 9223372036854775807),
+        ("(-9223372036854775807 - 1) - 1", -9.223372036854776e18,
+         9223372036854775807),
+        ("9223372036854775807 * 2", 1.8446744073709552e19, -2),
+        ("4611686018427387904 * 2", 9.223372036854776e18, LMIN),
+        ("4611686018427387903 * 2", 9223372036854775806, 9223372036854775806),
+    ]
+    for expr, want_sqlite, want_engine in cases:
+        got_s = con.execute(f"SELECT {expr}").fetchone()[0]
+        assert got_s == want_sqlite, (expr, got_s)
+        got_e = spark.sql(
+            rewrite_query(f"SELECT {expr} AS r FROM td LIMIT 1",
+                          SCHEMA)).collect()[0][0]
+        assert got_e == want_engine, (expr, got_e)
+
+
+def test_varied_order_by_auto_typed_key(engines):
+    """A column whose INGEST shape was mixed-typed (schema kind 'varied'
+    — JSON/Avro unions, tagged by the readers) gets the SQLite cross-type
+    sort key applied AUTOMATICALLY when it is an ORDER BY key: NULL <
+    numeric (by value) < TEXT, matching the dynamic typing SQLite keeps
+    for such columns (r4 verdict action #7 — the opt-in dsq_typed_key
+    machinery, now routed by the rewriter).  Plain 'text' columns keep
+    Spark's lexical order (a TEXT '10' sorts as TEXT in SQLite too)."""
+    spark, con = engines
+    vals = ["10", "9", "2.5", "abc", "Z", None, "-3", "0", "1e2"]
+    con.execute("CREATE TABLE tv(v)")
+    for v in vals:
+        if v is None:
+            con.execute("INSERT INTO tv VALUES (NULL)")
+        else:
+            try:
+                con.execute("INSERT INTO tv VALUES (?)", (float(v),))
+            except ValueError:
+                con.execute("INSERT INTO tv VALUES (?)", (v,))
+    want = [r[0] for r in con.execute(
+        "SELECT v FROM tv ORDER BY v, rowid").fetchall()]
+    want = [("%g" % v if isinstance(v, float) else v) for v in want]
+
+    spark.createDataFrame([(v,) for v in vals], "v string") \
+        .createOrReplaceTempView("tv_s")
+    got = [r["v"] for r in spark.sql(rewrite_query(
+        "SELECT v FROM tv_s ORDER BY v", {"v": "varied"})).collect()]
+    got = [("%g" % float(x) if x is not None and _is_num(x) else x)
+           for x in got]
+    assert got == want
+    # DESC mirrors SQLite's reversed cross-type order (NULLs last)
+    want_d = [r[0] for r in con.execute(
+        "SELECT v FROM tv ORDER BY v DESC, rowid").fetchall()]
+    want_d = [("%g" % v if isinstance(v, float) else v) for v in want_d]
+    got_d = [r["v"] for r in spark.sql(rewrite_query(
+        "SELECT v FROM tv_s ORDER BY v DESC", {"v": "varied"})).collect()]
+    got_d = [("%g" % float(x) if x is not None and _is_num(x) else x)
+             for x in got_d]
+    assert got_d == want_d
+    con.execute("DROP TABLE tv")
 
 
 def test_rewrite_idempotent_on_dialect_grammar():
