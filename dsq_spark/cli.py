@@ -41,6 +41,7 @@ Flags (reference-compatible, main.go:341-432):
   -D, --cache-file        print cache location (implies -C)
   -i, --interactive       REPL (implies --pretty, --cache)
       --no-sqlite-writer  accepted for compatibility (no-op)
+      --strict-json       SQLite-loud JSON1: malformed JSON raises
       --verbose           verbose logging
   -v, --version           print version
   -h, --help              this help
@@ -104,6 +105,13 @@ def parse_args(argv: list[str]) -> Args | None:
             a.interactive = a.pretty = a.cache = True
         elif arg == "--no-sqlite-writer":
             pass  # fast-path toggle is meaningless here (SURVEY U2)
+        elif arg == "--strict-json":
+            # SQLite-loud JSON1: malformed JSON / bad paths raise (the
+            # reference surfaces SQLite's error) instead of the engine's
+            # default NULL/zero-rows.  Env, not an Args field: the flag
+            # must reach register_all AND the rewrite-time json_each
+            # lowering decision, both of which read DSQ_STRICT_JSON.
+            os.environ["DSQ_STRICT_JSON"] = "1"
         elif arg == "--verbose":
             a.verbose = True
         else:

@@ -21,6 +21,8 @@ pure JVM, no Python UDF in the hot path.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 # Formats best_effort_ts tries, in order (first match wins). Mirrors the
@@ -283,12 +285,38 @@ def _sql_udfs() -> list[str]:
     return stmts
 
 
-def register_all(spark: SparkSession) -> None:
-    """Register the extended function library on this session."""
+def register_all(spark: SparkSession, strict_json: bool | None = None) -> None:
+    """Register the extended function library on this session.
+
+    ``strict_json`` (default: the DSQ_STRICT_JSON env flag, i.e. the
+    CLI's --strict-json) reproduces SQLite's LOUDNESS on malformed JSON:
+    the reference surfaces SQLite's 'malformed JSON' error to the user,
+    while this engine's default is the softer NULL / zero rows
+    (documented PARITY delta).  Strict mode re-registers json() and
+    json_extract() with a raise_error guard (still pure Catalyst) and
+    bakes raising closures into the JSON1 Python engine."""
+    if strict_json is None:
+        strict_json = os.environ.get("DSQ_STRICT_JSON", "").lower() in (
+            "1", "true", "yes")
     for stmt in _sql_udfs():
         spark.sql(stmt)
+    if strict_json:
+        for stmt in (
+            # a non-NULL document whose root extraction fails is malformed
+            "CREATE OR REPLACE TEMPORARY FUNCTION json(j STRING) "
+            "RETURNS STRING RETURN CASE WHEN j IS NOT NULL AND "
+            "get_json_object(j, '$') IS NULL THEN "
+            "CAST(raise_error(concat('malformed JSON: ', j)) AS STRING) "
+            "ELSE get_json_object(j, '$') END",
+            "CREATE OR REPLACE TEMPORARY FUNCTION json_extract(j STRING, p STRING) "
+            "RETURNS STRING RETURN CASE WHEN j IS NOT NULL AND "
+            "get_json_object(j, '$') IS NULL THEN "
+            "CAST(raise_error(concat('malformed JSON: ', j)) AS STRING) "
+            "ELSE get_json_object(j, p) END",
+        ):
+            spark.sql(stmt)
     from dsq_spark.functions.json1 import register_json1
-    register_json1(spark)
+    register_json1(spark, strict=strict_json)
 
 
 import re as _re

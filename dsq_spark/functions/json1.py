@@ -246,13 +246,18 @@ def _num_text(v) -> str:
     return str(v)
 
 
-def _mutate(mode: str, j, args) -> str | None:
-    """args alternates [path1, value1_json, path2, value2_json, ...]."""
+def _mutate(mode: str, j, args, strict: bool = False) -> str | None:
+    """args alternates [path1, value1_json, path2, value2_json, ...].
+    ``strict`` reproduces SQLite's LOUDNESS: malformed JSON / bad paths
+    RAISE (surfacing as a query error like the reference's runner shows)
+    instead of the engine's default silent NULL."""
     if j is None:
         return None
     try:
         doc = _loads_doc(j)
     except ValueError:
+        if strict:
+            raise ValueError(f"malformed JSON: {j!r:.80}")
         return None
     root_scalar = False  # root replaced by a scalar → surface the SQL value
     try:
@@ -266,7 +271,9 @@ def _mutate(mode: str, j, args) -> str | None:
                 root_scalar = not isinstance(value, (dict, list))
             else:
                 doc = _apply_pair(doc, steps, value, mode)
-    except (PathError, ValueError):
+    except (PathError, ValueError) as ex:
+        if strict:
+            raise ValueError(f"JSON path error: {ex}")
         return None
     if root_scalar:
         if doc is None:
@@ -281,28 +288,32 @@ def _mutate(mode: str, j, args) -> str | None:
     return _dumps(doc)
 
 
-def json_set_text(j, args):
-    return _mutate("set", j, args)
+def json_set_text(j, args, strict: bool = False):
+    return _mutate("set", j, args, strict)
 
 
-def json_insert_text(j, args):
-    return _mutate("insert", j, args)
+def json_insert_text(j, args, strict: bool = False):
+    return _mutate("insert", j, args, strict)
 
 
-def json_replace_text(j, args):
-    return _mutate("replace", j, args)
+def json_replace_text(j, args, strict: bool = False):
+    return _mutate("replace", j, args, strict)
 
 
-def json_remove_text(j, paths) -> str | None:
+def json_remove_text(j, paths, strict: bool = False) -> str | None:
     if j is None:
         return None
     try:
         doc = _loads_doc(j)
     except ValueError:
+        if strict:
+            raise ValueError(f"malformed JSON: {j!r:.80}")
         return None
     try:
         parsed = [parse_path(p) for p in paths]
-    except PathError:
+    except PathError as ex:
+        if strict:
+            raise ValueError(f"JSON path error: {ex}")
         return None
     for steps in parsed:
         if not steps:
@@ -355,12 +366,14 @@ def _merge_patch(target, patch):
     return target
 
 
-def json_patch_text(a, b) -> str | None:
+def json_patch_text(a, b, strict: bool = False) -> str | None:
     if a is None or b is None:
         return None
     try:
         return _dumps(_merge_patch(_loads_doc(a), _loads_doc(b)))
     except ValueError:
+        if strict:
+            raise ValueError("malformed JSON in json_patch()")
         return None
 
 
@@ -430,7 +443,7 @@ def _node_size(node) -> int:
     return 1
 
 
-def _resolve_start(j, path, rebase_index=True):
+def _resolve_start(j, path, rebase_index=True, strict=False):
     """Shared json_each/json_tree start-node resolution: parse the doc,
     descend `path` while counting skipped node-array slots (ids number
     from the DOCUMENT root even under a path — probed).  Returns
@@ -443,12 +456,16 @@ def _resolve_start(j, path, rebase_index=True):
     try:
         doc = _loads_doc(j)
     except ValueError:
+        if strict:
+            raise ValueError(f"malformed JSON: {j!r:.80}")
         return None
     fullkey, start_key, start_id = "$", None, 0
     if path is not None and path != "$":
         try:
             steps = parse_path(path)
-        except PathError:
+        except PathError as ex:
+            if strict:
+                raise ValueError(f"JSON path error: {ex}")
             return None
         node = doc
         last_was_key = False
@@ -491,11 +508,11 @@ def _resolve_start(j, path, rebase_index=True):
     return doc, start_id, fullkey, start_key
 
 
-def json_tree_rows(j, path=None):
+def json_tree_rows(j, path=None, strict=False):
     """list of (key, value, type, atom, id, parent, fullkey, path) rows,
     DFS pre-order; None (empty result) for malformed JSON or a
     non-existent start path."""
-    start = _resolve_start(j, path)
+    start = _resolve_start(j, path, strict=strict)
     if start is None:
         return None
     doc, start_id, fullkey, start_key = start
@@ -527,13 +544,13 @@ def json_tree_rows(j, path=None):
     return rows
 
 
-def json_each_rows(j, path=None):
+def json_each_rows(j, path=None, strict=False):
     """SQLite json_each: DIRECT children of the (path-resolved) node — or
     the scalar itself as one row with a NULL key (even when reached via an
     object key — probed).  Same 8 columns as json_tree; `parent` is
     always NULL and ids use the same document-rooted node-array numbering
     ('{"a":[1,2],"b":…}' children get ids 2 and 6)."""
-    start = _resolve_start(j, path, rebase_index=False)
+    start = _resolve_start(j, path, rebase_index=False, strict=strict)
     if start is None:
         return None
     doc, start_id, fullkey, _start_key = start
@@ -569,7 +586,12 @@ def json_each_rows(j, path=None):
 # --------------------------------------------------------------------------
 
 
-def register_json1(spark) -> None:
+def register_json1(spark, strict: bool = False) -> None:
+    """``strict`` bakes SQLite's loudness into the registered closures
+    (cloudpickle ships the flag to executors — a module global would
+    reset on re-import in the Python workers): malformed JSON / bad paths
+    raise, surfacing as a query error like the reference's runner shows,
+    instead of the default silent NULL / zero rows."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import (ArrayType, StringType, StructField,
@@ -580,7 +602,7 @@ def register_json1(spark) -> None:
         # string hints break pandas_udf's hint inference
         def run(j, args):
             return pd.Series(
-                [fn(a, list(b) if b is not None else [])
+                [fn(a, list(b) if b is not None else [], strict)
                  for a, b in zip(j, args)], dtype=object)
         return run
 
@@ -594,7 +616,7 @@ def register_json1(spark) -> None:
                        pandas_udf(vec2(json_remove_text), StringType()))
 
     def patch(a, b):
-        return pd.Series([json_patch_text(x, y) for x, y in zip(a, b)],
+        return pd.Series([json_patch_text(x, y, strict) for x, y in zip(a, b)],
                          dtype=object)
 
     spark.udf.register("json_patch", pandas_udf(patch, StringType()))
@@ -611,8 +633,15 @@ def register_json1(spark) -> None:
         StructField("fullkey", StringType()),
         StructField("path", StringType()),
     ]))
-    spark.udf.register("dsq_json_tree", json_tree_rows, tree_schema)
-    # json_each's FULL-column lowering (used by the rewriter only when the
-    # query references type/atom/id/parent/fullkey/path — the common
-    # key/value case keeps the pure-Catalyst entries-array lowering)
-    spark.udf.register("dsq_json_each", json_each_rows, tree_schema)
+    def tree_rows(j, path):
+        return json_tree_rows(j, path, strict)
+
+    def each_rows(j, path):
+        return json_each_rows(j, path, strict)
+
+    spark.udf.register("dsq_json_tree", tree_rows, tree_schema)
+    # json_each's FULL-column lowering (used by the rewriter when the
+    # query references type/atom/id/parent/fullkey/path, or uses the
+    # 2-arg path form — the common key/value case keeps the pure-Catalyst
+    # entries-array lowering)
+    spark.udf.register("dsq_json_each", each_rows, tree_schema)

@@ -46,11 +46,12 @@ from dsq_spark.queries import streaming_q  # noqa: F401,E402
 # three dialect-semantics queries (ANSI-neutral emission + runtime-conf
 # pinning; dialect_int_division was r4's one red row and MUST land a green
 # driver row) and the new dialect_bitwise_shifts (64-bit SQLite shift
-# semantics) — then (c) r3-verified queries oldest-first.  112 registered vs
-# a 50-row window means fourteen r3-verified queries wait for round 6
-# (listed LAST below, chosen as the ones whose machinery an in-window
-# sibling also exercises); every registered query, in-window or not, stays
-# green in the identical local oracle suite (tests/test_queries_oracle.py +
+# semantics) + dialect_compare_affinity (comparison affinity rules) — then
+# (c) r3-verified queries oldest-first.  113 registered vs a 50-row window
+# means fifteen r3-verified queries wait for round 6 (listed LAST below,
+# chosen as the ones whose machinery an in-window sibling also exercises);
+# every registered query, in-window or not, stays green in the identical
+# local oracle suite (tests/test_queries_oracle.py +
 # scripts/verify_contract.py, which since r5 runs an ANSI-on leg mirroring
 # the driver's session config).
 _PRIORITY = [
@@ -75,6 +76,7 @@ _PRIORITY = [
     "dialect_cast_affinity",
     "dialect_truthiness",
     "dialect_bitwise_shifts",
+    "dialect_compare_affinity",
     # (c) r3-verified, oldest-coverage-first
     "baseline_groupby",
     "q1_pricing_summary",
@@ -108,8 +110,8 @@ _PRIORITY = [
     "text_charlm_quality",
     "text_chunk_documents",
     "text_quality_scores",
-    "text_remove_dup_spans",
     # --- everything below is PAST the 50-row window this round ---
+    "text_remove_dup_spans",
     # r3-verified, deferred to round 6: each has an in-window sibling
     # exercising the same machinery (TPC-H filter-aggs, window frames,
     # PQ/IVF recall twins, simhash vs ngram-jaccard, rollup vs cube,

@@ -165,6 +165,42 @@ def dialect_bitwise_shifts(spark, sf_dir):
 
 
 @register(
+    "dialect_compare_affinity",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderpriority > '3' AS BIGINT) AS prio_gt3,
+       CAST(1 AS BIGINT) AS key_lt_text,
+       CAST(o_orderkey = 50 AS BIGINT) AS key_eq_50,
+       CAST(0 AS BIGINT) AS key_gt_malformed
+FROM orders
+ORDER BY o_orderkey
+LIMIT 2000
+""",
+    doc=(
+        "SQLite comparison affinity (expr.html §4.2) through the rewrite "
+        "pipeline (new r5): a TEXT-affinity column vs a bare numeric "
+        "literal compares LEXICALLY on the number's rendering "
+        "(o_orderpriority > 3 means > '3' — the dsq CSV gotcha for "
+        "unquoted numbers), a NUMERIC-affinity column vs text applies "
+        "numeric conversion when the text is a well-formed number "
+        "(o_orderkey = '50' matches 50) and otherwise compares cross-type "
+        "(number < TEXT always: o_orderkey < 'x' is TRUE, "
+        "o_orderkey > '100abc' is FALSE). The oracle spells each "
+        "resolved comparison explicitly."
+    ),
+)
+def dialect_compare_affinity(spark, sf_dir):
+    return _run_rewritten(
+        spark, sf_dir, "dsq_aff_ord", "orders",
+        "SELECT o_orderkey, "
+        "CAST(o_orderpriority > 3 AS BIGINT) AS prio_gt3, "
+        "CAST(o_orderkey < 'x' AS BIGINT) AS key_lt_text, "
+        "CAST(o_orderkey = '50' AS BIGINT) AS key_eq_50, "
+        "CAST(o_orderkey > '100abc' AS BIGINT) AS key_gt_malformed "
+        "FROM dsq_aff_ord ORDER BY o_orderkey LIMIT 2000")
+
+
+@register(
     "dialect_truthiness",
     oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -24,6 +24,7 @@ parsing/optimization downstream.
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass
 
@@ -561,7 +562,12 @@ def _rewrite_json_each(sql: str) -> str:
                 f"{arg_parts[0].strip()}, {path or 'CAST(NULL AS STRING)'})) "
                 f"{alias or 'json_tree'} "
                 f"AS key, value, type, atom, id, parent, fullkey, path")
-        elif path or _wants_rich_json_each(sql, alias or "json_each"):
+        elif (path or _wants_rich_json_each(sql, alias or "json_each")
+                or os.environ.get("DSQ_STRICT_JSON", "").lower()
+                in ("1", "true", "yes")):
+            # (strict mode routes ALL json_each through the walker so a
+            # malformed document RAISES like SQLite instead of yielding
+            # zero rows — the walker's closures carry the strict flag)
             # the query touches type/atom/id/parent/fullkey/path, or uses
             # the 2-arg PATH form — lower through the full walker (same 8
             # columns as json_tree, direct children only, parent always

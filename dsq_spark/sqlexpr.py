@@ -71,6 +71,16 @@ division carries its (null, is-int, int, double) arms on the piece, and
 a further '/'-chain (also through parens and unary +/-) reuses them, so
 '7'/'2'/2 = 1 with the inner INTEGER storage class preserved.
 
+Mixed-type COMPARISONS follow SQLite's affinity rules (r5, expr.html
+§4.2): parsed pieces carry column affinity ('num'/'text'; literals,
+function results and computed expressions carry none, parens are
+transparent), and a mixed comparison compiles to either the cross-type
+sort key (NUMERIC affinity applied to the text side, or two no-affinity
+values) or a lexical comparison on the number's text rendering (TEXT
+affinity applied) — `score > 90` on an all-TEXT CSV excludes '100'
+exactly like the reference.  Mixed-typed (varied) ingest columns compare
+and ORDER BY via the same cross-type key.
+
 Documented residual deltas (PARITY.md): the int-vs-real storage class of
 text-coerced arithmetic surfaces as DOUBLE (value exact, rendering
 differs); unknown-typed operands (no schema) keep strict Spark coercion;
@@ -240,6 +250,7 @@ _FN_TEXT = frozenset((
     "string_agg", "soundex", "regexp_extract", "regexp_replace",
     "get_json_object", "json_quote", "json_array", "json_object", "json",
     "glob_regex", "base64", "md5", "sha1", "space", "dsq_real_text",
+    "string",
     "url_scheme", "url_host", "url_path", "url_fragment", "url_param",
 ))
 _FN_ARG0 = frozenset((
@@ -380,7 +391,36 @@ def _int_div(lx: str, rx: str, l_lit: float | None = None,
             f"ELSE ({lx}) DIV ({rx}) END)")
 
 
-def _typed_key_sql(t: str) -> str:
+def _texty(t: str, k: str) -> str:
+    """SQLite TEXT-affinity conversion of a numeric value for a lexical
+    comparison: integers render via the plain string cast, REALs via the
+    %!.15g renderer (both match SQLite's number→text conversion)."""
+    if k == "real":
+        return f"dsq_real_text(CAST(({t}) AS DOUBLE))"
+    if k == "bool":
+        return f"CAST(CAST(({t}) AS BIGINT) AS STRING)"
+    return f"CAST(({t}) AS STRING)"
+
+
+def _cmp_mode(lk: str, la, lv: bool, rk: str, ra, rv: bool) -> str:
+    """How one comparison coerces, per SQLite expr.html §4.2:
+    'key'     — cross-type sort-key comparison (NUMERIC affinity applied
+                to a text side, or two no-affinity values cross-type);
+    'texty_l'/'texty_r' — TEXT affinity applied to that numeric side
+                (lexical comparison);
+    'native'  — same-class or non-static operands, Spark comparison."""
+    if lv or rv:
+        return "key"
+    l_num, r_num = lk in _NUMERIC, rk in _NUMERIC
+    l_txt, r_txt = lk == "text", rk == "text"
+    if l_num and r_txt:
+        return "texty_l" if (ra == "text" and la != "num") else "key"
+    if l_txt and r_num:
+        return "texty_r" if (la == "text" and ra != "num") else "key"
+    return "native"
+
+
+def _typed_key_sql(t: str, k: str = "unknown") -> str:
     """SQLite cross-type sort key, inlined (the dsq_typed_key SQL UDF's
     body — Spark 4 rejects SQL-UDF CALLS directly under Sort, but the
     expanded expression is a plain orderable struct): NULL < numeric (by
@@ -389,8 +429,18 @@ def _typed_key_sql(t: str) -> str:
     (datatype3.html#sort_order; pinned vs sqlite3 in
     test_sqlite_differential.py::test_mixed_type_order_delta_and_typed_key).
     The regex is backslash-free ([.] classes) — rewrite idempotence
-    requires emitted literals to survive the literal-escaping pass."""
-    s = f"CAST(({t}) AS STRING)"
+    requires emitted literals to survive the literal-escaping pass.
+    Statically-known operand kinds skip the string-parse dispatch (a
+    numeric operand IS rank 1; keeping its CAST-AS-STRING form would also
+    re-trigger the %!.15g cast interception on a second rewrite pass)."""
+    if k in ("int", "real", "bool"):
+        v = (f"CAST(CAST(({t}) AS BIGINT) AS DOUBLE)" if k == "bool"
+             else f"CAST(({t}) AS DOUBLE)")
+        return (f"(CASE WHEN ({t}) IS NULL THEN "
+                f"named_struct('r', 0, 'n', CAST(0 AS DOUBLE), 't', '') "
+                f"ELSE named_struct('r', 1, 'n', {v}, "
+                f"'t', '') END)")
+    s = f"({t})" if k == "text" else f"string(({t}))"
     num = "'^[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)([eE][+-]?[0-9]+)?$'"
     return (f"(CASE WHEN ({t}) IS NULL THEN "
             f"named_struct('r', 0, 'n', CAST(0 AS DOUBLE), 't', '') "
@@ -448,7 +498,7 @@ def _div_operand(p: "_P", k: str) -> tuple[str, str, str, str]:
                 f"({pre} RLIKE {_IS_INT_PREFIX})",
                 _prefix_int_chain(pre),
                 f"coalesce(try_cast({pre} AS DOUBLE), CAST(0 AS DOUBLE))")
-    pre = f"regexp_extract(CAST(({t}) AS STRING), {_REAL_PREFIX}, 1)"
+    pre = f"regexp_extract(string(({t})), {_REAL_PREFIX}, 1)"
     is_int = (f"(CASE WHEN typeof({t}) IN {_TYPEOF_INTS} THEN true "
               f"WHEN typeof({t}) = 'string' THEN ({pre} RLIKE {_IS_INT_PREFIX}) "
               f"ELSE false END)")
@@ -513,14 +563,19 @@ class _P:
     dynamic division so a chained/parenthesized re-division can reuse the
     exact arms instead of re-dispatching on a collapsed DOUBLE; `varied`
     marks a bare column whose ingest shape was mixed-typed (JSON/Avro
-    unions), the trigger for SQLite cross-type ORDER BY keys."""
+    unions), the trigger for SQLite cross-type ORDER BY keys; `aff` is
+    SQLite's COLUMN AFFINITY ('num'/'text', None for literals, function
+    results and computed expressions — SQLite expr.html §4.2: only column
+    references carry affinity into a comparison, and parentheses are
+    transparent), which decides how mixed-type comparisons coerce."""
 
-    __slots__ = ("text", "s", "e", "trip", "varied")
+    __slots__ = ("text", "s", "e", "trip", "varied", "aff")
 
     def __init__(self, text: str, s: int, e: int):
         self.text, self.s, self.e = text, s, e
         self.trip = None
         self.varied = False
+        self.aff = None
 
 
 class _Rw:
@@ -546,6 +601,7 @@ class _Rw:
         j = _P("".join(out), pieces[0].s, pieces[-1].e)
         if len(pieces) == 1:  # pure passthrough keeps the piece's tags
             j.trip, j.varied = pieces[0].trip, pieces[0].varied
+            j.aff = pieces[0].aff
         return j
 
     def _tokp(self, i: int) -> _P:
@@ -737,7 +793,7 @@ class _Rw:
                 f"(CASE WHEN typeof({t}) = 'boolean' "
                 f"THEN CAST(({t}) AS BOOLEAN) "
                 f"WHEN typeof({t}) = 'string' "
-                f"THEN {self._text_truthy(f'CAST(({t}) AS STRING)')} "
+                f"THEN {self._text_truthy(f'string(({t}))')} "
                 f"ELSE CAST(({t}) AS DOUBLE) <> CAST(0 AS DOUBLE) END)",
                 p.s, p.e)
         return _P(f"({p.text}) <> 0", p.s, p.e)
@@ -751,9 +807,46 @@ class _Rw:
             t = T[i]
             nxt = T[i + 1] if i + 1 < hi else None
             if t.kind == "op" and t.text in _CMP_OPS:
-                pieces.append(self._tokp(i))
-                (rp, _rk), i = self._bit(i + 1, hi)
-                pieces.append(rp)
+                op_tok = self._tokp(i)
+                op_txt = t.text
+                (rp, rk2), i = self._bit(i + 1, hi)
+                lhs_one = len(pieces) == 1
+                mode = "native"
+                if op_txt != "<=>" and lhs_one:
+                    mode = _cmp_mode(lk, pieces[0].aff, pieces[0].varied,
+                                     rk2, rp.aff, rp.varied)
+                if mode == "native":
+                    pieces.append(op_tok)
+                    pieces.append(rp)
+                elif mode in ("texty_l", "texty_r"):
+                    # SQLite affinity rule (2): a TEXT-affinity COLUMN
+                    # compared against a no-affinity numeric value applies
+                    # TEXT affinity to the number — the comparison is
+                    # LEXICAL on the number's text rendering (the P3
+                    # `score > "90"` family, now also for bare numeric
+                    # literals: `score > 90` excludes '100' too).
+                    lhs = self._join(pieces)
+                    lt = _texty(lhs.text, lk) if mode == "texty_l" else lhs.text
+                    rt = _texty(rp.text, rk2) if mode == "texty_r" else rp.text
+                    pieces = [_P(f"{lt} {op_txt} {rt}", lhs.s, rp.e)]
+                else:  # "key"
+                    # SQLite affinity rule (1) / rule (3): NUMERIC
+                    # affinity applied to the text side (a well-formed
+                    # number converts, anything else stays TEXT and
+                    # compares cross-type: numeric < TEXT), or two
+                    # no-affinity values compare cross-type directly —
+                    # both are exactly the cross-type sort key.  NULL
+                    # still propagates (unlike ORDER BY's rank 0).  The
+                    # key over a statically-typed side constant-folds to
+                    # a bare named_struct; key-equality remains an
+                    # equi-join condition (hashable computed keys).
+                    lhs = self._join(pieces)
+                    expr = (f"(CASE WHEN ({lhs.text}) IS NULL "
+                            f"OR ({rp.text}) IS NULL "
+                            f"THEN CAST(NULL AS BOOLEAN) "
+                            f"ELSE {_typed_key_sql(lhs.text, lk)} {op_txt} "
+                            f"{_typed_key_sql(rp.text, rk2)} END)")
+                    pieces = [_P(expr, lhs.s, rp.e)]
                 made_bool = True
                 continue
             if t.low == "is":
@@ -1128,7 +1221,8 @@ class _Rw:
                 rest, _ = self.seq(k, j)
                 ep, ek = self._join([ep, rest]), "unknown"
             gp = self._join([self._tokp(i), ep, self._tokp(j)])
-            gp.trip, gp.varied = ep.trip, ep.varied  # parens are transparent
+            # parens are transparent (incl. to SQLite affinity)
+            gp.trip, gp.varied, gp.aff = ep.trip, ep.varied, ep.aff
             return ((gp, ek), j + 1)
         if t.kind in ("bt", "word"):
             if t.kind == "word":
@@ -1178,6 +1272,10 @@ class _Rw:
             # everywhere, plus the ORDER BY cross-type key trigger
             pp.varied = True
             kind = "unknown"
+        elif kind in ("int", "real"):
+            pp.aff = "num"   # INTEGER/REAL column affinity
+        elif kind == "text":
+            pp.aff = "text"  # TEXT column affinity
         return ((pp, kind), i)
 
     def _call_args(self, i: int, hi: int,
@@ -1358,7 +1456,7 @@ class _Rw:
         if ek in ("int", "bool", "null"):
             return f"CAST({et} AS BIGINT)"
         return (f"(CASE WHEN typeof({et}) = 'string' "
-                f"THEN {_int_prefix_bigint(f'CAST({et} AS STRING)')} "
+                f"THEN {_int_prefix_bigint(f'string({et})')} "
                 f"WHEN typeof({et}) IN ('float', 'double') "
                 f"THEN {_sat_bigint(f'CAST(({et}) AS DOUBLE)')} "
                 f"ELSE CAST({et} AS BIGINT) END)")
@@ -1373,7 +1471,7 @@ class _Rw:
         if ek == "unknown":
             return (f"(CASE WHEN typeof({et}) IN ('float', 'double') "
                     f"THEN dsq_real_text(CAST(({et}) AS DOUBLE)) "
-                    f"ELSE CAST(({et}) AS STRING) END)")
+                    f"ELSE string(({et})) END)")
         return f"CAST({et} AS STRING)"
 
     def _cast_real(self, et: str, ek: str) -> str:
@@ -1382,7 +1480,7 @@ class _Rw:
         if ek in ("int", "real", "bool", "null"):
             return f"CAST({et} AS DOUBLE)"
         return (f"(CASE WHEN typeof({et}) = 'string' "
-                f"THEN {_real_prefix_double(f'CAST({et} AS STRING)')} "
+                f"THEN {_real_prefix_double(f'string({et})')} "
                 f"ELSE CAST({et} AS DOUBLE) END)")
 
 

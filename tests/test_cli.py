@@ -357,3 +357,17 @@ def test_csv_sqlite_arithmetic_semantics(spark, tmp_path):
     rc, out = _run([str(csv), "SELECT count(*) AS n FROM {} WHERE qty"],
                    spark)
     assert json.loads(out) == [{"n": 2}]
+
+
+def test_strict_json_flag_sets_env():
+    """--strict-json reaches both consumers (function registration and the
+    rewrite-time json_each lowering) through DSQ_STRICT_JSON."""
+    import os
+
+    os.environ.pop("DSQ_STRICT_JSON", None)
+    try:
+        a = parse_args(["--strict-json", "f.csv", "SELECT 1 FROM {}"])
+        assert a is not None and a.files == ["f.csv"]
+        assert os.environ.get("DSQ_STRICT_JSON") == "1"
+    finally:
+        os.environ.pop("DSQ_STRICT_JSON", None)

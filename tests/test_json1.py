@@ -249,3 +249,54 @@ def test_each_rich_columns_sql_surface(spark):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_strict_json_mode(spark):
+    """--strict-json / DSQ_STRICT_JSON reproduces SQLite's LOUDNESS: the
+    reference surfaces SQLite's 'malformed JSON' error to the user, while
+    this engine's default is a documented softer NULL / zero rows.  In
+    strict mode every JSON1 surface raises: the Python mutator engine
+    (closure-baked flag — a module global would reset in the Python
+    workers), the Catalyst json()/json_extract() guards (raise_error),
+    and json_each (routed through the raising walker by the rewriter)."""
+    import os
+
+    import pytest
+
+    from dsq_spark.functions import register_all
+    from dsq_spark.functions.json1 import json_each_rows, json_set_text
+    from dsq_spark.rewrite import rewrite_query
+
+    # engine-level: strict raises, default NULLs
+    assert json_set_text("{", ["$.a", "1"]) is None
+    with pytest.raises(ValueError, match="malformed"):
+        json_set_text("{", ["$.a", "1"], True)
+    assert json_each_rows("{", None) is None
+    with pytest.raises(ValueError, match="malformed"):
+        json_each_rows("{", None, True)
+    # bad path is a loud path error in strict mode too
+    with pytest.raises(ValueError, match="path"):
+        json_set_text("{}", ["$.", "1"], True)
+
+    register_all(spark, strict_json=True)
+    os.environ["DSQ_STRICT_JSON"] = "1"
+    try:
+        for q in ("SELECT json('{bad') AS v",
+                  "SELECT json_extract('{bad', '$.a') AS v",
+                  "SELECT json_set('{bad', '$.a', 1) AS v",
+                  "SELECT key FROM json_each('{bad')"):
+            with pytest.raises(Exception):
+                spark.sql(rewrite_query(q)).collect()
+        # valid documents still work identically in strict mode
+        assert spark.sql(rewrite_query(
+            "SELECT json_set('{}', '$.a', 1) AS v")).collect()[0]["v"] \
+            == '{"a":1}'
+        assert spark.sql(rewrite_query(
+            "SELECT count(*) AS n FROM json_each('[1,2,3]')")) \
+            .collect()[0]["n"] == 3
+        # NULL input stays SQL NULL (SQLite: json_set(NULL, ...) is NULL)
+        assert spark.sql(rewrite_query(
+            "SELECT json_set(NULL, '$.a', 1) AS v")).collect()[0]["v"] is None
+    finally:
+        os.environ.pop("DSQ_STRICT_JSON", None)
+        register_all(spark)  # restore the default (soft) registrations

@@ -113,9 +113,15 @@ def test_json_each_rewrite_and_parity(spark):
     """json_each table-valued function → LATERAL VIEW explode, checked
     against real SQLite (reference embeds SQLite's JSON1: the key/value
     columns are what dsq users consume; our documented delta is TEXT keys
-    for arrays and no type/atom/fullkey/path columns)."""
+    for arrays and no type/atom/fullkey/path columns).  The 2-arg path
+    form lowers through the dsq_json_each walker since r5 (a
+    get_json_object drill-in can't distinguish null-at-path from
+    missing-path), so the function library must be registered."""
     import sqlite3
 
+    from dsq_spark.functions import register_all
+
+    register_all(spark)
     con = sqlite3.connect(":memory:")
 
     def sqlite_rows(q):

@@ -16,11 +16,17 @@ divisions carry their int/real arms, so '7'/'2'/2 = 1 exactly —
 test_differential_text_division generates nested chains now, and the
 shift arms generate out-of-range/negative counts (SQLite 64-bit shift
 semantics, compiled; Spark's native operators are 32-bit count-masked).
+Mixed-type COMPARISONS are compiled since r5 (SQLite expr.html §4.2
+affinity rules: numeric affinity converts a well-formed-number text and
+otherwise compares cross-type numeric < TEXT; TEXT affinity renders a
+no-affinity number to text for a lexical comparison) — the grammar
+generates `a cmp c`, `c cmp 5`, computed-vs-column mixes.
 Residual documented deltas, still excluded by construction (PARITY.md):
   * REAL→TEXT edges narrowed to subnormals and 16-digit-ending-in-5
     doubles (CAST(real AS TEXT) and real || now render via SQLite's
     %!.15g — see test_real_to_text_rendering);
-  * mixed-type comparisons (SQLite orders across types);
+  * mixed-affinity BETWEEN / IN (the affinity compilation covers binary
+    comparison operators only) and BLOB comparisons;
   * int64 +/-/* overflow: SQLite promotes the result to REAL, this
     engine wraps (static typing cannot keep int64-exact-else-double) —
     generated literal magnitudes stay below the boundary, and
@@ -208,6 +214,18 @@ class Gen:
             lambda: f"({self.int_(d-1)} {r.choice(cmps)} {self.int_(d-1)})",
             lambda: f"({self.real(d-1)} {r.choice(cmps)} {self.real(d-1)})",
             lambda: f"({self.text(d-1)} {r.choice(cmps)} {self.text(d-1)})",
+            # r5: MIXED-affinity comparisons (SQLite expr.html §4.2,
+            # compiled by sqlexpr): numeric-affinity column vs text →
+            # cross-type key; TEXT-affinity column vs no-affinity number
+            # → lexical on the number's text rendering; two no-affinity
+            # values → cross-type
+            lambda: f"(a {r.choice(cmps)} c)",
+            lambda: f"(c {r.choice(cmps)} b)",
+            lambda: f"(c {r.choice(cmps)} {r.randint(-3, 9)})",
+            lambda: "(c {} {})".format(
+                r.choice(cmps), r.choice(["0.5", "2.25", "-1.75"])),
+            lambda: f"({self.int_(d-1)} {r.choice(cmps)} {self.text(d-1)})",
+            lambda: f"({self.text(d-1)} {r.choice(cmps)} {self.real(d-1)})",
             # SQLite truthiness (r4): bare numeric / text values are legal
             # booleans — coerce-to-NUMERIC, ≠ 0, NULL stays NULL
             lambda: r.choice(["a", "b", "c"]),
@@ -625,6 +643,44 @@ def test_varied_order_by_auto_typed_key(engines):
              for x in got_d]
     assert got_d == want_d
     con.execute("DROP TABLE tv")
+
+
+def test_varied_comparisons_cross_type(engines):
+    """Comparisons against a 'varied' column follow SQLite's cross-type
+    order (numeric < TEXT, NULL propagates — unlike ORDER BY, a NULL
+    operand yields NULL, not rank-0): `v > 5` is TRUE for every text
+    value, `v = 'abc'` never matches a number.  Pinned vs sqlite3 with
+    the values stored dynamically typed, the way a JSON ingest lands
+    them.  Same documented approximation as the sort key: a fully-
+    numeric string counts as numeric."""
+    spark, con = engines
+    vals = ["10", "9", "2.5", "abc", "Z", None, "-3", "0", "1e2"]
+    con.execute("CREATE TABLE tc(v)")
+    for v in vals:
+        if v is None:
+            con.execute("INSERT INTO tc VALUES (NULL)")
+        else:
+            try:
+                con.execute("INSERT INTO tc VALUES (?)", (float(v),))
+            except ValueError:
+                con.execute("INSERT INTO tc VALUES (?)", (v,))
+    spark.createDataFrame([(v,) for v in vals], "v string") \
+        .createOrReplaceTempView("tc_s")
+
+    def canon(rows):
+        return sorted(
+            ("%g" % float(x) if x is not None and _is_num(x) else x)
+            for (x,) in rows)
+
+    for pred in ["v > 5", "v >= 2.5", "v < 5", "v = 'abc'", "v != 'Z'",
+                 "v > 'A'", "v <= 'Z'", "v = 10", "v < 0"]:
+        want = canon(con.execute(
+            f"SELECT v FROM tc WHERE {pred}").fetchall())
+        got = canon(spark.sql(rewrite_query(
+            f"SELECT v FROM tc_s WHERE {pred}",
+            {"v": "varied"})).collect())
+        assert got == want, (pred, got, want)
+    con.execute("DROP TABLE tc")
 
 
 def test_rewrite_idempotent_on_dialect_grammar():
