@@ -818,34 +818,24 @@ class _Rw:
                 if mode == "native":
                     pieces.append(op_tok)
                     pieces.append(rp)
-                elif mode in ("texty_l", "texty_r"):
-                    # SQLite affinity rule (2): a TEXT-affinity COLUMN
-                    # compared against a no-affinity numeric value applies
-                    # TEXT affinity to the number — the comparison is
-                    # LEXICAL on the number's text rendering (the P3
+                else:
+                    # 'texty_*': SQLite affinity rule (2) — a TEXT-affinity
+                    # COLUMN vs a no-affinity numeric value compares
+                    # LEXICALLY on the number's text rendering (the P3
                     # `score > "90"` family, now also for bare numeric
                     # literals: `score > 90` excludes '100' too).
+                    # 'key': rules (1)/(3) — NUMERIC affinity applied to
+                    # the text side (well-formed numbers convert, anything
+                    # else stays TEXT and compares cross-type numeric <
+                    # TEXT), or two no-affinity values cross-type — both
+                    # are the cross-type sort key.  NULL still propagates
+                    # (unlike ORDER BY's rank 0); the key over a
+                    # statically-typed side constant-folds to a bare
+                    # named_struct, and key-equality remains an equi-join
+                    # condition (hashable computed keys).
                     lhs = self._join(pieces)
-                    lt = _texty(lhs.text, lk) if mode == "texty_l" else lhs.text
-                    rt = _texty(rp.text, rk2) if mode == "texty_r" else rp.text
-                    pieces = [_P(f"{lt} {op_txt} {rt}", lhs.s, rp.e)]
-                else:  # "key"
-                    # SQLite affinity rule (1) / rule (3): NUMERIC
-                    # affinity applied to the text side (a well-formed
-                    # number converts, anything else stays TEXT and
-                    # compares cross-type: numeric < TEXT), or two
-                    # no-affinity values compare cross-type directly —
-                    # both are exactly the cross-type sort key.  NULL
-                    # still propagates (unlike ORDER BY's rank 0).  The
-                    # key over a statically-typed side constant-folds to
-                    # a bare named_struct; key-equality remains an
-                    # equi-join condition (hashable computed keys).
-                    lhs = self._join(pieces)
-                    expr = (f"(CASE WHEN ({lhs.text}) IS NULL "
-                            f"OR ({rp.text}) IS NULL "
-                            f"THEN CAST(NULL AS BOOLEAN) "
-                            f"ELSE {_typed_key_sql(lhs.text, lk)} {op_txt} "
-                            f"{_typed_key_sql(rp.text, rk2)} END)")
+                    expr = self._affinity_cmp(lhs.text, lk, op_txt,
+                                              rp.text, rk2, mode)
                     pieces = [_P(expr, lhs.s, rp.e)]
                 made_bool = True
                 continue
@@ -911,18 +901,59 @@ class _Rw:
                 made_bool = True
                 continue
             if t.low == "between":
-                pieces.append(self._tokp(i))
-                (b1, _), i = self._bit(i + 1, hi)
-                pieces.append(b1)
+                bt_tok = self._tokp(i)
+                (b1, bk1), i = self._bit(i + 1, hi)
+                and_tok, b2, bk2 = None, None, "unknown"
                 if i < hi and T[i].low == "and":
-                    pieces.append(self._tokp(i))
-                    (b2, _), i = self._bit(i + 1, hi)
-                    pieces.append(b2)
+                    and_tok = self._tokp(i)
+                    (b2, bk2), i = self._bit(i + 1, hi)
+                negated = bool(pieces) and pieces[-1].text.lower() == "not"
+                base = pieces[:-1] if negated else pieces
+                lhs_one = len(base) == 1
+                m1 = m2 = "native"
+                if lhs_one and b2 is not None:
+                    lp0 = base[0]
+                    m1 = _cmp_mode(lk, lp0.aff, lp0.varied, bk1, b1.aff,
+                                   b1.varied)
+                    m2 = _cmp_mode(lk, lp0.aff, lp0.varied, bk2, b2.aff,
+                                   b2.varied)
+                if m1 == "native" and m2 == "native":
+                    pieces.append(bt_tok)
+                    pieces.append(b1)
+                    if and_tok is not None:
+                        pieces.append(and_tok)
+                        pieces.append(b2)
+                else:
+                    # SQLite defines BETWEEN as the two comparisons with
+                    # the SAME affinity rules — desugar mixed-affinity
+                    # bounds through the comparison compiler
+                    lp0 = base[0]
+                    ge = self._affinity_cmp(lp0.text, lk, ">=",
+                                            b1.text, bk1, m1)
+                    le = self._affinity_cmp(lp0.text, lk, "<=",
+                                            b2.text, bk2, m2)
+                    expr = f"({ge} AND {le})"
+                    if negated:
+                        expr = f"(NOT {expr})"
+                    pieces = [_P(expr, base[0].s, b2.e)]
                 made_bool = True
                 continue
             break
         kind = "bool" if made_bool else lk
         return (self._join(pieces), kind), i
+
+    def _affinity_cmp(self, lt: str, lk: str, op: str, rt: str, rk: str,
+                      mode: str) -> str:
+        """One compiled comparison per _cmp_mode (see there); 'native'
+        emits the plain Spark comparison."""
+        if mode == "key":
+            return (f"(CASE WHEN ({lt}) IS NULL OR ({rt}) IS NULL "
+                    f"THEN CAST(NULL AS BOOLEAN) "
+                    f"ELSE {_typed_key_sql(lt, lk)} {op} "
+                    f"{_typed_key_sql(rt, rk)} END)")
+        a = _texty(lt, lk) if mode == "texty_l" else f"({lt})"
+        b = _texty(rt, rk) if mode == "texty_r" else f"({rt})"
+        return f"{a} {op} {b}"
 
     def _coerce_num(self, p: _P, k: str, bitwise: bool) -> tuple[_P, str]:
         """SQLite coerces TEXT operands in arithmetic through their longest

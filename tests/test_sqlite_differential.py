@@ -25,8 +25,9 @@ Residual documented deltas, still excluded by construction (PARITY.md):
   * REAL→TEXT edges narrowed to subnormals and 16-digit-ending-in-5
     doubles (CAST(real AS TEXT) and real || now render via SQLite's
     %!.15g — see test_real_to_text_rendering);
-  * mixed-affinity BETWEEN / IN (the affinity compilation covers binary
-    comparison operators only) and BLOB comparisons;
+  * mixed-affinity IN lists (BETWEEN desugars through the affinity
+    compiler since late r5; IN keeps Spark coercion) and BLOB
+    comparisons;
   * int64 +/-/* overflow: SQLite promotes the result to REAL, this
     engine wraps (static typing cannot keep int64-exact-else-double) —
     generated literal magnitudes stay below the boundary, and
@@ -244,6 +245,12 @@ class Gen:
             lambda: f"({r.choice(['a', 'b', 'c'])} IS NOT NULL)",
             lambda: f"({self.int_(d-1)} IN (1, 2, 5))",
             lambda: f"({self.int_(d-1)} BETWEEN 0 AND 4)",
+            # r5: mixed-affinity BETWEEN desugars through the same
+            # comparison-affinity compiler
+            lambda: f"(c BETWEEN {r.randint(-3, 4)} AND {r.randint(5, 9)})",
+            lambda: f"(a BETWEEN {self.text(0)} AND {self.text(0)})",
+            lambda: f"(a NOT BETWEEN '0' AND {self.text(0)})",
+            lambda: f"(b BETWEEN c AND 9)",
         ]
         if d <= 0:
             return r.choice(base)()
