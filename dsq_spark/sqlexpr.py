@@ -78,8 +78,12 @@ transparent), and a mixed comparison compiles to either the cross-type
 sort key (NUMERIC affinity applied to the text side, or two no-affinity
 values) or a lexical comparison on the number's text rendering (TEXT
 affinity applied) — `score > 90` on an all-TEXT CSV excludes '100'
-exactly like the reference.  Mixed-typed (varied) ingest columns compare
-and ORDER BY via the same cross-type key.
+exactly like the reference.  BETWEEN and literal-list IN desugar through
+the same compiler (the IN OR-chain keeps IN's three-valued NULL
+semantics).  The comparison key is NULL-propagating, so key-equality
+stays an extractable equi-join condition (mixed-affinity joins hash,
+never nested-loop — plan-gated).  Mixed-typed (varied) ingest columns
+compare and ORDER BY via the same cross-type key.
 
 Documented residual deltas (PARITY.md): the int-vs-real storage class of
 text-coerced arithmetic surfaces as DOUBLE (value exact, rendering
@@ -418,6 +422,26 @@ def _cmp_mode(lk: str, la, lv: bool, rk: str, ra, rv: bool) -> str:
     if l_txt and r_num:
         return "texty_r" if (la == "text" and ra != "num") else "key"
     return "native"
+
+
+_KEY_STRUCT = "STRUCT<r: INT, n: DOUBLE, t: STRING>"
+
+
+def _typed_key_null_sql(t: str, k: str = "unknown") -> str:
+    """Comparison variant of the cross-type key: a NULL operand yields a
+    NULL KEY (so every comparison — including equality — three-values
+    correctly), unlike the ORDER BY variant's rank-0 arm.  Keeping the
+    null handling INSIDE the key matters physically: `key(a) = key(c)` is
+    a bare equality Catalyst extracts as equi-join keys (hash/sort-merge
+    joinable), while an outer null-guard CASE would hide it and degrade a
+    mixed-affinity join to a nested-loop — a 100 TB scale-killer
+    (plan-gated in test_plans.py::test_affinity_key_join_stays_equi)."""
+    body = _typed_key_sql(t, k)
+    # body is "(CASE WHEN (t) IS NULL THEN named_struct('r', 0, …" —
+    # swap the rank-0 NULL arm for a NULL key of the same struct type
+    null_arm = f"CAST(NULL AS {_KEY_STRUCT})"
+    return (f"(CASE WHEN ({t}) IS NULL THEN {null_arm} "
+            f"ELSE {body} END)")
 
 
 def _typed_key_sql(t: str, k: str = "unknown") -> str:
@@ -876,14 +900,49 @@ class _Rw:
                 i += 1
                 continue
             if t.low == "in":
-                pieces.append(self._tokp(i))
+                in_tok = self._tokp(i)
                 i += 1
                 if i < hi and T[i].text == "(":
+                    j = self._match_paren(i, hi)
+                    first = T[i + 1] if i + 1 < j else None
+                    negated = bool(pieces) and \
+                        pieces[-1].text.lower() == "not"
+                    base = pieces[:-1] if negated else pieces
+                    subq = first is not None and \
+                        first.low in ("select", "with", "values")
+                    elems = None
+                    if len(base) == 1 and not subq and j > i + 1:
+                        elems = self._in_elements(i, j)
+                    modes = [
+                        _cmp_mode(lk, base[0].aff, base[0].varied,
+                                  ek, ep.aff, ep.varied)
+                        for ep, ek in (elems or [])]
+                    if elems and any(m != "native" for m in modes):
+                        # SQLite applies the LEFT operand's affinity to
+                        # every list element (expr.html §4.2); an OR
+                        # chain of affinity-compiled equalities has
+                        # exactly IN's three-valued NULL semantics
+                        # (2 IN (1, NULL) is NULL, 2 IN (2, NULL) true).
+                        lp0 = base[0]
+                        cmps = [self._affinity_cmp(lp0.text, lk, "=",
+                                                   ep.text, ek, m)
+                                for (ep, ek), m in zip(elems, modes)]
+                        expr = "(" + " OR ".join(cmps) + ")"
+                        if negated:
+                            expr = f"(NOT {expr})"
+                        pieces = [_P(expr, base[0].s, T[j].end)]
+                        i = j + 1
+                        made_bool = True
+                        continue
                     gp, i = self._group(i, hi)
+                    pieces.append(in_tok)
                     pieces.append(gp)
                 elif i < hi and T[i].kind in ("word", "bt"):
+                    pieces.append(in_tok)
                     pieces.append(self._tokp(i))
                     i += 1
+                else:
+                    pieces.append(in_tok)
                 made_bool = True
                 continue
             if t.low in _CMP_WORDS:
@@ -942,15 +1001,32 @@ class _Rw:
         kind = "bool" if made_bool else lk
         return (self._join(pieces), kind), i
 
+    def _in_elements(self, i: int, j: int):
+        """Parse the literal element list of `IN ( … )` between positions
+        i (the '(') and j (the ')') as (piece, kind) pairs; None on any
+        shape surprise (the caller falls back to the verbatim group)."""
+        out, k = [], i + 1
+        while k < j:
+            if not self._starts_expr(k):
+                return None
+            (ep, ek), k = self.expr(k, j, boolctx=False)
+            out.append((ep, ek))
+            if k < j:
+                if self.T[k].text != ",":
+                    return None
+                k += 1
+        return out or None
+
     def _affinity_cmp(self, lt: str, lk: str, op: str, rt: str, rk: str,
                       mode: str) -> str:
         """One compiled comparison per _cmp_mode (see there); 'native'
-        emits the plain Spark comparison."""
+        emits the plain Spark comparison.  The key mode compares
+        NULL-propagating keys as a BARE binary comparison (no outer null
+        guard) so NULLs three-value correctly AND an equality stays an
+        extractable equi-join condition."""
         if mode == "key":
-            return (f"(CASE WHEN ({lt}) IS NULL OR ({rt}) IS NULL "
-                    f"THEN CAST(NULL AS BOOLEAN) "
-                    f"ELSE {_typed_key_sql(lt, lk)} {op} "
-                    f"{_typed_key_sql(rt, rk)} END)")
+            return (f"({_typed_key_null_sql(lt, lk)} {op} "
+                    f"{_typed_key_null_sql(rt, rk)})")
         a = _texty(lt, lk) if mode == "texty_l" else f"({lt})"
         b = _texty(rt, rk) if mode == "texty_r" else f"({rt})"
         return f"{a} {op} {b}"
@@ -1446,8 +1522,18 @@ class _Rw:
         if (k + 1 < j and T[k].low == "as" and T[k + 1].kind == "word"
                 and k + 2 == j):  # plain one-word type name
             tname = T[k + 1].low
-        if tname is None:  # parameterized / unusual shape: loose rebuild
-            inner, _ = self.seq(i + 2, j)
+        if tname is None:
+            if k < j and T[k].low == "as":
+                # multi-token Spark type (STRUCT<...>, ARRAY<...>,
+                # DECIMAL(p, s), INTERVAL …): the type region is not
+                # expression territory — keep it verbatim (running seq
+                # over STRUCT< r : INT … > would misparse '<' as a
+                # comparison); the source expression is still rewritten
+                tail = [self._tokp(x) for x in range(k, j)]
+                p = self._join([self._tokp(i), self._tokp(i + 1), ep]
+                               + tail + [self._tokp(j)])
+                return ((p, "unknown"), j + 1)
+            inner, _ = self.seq(i + 2, j)  # unusual shape: loose rebuild
             p = self._join([self._tokp(i), self._tokp(i + 1), inner,
                             self._tokp(j)])
             return ((p, "unknown"), j + 1)

@@ -339,6 +339,34 @@ def test_dialect_division_folds_to_plain_div(spark, sf_dir):
         assert "typeof" not in plan, name
 
 
+def test_affinity_key_join_stays_equi(spark, sf_dir):
+    """A mixed-affinity join condition (`ON t1.int_col = t2.text_col`)
+    compiles to cross-type-key equality — which must remain an EQUI-join
+    on the computed keys (hash/sort-merge joinable), never degrade to a
+    BroadcastNestedLoopJoin: at 100 TB a nested-loop join is a
+    scale-killer, while hashing f(a) = g(c) costs the same shuffle as any
+    equi-join."""
+    import io
+    from contextlib import redirect_stdout
+
+    from dsq_spark.rewrite import rewrite_query
+
+    spark.createDataFrame([(i,) for i in range(100)], "k long") \
+        .createOrReplaceTempView("aff_l")
+    spark.createDataFrame([(str(i),) for i in range(0, 200, 2)], "s string") \
+        .createOrReplaceTempView("aff_r")
+    df = spark.sql(rewrite_query(
+        "SELECT count(*) AS n FROM aff_l JOIN aff_r ON aff_l.k = aff_r.s",
+        {"k": "int", "s": "text"}))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert df.collect()[0]["n"] == 50  # 0,2,...,98 numeric-convert + match
+
+
 def test_dialect_shifts_compile_to_bare_shifts(spark, sf_dir):
     """dialect_bitwise_shifts (r5): in-range literal shift counts compile
     to bare 64-bit shiftleft/shiftright (no guard CASE survives constant

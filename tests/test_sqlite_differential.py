@@ -25,9 +25,9 @@ Residual documented deltas, still excluded by construction (PARITY.md):
   * REAL→TEXT edges narrowed to subnormals and 16-digit-ending-in-5
     doubles (CAST(real AS TEXT) and real || now render via SQLite's
     %!.15g — see test_real_to_text_rendering);
-  * mixed-affinity IN lists (BETWEEN desugars through the affinity
-    compiler since late r5; IN keeps Spark coercion) and BLOB
-    comparisons;
+  * BLOB comparisons (BETWEEN and literal-list IN both desugar through
+    the affinity compiler since late r5; only IN-subquery keeps Spark
+    coercion on mixed affinities);
   * int64 +/-/* overflow: SQLite promotes the result to REAL, this
     engine wraps (static typing cannot keep int64-exact-else-double) —
     generated literal magnitudes stay below the boundary, and
@@ -244,6 +244,11 @@ class Gen:
             lambda: f"({self.text(d-1)} COLLATE NOCASE = 'foo')",
             lambda: f"({r.choice(['a', 'b', 'c'])} IS NOT NULL)",
             lambda: f"({self.int_(d-1)} IN (1, 2, 5))",
+            # r5: IN applies the LEFT operand's affinity to each element
+            lambda: f"(a IN ('1', {self.text(0)}, 5))",
+            lambda: f"(c IN (1, 2.25, {self.text(0)}))",
+            lambda: f"(a NOT IN ('5', {self.text(0)}))",
+            lambda: f"(c IN ({r.randint(-3, 9)}, NULL))",
             lambda: f"({self.int_(d-1)} BETWEEN 0 AND 4)",
             # r5: mixed-affinity BETWEEN desugars through the same
             # comparison-affinity compiler
