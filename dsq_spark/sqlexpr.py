@@ -378,6 +378,26 @@ def _sat_bigint(d: str) -> str:
             f"END)")
 
 
+def _trip_bigint(trip) -> str:
+    """Materialize a division quad as BIGINT (SQLite's cast-to-INTEGER of
+    a dynamic numeric: int branch exact, real branch saturating-truncated)
+    — used wherever a bitwise/modulo context consumes a compiled dynamic
+    division."""
+    nn, cond, isql, dsql = trip
+    return (f"(CASE WHEN {nn} THEN CAST(NULL AS BIGINT) "
+            f"WHEN {cond} THEN {isql} ELSE {_sat_bigint(dsql)} END)")
+
+
+def _trip_text(trip) -> str:
+    """Materialize a division quad as TEXT with the storage-class-correct
+    rendering: the int branch renders via the plain string cast ('3' not
+    '3.0'), the real branch via SQLite's %!.15g."""
+    nn, cond, isql, dsql = trip
+    return (f"(CASE WHEN {nn} THEN CAST(NULL AS STRING) "
+            f"WHEN {cond} THEN string({isql}) "
+            f"ELSE dsq_real_text({dsql}) END)")
+
+
 def _int_div(lx: str, rx: str, l_lit: float | None = None,
              r_lit: float | None = None) -> str:
     """ANSI-neutral BIGINT integral division: x DIV 0 → NULL (never
@@ -404,6 +424,20 @@ def _texty(t: str, k: str) -> str:
     if k == "bool":
         return f"CAST(CAST(({t}) AS BIGINT) AS STRING)"
     return f"CAST(({t}) AS STRING)"
+
+
+def _eff_cmp_kind(k: str, p: "_P") -> str:
+    """Kind as the comparison compiler should see it: a piece carrying a
+    division quad is ALWAYS numeric-or-NULL at runtime (its materialized
+    CASE is typed DOUBLE), so it compares as 'real' — which also keeps
+    the first and second rewrite passes in agreement (the re-parsed CASE
+    infers real).  The key mode is rank-safe for it (int and real are
+    both rank 1); the texty modes need a TEXT-affinity column on the
+    other side, which cannot coexist with the schema-less operands that
+    produce quads."""
+    if p.trip is not None and k not in ("int", "real", "bool", "text"):
+        return "real"
+    return k
 
 
 def _cmp_mode(lk: str, la, lv: bool, rk: str, ra, rv: bool) -> str:
@@ -837,8 +871,10 @@ class _Rw:
                 lhs_one = len(pieces) == 1
                 mode = "native"
                 if op_txt != "<=>" and lhs_one:
-                    mode = _cmp_mode(lk, pieces[0].aff, pieces[0].varied,
-                                     rk2, rp.aff, rp.varied)
+                    mode = _cmp_mode(_eff_cmp_kind(lk, pieces[0]),
+                                     pieces[0].aff, pieces[0].varied,
+                                     _eff_cmp_kind(rk2, rp),
+                                     rp.aff, rp.varied)
                 if mode == "native":
                     pieces.append(op_tok)
                     pieces.append(rp)
@@ -858,8 +894,9 @@ class _Rw:
                     # named_struct, and key-equality remains an equi-join
                     # condition (hashable computed keys).
                     lhs = self._join(pieces)
-                    expr = self._affinity_cmp(lhs.text, lk, op_txt,
-                                              rp.text, rk2, mode)
+                    expr = self._affinity_cmp(
+                        lhs.text, _eff_cmp_kind(lk, lhs), op_txt,
+                        rp.text, _eff_cmp_kind(rk2, rp), mode)
                     pieces = [_P(expr, lhs.s, rp.e)]
                 made_bool = True
                 continue
@@ -886,7 +923,32 @@ class _Rw:
                         pieces.append(rp)
                     else:
                         lhs = self._join(pieces)
-                        expr = f"({lhs.text} <=> {rp.text})"
+                        mode = "native"
+                        if len(pieces) == 1:
+                            mode = _cmp_mode(_eff_cmp_kind(lk, pieces[0]),
+                                             pieces[0].aff,
+                                             pieces[0].varied,
+                                             _eff_cmp_kind(rk, rp),
+                                             rp.aff, rp.varied)
+                        lke = _eff_cmp_kind(lk, lhs)
+                        rke = _eff_cmp_kind(rk, rp)
+                        if mode == "key":
+                            # IS applies the same comparison affinity as
+                            # `=` (probed: 5 IS '5' and 7 IS '7.0' are 1
+                            # on a NUMERIC-affinity column); the ORDER BY
+                            # key variant (rank 0 for NULL, keys never
+                            # null) makes plain `=` exactly null-safe
+                            # equality: NULL IS NULL → rank0 = rank0.
+                            expr = (f"({_typed_key_sql(lhs.text, lke)} = "
+                                    f"{_typed_key_sql(rp.text, rke)})")
+                        elif mode in ("texty_l", "texty_r"):
+                            a = _texty(lhs.text, lke) if mode == "texty_l" \
+                                else f"({lhs.text})"
+                            b = _texty(rp.text, rke) if mode == "texty_r" \
+                                else f"({rp.text})"
+                            expr = f"({a} <=> {b})"
+                        else:
+                            expr = f"({lhs.text} <=> {rp.text})"
                         if negated:
                             expr = f"NOT {expr}"
                         pieces = [_P(expr, lhs.s, rp.e)]
@@ -914,8 +976,9 @@ class _Rw:
                     if len(base) == 1 and not subq and j > i + 1:
                         elems = self._in_elements(i, j)
                     modes = [
-                        _cmp_mode(lk, base[0].aff, base[0].varied,
-                                  ek, ep.aff, ep.varied)
+                        _cmp_mode(_eff_cmp_kind(lk, base[0]),
+                                  base[0].aff, base[0].varied,
+                                  _eff_cmp_kind(ek, ep), ep.aff, ep.varied)
                         for ep, ek in (elems or [])]
                     if elems and any(m != "native" for m in modes):
                         # SQLite applies the LEFT operand's affinity to
@@ -924,8 +987,10 @@ class _Rw:
                         # exactly IN's three-valued NULL semantics
                         # (2 IN (1, NULL) is NULL, 2 IN (2, NULL) true).
                         lp0 = base[0]
-                        cmps = [self._affinity_cmp(lp0.text, lk, "=",
-                                                   ep.text, ek, m)
+                        lke = _eff_cmp_kind(lk, lp0)
+                        cmps = [self._affinity_cmp(
+                                    lp0.text, lke, "=", ep.text,
+                                    _eff_cmp_kind(ek, ep), m)
                                 for (ep, ek), m in zip(elems, modes)]
                         expr = "(" + " OR ".join(cmps) + ")"
                         if negated:
@@ -972,10 +1037,11 @@ class _Rw:
                 m1 = m2 = "native"
                 if lhs_one and b2 is not None:
                     lp0 = base[0]
-                    m1 = _cmp_mode(lk, lp0.aff, lp0.varied, bk1, b1.aff,
-                                   b1.varied)
-                    m2 = _cmp_mode(lk, lp0.aff, lp0.varied, bk2, b2.aff,
-                                   b2.varied)
+                    lke = _eff_cmp_kind(lk, lp0)
+                    m1 = _cmp_mode(lke, lp0.aff, lp0.varied,
+                                   _eff_cmp_kind(bk1, b1), b1.aff, b1.varied)
+                    m2 = _cmp_mode(lke, lp0.aff, lp0.varied,
+                                   _eff_cmp_kind(bk2, b2), b2.aff, b2.varied)
                 if m1 == "native" and m2 == "native":
                     pieces.append(bt_tok)
                     pieces.append(b1)
@@ -987,10 +1053,13 @@ class _Rw:
                     # the SAME affinity rules — desugar mixed-affinity
                     # bounds through the comparison compiler
                     lp0 = base[0]
-                    ge = self._affinity_cmp(lp0.text, lk, ">=",
-                                            b1.text, bk1, m1)
-                    le = self._affinity_cmp(lp0.text, lk, "<=",
-                                            b2.text, bk2, m2)
+                    lke = _eff_cmp_kind(lk, lp0)
+                    ge = self._affinity_cmp(lp0.text, lke, ">=",
+                                            b1.text, _eff_cmp_kind(bk1, b1),
+                                            m1)
+                    le = self._affinity_cmp(lp0.text, lke, "<=",
+                                            b2.text, _eff_cmp_kind(bk2, b2),
+                                            m2)
                     expr = f"({ge} AND {le})"
                     if negated:
                         expr = f"(NOT {expr})"
@@ -1042,6 +1111,11 @@ class _Rw:
         if k == "text":
             fn = _int_prefix_bigint if bitwise else _real_prefix_double
             return _P(fn(p.text), p.s, p.e), ("int" if bitwise else "real")
+        if bitwise and p.trip is not None and k == "unknown":
+            # a compiled dynamic division consumed by a bitwise context:
+            # materialize through its quad (int branch exact) — also
+            # keeps the rewrite a fixpoint (the CASE re-parses as real)
+            return _P(_trip_bigint(p.trip), p.s, p.e), "int"
         if bitwise and k == "real":
             # SQLite casts REAL bitwise operands to INTEGER with int64
             # saturation (2.5 & 3 = 2, 1e30 & 1 = 1 — probed vs sqlite3);
@@ -1092,6 +1166,10 @@ class _Rw:
     def _shift(self, lp: _P, lk: str, rp: _P, rk: str,
                op: Tok) -> tuple[_P, str]:
         left = op.text == "<<"
+        if lp.trip is not None and lk == "unknown":
+            lp, lk = self._coerce_num(lp, lk, bitwise=True)
+        if rp.trip is not None and rk == "unknown":
+            rp, rk = self._coerce_num(rp, rk, bitwise=True)
         verbatim = self._join([lp, _P(op.text, op.start, op.end), rp])
         if "null" in (lk, rk):
             return verbatim, "null"
@@ -1146,6 +1224,10 @@ class _Rw:
         overflow in both engines)."""
         verbatim = self._join([lp, _P(op.text, op.start, op.end), rp])
         r_lit = _lit_value(rp.text)
+        if lp.trip is not None and lk == "unknown":
+            lk = "real"  # dynamic division: numeric-or-NULL (quad below)
+        if rp.trip is not None and rk == "unknown":
+            rk = "real"
         if {lk, rk} <= _INTISH:
             if r_lit is not None and r_lit != 0:
                 return verbatim, "int"
@@ -1160,15 +1242,17 @@ class _Rw:
             return (_P(f"try_mod({lp.text}, {rp.text})", lp.s, rp.e),
                     "unknown")
 
-        def as_int(t: str, k: str) -> str:
+        def as_int(p: _P, k: str) -> str:
+            if p.trip is not None:
+                return _trip_bigint(p.trip)  # int branch exact
             if k in _INTISH:
-                return t
+                return p.text
             if k == "real":
-                return _sat_bigint(f"CAST(({t}) AS DOUBLE)")
-            return _int_prefix_bigint(t)  # text
+                return _sat_bigint(f"CAST(({p.text}) AS DOUBLE)")
+            return _int_prefix_bigint(p.text)  # text
 
-        return (_P(f"CAST(try_mod({as_int(lp.text, lk)}, "
-                   f"{as_int(rp.text, rk)}) AS DOUBLE)", lp.s, rp.e), "real")
+        return (_P(f"CAST(try_mod({as_int(lp, lk)}, "
+                   f"{as_int(rp, rk)}) AS DOUBLE)", lp.s, rp.e), "real")
 
     def _divide(self, lp: _P, lk: str, rp: _P, rk: str,
                 op: Tok) -> tuple[_P, str]:
@@ -1230,13 +1314,9 @@ class _Rw:
             trip0 = pp.trip
             if tilde and trip0 is not None:
                 # ~ casts its operand to INTEGER: materialize the division
-                # quad as a BIGINT (int branch exact, real branch
-                # truncated like SQLite's CAST) instead of re-dispatching
-                # on the collapsed DOUBLE
-                nn, cond, isql, dsql = trip0
-                pp = _P(f"(CASE WHEN {nn} THEN CAST(NULL AS BIGINT) "
-                        f"WHEN {cond} THEN {isql} "
-                        f"ELSE {_sat_bigint(dsql)} END)", pp.s, pp.e)
+                # quad (int branch exact, real branch truncated like
+                # SQLite's CAST) instead of re-dispatching the DOUBLE
+                pp = _P(_trip_bigint(trip0), pp.s, pp.e)
                 pk = "int"
                 pp = self._join(prefixes + [pp])
             elif tilde or minus:
@@ -1272,11 +1352,18 @@ class _Rw:
                     lp0 = self._join(pieces)
                     pieces = [_P(f"dsq_real_text(CAST({lp0.text} AS DOUBLE))",
                                  lp0.s, lp0.e)]
+                elif len(pieces) == 1 and pieces[0].trip is not None:
+                    # dynamic division: render per its runtime storage
+                    # class (int branch '3', real branch %!.15g)
+                    lp0 = pieces[0]
+                    pieces = [_P(_trip_text(lp0.trip), lp0.s, lp0.e)]
                 pieces.append(self._tokp(i))
                 (rp, rk), i = self._unary(i + 1, hi)
                 if rk == "real":
                     rp = _P(f"dsq_real_text(CAST({rp.text} AS DOUBLE))",
                             rp.s, rp.e)
+                elif rp.trip is not None:
+                    rp = _P(_trip_text(rp.trip), rp.s, rp.e)
                 pieces.append(rp)
                 pk = "text"
                 continue

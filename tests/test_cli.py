@@ -371,3 +371,21 @@ def test_strict_json_flag_sets_env():
         assert os.environ.get("DSQ_STRICT_JSON") == "1"
     finally:
         os.environ.pop("DSQ_STRICT_JSON", None)
+
+
+def test_cli_unquoted_numeric_comparison_is_lexical(spark, capsys):
+    """The dsq CSV gotcha end-to-end: without -n every column is TEXT, and
+    SQLite's comparison affinity makes `score > 90` — the UNQUOTED
+    number — lexical too ('100' < '90'), exactly like the documented
+    quoted form `score > "90"`.  With -n (convert-numbers) the comparison
+    is numeric and '100' qualifies (reference README.md:550-589)."""
+    import json
+
+    fix = "tests/fixtures/u.csv"
+    assert run([fix, "SELECT name FROM {} WHERE score > 90"], spark) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert [r["name"] for r in rows] == []  # '100' excluded lexically
+    assert run(["-n", fix, "SELECT name FROM {} WHERE score > 90"],
+               spark) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert [r["name"] for r in rows] == ["Bob"]

@@ -241,6 +241,11 @@ class Gen:
             lambda: f"({self.int_(d-1)} IS {self.int_(d-1)})",
             lambda: f"({self.int_(d-1)} IS NOT {self.int_(d-1)})",
             lambda: f"({self.text(d-1)} IS {self.text(d-1)})",
+            # r5: IS follows the same comparison-affinity rules as `=`
+            lambda: f"(a IS {self.text(0)})",
+            lambda: f"(c IS {r.randint(-3, 9)})",
+            lambda: f"(a IS c)",
+            lambda: f"(a IS NOT c)",
             lambda: f"({self.text(d-1)} COLLATE NOCASE = 'foo')",
             lambda: f"({r.choice(['a', 'b', 'c'])} IS NOT NULL)",
             lambda: f"({self.int_(d-1)} IN (1, 2, 5))",
@@ -586,6 +591,34 @@ def _is_num(x: str) -> bool:
         return True
     except (TypeError, ValueError):
         return False
+
+
+def test_division_quad_in_consuming_contexts(engines):
+    """A compiled dynamic (text) division consumed by another operator
+    must keep its runtime storage class through the quad materializers:
+    bitwise/~/% cast the int branch exactly, || renders '3' (int branch)
+    vs '3.5' (real branch) — pinned vs sqlite3 over the tt value grid."""
+    spark, con = engines
+    con.execute("CREATE TABLE tq(s TEXT, t TEXT)")
+    vals = ["7", "2", "2.5", "", "x", "-3", "3e2", None, "0"]
+    rows = [(a, b) for a in vals for b in vals]
+    con.executemany("INSERT INTO tq VALUES (?,?)", rows)
+    spark.createDataFrame(rows, "s string, t string") \
+        .createOrReplaceTempView("tq")
+    sch = {"s": "text", "t": "text"}
+    for q in ["SELECT (s / t) || '#' AS r FROM tq",
+              "SELECT (s / t) % 3 AS r FROM tq",
+              "SELECT (s / t) & 6 AS r FROM tq",
+              "SELECT ~(s / t) AS r FROM tq",
+              "SELECT (s / t) << 1 AS r FROM tq",
+              "SELECT (s / t) >> 1 AS r FROM tq",
+              "SELECT 5 < (s / t) AS r FROM tq"]:
+        want = sorted(tuple(_canon(v) for v in r)
+                      for r in con.execute(q).fetchall())
+        got = sorted(tuple(_canon(v) for v in r)
+                     for r in spark.sql(rewrite_query(q, sch)).collect())
+        assert want == got, q
+    con.execute("DROP TABLE tq")
 
 
 def test_integer_overflow_promotion_delta(engines):
