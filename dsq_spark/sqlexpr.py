@@ -290,6 +290,12 @@ _IS_INT_PREFIX = r"'^[+-]?[0-9]*$'"  # '' coerces to integer 0
 _TYPEOF_INTS = "('tinyint', 'smallint', 'int', 'bigint')"
 
 _CMP_OPS = frozenset(("=", "==", "!=", "<>", "<", ">", "<=", ">=", "<=>"))
+# SQLite splits comparisons into TWO precedence levels: the relational
+# operators bind TIGHTER than the equality group (which also holds IS, IN,
+# LIKE/GLOB/MATCH/REGEXP and BETWEEN) — `a != a >= 1` is `a != (a >= 1)`,
+# probed vs sqlite3.
+_REL_OPS = frozenset(("<", ">", "<=", ">="))
+_EQ_OPS = frozenset(("=", "==", "!=", "<>", "<=>"))
 # SQLite binds +/- TIGHTER than the bitwise ops (`a & b + c` is
 # `a & (b + c)` — expr.html operator table), so bitwise gets its own
 # (lower) precedence level; Spark's grammar agrees, so emitted token order
@@ -857,17 +863,37 @@ class _Rw:
         return _P(f"({p.text}) <> 0", p.s, p.e)
 
     def _cmp(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
-        (lp, lk), i = self._bit(i, hi)
+        """Equality level — =, ==, !=, <>, <=> plus the word operators
+        (IS, IN, LIKE family, BETWEEN); operands parse at the TIGHTER
+        relational level per SQLite's two comparison precedences."""
+        return self._cmp_level(i, hi, eq_level=True)
+
+    def _rel(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
+        """Relational level — <, >, <=, >= over bitwise-level operands."""
+        return self._cmp_level(i, hi, eq_level=False)
+
+    def _cmp_level(self, i: int, hi: int,
+                   eq_level: bool) -> tuple[tuple[_P, str], int]:
+        sub = self._rel if eq_level else self._bit
+        ops = _EQ_OPS if eq_level else _REL_OPS
+        (lp, lk), i = sub(i, hi)
         T = self.T
         made_bool = False
         pieces = [lp]
         while i < hi:
             t = T[i]
             nxt = T[i + 1] if i + 1 < hi else None
-            if t.kind == "op" and t.text in _CMP_OPS:
+            if t.kind == "op" and t.text in ops:
+                if made_bool and len(pieces) > 1:
+                    # CHAINED comparison (left-assoc in SQLite:
+                    # `a < b < 1` is `(a < b) < 1`, the inner result a
+                    # 0/1 integer) — collapse the accumulated boolean
+                    # so the next operator sees one bool operand
+                    pieces = [self._join(pieces)]
+                    lk = "bool"
                 op_tok = self._tokp(i)
                 op_txt = t.text
-                (rp, rk2), i = self._bit(i + 1, hi)
+                (rp, rk2), i = sub(i + 1, hi)
                 lhs_one = len(pieces) == 1
                 mode = "native"
                 if op_txt != "<=>" and lhs_one:
@@ -876,6 +902,16 @@ class _Rw:
                                      _eff_cmp_kind(rk2, rp),
                                      rp.aff, rp.varied)
                 if mode == "native":
+                    # SQLite booleans are 0/1 INTEGERS; Spark rejects
+                    # boolean-vs-numeric comparisons outright, so a bool
+                    # side against a numeric side compares via its int
+                    # value (the chained-comparison shape above)
+                    if lhs_one and lk == "bool" and rk2 in ("int", "real"):
+                        lhs0 = pieces[0]
+                        pieces = [_P(f"CAST(({lhs0.text}) AS BIGINT)",
+                                     lhs0.s, lhs0.e)]
+                    elif rk2 == "bool" and lk in ("int", "real") and lhs_one:
+                        rp = _P(f"CAST(({rp.text}) AS BIGINT)", rp.s, rp.e)
                     pieces.append(op_tok)
                     pieces.append(rp)
                 else:
@@ -898,9 +934,13 @@ class _Rw:
                         lhs.text, _eff_cmp_kind(lk, lhs), op_txt,
                         rp.text, _eff_cmp_kind(rk2, rp), mode)
                     pieces = [_P(expr, lhs.s, rp.e)]
+                    # the collapsed lhs of any FURTHER chained comparison
+                    # is this boolean (SQLite chains left-assoc:
+                    # a < c < 'x' is (a<c) < 'x', a 0/1 NUMERIC vs text)
+                    lk = "bool"
                 made_bool = True
                 continue
-            if t.low == "is":
+            if eq_level and t.low == "is":
                 # SQLite's IS is general null-safe equality (`a IS 1`,
                 # `a IS NOT b`), not just the NULL/TRUE/FALSE test — those
                 # spellings (and IS [NOT] DISTINCT FROM) stay verbatim,
@@ -915,7 +955,7 @@ class _Rw:
                     is_toks.append(self._tokp(i))
                     i += 1
                 if i < hi and self._starts_expr(i):
-                    (rp, rk), i = self._bit(i, hi)
+                    (rp, rk), i = self._rel(i, hi)
                     if (distinct_form or rk in ("null", "bool")
                             or rp.text.upper() in ("TRUE", "FALSE", "NULL",
                                                    "UNKNOWN")):
@@ -952,16 +992,17 @@ class _Rw:
                         if negated:
                             expr = f"NOT {expr}"
                         pieces = [_P(expr, lhs.s, rp.e)]
+                        lk = "bool"  # collapsed lhs for further chaining
                 else:
                     pieces.extend(is_toks)
                 made_bool = True
                 continue
-            if (t.low == "not" and nxt is not None
+            if eq_level and (t.low == "not" and nxt is not None
                     and nxt.low in _CMP_WORDS | {"in", "between"}):
                 pieces.append(self._tokp(i))
                 i += 1
                 continue
-            if t.low == "in":
+            if eq_level and t.low == "in":
                 in_tok = self._tokp(i)
                 i += 1
                 if i < hi and T[i].text == "(":
@@ -996,6 +1037,7 @@ class _Rw:
                         if negated:
                             expr = f"(NOT {expr})"
                         pieces = [_P(expr, base[0].s, T[j].end)]
+                        lk = "bool"  # collapsed lhs for further chaining
                         i = j + 1
                         made_bool = True
                         continue
@@ -1010,27 +1052,27 @@ class _Rw:
                     pieces.append(in_tok)
                 made_bool = True
                 continue
-            if t.low in _CMP_WORDS:
+            if eq_level and t.low in _CMP_WORDS:
                 pieces.append(self._tokp(i))
                 rhs0 = i + 1
-                (rp, _rk), i = self._bit(i + 1, hi)
+                (rp, _rk), i = self._rel(i + 1, hi)
                 if (t.low in ("rlike", "regexp") and i == rhs0 + 1
                         and T[rhs0].kind == "str"):
                     rp = _P(_go_regex_to_java(rp.text), rp.s, rp.e)
                 pieces.append(rp)
                 if i < hi and T[i].low == "escape":
                     pieces.append(self._tokp(i))
-                    (ep, _ek), i = self._bit(i + 1, hi)
+                    (ep, _ek), i = self._rel(i + 1, hi)
                     pieces.append(ep)
                 made_bool = True
                 continue
-            if t.low == "between":
+            if eq_level and t.low == "between":
                 bt_tok = self._tokp(i)
-                (b1, bk1), i = self._bit(i + 1, hi)
+                (b1, bk1), i = self._rel(i + 1, hi)
                 and_tok, b2, bk2 = None, None, "unknown"
                 if i < hi and T[i].low == "and":
                     and_tok = self._tokp(i)
-                    (b2, bk2), i = self._bit(i + 1, hi)
+                    (b2, bk2), i = self._rel(i + 1, hi)
                 negated = bool(pieces) and pieces[-1].text.lower() == "not"
                 base = pieces[:-1] if negated else pieces
                 lhs_one = len(base) == 1
@@ -1064,6 +1106,7 @@ class _Rw:
                     if negated:
                         expr = f"(NOT {expr})"
                     pieces = [_P(expr, base[0].s, b2.e)]
+                    lk = "bool"  # collapsed lhs for further chaining
                 made_bool = True
                 continue
             break

@@ -241,6 +241,11 @@ class Gen:
             lambda: f"({self.int_(d-1)} IS {self.int_(d-1)})",
             lambda: f"({self.int_(d-1)} IS NOT {self.int_(d-1)})",
             lambda: f"({self.text(d-1)} IS {self.text(d-1)})",
+            # r5: chained comparisons (left-assoc; inner result is 0/1)
+            lambda: "({} {} {} {} {})".format(
+                self.int_(d-1), r.choice(cmps), self.int_(d-1),
+                r.choice(cmps), r.randint(0, 1)),
+            lambda: f"(a {r.choice(cmps)} c {r.choice(cmps)} {self.text(0)})",
             # r5: IS follows the same comparison-affinity rules as `=`
             lambda: f"(a IS {self.text(0)})",
             lambda: f"(c IS {r.randint(-3, 9)})",
@@ -591,6 +596,24 @@ def _is_num(x: str) -> bool:
         return True
     except (TypeError, ValueError):
         return False
+
+
+def test_chained_mixed_comparisons(engines):
+    """SQLite chains comparisons left-associatively — `a < c < 'x'` is
+    `(a < c) < 'x'`, a 0/1 NUMERIC against text (cross-type TRUE).  The
+    collapsed lhs of a further comparison must re-kind as boolean, not
+    keep the original leftmost operand's kind (regression: the wrap left
+    `lk` stale)."""
+    spark, con = engines
+    for q in ["SELECT (a < c < 'x') AS r FROM td",
+              "SELECT (a < c < 1) AS r FROM td",
+              "SELECT (c > 5 = 1) AS r FROM td",
+              "SELECT ((a IS c) < c) AS r FROM td"]:
+        want = sorted(tuple(_canon(v) for v in r)
+                      for r in con.execute(q).fetchall())
+        got = sorted(tuple(_canon(v) for v in r)
+                     for r in spark.sql(rewrite_query(q, SCHEMA)).collect())
+        assert want == got, q
 
 
 def test_division_quad_in_consuming_contexts(engines):
