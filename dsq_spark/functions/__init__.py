@@ -303,13 +303,19 @@ def register_all(spark: SparkSession, strict_json: bool | None = None) -> None:
     if strict_json:
         for stmt in (
             # a non-NULL document whose root extraction fails is malformed
+            # — EXCEPT the valid JSON literal null, whose root also
+            # extracts to SQL NULL (SELECT json('null') is 'null' in
+            # SQLite, not an error; ADVICE r5)
             "CREATE OR REPLACE TEMPORARY FUNCTION json(j STRING) "
-            "RETURNS STRING RETURN CASE WHEN j IS NOT NULL AND "
+            "RETURNS STRING RETURN CASE WHEN trim(j) = 'null' THEN 'null' "
+            "WHEN j IS NOT NULL AND "
             "get_json_object(j, '$') IS NULL THEN "
             "CAST(raise_error(concat('malformed JSON: ', j)) AS STRING) "
             "ELSE get_json_object(j, '$') END",
             "CREATE OR REPLACE TEMPORARY FUNCTION json_extract(j STRING, p STRING) "
-            "RETURNS STRING RETURN CASE WHEN j IS NOT NULL AND "
+            "RETURNS STRING RETURN CASE WHEN trim(j) = 'null' THEN "
+            "get_json_object(j, p) "
+            "WHEN j IS NOT NULL AND "
             "get_json_object(j, '$') IS NULL THEN "
             "CAST(raise_error(concat('malformed JSON: ', j)) AS STRING) "
             "ELSE get_json_object(j, p) END",

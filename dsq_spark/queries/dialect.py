@@ -36,13 +36,28 @@ def _run_rewritten(spark, sf_dir, view, table, sql):
     # belt-and-braces the dialect rows also DECLARE their semantics by
     # pinning the runtime conf, like queries/base.py:t() does for the
     # events read (precedent base.py:89-94).
+    # … and RESTORE the caller's setting afterwards (ADVICE r5): the
+    # harness session is shared, so a leaked ansi=false would silently
+    # change every later query's semantics — exactly the session-config
+    # fragility the ANSI-neutral emission exists to remove.  spark.sql()
+    # only ANALYZES here (execution is lazy), but analysis is where ANSI
+    # type-coercion differences live, so the pin still matters.
+    prior = None
     try:
+        prior = spark.conf.get("spark.sql.ansi.enabled")
         spark.conf.set("spark.sql.ansi.enabled", "false")
     except Exception:
         pass  # conf not runtime-settable on this build: rely on neutrality
-    df = t(spark, sf_dir, table)
-    df.createOrReplaceTempView(view)
-    return spark.sql(rewrite_query(sql, spark_schema_kinds(df.dtypes)))
+    try:
+        df = t(spark, sf_dir, table)
+        df.createOrReplaceTempView(view)
+        return spark.sql(rewrite_query(sql, spark_schema_kinds(df.dtypes)))
+    finally:
+        if prior is not None:
+            try:
+                spark.conf.set("spark.sql.ansi.enabled", prior)
+            except Exception:
+                pass
 
 
 @register(

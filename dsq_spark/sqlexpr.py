@@ -374,10 +374,14 @@ def _sat_bigint(d: str) -> str:
     """DOUBLE → BIGINT with Java's (long) saturation — what SQLite's CAST
     does and what Spark's non-ANSI cast did; try_cast alone would NULL the
     overflow instead.  2^63 is exactly representable, so >= 2^63 covers
-    every overflowing double; NaN falls through every arm to 0 (matching
-    the legacy cast).  Truncation toward zero for in-range values is not a
-    'runtime error', so try_cast keeps it under both ANSI settings."""
-    return (f"(CASE WHEN ({d}) IS NULL THEN CAST(NULL AS BIGINT) "
+    every overflowing double.  NaN maps to NULL: SQLite stores NaN as
+    NULL (floatingpoint.html), so any NaN operand would already have been
+    NULL there — and Spark ORDERS NaN above every double, so without its
+    own arm NaN would take the >= 2^63 saturation branch.  Truncation
+    toward zero for in-range values is not a 'runtime error', so try_cast
+    keeps it under both ANSI settings."""
+    return (f"(CASE WHEN ({d}) IS NULL OR isnan(({d})) "
+            f"THEN CAST(NULL AS BIGINT) "
             f"WHEN ({d}) >= 9.223372036854775807e18D THEN {_LONG_MAX} "
             f"WHEN ({d}) <= -9.223372036854775808e18D THEN {_LONG_MIN} "
             f"ELSE coalesce(try_cast(({d}) AS BIGINT), CAST(0 AS BIGINT)) "
@@ -448,26 +452,44 @@ def _eff_cmp_kind(k: str, p: "_P") -> str:
 
 def _cmp_mode(lk: str, la, lv: bool, rk: str, ra, rv: bool) -> str:
     """How one comparison coerces, per SQLite expr.html §4.2:
-    'key'     — cross-type sort-key comparison (NUMERIC affinity applied
-                to a text side, or two no-affinity values cross-type);
+    'key'     — cross-type sort-key comparison with NUMERIC affinity
+                applied to the text side (rule 1: one operand is a
+                NUMERIC-affinity column or CAST — well-formed-number text
+                converts, anything else compares cross-type numeric <
+                TEXT); also the mode for 'varied' ingest columns, whose
+                numeric-looking strings really were JSON numbers;
     'texty_l'/'texty_r' — TEXT affinity applied to that numeric side
-                (lexical comparison);
+                (rule 2: the other operand is a TEXT-affinity column or
+                CAST — lexical comparison on the number's rendering);
+    'class'   — rule 3: NEITHER operand carries affinity (literals,
+                expression results) — storage classes compare AS-IS,
+                numeric < text, NEVER equal: 1 = '1' is 0, 1 < '0' is 1
+                (pinned vs sqlite3, test_no_affinity_comparison_matrix);
     'native'  — same-class or non-static operands, Spark comparison."""
     if lv or rv:
         return "key"
     l_num, r_num = lk in _NUMERIC, rk in _NUMERIC
     l_txt, r_txt = lk == "text", rk == "text"
     if l_num and r_txt:
-        return "texty_l" if (ra == "text" and la != "num") else "key"
+        if la == "num" or ra == "num":
+            return "key"
+        if ra == "text":
+            return "texty_l"
+        return "class"
     if l_txt and r_num:
-        return "texty_r" if (la == "text" and ra != "num") else "key"
+        if la == "num" or ra == "num":
+            return "key"
+        if la == "text":
+            return "texty_r"
+        return "class"
     return "native"
 
 
 _KEY_STRUCT = "STRUCT<r: INT, n: DOUBLE, t: STRING>"
 
 
-def _typed_key_null_sql(t: str, k: str = "unknown") -> str:
+def _typed_key_null_sql(t: str, k: str = "unknown",
+                        parse: bool = True) -> str:
     """Comparison variant of the cross-type key: a NULL operand yields a
     NULL KEY (so every comparison — including equality — three-values
     correctly), unlike the ORDER BY variant's rank-0 arm.  Keeping the
@@ -475,8 +497,9 @@ def _typed_key_null_sql(t: str, k: str = "unknown") -> str:
     a bare equality Catalyst extracts as equi-join keys (hash/sort-merge
     joinable), while an outer null-guard CASE would hide it and degrade a
     mixed-affinity join to a nested-loop — a 100 TB scale-killer
-    (plan-gated in test_plans.py::test_affinity_key_join_stays_equi)."""
-    body = _typed_key_sql(t, k)
+    (plan-gated in test_plans.py::test_affinity_key_join_stays_equi).
+    ``parse=False`` is the storage-class key (see _typed_key_sql)."""
+    body = _typed_key_sql(t, k, parse)
     # body is "(CASE WHEN (t) IS NULL THEN named_struct('r', 0, …" —
     # swap the rank-0 NULL arm for a NULL key of the same struct type
     null_arm = f"CAST(NULL AS {_KEY_STRUCT})"
@@ -484,7 +507,7 @@ def _typed_key_null_sql(t: str, k: str = "unknown") -> str:
             f"ELSE {body} END)")
 
 
-def _typed_key_sql(t: str, k: str = "unknown") -> str:
+def _typed_key_sql(t: str, k: str = "unknown", parse: bool = True) -> str:
     """SQLite cross-type sort key, inlined (the dsq_typed_key SQL UDF's
     body — Spark 4 rejects SQL-UDF CALLS directly under Sort, but the
     expanded expression is a plain orderable struct): NULL < numeric (by
@@ -496,7 +519,13 @@ def _typed_key_sql(t: str, k: str = "unknown") -> str:
     requires emitted literals to survive the literal-escaping pass.
     Statically-known operand kinds skip the string-parse dispatch (a
     numeric operand IS rank 1; keeping its CAST-AS-STRING form would also
-    re-trigger the %!.15g cast interception on a second rewrite pass)."""
+    re-trigger the %!.15g cast interception on a second rewrite pass).
+
+    ``parse=False`` is the STORAGE-CLASS key (expr.html §4.2 rule 3 — no
+    affinity applies): a text operand pins rank 2 regardless of whether it
+    spells a number, so `1 = '1'` keys unequal.  The numeric-parse arm
+    belongs only to NUMERIC affinity (rule 1) and to varied ingest
+    columns, whose numeric-looking strings really were JSON numbers."""
     if k in ("int", "real", "bool"):
         v = (f"CAST(CAST(({t}) AS BIGINT) AS DOUBLE)" if k == "bool"
              else f"CAST(({t}) AS DOUBLE)")
@@ -505,6 +534,11 @@ def _typed_key_sql(t: str, k: str = "unknown") -> str:
                 f"ELSE named_struct('r', 1, 'n', {v}, "
                 f"'t', '') END)")
     s = f"({t})" if k == "text" else f"string(({t}))"
+    if not parse and k == "text":
+        return (f"(CASE WHEN ({t}) IS NULL THEN "
+                f"named_struct('r', 0, 'n', CAST(0 AS DOUBLE), 't', '') "
+                f"ELSE named_struct('r', 2, 'n', CAST(0 AS DOUBLE), "
+                f"'t', {s}) END)")
     num = "'^[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)([eE][+-]?[0-9]+)?$'"
     return (f"(CASE WHEN ({t}) IS NULL THEN "
             f"named_struct('r', 0, 'n', CAST(0 AS DOUBLE), 't', '') "
@@ -972,15 +1006,18 @@ class _Rw:
                                              rp.aff, rp.varied)
                         lke = _eff_cmp_kind(lk, lhs)
                         rke = _eff_cmp_kind(rk, rp)
-                        if mode == "key":
+                        if mode in ("key", "class"):
                             # IS applies the same comparison affinity as
                             # `=` (probed: 5 IS '5' and 7 IS '7.0' are 1
-                            # on a NUMERIC-affinity column); the ORDER BY
-                            # key variant (rank 0 for NULL, keys never
-                            # null) makes plain `=` exactly null-safe
-                            # equality: NULL IS NULL → rank0 = rank0.
-                            expr = (f"({_typed_key_sql(lhs.text, lke)} = "
-                                    f"{_typed_key_sql(rp.text, rke)})")
+                            # on a NUMERIC-affinity column, but 1 IS '1'
+                            # is 0 — no affinity, storage classes as-is);
+                            # the ORDER BY key variant (rank 0 for NULL,
+                            # keys never null) makes plain `=` exactly
+                            # null-safe equality: NULL IS NULL → rank0 =
+                            # rank0.
+                            pr = mode == "key"
+                            expr = (f"({_typed_key_sql(lhs.text, lke, pr)} "
+                                    f"= {_typed_key_sql(rp.text, rke, pr)})")
                         elif mode in ("texty_l", "texty_r"):
                             a = _texty(lhs.text, lke) if mode == "texty_l" \
                                 else f"({lhs.text})"
@@ -1019,11 +1056,16 @@ class _Rw:
                     modes = [
                         _cmp_mode(_eff_cmp_kind(lk, base[0]),
                                   base[0].aff, base[0].varied,
-                                  _eff_cmp_kind(ek, ep), ep.aff, ep.varied)
+                                  _eff_cmp_kind(ek, ep), None, ep.varied)
                         for ep, ek in (elems or [])]
                     if elems and any(m != "native" for m in modes):
                         # SQLite applies the LEFT operand's affinity to
-                        # every list element (expr.html §4.2); an OR
+                        # every list element (expr.html §4.2) — the
+                        # element's OWN affinity never participates, so it
+                        # is passed as None: `1 IN (text_col)` has a
+                        # no-affinity LHS and compares storage classes
+                        # (→ 0 for c = '1'), while `a IN (text_col)` on a
+                        # numeric column converts the element.  An OR
                         # chain of affinity-compiled equalities has
                         # exactly IN's three-valued NULL semantics
                         # (2 IN (1, NULL) is NULL, 2 IN (2, NULL) true).
@@ -1132,13 +1174,14 @@ class _Rw:
     def _affinity_cmp(self, lt: str, lk: str, op: str, rt: str, rk: str,
                       mode: str) -> str:
         """One compiled comparison per _cmp_mode (see there); 'native'
-        emits the plain Spark comparison.  The key mode compares
+        emits the plain Spark comparison.  The key and class modes compare
         NULL-propagating keys as a BARE binary comparison (no outer null
         guard) so NULLs three-value correctly AND an equality stays an
         extractable equi-join condition."""
-        if mode == "key":
-            return (f"({_typed_key_null_sql(lt, lk)} {op} "
-                    f"{_typed_key_null_sql(rt, rk)})")
+        if mode in ("key", "class"):
+            parse = mode == "key"
+            return (f"({_typed_key_null_sql(lt, lk, parse)} {op} "
+                    f"{_typed_key_null_sql(rt, rk, parse)})")
         a = _texty(lt, lk) if mode == "texty_l" else f"({lt})"
         b = _texty(rt, rk) if mode == "texty_r" else f"({rt})"
         return f"{a} {op} {b}"
@@ -1496,6 +1539,10 @@ class _Rw:
             i += 2
         if i < hi and T[i].text == "(" and not star_end:
             fname = last_name.lower()
+            if len(pieces) == 1:
+                special = self._special_call(fname, pieces[0], i, hi)
+                if special is not None:
+                    return special
             args_p, arg_kinds, i = self._call_args(i, hi, fname)
             pieces.append(args_p)
             kind = self._fn_kind(fname, arg_kinds)
@@ -1514,6 +1561,112 @@ class _Rw:
         elif kind == "text":
             pp.aff = "text"  # TEXT column affinity
         return ((pp, kind), i)
+
+    def _simple_args(self, i: int, hi: int):
+        """Parse '(' expr [, expr]* ')' between i (the '(') and its match
+        as individual (piece, kind) pairs; None on any shape surprise
+        (DISTINCT, loose tails, empty list) — callers fall back to the
+        generic _call_args path.  Returns (pairs|None, close_paren_idx)."""
+        T = self.T
+        j = self._match_paren(i, hi)
+        out, k = [], i + 1
+        while k < j:
+            if not self._starts_expr(k):
+                return None, j
+            (ep, ek), k = self.expr(k, j, boolctx=False)
+            out.append((ep, ek))
+            if k < j:
+                if T[k].text != ",":
+                    return None, j
+                k += 1
+        return (out or None), j
+
+    def _special_call(self, fname: str, name_p: _P, i: int,
+                      hi: int):
+        """Calls whose MEANING is a SQLite comparison, compiled through
+        the comparison-affinity rules when their argument kinds need it:
+
+        * nullif(X, Y) uses `=` semantics — nullif(1, '1') is 1 (no
+          affinity on either side, storage classes differ; pinned vs
+          sqlite3 in test_no_affinity_comparison_matrix);
+        * greatest/least — the expansion of SQLite's SCALAR max()/min()
+          (functions._minmax_alias) — reject mixed STRING/numeric args in
+          Spark outright, while SQLite selects by its cross-type sort
+          order (max('5', 10) is '5': TEXT > numeric).  Mixed-class args
+          compile to an array_max/array_min over (storage-class key,
+          rendered value) structs — single expression, no shuffle, stays
+          in codegen.  The result surfaces as the SQLite TEXT rendering
+          of the winning argument (a static engine cannot type a column
+          int-or-text per row; the CLI's JSON/typeof deltas on this shape
+          are documented in PARITY.md).
+
+        Returns None to fall through to the generic call path whenever no
+        affinity handling is needed — common shapes keep their exact
+        bytes, kinds, and plans."""
+        if fname not in ("nullif", "greatest", "least"):
+            return None
+        parsed, j = self._simple_args(i, hi)
+        if parsed is None:
+            return None
+        start, end = name_p.s, self.T[j].end
+        if fname == "nullif" and len(parsed) == 2:
+            (ap, ak), (bp, bk) = parsed
+            ake, bke = _eff_cmp_kind(ak, ap), _eff_cmp_kind(bk, bp)
+            # function arguments are bare VALUES — no column affinity
+            # reaches nullif's internal `=` (probed: nullif(a, '1') on an
+            # INTEGER column is 1, not NULL, in sqlite3), so both sides
+            # pass affinity None and mixed classes compare by storage
+            # class ('class' mode)
+            mode = _cmp_mode(ake, None, ap.varied, bke, None, bp.varied)
+            if mode == "native":
+                return None
+            # CASE falls to ELSE on a NULL comparison — exactly SQLite's
+            # 'returns X if the arguments are different' (a NULL Y keeps X)
+            eq = self._affinity_cmp(ap.text, ake, "=", bp.text, bke, mode)
+            p = _P(f"(CASE WHEN {eq} THEN NULL ELSE ({ap.text}) END)",
+                   start, end)
+            return ((p, ak), j + 1)
+        if fname in ("greatest", "least") and len(parsed) >= 2:
+            kinds = [k for _p, k in parsed]
+            has_txt = any(k == "text" for k in kinds)
+            has_num = any(k in _NUMERIC for k in kinds)
+            if not (has_txt and has_num and
+                    all(k in ("int", "real", "bool", "text", "null")
+                        for k in kinds)):
+                return None
+            # NULL args: rank 0 loses greatest, rank 3 loses least — both
+            # match Spark's null-skipping greatest/least, and the scalar
+            # max/min alias already guards any-NULL → NULL outside.
+            null_rank = 0 if fname == "greatest" else 3
+            elems = []
+            for ep, ek in parsed:
+                if ek == "null":
+                    # a NULL literal in the mix would fail Spark's
+                    # greatest/least analysis outright — as an element it
+                    # just takes the losing rank
+                    elems.append(
+                        f"named_struct('k', named_struct('r', {null_rank}, "
+                        f"'n', CAST(0 AS DOUBLE), 't', ''), "
+                        f"'v', CAST(NULL AS STRING))")
+                    continue
+                if ek == "text":
+                    val = f"({ep.text})"
+                    body = (f"named_struct('r', 2, 'n', CAST(0 AS DOUBLE), "
+                            f"'t', ({ep.text}))")
+                else:
+                    val = _texty(ep.text, ek)
+                    v = (f"CAST(CAST(({ep.text}) AS BIGINT) AS DOUBLE)"
+                         if ek == "bool" else f"CAST(({ep.text}) AS DOUBLE)")
+                    body = f"named_struct('r', 1, 'n', {v}, 't', '')"
+                key = (f"(CASE WHEN ({ep.text}) IS NULL THEN "
+                       f"named_struct('r', {null_rank}, "
+                       f"'n', CAST(0 AS DOUBLE), 't', '') "
+                       f"ELSE {body} END)")
+                elems.append(f"named_struct('k', {key}, 'v', {val})")
+            agg = "array_max" if fname == "greatest" else "array_min"
+            p = _P(f"{agg}(array({', '.join(elems)})).v", start, end)
+            return ((p, "text"), j + 1)
+        return None
 
     def _call_args(self, i: int, hi: int,
                    fname: str) -> tuple[_P, list[str], int]:
@@ -1611,31 +1764,62 @@ class _Rw:
 
     def _case(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
         T = self.T
+        start = T[i].start
         pieces = [self._tokp(i)]
         i += 1
         searched = i < hi and T[i].low == "when"
+        base = None  # (piece, kind) of a base-form CASE operand
         if not searched and i < hi and self._starts_expr(i):
-            (bp, _bk), i = self.expr(i, hi, boolctx=False)
+            (bp, bk), i = self.expr(i, hi, boolctx=False)
             pieces.append(bp)
+            base = (bp, bk)
         arm_kinds: list[str] = []
+        whens = []  # base-form: (cond_piece, cond_kind, value_piece|None)
         while i < hi and T[i].low == "when":
             pieces.append(self._tokp(i))
-            (cp, _ck), i = self.expr(i + 1, hi, boolctx=searched)
+            (cp, ck), i = self.expr(i + 1, hi, boolctx=searched)
             pieces.append(cp)
+            vp = None
             if i < hi and T[i].low == "then":
                 pieces.append(self._tokp(i))
                 (vp, vk), i = self.expr(i + 1, hi, boolctx=False)
                 pieces.append(vp)
                 arm_kinds.append(vk)
+            whens.append((cp, ck, vp))
+        else_p = None
         if i < hi and T[i].low == "else":
             pieces.append(self._tokp(i))
             (vp, vk), i = self.expr(i + 1, hi, boolctx=False)
             pieces.append(vp)
             arm_kinds.append(vk)
+            else_p = vp
         if i < hi and T[i].low == "end":
             pieces.append(self._tokp(i))
             i += 1
         kind = _union_all(arm_kinds) if arm_kinds else "unknown"
+        if base is not None and whens and all(w[2] is not None
+                                              for w in whens):
+            # SQLite's base-form CASE compares base = WHEN-operand with
+            # the SAME affinity rules as a standalone `=` (lang_expr.html
+            # §CASE): `CASE 1 WHEN '1' …` misses (no affinity, storage
+            # classes differ) while `CASE a WHEN '1' …` on an INTEGER
+            # column matches.  When any arm needs affinity handling,
+            # desugar to the searched form with compiled equalities; the
+            # all-native shape reconstructs byte-identically (keeps plans
+            # and rewrite idempotence untouched).
+            bp, bk = base
+            bke = _eff_cmp_kind(bk, bp)
+            modes = [_cmp_mode(bke, bp.aff, bp.varied,
+                               _eff_cmp_kind(ck, cp), cp.aff, cp.varied)
+                     for cp, ck, _vp in whens]
+            if any(m != "native" for m in modes):
+                arms = " ".join(
+                    f"WHEN {self._affinity_cmp(bp.text, bke, '=', cp.text, _eff_cmp_kind(ck, cp), m)} "
+                    f"THEN {vp.text}"
+                    for (cp, ck, vp), m in zip(whens, modes))
+                tail = f" ELSE {else_p.text}" if else_p is not None else ""
+                end = pieces[-1].e
+                return ((_P(f"CASE {arms}{tail} END", start, end), kind), i)
         return ((self._join(pieces), kind), i)
 
     def _cast(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
@@ -1668,12 +1852,27 @@ class _Rw:
                             self._tokp(j)])
             return ((p, "unknown"), j + 1)
         span = (T[i].start, T[j].end)
+
+        def aff_p(text: str, kind: str) -> _P:
+            # SQLite expr.html §4.2: CAST(expr AS type) CARRIES the
+            # type's affinity into a comparison (10 > CAST(5 AS TEXT) is
+            # the TEXT-affinity lexical rule 2, → 0 — pinned vs sqlite3).
+            # BLOB affinity applies no conversion, so it stays None.
+            p = _P(text, *span)
+            if kind in ("int", "real"):
+                p.aff = "num"
+            elif kind == "text":
+                p.aff = "text"
+            return p
+
         if tname in _CAST_INT:
-            return ((_P(self._cast_int(ep.text, ek), *span), "int"), j + 1)
+            return ((aff_p(self._cast_int(ep.text, ek), "int"), "int"), j + 1)
         if tname in _CAST_REAL:
-            return ((_P(self._cast_real(ep.text, ek), *span), "real"), j + 1)
+            return ((aff_p(self._cast_real(ep.text, ek), "real"), "real"),
+                    j + 1)
         if tname == "text":
-            return ((_P(self._cast_text(ep.text, ek), *span), "text"), j + 1)
+            return ((aff_p(self._cast_text(ep.text, ek), "text"), "text"),
+                    j + 1)
         if tname == "blob":
             return ((_P(f"CAST({ep.text} AS BINARY)", *span), "blob"), j + 1)
         if tname in ("string", "varchar") and ek == "real":
@@ -1682,13 +1881,21 @@ class _Rw:
             # SQLite's %!.15g rendering there too.  Unknown sources keep
             # the plain cast: the datetime compiler's probe chains depend
             # on that exact shape (test_julianday_compile_shortcuts).
-            return ((_P(self._cast_text(ep.text, ek), *span), "text"), j + 1)
+            return ((aff_p(self._cast_text(ep.text, ek), "text"), "text"),
+                    j + 1)
         kind = {"bigint": "int", "smallint": "int", "tinyint": "int",
                 "long": "int", "double": "real", "float": "real",
                 "string": "text", "varchar": "text", "binary": "blob",
                 "boolean": "bool"}.get(tname, "unknown")
         p = self._join([self._tokp(i), self._tokp(i + 1), ep,
                         self._tokp(k), self._tokp(k + 1), self._tokp(j)])
+        # SQLite derives affinity from ANY type name by its substring
+        # rules (datatype3.html §3.1: 'BIGINT' ⊃ 'INT' → INTEGER,
+        # 'VARCHAR' ⊃ 'CHAR' → TEXT), so Spark-name casts carry it too.
+        if kind in ("int", "real"):
+            p.aff = "num"
+        elif kind == "text":
+            p.aff = "text"
         return ((p, kind), j + 1)
 
     def _cast_int(self, et: str, ek: str) -> str:
