@@ -1083,6 +1083,51 @@ class _Rw:
                         i = j + 1
                         made_bool = True
                         continue
+                    if (len(base) == 1 and subq and first.low == "select"
+                            and (meta := self._subquery_elem_meta(i, j))
+                            is not None):
+                        # IN-SUBQUERY: unlike the list form, the
+                        # subquery's result column CARRIES its affinity
+                        # and the standard §4.2 rules apply between LHS
+                        # and element (probed vs sqlite3 — see
+                        # _subquery_elem_meta).  Both sides transform
+                        # per the mode and membership stays a Spark IN
+                        # (SELECT …): Catalyst plans a (null-aware for
+                        # NOT IN) semi/anti join on the computed keys —
+                        # hash-joinable, never a nested loop.
+                        ek, eaff, ev, ep, k2 = meta
+                        lp0 = base[0]
+                        lke = _eff_cmp_kind(lk, lp0)
+                        eke = _eff_cmp_kind(ek, ep)
+                        mode = _cmp_mode(lke, lp0.aff, lp0.varied,
+                                         eke, eaff, ev)
+                        if mode != "native":
+                            # tokens between SELECT and the parsed select
+                            # expression are the DISTINCT/ALL qualifiers
+                            dist = " ".join(
+                                T[x].text for x in range(i + 2, j)
+                                if T[x].start < ep.s)
+                            if mode in ("key", "class"):
+                                pr = mode == "key"
+                                lsql = _typed_key_null_sql(lp0.text, lke, pr)
+                                esql = _typed_key_null_sql(ep.text, eke, pr)
+                            elif mode == "texty_l":
+                                lsql = _texty(lp0.text, lke)
+                                esql = f"({ep.text})"
+                            else:  # texty_r
+                                lsql = f"({lp0.text})"
+                                esql = _texty(ep.text, eke)
+                            rest, _ = self.seq(k2, j)
+                            tail = f" {rest.text}" if rest.text else ""
+                            dist = f"{dist} " if dist else ""
+                            neg = "NOT " if negated else ""
+                            expr = (f"({lsql} {neg}IN "
+                                    f"(SELECT {dist}{esql}{tail}))")
+                            pieces = [_P(expr, base[0].s, T[j].end)]
+                            lk = "bool"
+                            i = j + 1
+                            made_bool = True
+                            continue
                     gp, i = self._group(i, hi)
                     pieces.append(in_tok)
                     pieces.append(gp)
@@ -1154,6 +1199,33 @@ class _Rw:
             break
         kind = "bool" if made_bool else lk
         return (self._join(pieces), kind), i
+
+    def _subquery_elem_meta(self, i: int, j: int):
+        """For a `( SELECT … )` spanning [i, j], the single select-list
+        expression's (kind, aff, varied, rewritten_piece, next_idx) — or
+        None on any shape surprise (multi-column row value, `*`, WITH,
+        VALUES, leading structure).  SQLite gives a subquery the affinity
+        of its result expression (a bare column keeps its column
+        affinity), and BOTH sides' affinities participate in an
+        IN-subquery / scalar-subquery comparison per the standard §4.2
+        rules — probed vs sqlite3: `1 IN (SELECT c)` on a TEXT column is
+        a LEXICAL match ('1' matches, ' 1' and '009' do not), unlike the
+        list form where a literal LHS applies no affinity."""
+        T = self.T
+        if T[i + 1].low != "select":
+            return None
+        k = i + 2
+        while k < j and T[k].low in ("distinct", "all"):
+            k += 1
+        if k >= j or T[k].text == "*" or not self._starts_expr(k):
+            return None
+        try:
+            (ep, ek), k2 = self.expr(k, j, boolctx=False)
+        except _Unsupported:
+            return None
+        if k2 < j and T[k2].text == ",":
+            return None  # multi-column select list: row-value IN
+        return ek, ep.aff, ep.varied, ep, k2
 
     def _in_elements(self, i: int, j: int):
         """Parse the literal element list of `IN ( … )` between positions
@@ -1495,6 +1567,17 @@ class _Rw:
             first = T[i + 1]
             if first.low in ("select", "with", "values"):
                 gp, j2 = self._group(i, hi)
+                if first.low == "select":
+                    # a SCALAR subquery carries the kind AND affinity of
+                    # its result expression (probed vs sqlite3:
+                    # `10 > (SELECT c FROM t)` on a TEXT column compares
+                    # lexically — rule 2 applies through the subquery)
+                    meta = self._subquery_elem_meta(i, j)
+                    if meta is not None:
+                        ek, eaff, ev, _ep, _k2 = meta
+                        gp.aff = eaff
+                        gp.varied = ev
+                        return ((gp, ek), j2)
                 return ((gp, "unknown"), j2)
             (ep, ek), k = self.expr(i + 1, j, boolctx=False)
             if k < j:  # leftovers (comma list / row value): loose rebuild

@@ -393,3 +393,31 @@ def test_quality_mix_no_global_structures(spark, sf_dir):
     assert n_nodes(plan, r"Window(?!GroupLimit)") == 1
     assert "windowspecdefinition(bucket" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_in_subquery_affinity_stays_semi_join(spark, sf_dir):
+    """A mixed-affinity IN-subquery (`int_col IN (SELECT text_col …)`,
+    compiled r6) transforms BOTH sides with the comparison-affinity key
+    and must still plan as an equi SEMI join on the computed keys (hash/
+    sort-merge), never a nested loop — the same 100 TB argument as
+    test_affinity_key_join_stays_equi, through the membership path."""
+    import io
+    from contextlib import redirect_stdout
+
+    from dsq_spark.rewrite import rewrite_query
+
+    spark.createDataFrame([(i,) for i in range(100)], "k long") \
+        .createOrReplaceTempView("aff_in_l")
+    spark.createDataFrame([(str(i),) for i in range(0, 200, 2)], "s string") \
+        .createOrReplaceTempView("aff_in_r")
+    df = spark.sql(rewrite_query(
+        "SELECT count(*) AS n FROM aff_in_l "
+        "WHERE k IN (SELECT s FROM aff_in_r)",
+        {"k": "int", "s": "text"}))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "LeftSemi" in plan or "ExistenceJoin" in plan
+    assert df.collect()[0]["n"] == 50

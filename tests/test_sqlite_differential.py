@@ -25,9 +25,10 @@ Residual documented deltas, still excluded by construction (PARITY.md):
   * REAL→TEXT edges narrowed to subnormals and 16-digit-ending-in-5
     doubles (CAST(real AS TEXT) and real || now render via SQLite's
     %!.15g — see test_real_to_text_rendering);
-  * BLOB comparisons (BETWEEN and literal-list IN both desugar through
-    the affinity compiler since late r5; only IN-subquery keeps Spark
-    coercion on mixed affinities);
+  * BLOB comparisons (BETWEEN, literal-list IN and — since r6 —
+    IN-subquery and scalar subqueries all route through the affinity
+    compiler; the remaining subquery delta is projection-context IN's
+    NULL, pinned in test_in_subquery_affinity);
   * int64 +/-/* overflow: SQLite promotes the result to REAL, this
     engine wraps (static typing cannot keep int64-exact-else-double) —
     generated literal magnitudes stay below the boundary, and
@@ -1004,3 +1005,41 @@ def test_no_affinity_comparison_matrix(engines):
     # every shape must also be a rewrite fixpoint
     rw = rewrite_query(q, SCHEMA)
     assert rewrite_query(rw, SCHEMA) == rw
+
+
+def test_in_subquery_affinity(engines):
+    """x IN (SELECT …) applies the standard §4.2 rules with the subquery
+    carrying its result column's affinity (compiled r6 — previously the
+    fuzz-excluded residual): `a IN (SELECT c)` numeric-converts the text
+    side, `1 IN (SELECT c)` is a LEXICAL match via the column's TEXT
+    affinity ('1' matches, '009' does not — unlike the list form, where
+    a literal LHS applies no affinity), and scalar subqueries carry the
+    affinity into plain comparisons.  WHERE-context rows pin the full
+    three-valued behavior; projection-context IN keeps Spark's
+    existence-join FALSE where SQLite yields NULL on a no-match list
+    containing NULL — a pre-existing, affinity-independent engine delta,
+    pinned below."""
+    spark, con = engines
+    wheres = [
+        "a IN (SELECT c FROM td)",
+        "c IN (SELECT a FROM td)",
+        "1 IN (SELECT c FROM td)",
+        "a NOT IN (SELECT c FROM td WHERE c IS NOT NULL)",
+        "b IN (SELECT c FROM td)",
+        "a IN (SELECT DISTINCT c FROM td)",
+        "c NOT IN (SELECT a FROM td WHERE a IS NOT NULL)",
+        "a IN (SELECT c FROM td WHERE b > 0)",
+        "a > (SELECT c FROM td WHERE a = 2)",
+        "c = (SELECT a FROM td WHERE a = 5)",
+    ]
+    for w in wheres:
+        q = f"SELECT a, c FROM td WHERE {w}"
+        want, got = _run(spark, con, q)
+        assert want == got, (w, want, got)
+        rw = rewrite_query(q, SCHEMA)
+        assert rewrite_query(rw, SCHEMA) == rw, w
+    # the pinned projection-context delta: SQLite NULL, Spark false
+    q = "SELECT (9 IN (SELECT c FROM td)) AS r FROM td WHERE a = 1"
+    assert [r[0] for r in con.execute(q).fetchall()] == [None]
+    assert [r["r"] for r in
+            spark.sql(rewrite_query(q, SCHEMA)).collect()] == [False]
