@@ -470,6 +470,15 @@ def _cmp_mode(lk: str, la, lv: bool, rk: str, ra, rv: bool) -> str:
         return "key"
     l_num, r_num = lk in _NUMERIC, rk in _NUMERIC
     l_txt, r_txt = lk == "text", rk == "text"
+    if ((lk == "blob") != (rk == "blob")) and \
+            (l_num or r_num or l_txt or r_txt):
+        # BLOB vs any other storage class (r6): affinity NEVER converts a
+        # BLOB (§4.2 — applying NUMERIC or TEXT affinity to a BLOB is a
+        # no-op), so the comparison is always the storage-class order
+        # NULL < numeric < TEXT < BLOB: x'41' < 'A' is 0, 'A' < x'41' is
+        # 1, 5 < x'00' is 1 (pinned vs sqlite3).  Two BLOBs stay native
+        # (Spark's BINARY comparison is the same memcmp).
+        return "class"
     if l_num and r_txt:
         if la == "num" or ra == "num":
             return "key"
@@ -533,6 +542,16 @@ def _typed_key_sql(t: str, k: str = "unknown", parse: bool = True) -> str:
                 f"named_struct('r', 0, 'n', CAST(0 AS DOUBLE), 't', '') "
                 f"ELSE named_struct('r', 1, 'n', {v}, "
                 f"'t', '') END)")
+    if k == "blob":
+        # rank 3 (BLOB sorts above every other class); the payload is the
+        # hex rendering — bytewise order-preserving (fixed-width, 0-F in
+        # ASCII order), so lexical comparison of two rank-3 keys is
+        # exactly SQLite's memcmp.  Emitted AFTER the alias pass, so
+        # hex() here is Spark's native BINARY hex, not the dialect alias.
+        return (f"(CASE WHEN ({t}) IS NULL THEN "
+                f"named_struct('r', 0, 'n', CAST(0 AS DOUBLE), 't', '') "
+                f"ELSE named_struct('r', 3, 'n', CAST(0 AS DOUBLE), "
+                f"'t', hex(({t}))) END)")
     s = f"({t})" if k == "text" else f"string(({t}))"
     if not parse and k == "text":
         return (f"(CASE WHEN ({t}) IS NULL THEN "

@@ -25,10 +25,12 @@ Residual documented deltas, still excluded by construction (PARITY.md):
   * REAL→TEXT edges narrowed to subnormals and 16-digit-ending-in-5
     doubles (CAST(real AS TEXT) and real || now render via SQLite's
     %!.15g — see test_real_to_text_rendering);
-  * BLOB comparisons (BETWEEN, literal-list IN and — since r6 —
-    IN-subquery and scalar subqueries all route through the affinity
-    compiler; the remaining subquery delta is projection-context IN's
-    NULL, pinned in test_in_subquery_affinity);
+  * subqueries: IN-subquery and scalar subqueries route through the
+    affinity compiler since r6 (test_in_subquery_affinity); the
+    remaining delta is projection-context IN's NULL, pinned there.
+    BLOB comparisons are compiled since r6 too (storage-class rank 3,
+    hex payload = memcmp — test_blob_comparison_matrix); the grammar
+    still omits blob atoms, the pinned matrices cover them;
   * int64 +/-/* overflow: SQLite promotes the result to REAL, this
     engine wraps (static typing cannot keep int64-exact-else-double) —
     generated literal magnitudes stay below the boundary, and
@@ -1043,3 +1045,29 @@ def test_in_subquery_affinity(engines):
     assert [r[0] for r in con.execute(q).fetchall()] == [None]
     assert [r["r"] for r in
             spark.sql(rewrite_query(q, SCHEMA)).collect()] == [False]
+
+
+def test_blob_comparison_matrix(engines):
+    """BLOB storage-class comparisons (r6 — previously the fuzz-excluded
+    residual): affinity never converts a BLOB, so BLOB vs any other
+    class is always the storage-class order NULL < numeric < TEXT < BLOB
+    (x'41' < 'A' is 0, 5 < x'00' is 1), two BLOBs compare memcmp
+    (natively), and the same rule flows through IS, BETWEEN, IN,
+    nullif and base-form CASE.  The key payload is the hex rendering —
+    fixed-width and bytewise order-preserving, so rank-3 lexical order
+    IS memcmp."""
+    spark, con = engines
+    exprs = [
+        "x'41' < 'A'", "'A' < x'41'", "x'41' = 'A'", "5 < x'00'",
+        "x'41' > 99999", "a < x'00'", "c < x'41'", "x'41' < x'42'",
+        "x'4142' > x'41'", "x'41' IS 'A'", "x'41' BETWEEN 'z' AND x'ff'",
+        "5 IN (x'35')", "c IN (x'31', 'foo')", "nullif(5, x'35') IS NULL",
+        "CASE x'41' WHEN 'A' THEN 1 ELSE 0 END", "b <= x'00'",
+        "x'00' >= b",
+    ]
+    sels = ", ".join(f"{e} AS r{i}" for i, e in enumerate(exprs))
+    q = f"SELECT {sels} FROM td"
+    want, got = _run(spark, con, q)
+    assert want == got
+    rw = rewrite_query(q, SCHEMA)
+    assert rewrite_query(rw, SCHEMA) == rw
