@@ -872,7 +872,10 @@ def _like_fn_alias(parts: list[str]) -> str:
     if len(parts) == 1:
         return f"ILIKE ({parts[0]})"
     esc = f" ESCAPE {parts[2].strip()}" if len(parts) > 2 else ""
-    return f"CAST(({parts[1].strip()} ILIKE {parts[0].strip()}{esc}) AS INT)"
+    # BIGINT (a Spark name), not INT: SQLite cast names carry CAST
+    # affinity in sqlexpr, and like()'s 0/1 result has none
+    return (f"CAST(({parts[1].strip()} ILIKE {parts[0].strip()}{esc}) "
+            f"AS BIGINT)")
 
 
 def _quote_alias(parts: list[str]) -> str:
@@ -1014,7 +1017,9 @@ AGG_ALIASES = {
     # SQLite round()/sign() always return REAL / INTEGER; Spark preserves
     # decimal / returns double
     "round": lambda parts: f"CAST(round({', '.join(p.strip() for p in parts)}) AS DOUBLE)",
-    "sign": lambda parts: f"CAST(sign({parts[0].strip()}) AS INT)",
+    # BIGINT (a Spark name), not INT: the SQLite cast names carry CAST
+    # affinity in sqlexpr, and a sign() result has none
+    "sign": lambda parts: f"CAST(sign({parts[0].strip()}) AS BIGINT)",
     # write-side bookkeeping functions are constants in a read-only engine
     "last_insert_rowid": lambda parts: "CAST(0 AS BIGINT)",
     "changes": lambda parts: "CAST(0 AS BIGINT)",

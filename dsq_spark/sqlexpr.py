@@ -1288,6 +1288,12 @@ class _Rw:
         if k == "text":
             fn = _int_prefix_bigint if bitwise else _real_prefix_double
             return _P(fn(p.text), p.s, p.e), ("int" if bitwise else "real")
+        if k == "bool":
+            # a compiled comparison (or TRUE/FALSE) is a 0/1 INTEGER in
+            # SQLite — (1 = '1') + 1 is 1, (a < b) & 1 is legal — while
+            # Spark rejects boolean arithmetic/bitwise operands outright
+            # (r6 probe class)
+            return _P(f"CAST(({p.text}) AS BIGINT)", p.s, p.e), "int"
         if bitwise and p.trip is not None and k == "unknown":
             # a compiled dynamic division consumed by a bitwise context:
             # materialize through its quad (int branch exact) — also
@@ -1399,6 +1405,11 @@ class _Rw:
         try_mod (identical result under both ANSI settings; same
         sign-follows-dividend remainder, LONG_MIN % -1 = 0 without
         overflow in both engines)."""
+        if lk == "bool":
+            # 0/1 INTEGER in SQLite; Spark rejects boolean `%` operands
+            lp, lk = _P(f"CAST(({lp.text}) AS BIGINT)", lp.s, lp.e), "int"
+        if rk == "bool":
+            rp, rk = _P(f"CAST(({rp.text}) AS BIGINT)", rp.s, rp.e), "int"
         verbatim = self._join([lp, _P(op.text, op.start, op.end), rp])
         r_lit = _lit_value(rp.text)
         if lp.trip is not None and lk == "unknown":
@@ -1436,6 +1447,11 @@ class _Rw:
         """Compile one `/` per the statically-inferred operand kinds.
         Every emitted form returns NULL on a zero divisor under BOTH ANSI
         settings (SQLite: x/0 = NULL for every storage class)."""
+        if lk == "bool":
+            # 0/1 INTEGER in SQLite; Spark rejects boolean `/` operands
+            lp, lk = _P(f"CAST(({lp.text}) AS BIGINT)", lp.s, lp.e), "int"
+        if rk == "bool":
+            rp, rk = _P(f"CAST(({rp.text}) AS BIGINT)", rp.s, rp.e), "int"
         verbatim = self._join([lp, _P(op.text, op.start, op.end), rp])
         if "null" in (lk, rk):
             return verbatim, "null"
@@ -1983,7 +1999,9 @@ class _Rw:
             # SQLite's %!.15g rendering there too.  Unknown sources keep
             # the plain cast: the datetime compiler's probe chains depend
             # on that exact shape (test_julianday_compile_shortcuts).
-            return ((aff_p(self._cast_text(ep.text, ek), "text"), "text"),
+            # No affinity: this shape is alias-emitted (see the generic
+            # branch below), and a function result carries none.
+            return ((_P(self._cast_text(ep.text, ek), *span), "text"),
                     j + 1)
         kind = {"bigint": "int", "smallint": "int", "tinyint": "int",
                 "long": "int", "double": "real", "float": "real",
@@ -1991,13 +2009,15 @@ class _Rw:
                 "boolean": "bool"}.get(tname, "unknown")
         p = self._join([self._tokp(i), self._tokp(i + 1), ep,
                         self._tokp(k), self._tokp(k + 1), self._tokp(j)])
-        # SQLite derives affinity from ANY type name by its substring
-        # rules (datatype3.html §3.1: 'BIGINT' ⊃ 'INT' → INTEGER,
-        # 'VARCHAR' ⊃ 'CHAR' → TEXT), so Spark-name casts carry it too.
-        if kind in ("int", "real"):
-            p.aff = "num"
-        elif kind == "text":
-            p.aff = "text"
+        # Spark-name casts (BIGINT/DOUBLE/STRING…) carry NO affinity
+        # here, although SQLite's substring rules would assign one:
+        # these shapes are what the function ALIASES emit (round() →
+        # CAST(round(x) AS DOUBLE), sign() → AS BIGINT), and a SQLite
+        # function result has no affinity — propagating it made
+        # round(1.0) = '1' numeric-convert (wrong answer, caught by the
+        # r6 constant-expression probes).  The SQLite type names above
+        # (INTEGER/REAL/TEXT…), which users actually write in the
+        # dialect, keep their affinity per §4.2.
         return ((p, kind), j + 1)
 
     def _cast_int(self, et: str, ek: str) -> str:

@@ -161,6 +161,12 @@ class Gen:
             lambda: f"({self.int_(d-1)} / {self.int_(d-1)})",
             # CAST(text AS INTEGER): numeric-prefix parse (r4)
             lambda: f"CAST({self.text(d-1)} AS INTEGER)",
+            # r6: compiled comparisons are 0/1 INTEGERS — arithmetic,
+            # bitwise and unary consumption must coerce them
+            lambda: f"({self.bool_(d-1)} + {self.int_(d-1)})",
+            lambda: f"({self.bool_(d-1)} & {self.int_(d-1)})",
+            lambda: f"(- {self.bool_(d-1)})",
+            lambda: f"sign({self.int_(d-1)})",
             # r6: value-comparing calls route through storage-class
             # comparison (nullif) / CASE base-operand affinity
             lambda: f"nullif({self.int_(d-1)}, {self.numtext()})",
@@ -1064,6 +1070,32 @@ def test_blob_comparison_matrix(engines):
         "5 IN (x'35')", "c IN (x'31', 'foo')", "nullif(5, x'35') IS NULL",
         "CASE x'41' WHEN 'A' THEN 1 ELSE 0 END", "b <= x'00'",
         "x'00' >= b",
+    ]
+    sels = ", ".join(f"{e} AS r{i}" for i, e in enumerate(exprs))
+    q = f"SELECT {sels} FROM td"
+    want, got = _run(spark, con, q)
+    assert want == got
+    rw = rewrite_query(q, SCHEMA)
+    assert rewrite_query(rw, SCHEMA) == rw
+
+
+def test_bool_arithmetic_and_alias_affinity(engines):
+    """Two r6 probe-found classes, pinned vs sqlite3: (1) a compiled
+    comparison is a 0/1 INTEGER in SQLite and must survive arithmetic /
+    bitwise / unary / '%' / '/' consumption ((1='1') + 1 is 1; Spark
+    rejects boolean operands outright); (2) alias-EMITTED casts
+    (round() → CAST AS DOUBLE, sign()/like() → CAST AS BIGINT) carry NO
+    affinity — round(1.0) = '1' is a storage-class mismatch (0), not a
+    numeric conversion — while user-written SQLite cast names keep
+    theirs."""
+    spark, con = engines
+    exprs = [
+        "round(1.0) = '1'", "(1 = '1') + 1", "sign(5) = '1'",
+        "like('f%', c) = '1'", "-(1 = '1')", "(a < b) + 1",
+        "(a = 1) * 5", "(1 = '1') & 1", "(a > 0) % 2",
+        "(c = 'foo') / 2.5", "(a < 2) << 1", "~(a = 1)",
+        "5 % (1 = '1')", "round(2.5) = '3'", "sign(b) = '1'",
+        "round(b, 1) > '2'", "abs(-1.0) = '1'",
     ]
     sels = ", ".join(f"{e} AS r{i}" for i, e in enumerate(exprs))
     q = f"SELECT {sels} FROM td"
