@@ -42,6 +42,7 @@ Flags (reference-compatible, main.go:341-432):
   -i, --interactive       REPL (implies --pretty, --cache)
       --no-sqlite-writer  accepted for compatibility (no-op)
       --strict-json       SQLite-loud JSON1: malformed JSON raises
+      --json-fast         Python-free plan for simple JSON1 mutator shapes
       --verbose           verbose logging
   -v, --version           print version
   -h, --help              this help
@@ -112,6 +113,12 @@ def parse_args(argv: list[str]) -> Args | None:
             # must reach register_all AND the rewrite-time json_each
             # lowering decision, both of which read DSQ_STRICT_JSON.
             os.environ["DSQ_STRICT_JSON"] = "1"
+        elif arg == "--json-fast":
+            # compile SIMPLE json_set/insert/replace shapes to the
+            # pure-Catalyst state machine (functions/json_fast.py):
+            # Python-free plan, measured 3-8× slower wall-clock than the
+            # Arrow engine (BENCH_NOTES §17) — opt-in by design.
+            os.environ["DSQ_JSON_FAST"] = "1"
         elif arg == "--verbose":
             a.verbose = True
         else:

@@ -282,6 +282,10 @@ def _sql_udfs() -> list[str]:
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(s STRING) "
             f"RETURNS INT RETURN {fn}(best_effort_ts(s))"
         )
+    # pure-Catalyst fast path for simple JSON1 mutator shapes
+    from dsq_spark.functions.json_fast import fast_mutator_udfs
+
+    stmts.extend(fast_mutator_udfs())
     return stmts
 
 
@@ -813,14 +817,70 @@ def _json_val(expr: str) -> str:
     return expr.strip() if _JSON_VALUED.match(expr) else _jq(expr)
 
 
+_SIMPLE_JSON_PATH = _re.compile(r"^'\$\.([A-Za-z_][A-Za-z0-9_]*)'$")
+_INT_LIT = _re.compile(r"^[+-]?[0-9]+$")
+_REAL_LIT = _re.compile(r"^[+-]?[0-9]+\.[0-9]+$")
+_STR_LIT = _re.compile(r"^'(?:[^'\\]|''|\\\\)*'$")
+
+
+def _fast_json_value(expr: str) -> str | None:
+    """JSON text of a LITERAL mutator value, rendered at rewrite time —
+    or None when the argument is not a literal this renderer covers (the
+    general Python engine takes those).  Matches SQLite's value→JSON
+    conversion: integers verbatim, reals via %.15g (json(2.50) is 2.5),
+    true/false as 1/0 (SQLite booleans ARE integers), NULL as null,
+    strings JSON-escaped.  The incoming text is post-escape-pass SQL, so
+    a string literal carries '' quote doubling and doubled backslashes —
+    both undone before JSON encoding."""
+    import json as _json
+
+    t = expr.strip()
+    up = t.upper()
+    if up == "NULL":
+        return "null"
+    if up in ("TRUE", "FALSE"):
+        return "1" if up == "TRUE" else "0"
+    if _INT_LIT.match(t):
+        return str(int(t))
+    if _REAL_LIT.match(t):
+        return f"{float(t):.15g}"
+    if _STR_LIT.match(t):
+        body = t[1:-1].replace("''", "'").replace("\\\\", "\\")
+        return _json.dumps(body, ensure_ascii=False)
+    return None
+
+
 def _json_mutator_alias(kind: str):
     """json_set/json_insert/json_replace(j, p1, v1, ...) → fixed-signature
     Pandas UDF call dsq_json_<kind>(j, array(p1, v1json, ...)).  Generic
     JSON mutation needs a real JSON engine (see functions/json1.py) — the
-    one deliberate Python hop in the function library."""
+    one deliberate Python hop in the function library.
+
+    The SIMPLE shape — ONE literal top-level path and ONE scalar literal
+    value — can compile instead to the pure-Catalyst state-machine UDF
+    (functions/json_fast.py): no Python in the plan, byte-exact vs
+    sqlite3.  That path is OPT-IN (DSQ_JSON_FAST=1): measured on
+    120 B / 1.2 KB / 13 KB docs it runs 3-8× SLOWER wall-clock than the
+    Arrow-batched engine, because Spark evaluates higher-order-function
+    lambdas interpreted per element (BENCH_NOTES §17) — the flag buys a
+    Python-free plan (no serialization barrier, no Python workers) at
+    that price.  Strict-JSON mode keeps the raising Python engine for
+    everything (the fast path returns NULL on malformed input, the
+    default-mode behavior)."""
     def alias(parts: list[str]) -> str:
         if len(parts) < 3 or len(parts) % 2 == 0:
             raise ValueError(f"json_{kind}() requires (json, path, value, ...)")
+        if (len(parts) == 3
+                and os.environ.get("DSQ_JSON_FAST", "").lower()
+                in ("1", "true", "yes")
+                and not os.environ.get(
+                    "DSQ_STRICT_JSON", "").lower() in ("1", "true", "yes")):
+            pm = _SIMPLE_JSON_PATH.match(parts[1].strip())
+            vj = _fast_json_value(parts[2]) if pm else None
+            if pm and vj is not None:
+                vsql = vj.replace("\\", "\\\\").replace("'", "''")
+                return (f"dsq_json_{kind}1({parts[0].strip()}, "
+                        f"'{pm.group(1)}', '{vsql}')")
         args = []
         for p, v in zip(parts[1::2], parts[2::2]):
             args.append(p.strip())

@@ -300,3 +300,55 @@ def test_strict_json_mode(spark):
     finally:
         os.environ.pop("DSQ_STRICT_JSON", None)
         register_all(spark)  # restore the default (soft) registrations
+
+
+def test_json_mutator_fast_path_matrix(spark):
+    """The simple-shape fast path (functions/json_fast.py, opt-in via
+    DSQ_JSON_FAST) pinned byte-for-byte vs sqlite3 through the FULL
+    rewrite pipeline: minification, verbatim number spellings and string
+    escapes, replace in place, append at end ({} included),
+    insert/replace asymmetry, non-object-root no-ops, duplicate keys
+    (first wins), hostile nested values, and malformed → NULL (default
+    mode).  Both the O(n) position-splice leg (minified docs) and the
+    minify-fold leg (whitespace docs) are exercised."""
+    import os
+    import sqlite3
+
+    from dsq_spark.functions import register_all
+    from dsq_spark.rewrite import rewrite_query
+
+    register_all(spark)
+    docs = [
+        '{ "a" : 1 }', '{"a":1e0}', '{"a":"\\u0041"}', '{"a":1}',
+        '{"a":{"x":[1, 2]}}', '{"b":1,"a":2}', '[1, 2]', '{"a":0.10}',
+        '{"a b":1}', '{}', '7', '{"b":{"c":1}}', 'null',
+        '{"a":[{"b":1},[2,[3]]],"c":"s,:}"}', '{"a":"has \\" quote"}',
+        '{"a":1,"a":2}', '  {"a":1}  ', 'not json', None,
+    ]
+    exprs = [
+        "json_set(j, '$.a', 5)", "json_set(j, '$.b', 2.50)",
+        "json_set(j, '$.b', 'it''s')", "json_set(j, '$.b', NULL)",
+        "json_set(j, '$.b', true)", "json_insert(j, '$.a', 9)",
+        "json_insert(j, '$.b', 9)", "json_replace(j, '$.a', 9)",
+        "json_replace(j, '$.b', 9)", "json_set(j, '$.c', 'q\\path')",
+    ]
+    spark.createDataFrame([(d,) for d in docs], "j string") \
+        .createOrReplaceTempView("jfast_m")
+    con = sqlite3.connect(":memory:")
+    os.environ["DSQ_JSON_FAST"] = "1"
+    try:
+        for e in exprs:
+            rw = rewrite_query(f"SELECT j, {e} AS r FROM jfast_m",
+                               {"j": "text"})
+            assert "1(" in rw  # the fast path actually fired
+            got = {r["j"]: r["r"] for r in spark.sql(rw).collect()}
+            for d in docs:
+                try:
+                    want = con.execute(
+                        "SELECT " + e.replace("j,", "?,"),
+                        (d,)).fetchone()[0]
+                except Exception:
+                    want = None  # SQLite raises; default mode NULLs
+                assert got.get(d) == want, (e, d, got.get(d), want)
+    finally:
+        os.environ.pop("DSQ_JSON_FAST", None)
