@@ -1536,6 +1536,21 @@ class _Rw:
         while i < hi:
             t = T[i]
             if t.low == "collate" and i + 1 < hi:
+                if (len(pieces) == 1 and
+                        (pieces[0].trip is not None or pk in _NUMERIC)):
+                    # COLLATE on a numeric (or dynamically-numeric)
+                    # value is a legal NO-OP in SQLite — collations only
+                    # affect TEXT comparisons — while Spark rejects
+                    # collate() on non-string input outright.  Consume
+                    # the clause and widen the piece's span over it so
+                    # the dropped tokens don't re-enter via gap
+                    # restoration.
+                    p0 = pieces[0]
+                    np = _P(p0.text, p0.s, T[i + 1].end)
+                    np.trip, np.varied, np.aff = p0.trip, p0.varied, p0.aff
+                    pieces = [np]
+                    i += 2
+                    continue
                 pieces.append(self._tokp(i))
                 pieces.append(self._tokp(i + 1))
                 i += 2
@@ -1752,39 +1767,66 @@ class _Rw:
                     all(k in ("int", "real", "bool", "text", "null")
                         for k in kinds)):
                 return None
-            # NULL args: rank 0 loses greatest, rank 3 loses least — both
-            # match Spark's null-skipping greatest/least, and the scalar
-            # max/min alias already guards any-NULL → NULL outside.
-            null_rank = 0 if fname == "greatest" else 3
-            elems = []
-            for ep, ek in parsed:
-                if ek == "null":
-                    # a NULL literal in the mix would fail Spark's
-                    # greatest/least analysis outright — as an element it
-                    # just takes the losing rank
-                    elems.append(
-                        f"named_struct('k', named_struct('r', {null_rank}, "
-                        f"'n', CAST(0 AS DOUBLE), 't', ''), "
-                        f"'v', CAST(NULL AS STRING))")
-                    continue
-                if ek == "text":
-                    val = f"({ep.text})"
-                    body = (f"named_struct('r', 2, 'n', CAST(0 AS DOUBLE), "
-                            f"'t', ({ep.text}))")
-                else:
-                    val = _texty(ep.text, ek)
-                    v = (f"CAST(CAST(({ep.text}) AS BIGINT) AS DOUBLE)"
-                         if ek == "bool" else f"CAST(({ep.text}) AS DOUBLE)")
-                    body = f"named_struct('r', 1, 'n', {v}, 't', '')"
-                key = (f"(CASE WHEN ({ep.text}) IS NULL THEN "
-                       f"named_struct('r', {null_rank}, "
-                       f"'n', CAST(0 AS DOUBLE), 't', '') "
-                       f"ELSE {body} END)")
-                elems.append(f"named_struct('k', {key}, 'v', {val})")
-            agg = "array_max" if fname == "greatest" else "array_min"
-            p = _P(f"{agg}(array({', '.join(elems)})).v", start, end)
-            return ((p, "text"), j + 1)
+            # SQLite's cross-class sort order makes the winner's CLASS
+            # static even though its value is not: TEXT outranks every
+            # numeric, so mixed-class max is the max of the TEXT args
+            # (statically text), and mixed-class min is the min of the
+            # NUMERIC args — whose int-vs-real storage class is dynamic
+            # and rides the division-quad machinery so comparisons,
+            # ||, typeof-free consumers and renderings stay exact
+            # (`trim('%') < min('0', a, c)` is FALSE: text never sorts
+            # below a number — found by the r6 seed sweep; the earlier
+            # text-rendering emission statically mistyped min as text).
+            # NULL propagation lives in the scalar max/min alias's
+            # any-NULL guard (functions._minmax_alias), whose CASE
+            # forwards this piece's quad (see _case).
+            if fname == "greatest":
+                targs = [p.text for p, k in parsed if k == "text"]
+                expr = (f"({targs[0]})" if len(targs) == 1 else
+                        "greatest(" + ", ".join(f"({t})" for t in targs)
+                        + ")")
+                return ((_P(expr, start, end), "text"), j + 1)
+            nargs = [(p, k) for p, k in parsed if k in _NUMERIC]
+            dbls = [(f"CAST(CAST(({p.text}) AS BIGINT) AS DOUBLE)"
+                     if k == "bool" else f"CAST(({p.text}) AS DOUBLE)")
+                    for p, k in nargs]
+            dbl = (dbls[0] if len(dbls) == 1
+                   else "least(" + ", ".join(dbls) + ")")
+            nn = f"(({dbl}) IS NULL)"
+            # the winner's storage class is that of the FIRST argument
+            # (call order) achieving the minimum — min(1, 1.0) is the
+            # INTEGER 1 while min(1.0, 1) is the REAL 1.0 in SQLite
+            arms = " ".join(
+                f"WHEN {d} = {dbl} THEN "
+                + ("true" if k in _INTISH else "false")
+                for d, (_p, k) in zip(dbls, nargs))
+            is_int = f"(CASE {arms} ELSE false END)"
+            # the int branch computes over the INT args directly — exact
+            # for |x| > 2^53 where the DOUBLE surface rounds
+            ints = [f"CAST(({p.text}) AS BIGINT)" for p, k in nargs
+                    if k in _INTISH]
+            int_sql = (f"CAST({dbl} AS BIGINT)" if not ints
+                       else (ints[0] if len(ints) == 1
+                             else "least(" + ", ".join(ints) + ")"))
+            out = _P(f"({dbl})", start, end)
+            out.trip = (nn, is_int, int_sql, f"({dbl})")
+            return ((out, "unknown"), j + 1)
         return None
+
+    # string functions whose listed argument positions (None = every
+    # position) SQLite converts to TEXT: a dynamic int-or-real argument
+    # (text division, mixed-class scalar min) must materialize through
+    # its storage class there — rtrim(min('1', a, c), 'o ') trims '2',
+    # not the DOUBLE surface's '2.0', and length('7'/'2') is 1 (found by
+    # the r6 fuzz seed sweep).  Positions that SQLite converts
+    # NUMERICALLY (substr's start/len) are left alone: the DOUBLE
+    # surface already coerces right.
+    _TRIP_TEXT_ARGS = {
+        "trim": None, "ltrim": None, "rtrim": None, "replace": None,
+        "upper": (0,), "lower": (0,), "length": (0,), "unicode": (0,),
+        "instr": (0, 1), "substr": (0,), "substring": (0,),
+        "split_part": (0, 1),
+    }
 
     def _call_args(self, i: int, hi: int,
                    fname: str) -> tuple[_P, list[str], int]:
@@ -1814,6 +1856,11 @@ class _Rw:
             if (ordinal == 1 and fname in _REGEXP_FNS
                     and k == a0 + 1 and T[a0].kind == "str"):
                 ep = _P(_go_regex_to_java(ep.text), ep.s, ep.e)
+            if ep.trip is not None and fname in self._TRIP_TEXT_ARGS:
+                spots = self._TRIP_TEXT_ARGS[fname]
+                if spots is None or ordinal in spots:
+                    ep = _P(_trip_text(ep.trip), ep.s, ep.e)
+                    ek = "text"
             pieces.append(ep)
             kinds.append(ek)
         pieces.append(self._tokp(j))
@@ -1938,7 +1985,21 @@ class _Rw:
                 tail = f" ELSE {else_p.text}" if else_p is not None else ""
                 end = pieces[-1].e
                 return ((_P(f"CASE {arms}{tail} END", start, end), kind), i)
-        return ((self._join(pieces), kind), i)
+        out = self._join(pieces)
+        if (base is None and len(whens) == 1 and else_p is not None
+                and whens[0][2] is not None
+                and whens[0][2].text.strip().upper() == "NULL"
+                and else_p.trip is not None):
+            # the NULL-guard shape (CASE WHEN <nulls> THEN NULL ELSE x
+            # END — what the scalar max/min alias emits) forwards x's
+            # division-quad with the guard OR-ed into the null arm, so a
+            # guarded dynamic value (mixed-class min, text division)
+            # keeps its int-vs-real storage class through comparisons
+            # and renderings instead of degrading to an opaque DOUBLE
+            nn0, cond, isql, dsql = else_p.trip
+            out.trip = (f"({nn0} OR ({whens[0][0].text}))", cond, isql,
+                        dsql)
+        return ((out, kind), i)
 
     def _cast(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
         """CAST(expr AS type): SQLite type names map to Spark types
@@ -1970,6 +2031,21 @@ class _Rw:
                             self._tokp(j)])
             return ((p, "unknown"), j + 1)
         span = (T[i].start, T[j].end)
+        if ep.trip is not None:
+            # a dynamic int-or-real value (text division, mixed-class
+            # scalar min) converts per its RUNTIME storage class, exactly
+            # like SQLite: text casts render the int branch as '3' (not
+            # '3.0' — hex('7'/'2') is '33', hex(min(a,'z')) hexes the
+            # integer's text), integer casts keep the int branch exact
+            if tname in ("text", "string", "varchar"):
+                p = _P(_trip_text(ep.trip), *span)
+                if tname == "text":
+                    p.aff = "text"
+                return ((p, "text"), j + 1)
+            if tname in _CAST_INT:
+                p = _P(_trip_bigint(ep.trip), *span)
+                p.aff = "num"
+                return ((p, "int"), j + 1)
 
         def aff_p(text: str, kind: str) -> _P:
             # SQLite expr.html §4.2: CAST(expr AS type) CARRIES the

@@ -235,7 +235,12 @@ class Gen:
             # typed-key compilation)
             lambda: self.numtext(),
             lambda: f"max({self.numtext()}, {self.int_(d-1)})",
-            lambda: f"min({self.numtext()}, {self.int_(d-1)}, c)",
+            # mixed min's SELECT surface is DOUBLE (documented residual,
+            # like dynamic division) — int_(0) keeps magnitudes inside
+            # double-exact range so _canon compares values, not that
+            # surface; consumed contexts (hex/CAST/trim/…) are exact at
+            # any magnitude via the quad's int branch and pinned above
+            lambda: f"min({self.numtext()}, {self.int_(0)}, c)",
             lambda: f"max(c, {self.int_(d-1)})",
         ]
         return r.choice(picks)()
@@ -996,6 +1001,28 @@ def test_no_affinity_comparison_matrix(engines):
         "min('5', 10, NULL)", "max(NULL, '5', 10)", "max(a, c)",
         "min(c, a)", "max(c, b, a)", "length(max('5', 10))",
         "max('5', 10) || 'z'",
+        # r6 seed-sweep finds: mixed-class min's winner is NUMERIC
+        # (never text), its int-vs-real class is dynamic (quad-carried
+        # through comparisons, ||, CASTs and the hex alias — incl.
+        # through the scalar alias's NULL-guard CASE), and the winner's
+        # class on ties follows ARGUMENT ORDER
+        "trim('%') < min('0', a, c)", "'2' < max('10', a)",
+        "hex(min(a, 'xyz'))", "hex('7' / '2')",
+        "CAST(min(a, 'xyz') AS TEXT)", "CAST(min(b, 'xyz') AS INTEGER)",
+        "min(a, 'xyz') || ''", "min('x', 1, 1.0)", "min('x', 1.0, 1)",
+        "min('x', 1, 0.5)", "max('a', 'b', 5)", "min(b, 'z') || ''",
+        "-min(a, 'z')", "min(a, c) / 2", "min(a, 'z') & 3",
+        "min('5', 10) < '2'", "nullif(min(10, '5'), 10)",
+        # text-converting function args materialize the quad's storage
+        # class; COLLATE on numeric/dynamic values is a SQLite no-op
+        # (Spark rejects collate on non-strings); the quad's int branch
+        # is exact past 2^53
+        "rtrim(min('1', a, c), 'o ')", "instr(hex(b), min('1', a, c))",
+        "length('7' / '2')", "upper(min(a, 'z'))",
+        "min('2.5', a, c) COLLATE NOCASE = 'foo'",
+        "b COLLATE NOCASE = 2.5",
+        "CAST(min('2.5', 4611686018427387904, c) AS TEXT)",
+        "hex(min('9e99', 4611686018427387904, c))",
         "10 > CAST(5 AS TEXT)", "81 > hex(3)", "100 = '100'",
         "CAST('5x' AS INTEGER) > c", "b > CAST(1 AS TEXT)",
         "2 = '2.0'", "'' = 0", "'-1' < 0", "1 = '1.0'",
