@@ -256,7 +256,16 @@ _FN_TEXT = frozenset((
     "glob_regex", "base64", "md5", "sha1", "space", "dsq_real_text",
     "string",
     "url_scheme", "url_host", "url_path", "url_fragment", "url_param",
+    # the datetime compiler's emission tops: SQLite date/time/strftime
+    # return TEXT, so `date(x) < 20250000` compares by storage class
+    # (text > numeric → false) — without the kind the comparison stayed
+    # native and Spark's string→number coercion NULLed it (r6 probes)
+    "date_format", "from_unixtime", "dsq_json_set1", "dsq_json_insert1",
+    "dsq_json_replace1",
 ))
+# functions returning BINARY — their comparisons take the BLOB storage
+# class rank (zeroblob(2) < 'x' is 0: BLOB sorts above TEXT)
+_FN_BLOB = frozenset(("unhex", "to_binary", "encode", "aes_encrypt"))
 _FN_ARG0 = frozenset((
     "nullif", "first_value", "last_value", "lag", "lead",
     "any_value", "first", "last", "nth_value",
@@ -1736,12 +1745,28 @@ class _Rw:
         Returns None to fall through to the generic call path whenever no
         affinity handling is needed — common shapes keep their exact
         bytes, kinds, and plans."""
-        if fname not in ("nullif", "greatest", "least"):
+        if fname not in ("nullif", "greatest", "least", "typeof"):
             return None
         parsed, j = self._simple_args(i, hi)
         if parsed is None:
             return None
         start, end = name_p.s, self.T[j].end
+        if fname == "typeof":
+            # the typeof ALIAS (functions._typeof_alias, expanded before
+            # this pass) maps Spark type names to SQLite storage-class
+            # names by dispatching on an inner Spark typeof(x) — for a
+            # dynamic int-or-real value (text division, mixed-class min)
+            # that inner call sees the DOUBLE surface and reports 'real'
+            # even when the runtime class is integer.  Substitute the
+            # quad's own dispatch, in SPARK names so the alias's outer
+            # mapping keeps working: typeof('7'/'2') is 'integer'.
+            if len(parsed) == 1 and parsed[0][0].trip is not None:
+                nn, cond, _isql, _dsql = parsed[0][0].trip
+                p = _P(f"(CASE WHEN {nn} THEN 'void' "
+                       f"WHEN {cond} THEN 'bigint' ELSE 'double' END)",
+                       start, end)
+                return ((p, "text"), j + 1)
+            return None
         if fname == "nullif" and len(parsed) == 2:
             (ap, ak), (bp, bk) = parsed
             ake, bke = _eff_cmp_kind(ak, ap), _eff_cmp_kind(bk, bp)
@@ -1911,6 +1936,8 @@ class _Rw:
             return "text"
         if fname in _FN_BOOL:
             return "bool"
+        if fname in _FN_BLOB:
+            return "blob"
         if fname in _FN_NUMLIKE:
             return _numlike(arg_kinds[0]) if arg_kinds else "unknown"
         if fname == "sum":

@@ -1023,6 +1023,15 @@ def test_no_affinity_comparison_matrix(engines):
         "b COLLATE NOCASE = 2.5",
         "CAST(min('2.5', 4611686018427387904, c) AS TEXT)",
         "hex(min('9e99', 4611686018427387904, c))",
+        # function-result kinds reach the comparison compiler: datetime
+        # emissions are TEXT (date(x) < 20250000 is 0 — text never sorts
+        # below a number), unhex/zeroblob are BLOB (rank above text),
+        # and typeof() of a dynamic int-or-real dispatches on the quad
+        "date('2024-01-02') < 20250000",
+        "strftime('%Y', '2024-01-02') = 2024",
+        "zeroblob(2) < 'x'", "zeroblob(1) = x'00'",
+        "typeof(min(a, 'z'))", "typeof('7' / '2')",
+        "typeof('7' / '2.0')", "typeof(b / 0)", "typeof(min(b, 'z'))",
         "10 > CAST(5 AS TEXT)", "81 > hex(3)", "100 = '100'",
         "CAST('5x' AS INTEGER) > c", "b > CAST(1 AS TEXT)",
         "2 = '2.0'", "'' = 0", "'-1' < 0", "1 = '1.0'",
