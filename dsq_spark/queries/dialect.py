@@ -68,7 +68,13 @@ SELECT l_orderkey, l_linenumber,
        CAST(l_orderkey // 7 AS BIGINT) AS q7,
        CAST((l_orderkey * l_linenumber) // 3 AS BIGINT) AS q3,
        CAST(l_orderkey // NULLIF(l_linenumber - l_linenumber, 0) AS BIGINT)
-           AS q_null
+           AS q_null,
+       9.223372036854776e18 AS ovf_add,
+       9.223372036854776e18 AS ovf_mul,
+       9.223372036854776e18 AS ovf_neg,
+       9.223372036854776e18 AS big_lit,
+       CAST(-9223372036854775807 - 1 AS BIGINT) AS int_min,
+       CAST(2147483648 AS BIGINT) AS i32_sum
 FROM lineitem
 ORDER BY l_orderkey, l_linenumber
 LIMIT 2000
@@ -79,7 +85,14 @@ LIMIT 2000
         "an INTEGER result type, and x/0 must be NULL — the r3 verdict's "
         "top dialect delta, closed by dsq_spark.sqlexpr's static-kind "
         "compilation to Spark's `div`. The oracle spells it with DuckDB's "
-        "`//` (operands are positive, so floor == truncation)."
+        "`//` (operands are positive, so floor == truncation). r6 adds "
+        "int64 OVERFLOW PROMOTION columns: SQLite redoes an overflowing "
+        "integer +,-,* in double (9223372036854775807+1 is "
+        "9.223372036854776e18 REAL), reads an oversized integer literal "
+        "as REAL, folds a directly-applied minus into "
+        "-9223372036854775808, and computes 32-bit-looking sums in int64 "
+        "— all constant-folded by sqlexpr, so the oracle spells the "
+        "promoted constants directly."
     ),
 )
 def dialect_int_division(spark, sf_dir):
@@ -89,7 +102,13 @@ def dialect_int_division(spark, sf_dir):
         "l_orderkey / l_linenumber AS q_line, "
         "l_orderkey / 7 AS q7, "
         "(l_orderkey * l_linenumber) / 3 AS q3, "
-        "l_orderkey / (l_linenumber - l_linenumber) AS q_null "
+        "l_orderkey / (l_linenumber - l_linenumber) AS q_null, "
+        "9223372036854775807 + 1 AS ovf_add, "
+        "4611686018427387904 * 2 AS ovf_mul, "
+        "-(-9223372036854775808) AS ovf_neg, "
+        "9223372036854775808 AS big_lit, "
+        "-9223372036854775808 AS int_min, "
+        "2147483647 + 1 AS i32_sum "
         "FROM dsq_div_li ORDER BY l_orderkey, l_linenumber LIMIT 2000")
 
 

@@ -85,12 +85,23 @@ stays an extractable equi-join condition (mixed-affinity joins hash,
 never nested-loop — plan-gated).  Mixed-typed (varied) ingest columns
 compare and ORDER BY via the same cross-type key.
 
+Statically-known integer arithmetic (literals, sign prefixes, and +/-/*
+chains over them) is constant-folded EXACTLY, with SQLite's int64
+overflow promotion: an overflowing op is redone in double
+(9223372036854775807+1 = 9.223372036854776e18 REAL), an oversized
+integer literal reads as REAL, and a directly-applied unary minus folds
+-9223372036854775808 to int64 min (parens transparent, '+' not) —
+operation.html, probed vs sqlite3.  Folding also sidesteps Spark's
+literal-width arithmetic (2147483647+1 is INT-typed there; SQLite is
+always int64).
+
 Documented residual deltas (PARITY.md): the int-vs-real storage class of
 text-coerced arithmetic surfaces as DOUBLE (value exact, rendering
 differs); unknown-typed operands (no schema) keep strict Spark coercion;
-int64 +,-,* overflow wraps where SQLite promotes the result to REAL
-(§overflow-promotion row — inexpressible under static typing without
-demoting every integer column to DOUBLE).
+int64 +,-,* overflow on COLUMN operands wraps where SQLite promotes the
+result to REAL (§overflow-promotion row — inexpressible under static
+typing without demoting every integer column to DOUBLE; the
+statically-known cases above are closed).
 """
 
 from __future__ import annotations
@@ -348,6 +359,57 @@ _LONG_MIN = "-9223372036854775808L"
 
 _LIT_NUM = re.compile(
     r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?(?:BD|[dDfFlLsSyY])?")
+
+_I64_MIN, _I64_MAX = -(1 << 63), (1 << 63) - 1
+
+
+def _dbl_lit(v: float) -> str:
+    """A Spark DOUBLE literal for an exact IEEE754 value, parenthesized so
+    it embeds verbatim in any operator position.  repr() is the shortest
+    round-tripping decimal, and the D suffix pins DoubleType (a bare
+    exponent literal would also be DOUBLE, but only by session default)."""
+    return f"(-{float(-v)!r}D)" if v < 0 else f"({float(v)!r}D)"
+
+
+def _int_lit(v: int) -> str:
+    """An exact int64 literal piece.  int64 min needs the L-suffixed
+    special form (its magnitude alone overflows Spark's literal parse)."""
+    if v == _I64_MIN:
+        return _LONG_MIN
+    return f"(-{-v})" if v < 0 else str(v)
+
+
+def _static_num_val(p: "_P", k: str) -> int | float | None:
+    """Exact Python value of a statically-known numeric operand, else
+    None.  Integer chains carry their exact value on `ival`; a real
+    literal parses to the same IEEE754 double SQLite stores.  Python's
+    int-vs-float comparison is exact (like SQLite's
+    sqlite3IntFloatCompare, unlike Spark's promote-both-to-double), so
+    folding these comparisons closes the >2^53 boundary class:
+    9223372036854775807 = 9223372036854775807.0 is 0 in SQLite."""
+    if k == "int":
+        return p.ival
+    if k == "real":
+        return _lit_value(p.text)
+    if k == "bool" and p.text in ("TRUE", "FALSE", _BOOL_T, _BOOL_F):
+        return 1 if p.text in ("TRUE", _BOOL_T) else 0  # folded chains
+    return None
+
+
+# Folded-comparison emissions.  NOT the TRUE/FALSE keywords: a bare
+# parenthesized identifier-shaped token as a whole WHERE clause makes
+# Spark 4 parse `FROM t WHERE (TRUE)` as table alias `WHERE` with a
+# column-alias list.  `1 = 1` re-folds to itself, so the rewrite stays a
+# fixpoint without a paren wrap (which would grow per pass).
+_BOOL_T, _BOOL_F = "1 = 1", "1 = 0"
+
+
+_CMP_FOLD = {
+    "=": lambda a, b: a == b, "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b, "<>": lambda a, b: a != b,
+    "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+}
 
 
 def _lit_value(text: str) -> float | None:
@@ -695,13 +757,19 @@ class _P:
     references carry affinity into a comparison, and parentheses are
     transparent), which decides how mixed-type comparisons coerce."""
 
-    __slots__ = ("text", "s", "e", "trip", "varied", "aff")
+    __slots__ = ("text", "s", "e", "trip", "varied", "aff", "ival")
 
     def __init__(self, text: str, s: int, e: int):
         self.text, self.s, self.e = text, s, e
         self.trip = None
         self.varied = False
         self.aff = None
+        # exact python-int value of a statically-known pure-integer
+        # subtree (literals and sign/+-*/fold chains over them) — the
+        # carrier for SQLite's int64-overflow-promotes-to-REAL arithmetic
+        # (operation.html: on +,-,* overflow the op is redone in double).
+        # None whenever the value isn't statically integral.
+        self.ival = None
 
 
 class _Rw:
@@ -727,7 +795,7 @@ class _Rw:
         j = _P("".join(out), pieces[0].s, pieces[-1].e)
         if len(pieces) == 1:  # pure passthrough keeps the piece's tags
             j.trip, j.varied = pieces[0].trip, pieces[0].varied
-            j.aff = pieces[0].aff
+            j.aff, j.ival = pieces[0].aff, pieces[0].ival
         return j
 
     def _tokp(self, i: int) -> _P:
@@ -964,6 +1032,20 @@ class _Rw:
                                      _eff_cmp_kind(rk2, rp),
                                      rp.aff, rp.varied)
                 if mode == "native":
+                    # Two statically-known numerics fold to their exact
+                    # comparison (int-vs-real is exact in SQLite and in
+                    # Python, but lossy under Spark's double promotion
+                    # above 2^53 — _static_num_val)
+                    if lhs_one and op_txt in _CMP_FOLD:
+                        lv = _static_num_val(pieces[0], lk)
+                        rv = _static_num_val(rp, rk2)
+                        if lv is not None and rv is not None:
+                            res = _CMP_FOLD[op_txt](lv, rv)
+                            pieces = [_P(_BOOL_T if res else _BOOL_F,
+                                         pieces[0].s, rp.e)]
+                            lk = "bool"
+                            made_bool = True
+                            continue
                     # SQLite booleans are 0/1 INTEGERS; Spark rejects
                     # boolean-vs-numeric comparisons outright, so a bool
                     # side against a numeric side compares via its int
@@ -1052,6 +1134,15 @@ class _Rw:
                             b = _texty(rp.text, rke) if mode == "texty_r" \
                                 else f"({rp.text})"
                             expr = f"({a} <=> {b})"
+                        elif (len(pieces) == 1
+                              and _static_num_val(pieces[0], lk) is not None
+                              and _static_num_val(rp, rk) is not None):
+                            # IS on two non-null statically-known
+                            # numerics = plain equality, folded exactly
+                            # (the >2^53 int-vs-real class)
+                            res = (_static_num_val(pieces[0], lk)
+                                   == _static_num_val(rp, rk))
+                            expr = _BOOL_T if res else _BOOL_F
                         else:
                             expr = f"({lhs.text} <=> {rp.text})"
                         if negated:
@@ -1322,11 +1413,33 @@ class _Rw:
         pieces, kind = [lp], lk
         while i < hi and T[i].kind == "op" and T[i].text in _ADD_OPS:
             if len(pieces) == 1:  # coerce the left side once, lazily
-                p0, k0 = self._coerce_num(lp, lk, bitwise=False)
+                p0, k0 = self._coerce_num(pieces[0], kind, bitwise=False)
                 pieces, kind = [p0], k0
-            pieces.append(self._tokp(i))
+            op = T[i]
             (rp, rk), i = self._mul(i + 1, hi)
             rp, rk = self._coerce_num(rp, rk, bitwise=False)
+            cur = (pieces[0].ival
+                   if len(pieces) == 1 and kind == "int" else None)
+            if cur is not None and rp.ival is not None and rk == "int":
+                # both sides statically integral: fold exactly, with
+                # SQLite's overflow-promotes-to-REAL (the op is redone in
+                # double — operation.html; probed: 9223372036854775807+1
+                # is 9.223372036854776e18).  Folding also sidesteps
+                # Spark literal-width arithmetic (2147483647+1 would wrap
+                # or ANSI-throw in INT, where SQLite is always int64).
+                rv = rp.ival
+                ev = cur + rv if op.text == "+" else cur - rv
+                s0 = pieces[0].s
+                if _I64_MIN <= ev <= _I64_MAX:
+                    np = _P(_int_lit(ev), s0, rp.e)
+                    np.ival = ev
+                    pieces, kind = [np], "int"
+                else:
+                    fv = (float(cur) + float(rv) if op.text == "+"
+                          else float(cur) - float(rv))
+                    pieces, kind = [_P(_dbl_lit(fv), s0, rp.e)], "real"
+                continue
+            pieces.append(_P(op.text, op.start, op.end))
             pieces.append(rp)
             kind = _arith(kind, rk)
         return (self._join(pieces), kind), i
@@ -1398,6 +1511,22 @@ class _Rw:
             if op.text != "/":
                 lp, lk = self._coerce_num(lp, lk, bitwise=False)
                 rp, rk = self._coerce_num(rp, rk, bitwise=False)
+                if (op.text == "*" and lk == "int" and rk == "int"
+                        and lp.ival is not None and rp.ival is not None):
+                    # statically-integral multiply: fold exactly, int64
+                    # overflow promoting to REAL via a double redo (same
+                    # SQLite rule as _add; 4611686018427387904*2 is
+                    # 9.223372036854776e18, probed)
+                    ev = lp.ival * rp.ival
+                    if _I64_MIN <= ev <= _I64_MAX:
+                        np = _P(_int_lit(ev), lp.s, rp.e)
+                        np.ival = ev
+                        lp, lk = np, "int"
+                    else:
+                        lp = _P(_dbl_lit(float(lp.ival) * float(rp.ival)),
+                                lp.s, rp.e)
+                        lk = "real"
+                    continue
                 lp = self._join([lp, _P(op.text, op.start, op.end), rp])
                 lk = _arith(lk, rk)
                 continue
@@ -1514,7 +1643,42 @@ class _Rw:
             minus_n = sum(1 for p in prefixes if p.text == "-")
             minus = minus_n > 0
             trip0 = pp.trip
-            if tilde and trip0 is not None:
+            if not tilde and minus and pp.ival is not None:
+                # Exact sign arithmetic over a statically-known integer,
+                # with SQLite's two oversized-literal rules (probed):
+                # a '-' applied DIRECTLY (parens transparent, '+' not) to
+                # a just-over-int64 literal folds into it — typeof of
+                # -9223372036854775808 and -(9223372036854775808) is
+                # 'integer' — and any negation that overflows int64
+                # promotes to REAL (-(-9223372036854775808) is
+                # 9.223372036854776e18).
+                rest = [p.text for p in prefixes]
+                v: int | float = pp.ival
+                if pk == "real":  # oversized literal carrying its ival
+                    if rest[-1] == "-":
+                        rest = rest[:-1]
+                        v = -v if -v >= _I64_MIN else -float(v)
+                    else:
+                        v = float(v)
+                for t_ in reversed(rest):
+                    if t_ != "-":
+                        continue
+                    if isinstance(v, int):
+                        v = -v if _I64_MIN <= -v <= _I64_MAX else -float(v)
+                    else:
+                        v = -v
+                if isinstance(v, int):
+                    if pk == "real":  # re-emit the folded int64 form
+                        pp = _P(_int_lit(v), prefixes[0].s, pp.e)
+                    else:  # in-range chain: Spark computes it identically
+                        pp = self._join(prefixes + [pp])
+                    pk = "int"
+                    pp.ival = v
+                else:
+                    pp = _P(_dbl_lit(v), prefixes[0].s, pp.e)
+                    pk = "real"
+                    pp.ival = None
+            elif tilde and trip0 is not None:
                 # ~ casts its operand to INTEGER: materialize the division
                 # quad (int branch exact, real branch truncated like
                 # SQLite's CAST) instead of re-dispatching the DOUBLE
@@ -1539,8 +1703,13 @@ class _Rw:
                 # token re-enters via gap restoration)
                 pp = _P(pp.text, prefixes[0].s, pp.e)
             else:
+                iv0 = pp.ival if pk == "int" else None
                 pp = self._join(prefixes + [pp])
                 pp.trip = trip0  # unary '+' is a no-op: the quad survives
+                # '+' keeps an in-range int exact, but breaks the
+                # oversized-literal minus fold (+9223372036854775808 is
+                # REAL in SQLite even under a later '-')
+                pp.ival = iv0
         pieces = [pp]
         while i < hi:
             t = T[i]
@@ -1616,7 +1785,21 @@ class _Rw:
                 (t.text[:-1] if t.text[-1].isalpha() else t.text)
             real = ("." in body or "e" in body.lower()
                     or t.text[-1] in "DdFf" or t.text[-2:].lower() == "bd")
-            return ((self._tokp(i), "real" if real else "int"), i + 1)
+            if real:
+                return ((self._tokp(i), "real"), i + 1)
+            v = int(body)
+            if v > _I64_MAX:
+                # SQLite reads an integer literal that exceeds int64 as
+                # REAL (9223372036854775808 is 9.223372036854776e18,
+                # typeof 'real'); Spark would parse it as DECIMAL(n,0).
+                # The exact value rides `ival` so a directly-applied
+                # unary minus can still fold to int64 min (_unary).
+                np = _P(_dbl_lit(float(v)), t.start, t.end)
+                np.ival = v
+                return ((np, "real"), i + 1)
+            p = self._tokp(i)
+            p.ival = v
+            return ((p, "int"), i + 1)
         if t.kind == "str":
             return ((self._tokp(i), "text"), i + 1)
         if t.text == "(":
@@ -1643,8 +1826,11 @@ class _Rw:
                 rest, _ = self.seq(k, j)
                 ep, ek = self._join([ep, rest]), "unknown"
             gp = self._join([self._tokp(i), ep, self._tokp(j)])
-            # parens are transparent (incl. to SQLite affinity)
+            # parens are transparent (incl. to SQLite affinity and to the
+            # unary-minus fold over an oversized integer literal:
+            # -(9223372036854775808) is int64 min, probed vs sqlite3)
             gp.trip, gp.varied, gp.aff = ep.trip, ep.varied, ep.aff
+            gp.ival = ep.ival
             return ((gp, ek), j + 1)
         if t.kind in ("bt", "word"):
             if t.kind == "word":

@@ -178,8 +178,10 @@ def test_fromless_tail_clauses_not_aliased():
     assert rewrite_query("SELECT 1 LIMIT 2") == "SELECT 1  AS `1` LIMIT 2"
     assert rewrite_query("SELECT 1 UNION SELECT 2") == \
         "SELECT 1  AS `1` UNION SELECT 2"
+    # the literal sum constant-folds (r6 overflow-promotion machinery)
+    # but keeps its verbatim-text name, with the tail clause outside
     out = rewrite_query("SELECT 1 + 2 ORDER BY 1")
-    assert out == "SELECT 1 + 2  AS `1 + 2` ORDER BY 1"
+    assert out == "SELECT 3  AS `1 + 2` ORDER BY 1"
     out = rewrite_query("SELECT abs(-3) WHERE 1 = 1")
     assert out == "SELECT abs(-3)  AS `abs(-3)` WHERE 1 = 1"
     # keyword-prefixed identifiers are not clause boundaries

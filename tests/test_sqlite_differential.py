@@ -31,10 +31,14 @@ Residual documented deltas, still excluded by construction (PARITY.md):
     BLOB comparisons are compiled since r6 too (storage-class rank 3,
     hex payload = memcmp — test_blob_comparison_matrix); the grammar
     still omits blob atoms, the pinned matrices cover them;
-  * int64 +/-/* overflow: SQLite promotes the result to REAL, this
-    engine wraps (static typing cannot keep int64-exact-else-double) —
-    generated literal magnitudes stay below the boundary, and
-    test_integer_overflow_promotion_delta pins the exact delta.
+  * int64 +/-/* overflow: statically-known integer chains (literals,
+    sign prefixes, folds over them) promote to REAL exactly like SQLite
+    since r6 (constant-folded at rewrite time — the op is redone in
+    double; test_integer_overflow_promotion matrix), and an oversized
+    integer literal reads as REAL with the -9223372036854775808 minus
+    fold.  COLUMN operands still wrap (static typing cannot keep
+    int64-exact-else-double per row) — that residual delta is pinned in
+    the same test; generated literal magnitudes stay below the boundary.
 
 Found-by-this-fuzz fixes now pinned here: scalar min()/max() NULL
 propagation, hex() of non-BLOBs, LIKE case-insensitivity (→ ILIKE), REAL
@@ -708,31 +712,89 @@ def test_division_quad_in_consuming_contexts(engines):
     con.execute("DROP TABLE tq")
 
 
-def test_integer_overflow_promotion_delta(engines):
-    """PARITY residual, pinned EXACTLY on both sides so it can never
-    drift silently: SQLite promotes int64 +,-,* overflow to REAL
-    (9223372036854775807+1 = 9.223372036854776e18); Spark's static typing
-    cannot express int64-exact-else-double, so the engine declares
-    two's-complement WRAP (its ANSI-off arithmetic).  In-range boundary
-    arithmetic stays bit-exact in both engines."""
+def test_integer_overflow_promotion(engines):
+    """Statically-known integer arithmetic promotes int64 overflow to
+    REAL exactly like SQLite (r6: constant-folded at rewrite time — on
+    overflow the op is redone in double, operation.html), including the
+    oversized-literal-reads-as-REAL rule and its one exception, the
+    directly-applied minus fold to int64 min (parens transparent, '+'
+    not).  Everything here runs BOTH engines and must agree."""
     spark, con = engines
-    LMIN = -9223372036854775808
     cases = [
-        ("9223372036854775807 + 1", 9.223372036854776e18, LMIN),
-        ("9223372036854775806 + 1", 9223372036854775807, 9223372036854775807),
-        ("(-9223372036854775807 - 1) - 1", -9.223372036854776e18,
-         9223372036854775807),
-        ("9223372036854775807 * 2", 1.8446744073709552e19, -2),
-        ("4611686018427387904 * 2", 9.223372036854776e18, LMIN),
-        ("4611686018427387903 * 2", 9223372036854775806, 9223372036854775806),
+        "9223372036854775807 + 1",
+        "9223372036854775806 + 1",
+        "(-9223372036854775807 - 1) - 1",
+        "9223372036854775807 * 2",
+        "4611686018427387904 * 2",
+        "4611686018427387903 * 2",
+        "9223372036854775807 + 9223372036854775807",
+        "2147483647 + 1",          # SQLite is always int64: 2147483648
+        "2147483647 * 2147483647",  # in int64 range: exact
+        "9223372036854775808",      # oversized literal: REAL
+        "-9223372036854775808",     # ...except under a direct minus
+        "-(9223372036854775808)",   # parens are fold-transparent
+        "-(-9223372036854775808)",  # negating int64 min promotes
+        "- -9223372036854775808",
+        "+9223372036854775808",     # '+' breaks the fold: REAL
+        "18446744073709551616",
+        "typeof(9223372036854775807 + 1)",
+        "typeof(-9223372036854775808)",
+        "typeof(-(9223372036854775808))",
+        "typeof(+9223372036854775808)",
+        "typeof(9223372036854775806 + 1)",
+        "9223372036854775807 + 1 - 1",   # promotion sticks: stays REAL
+        "9223372036854775808 - 9223372036854775808",  # real-real: 0.0
+        "typeof(9223372036854775808 - 9223372036854775808)",
+        "18446744073709551616 / 2",
+        "9223372036854775808 % 7",
+        "9223372036854775808 & 1",
+        "CAST(9223372036854775808 AS INTEGER)",
+        "hex(9223372036854775808 & 255)",
+        "-9223372036854775808 - 1",
+        "-9223372036854775808 * -1",
+        "a + 1",                     # column operand: untouched path
     ]
-    for expr, want_sqlite, want_engine in cases:
-        got_s = con.execute(f"SELECT {expr}").fetchone()[0]
-        assert got_s == want_sqlite, (expr, got_s)
-        got_e = spark.sql(
-            rewrite_query(f"SELECT {expr} AS r FROM td LIMIT 1",
-                          SCHEMA)).collect()[0][0]
-        assert got_e == want_engine, (expr, got_e)
+    for expr in cases:
+        want = [_canon(r[0]) for r in
+                con.execute(f"SELECT {expr} AS r FROM td WHERE a = 1")]
+        got = [_canon(r[0]) for r in spark.sql(
+            rewrite_query(f"SELECT {expr} AS r FROM td WHERE a = 1",
+                          SCHEMA)).collect()]
+        assert got == want, (expr, got, want)
+
+    # Statically-known numeric COMPARISONS fold exactly too: SQLite
+    # compares int64-vs-double precisely (sqlite3IntFloatCompare) where
+    # Spark promotes both to double, which collapses values above 2^53.
+    cmp_cases = [
+        "9223372036854775807 = 9223372036854775807.0",
+        "9223372036854775806 < 9223372036854775807.0",
+        "9223372036854775807 > 9223372036854775806.0",
+        "9007199254740993 = 9007199254740992.0",    # 2^53 + 1 vs 2^53
+        "9007199254740993 > 9007199254740992.0",
+        "9223372036854775807 IS 9223372036854775807.0",
+        "9223372036854775807 IS NOT 9223372036854775807.0",
+        "1 < 2.5", "2.5 >= 2.5", "1 < 2 < 3", "3 > 2 > 1",
+        "9223372036854775807 < 9223372036854775808",
+        "-9223372036854775808 < -9223372036854775807.9",
+        "1e999 > 9223372036854775807",
+    ]
+    for expr in cmp_cases:
+        want = con.execute(f"SELECT {expr}").fetchone()[0]
+        got = spark.sql(rewrite_query(f"SELECT {expr} AS r FROM td LIMIT 1",
+                                      SCHEMA)).collect()[0][0]
+        assert _canon(got) == _canon(want), (expr, got, want)
+
+    # The pinned RESIDUAL: a COLUMN operand keeps Spark's static int64
+    # arithmetic, which wraps where SQLite promotes — exact on both
+    # sides so drift is loud.
+    got_s = con.execute(
+        "SELECT a * 0 + 9223372036854775807 + a FROM td WHERE a = 1"
+    ).fetchone()[0]
+    assert got_s == 9.223372036854776e18
+    got_e = spark.sql(rewrite_query(
+        "SELECT a * 0 + 9223372036854775807 + a AS r FROM td WHERE a = 1",
+        SCHEMA)).collect()[0][0]
+    assert got_e == -9223372036854775808
 
 
 def test_varied_order_by_auto_typed_key(engines):
