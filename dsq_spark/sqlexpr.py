@@ -106,6 +106,7 @@ statically-known cases above are closed).
 
 from __future__ import annotations
 
+import math
 import os
 import re
 from dataclasses import dataclass, field
@@ -277,6 +278,16 @@ _FN_TEXT = frozenset((
 # functions returning BINARY — their comparisons take the BLOB storage
 # class rank (zeroblob(2) < 'x' is 0: BLOB sorts above TEXT)
 _FN_BLOB = frozenset(("unhex", "to_binary", "encode", "aes_encrypt"))
+# abs/round coerce non-numeric args via the numeric PREFIX (junk → 0.0,
+# always REAL); the math family converts only FULLY-numeric text and
+# NULLs the rest — probed vs sqlite3, see _call_args
+_FN_NUM_PREFIX = frozenset(("abs", "round"))
+_FN_NUM_FULLCAST = frozenset((
+    "sign", "ceil", "ceiling", "floor", "sqrt", "exp", "ln", "log",
+    "log2", "log10", "pow", "power", "mod", "acos", "asin", "atan",
+    "atan2", "cos", "sin", "tan", "cot", "degrees", "radians", "trunc",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
+))
 _FN_ARG0 = frozenset((
     "nullif", "first_value", "last_value", "lag", "lead",
     "any_value", "first", "last", "nth_value",
@@ -367,7 +378,12 @@ def _dbl_lit(v: float) -> str:
     """A Spark DOUBLE literal for an exact IEEE754 value, parenthesized so
     it embeds verbatim in any operator position.  repr() is the shortest
     round-tripping decimal, and the D suffix pins DoubleType (a bare
-    exponent literal would also be DOUBLE, but only by session default)."""
+    exponent literal would also be DOUBLE, but only by session default).
+    Spark has no Infinity literal (1e999 is a parse error where SQLite
+    reads Inf) — those emit as a string cast."""
+    if math.isinf(v):
+        inf = "CAST('Infinity' AS DOUBLE)"
+        return f"(-{inf})" if v < 0 else f"({inf})"
     return f"(-{float(-v)!r}D)" if v < 0 else f"({float(v)!r}D)"
 
 
@@ -377,6 +393,18 @@ def _int_lit(v: int) -> str:
     if v == _I64_MIN:
         return _LONG_MIN
     return f"(-{-v})" if v < 0 else str(v)
+
+
+def _sat_i64_py(f: float) -> int:
+    """Python mirror of SQLite's REAL→INTEGER cast: truncate toward
+    zero, saturate to int64 (compile-time twin of _sat_bigint)."""
+    if math.isnan(f):
+        return 0
+    if f >= float(1 << 63):
+        return _I64_MAX
+    if f <= float(-(1 << 63)):
+        return _I64_MIN
+    return int(f)
 
 
 def _static_num_val(p: "_P", k: str) -> int | float | None:
@@ -680,8 +708,9 @@ def _div_operand(p: "_P", k: str) -> tuple[str, str, str, str]:
         return null, "true", f"CAST({t} AS BIGINT)", f"CAST({t} AS DOUBLE)"
     if k == "real":
         return null, "false", "CAST(0 AS BIGINT)", f"CAST({t} AS DOUBLE)"
-    if k == "text":
-        pre = f"regexp_extract(({t}), {_REAL_PREFIX}, 1)"
+    if k in ("text", "blob"):
+        src = f"({t})" if k == "text" else f"string(({t}))"
+        pre = f"regexp_extract({src}, {_REAL_PREFIX}, 1)"
         return (null,
                 f"({pre} RLIKE {_IS_INT_PREFIX})",
                 _prefix_int_chain(pre),
@@ -1172,6 +1201,29 @@ class _Rw:
                     elems = None
                     if len(base) == 1 and not subq and j > i + 1:
                         elems = self._in_elements(i, j)
+                    coerced = False
+                    if elems:
+                        # comparison results in an IN list (or as its
+                        # LHS) participate as their 0/1 INTEGER
+                        # (1 IN (NULL IS NULL) is 1 — probed; Spark
+                        # rejects the bool/numeric mix)
+                        if lk == "bool":
+                            nb = _P(f"CAST(({base[0].text}) AS BIGINT)",
+                                    base[0].s, base[0].e)
+                            base = [nb]
+                            pieces = ([nb, pieces[-1]] if negated
+                                      else [nb])
+                            lk = "int"
+                            coerced = True
+                        ne = []
+                        for ep, ek in elems:
+                            if ek == "bool":
+                                ep = _P(f"CAST(({ep.text}) AS BIGINT)",
+                                        ep.s, ep.e)
+                                ek = "int"
+                                coerced = True
+                            ne.append((ep, ek))
+                        elems = ne
                     modes = [
                         _cmp_mode(_eff_cmp_kind(lk, base[0]),
                                   base[0].aff, base[0].varied,
@@ -1199,6 +1251,18 @@ class _Rw:
                             expr = f"(NOT {expr})"
                         pieces = [_P(expr, base[0].s, T[j].end)]
                         lk = "bool"  # collapsed lhs for further chaining
+                        i = j + 1
+                        made_bool = True
+                        continue
+                    if elems and coerced:
+                        # all-native modes but a bool got coerced: the
+                        # verbatim group rebuild would lose the cast
+                        texts = ", ".join(f"({ep.text})"
+                                          for ep, _ek in elems)
+                        neg = "NOT " if negated else ""
+                        expr = f"(({base[0].text}) {neg}IN ({texts}))"
+                        pieces = [_P(expr, base[0].s, T[j].end)]
+                        lk = "bool"
                         i = j + 1
                         made_bool = True
                         continue
@@ -1282,6 +1346,21 @@ class _Rw:
                 negated = bool(pieces) and pieces[-1].text.lower() == "not"
                 base = pieces[:-1] if negated else pieces
                 lhs_one = len(base) == 1
+                # comparison results participate as their 0/1 INTEGER
+                # (2 BETWEEN 1 AND (1<2) is 0 — probed; Spark rejects
+                # the bool/numeric mix)
+                if bk1 == "bool":
+                    b1 = _P(f"CAST(({b1.text}) AS BIGINT)", b1.s, b1.e)
+                    bk1 = "int"
+                if bk2 == "bool" and b2 is not None:
+                    b2 = _P(f"CAST(({b2.text}) AS BIGINT)", b2.s, b2.e)
+                    bk2 = "int"
+                if lhs_one and lk == "bool" and b2 is not None:
+                    nb = _P(f"CAST(({base[0].text}) AS BIGINT)",
+                            base[0].s, base[0].e)
+                    base = [nb]
+                    pieces = [nb, pieces[-1]] if negated else [nb]
+                    lk = "int"
                 m1 = m2 = "native"
                 if lhs_one and b2 is not None:
                     lp0 = base[0]
@@ -1388,6 +1467,13 @@ class _Rw:
         if k == "text":
             fn = _int_prefix_bigint if bitwise else _real_prefix_double
             return _P(fn(p.text), p.s, p.e), ("int" if bitwise else "real")
+        if k == "blob":
+            # BLOBs coerce like text through their UTF-8 rendering
+            # (-x'41' is 0, x'41' + 1 is 1 — probed); Spark rejects
+            # binary arithmetic operands outright
+            fn = _int_prefix_bigint if bitwise else _real_prefix_double
+            return (_P(fn(f"string(({p.text}))"), p.s, p.e),
+                    "int" if bitwise else "real")
         if k == "bool":
             # a compiled comparison (or TRUE/FALSE) is a 0/1 INTEGER in
             # SQLite — (1 = '1') + 1 is 1, (a < b) & 1 is legal — while
@@ -1477,9 +1563,12 @@ class _Rw:
             rp, rk = self._coerce_num(rp, rk, bitwise=True)
         verbatim = self._join([lp, _P(op.text, op.start, op.end), rp])
         if "null" in (lk, rk):
+            if "blob" in (lk, rk):  # Spark rejects NULL-vs-BINARY ops
+                return _P("CAST(NULL AS BIGINT)", lp.s, rp.e), "null"
             return verbatim, "null"
-        if lk not in _NUMERIC | {"text"} or rk not in _NUMERIC | {"text"}:
-            return verbatim, "unknown"  # unknown/blob: strict Spark (doc'd)
+        ok = _NUMERIC | {"text", "blob"}
+        if lk not in ok or rk not in ok:
+            return verbatim, "unknown"  # unknown: strict Spark (doc'd)
         rp, _rk = self._coerce_num(rp, rk, bitwise=True)
         x = f"CAST(({lp.text}) AS BIGINT)"
         n = rp.text
@@ -1558,8 +1647,10 @@ class _Rw:
             if r_lit is not None and r_lit != 0:
                 return verbatim, "int"
             return _P(f"try_mod({lp.text}, {rp.text})", lp.s, rp.e), "int"
-        if "null" in (lk, rk) or "blob" in (lk, rk):
-            return verbatim, ("null" if "null" in (lk, rk) else "unknown")
+        if "null" in (lk, rk):
+            if "blob" in (lk, rk):  # Spark rejects NULL-vs-BINARY ops
+                return _P("CAST(NULL AS DOUBLE)", lp.s, rp.e), "null"
+            return verbatim, "null"
         if "unknown" in (lk, rk):
             # dynamic operands keep strict Spark coercion (documented) but
             # must not be ANSI-fragile on a zero divisor
@@ -1575,6 +1666,8 @@ class _Rw:
                 return p.text
             if k == "real":
                 return _sat_bigint(f"CAST(({p.text}) AS DOUBLE)")
+            if k == "blob":  # UTF-8 rendering, like every blob coercion
+                return _int_prefix_bigint(f"string(({p.text}))")
             return _int_prefix_bigint(p.text)  # text
 
         return (_P(f"CAST(try_mod({as_int(lp, lk)}, "
@@ -1592,6 +1685,8 @@ class _Rw:
             rp, rk = _P(f"CAST(({rp.text}) AS BIGINT)", rp.s, rp.e), "int"
         verbatim = self._join([lp, _P(op.text, op.start, op.end), rp])
         if "null" in (lk, rk):
+            if "blob" in (lk, rk):  # Spark rejects NULL-vs-BINARY ops
+                return _P("CAST(NULL AS DOUBLE)", lp.s, rp.e), "null"
             return verbatim, "null"
         l_lit, r_lit = _lit_value(lp.text), _lit_value(rp.text)
         if lk in _INTISH and rk in _INTISH:
@@ -1599,6 +1694,7 @@ class _Rw:
                                 f"CAST({rp.text} AS BIGINT)", l_lit, r_lit),
                        lp.s, rp.e), "int")
         if ("real" in (lk, rk) and "text" not in (lk, rk)
+                and "blob" not in (lk, rk)
                 and lp.trip is None and rp.trip is None):
             # one REAL operand forces SQLite REAL division whatever the
             # other side turns out to be — Spark's `/` agrees, so with a
@@ -1643,15 +1739,17 @@ class _Rw:
             minus_n = sum(1 for p in prefixes if p.text == "-")
             minus = minus_n > 0
             trip0 = pp.trip
-            if not tilde and minus and pp.ival is not None:
-                # Exact sign arithmetic over a statically-known integer,
-                # with SQLite's two oversized-literal rules (probed):
-                # a '-' applied DIRECTLY (parens transparent, '+' not) to
-                # a just-over-int64 literal folds into it — typeof of
-                # -9223372036854775808 and -(9223372036854775808) is
-                # 'integer' — and any negation that overflows int64
-                # promotes to REAL (-(-9223372036854775808) is
-                # 9.223372036854776e18).
+            if pp.ival is not None and (minus or tilde):
+                # Exact prefix arithmetic over a statically-known
+                # integer, with SQLite's oversized-literal rules
+                # (probed): a '-' applied DIRECTLY (parens transparent,
+                # '+' not) to a just-over-int64 literal folds into it —
+                # typeof of -9223372036854775808 and
+                # -(9223372036854775808) is 'integer' — any negation
+                # that overflows int64 promotes to REAL
+                # (-(-9223372036854775808) is 9.223372036854776e18), and
+                # '~' casts to INTEGER (saturating) then inverts
+                # (~-9223372036854775808 is 9223372036854775807).
                 rest = [p.text for p in prefixes]
                 v: int | float = pp.ival
                 if pk == "real":  # oversized literal carrying its ival
@@ -1661,16 +1759,24 @@ class _Rw:
                     else:
                         v = float(v)
                 for t_ in reversed(rest):
-                    if t_ != "-":
+                    if t_ == "+":
                         continue
-                    if isinstance(v, int):
-                        v = -v if _I64_MIN <= -v <= _I64_MAX else -float(v)
-                    else:
-                        v = -v
+                    if t_ == "-":
+                        if isinstance(v, int):
+                            v = (-v if _I64_MIN <= -v <= _I64_MAX
+                                 else -float(v))
+                        else:
+                            v = -v
+                    else:  # '~'
+                        if isinstance(v, float):
+                            v = _sat_i64_py(v)
+                        v = ~v
                 if isinstance(v, int):
-                    if pk == "real":  # re-emit the folded int64 form
+                    if pk == "real" or tilde:
+                        # re-emit: Spark would width-type the verbatim
+                        # chain (INT literals) and ~/- can overflow it
                         pp = _P(_int_lit(v), prefixes[0].s, pp.e)
-                    else:  # in-range chain: Spark computes it identically
+                    else:  # in-range sign chain: Spark agrees verbatim
                         pp = self._join(prefixes + [pp])
                     pk = "int"
                     pp.ival = v
@@ -1696,20 +1802,20 @@ class _Rw:
                     if minus_n % 2:
                         isql, dsql = f"(- ({isql}))", f"(- ({dsql}))"
                     pp.trip = (nn, cond, isql, dsql)
-            elif pk == "text":
-                # SQLite's unary '+' is a NO-OP (TEXT stays TEXT) while
-                # Spark's implicitly casts to a number: drop the '+' (the
-                # piece must still COVER the prefix span, or the dropped
-                # token re-enters via gap restoration)
-                pp = _P(pp.text, prefixes[0].s, pp.e)
             else:
+                # SQLite's unary '+' is a pure NO-OP for EVERY storage
+                # class (TEXT stays TEXT, BLOB stays BLOB — typeof of
+                # +x'41' is 'blob') while Spark's coerces or rejects:
+                # drop it, widening the piece over the prefix span so
+                # the dropped tokens don't re-enter via gap restoration.
+                # It DOES break the oversized-literal minus fold
+                # (+9223372036854775808 is REAL even under a later '-'),
+                # so ival survives only for in-range ints.
                 iv0 = pp.ival if pk == "int" else None
-                pp = self._join(prefixes + [pp])
-                pp.trip = trip0  # unary '+' is a no-op: the quad survives
-                # '+' keeps an in-range int exact, but breaks the
-                # oversized-literal minus fold (+9223372036854775808 is
-                # REAL in SQLite even under a later '-')
-                pp.ival = iv0
+                np = _P(pp.text, prefixes[0].s, pp.e)
+                np.trip, np.varied, np.aff = trip0, pp.varied, pp.aff
+                np.ival = iv0
+                pp = np
         pieces = [pp]
         while i < hi:
             t = T[i]
@@ -1738,6 +1844,12 @@ class _Rw:
                     lp0 = self._join(pieces)
                     pieces = [_P(f"dsq_real_text(CAST({lp0.text} AS DOUBLE))",
                                  lp0.s, lp0.e)]
+                elif pk == "bool":
+                    # comparison results concatenate as their 0/1
+                    # INTEGER ((1<2) || 'x' is '1x', not 'truex')
+                    lp0 = self._join(pieces)
+                    pieces = [_P(f"CAST(({lp0.text}) AS BIGINT)",
+                                 lp0.s, lp0.e)]
                 elif len(pieces) == 1 and pieces[0].trip is not None:
                     # dynamic division: render per its runtime storage
                     # class (int branch '3', real branch %!.15g)
@@ -1748,6 +1860,8 @@ class _Rw:
                 if rk == "real":
                     rp = _P(f"dsq_real_text(CAST({rp.text} AS DOUBLE))",
                             rp.s, rp.e)
+                elif rk == "bool":
+                    rp = _P(f"CAST(({rp.text}) AS BIGINT)", rp.s, rp.e)
                 elif rp.trip is not None:
                     rp = _P(_trip_text(rp.trip), rp.s, rp.e)
                 pieces.append(rp)
@@ -1786,6 +1900,15 @@ class _Rw:
             real = ("." in body or "e" in body.lower()
                     or t.text[-1] in "DdFf" or t.text[-2:].lower() == "bd")
             if real:
+                try:
+                    fv = float(body)
+                except ValueError:
+                    fv = None
+                if fv is not None and math.isinf(fv):
+                    # SQLite reads 1e999 as Inf; Spark rejects the
+                    # out-of-range literal outright
+                    return ((_P(_dbl_lit(fv), t.start, t.end), "real"),
+                            i + 1)
                 return ((self._tokp(i), "real"), i + 1)
             v = int(body)
             if v > _I64_MAX:
@@ -1974,9 +2097,20 @@ class _Rw:
             kinds = [k for _p, k in parsed]
             has_txt = any(k == "text" for k in kinds)
             has_num = any(k in _NUMERIC for k in kinds)
-            if not (has_txt and has_num and
-                    all(k in ("int", "real", "bool", "text", "null")
-                        for k in kinds)):
+            if not all(k in ("int", "real", "bool", "text", "null")
+                       for k in kinds):
+                return None
+            if (not has_txt and any(k in _INTISH for k in kinds)
+                    and "real" in kinds):
+                # pure numeric int/real mix: the winner's storage class
+                # is dynamic (min(2, 1.5) is REAL, min(1, 2.5) INTEGER)
+                # — ride the quad so typeof/hex/text consumers stay
+                # exact; the SELECT surface is DOUBLE (documented, same
+                # as dynamically-typed division)
+                nargs = [(p, k) for p, k in parsed if k in _NUMERIC]
+                out = self._nm_quad(nargs, fname, start, end)
+                return ((out, "unknown"), j + 1)
+            if not (has_txt and has_num):
                 return None
             # SQLite's cross-class sort order makes the winner's CLASS
             # static even though its value is not: TEXT outranks every
@@ -1998,31 +2132,37 @@ class _Rw:
                         + ")")
                 return ((_P(expr, start, end), "text"), j + 1)
             nargs = [(p, k) for p, k in parsed if k in _NUMERIC]
-            dbls = [(f"CAST(CAST(({p.text}) AS BIGINT) AS DOUBLE)"
-                     if k == "bool" else f"CAST(({p.text}) AS DOUBLE)")
-                    for p, k in nargs]
-            dbl = (dbls[0] if len(dbls) == 1
-                   else "least(" + ", ".join(dbls) + ")")
-            nn = f"(({dbl}) IS NULL)"
-            # the winner's storage class is that of the FIRST argument
-            # (call order) achieving the minimum — min(1, 1.0) is the
-            # INTEGER 1 while min(1.0, 1) is the REAL 1.0 in SQLite
-            arms = " ".join(
-                f"WHEN {d} = {dbl} THEN "
-                + ("true" if k in _INTISH else "false")
-                for d, (_p, k) in zip(dbls, nargs))
-            is_int = f"(CASE {arms} ELSE false END)"
-            # the int branch computes over the INT args directly — exact
-            # for |x| > 2^53 where the DOUBLE surface rounds
-            ints = [f"CAST(({p.text}) AS BIGINT)" for p, k in nargs
-                    if k in _INTISH]
-            int_sql = (f"CAST({dbl} AS BIGINT)" if not ints
-                       else (ints[0] if len(ints) == 1
-                             else "least(" + ", ".join(ints) + ")"))
-            out = _P(f"({dbl})", start, end)
-            out.trip = (nn, is_int, int_sql, f"({dbl})")
+            out = self._nm_quad(nargs, "least", start, end)
             return ((out, "unknown"), j + 1)
         return None
+
+    def _nm_quad(self, nargs, fn: str, start: int, end: int) -> _P:
+        """greatest/least over numeric args whose winner's int-vs-real
+        storage class is dynamic: a quad-carrying piece.  The winner's
+        class is that of the FIRST argument (call order) achieving the
+        extremum — min(1, 1.0) is the INTEGER 1 while min(1.0, 1) is
+        the REAL 1.0 in SQLite — and the int branch computes over the
+        INT args directly, exact for |x| > 2^53 where the DOUBLE
+        surface rounds."""
+        dbls = [(f"CAST(CAST(({p.text}) AS BIGINT) AS DOUBLE)"
+                 if k == "bool" else f"CAST(({p.text}) AS DOUBLE)")
+                for p, k in nargs]
+        dbl = (dbls[0] if len(dbls) == 1
+               else f"{fn}(" + ", ".join(dbls) + ")")
+        nn = f"(({dbl}) IS NULL)"
+        arms = " ".join(
+            f"WHEN {d} = {dbl} THEN "
+            + ("true" if k in _INTISH else "false")
+            for d, (_p, k) in zip(dbls, nargs))
+        is_int = f"(CASE {arms} ELSE false END)"
+        ints = [f"CAST(({p.text}) AS BIGINT)" for p, k in nargs
+                if k in _INTISH]
+        int_sql = (f"CAST({dbl} AS BIGINT)" if not ints
+                   else (ints[0] if len(ints) == 1
+                         else f"{fn}(" + ", ".join(ints) + ")"))
+        out = _P(f"({dbl})", start, end)
+        out.trip = (nn, is_int, int_sql, f"({dbl})")
+        return out
 
     # string functions whose listed argument positions (None = every
     # position) SQLite converts to TEXT: a dynamic int-or-real argument
@@ -2072,6 +2212,38 @@ class _Rw:
                 if spots is None or ordinal in spots:
                     ep = _P(_trip_text(ep.trip), ep.s, ep.e)
                     ek = "text"
+            elif ek == "real" and fname in self._TRIP_TEXT_ARGS:
+                # a statically-REAL value consumed as TEXT renders via
+                # SQLite's %!.15g, not Java's repr (trim(round(2**31))
+                # is '2147483647.0', not '2.147483647E9' — r6 probes)
+                spots = self._TRIP_TEXT_ARGS[fname]
+                if spots is None or ordinal in spots:
+                    ep = _P(f"dsq_real_text(CAST(({ep.text}) AS DOUBLE))",
+                            ep.s, ep.e)
+                    ek = "text"
+            if ek == "bool" and not boolctx:
+                # SQLite has no boolean type: a comparison result used as
+                # a VALUE is its 0/1 INTEGER (hex(a > b) is '30'/'31',
+                # min((a<b), 5) compares integers — r6 probes; Spark
+                # would render 'true' or reject the mixed types)
+                ep = _P(f"CAST(({ep.text}) AS BIGINT)", ep.s, ep.e)
+                ek = "int"
+            if ek in ("text", "blob") and fname in _FN_NUM_PREFIX:
+                # abs()/round() coerce non-numeric args through the
+                # numeric prefix, ALWAYS REAL (abs('5kg') is 5.0,
+                # round('') is 0.0, abs(x'41') is 0.0 — probed); Spark's
+                # implicit cast would NULL junk (and throw under ANSI).
+                # string(), not CAST AS STRING: the string-cast
+                # interception must not see this emission.
+                arg = f"string(({ep.text}))" if ek == "blob" else ep.text
+                ep = _P(_real_prefix_double(arg), ep.s, ep.e)
+                ek = "real"
+            elif ek == "text" and fname in _FN_NUM_FULLCAST:
+                # the math family converts FULLY-numeric text and NULLs
+                # anything else (ceil('2.5') is 3.0, ceil('abc') NULL —
+                # probed); try_cast matches under both ANSI settings
+                ep = _P(f"try_cast(({ep.text}) AS DOUBLE)", ep.s, ep.e)
+                ek = "real"
             pieces.append(ep)
             kinds.append(ek)
         pieces.append(self._tokp(j))
@@ -2244,6 +2416,12 @@ class _Rw:
                             self._tokp(j)])
             return ((p, "unknown"), j + 1)
         span = (T[i].start, T[j].end)
+        if ek == "bool":
+            # SQLite comparisons are 0/1 INTEGERS: CAST((a>b) AS TEXT)
+            # is '0'/'1', never 'true'/'false' (the hex()/quote()
+            # aliases route their argument through a string cast)
+            ep = _P(f"CAST(({ep.text}) AS BIGINT)", ep.s, ep.e)
+            ek = "int"
         if ep.trip is not None:
             # a dynamic int-or-real value (text division, mixed-class
             # scalar min) converts per its RUNTIME storage class, exactly

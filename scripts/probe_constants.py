@@ -79,7 +79,7 @@ def canon(v):
     if v is None:
         return "∅"
     if isinstance(v, bool):
-        return str(int(v))
+        return f"i:{int(v)}"  # SQLite comparisons ARE 0/1 integers
     if isinstance(v, bytes):
         return "b:" + v.hex()
     if isinstance(v, bytearray):

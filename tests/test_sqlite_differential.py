@@ -1201,3 +1201,48 @@ def test_bool_arithmetic_and_alias_affinity(engines):
     assert want == got
     rw = rewrite_query(q, SCHEMA)
     assert rewrite_query(rw, SCHEMA) == rw
+
+
+def test_bool_blob_value_positions(engines):
+    """r6 probe-sweep classes, pinned vs sqlite3: (1) a compiled
+    comparison consumed as a VALUE is its 0/1 INTEGER — in function
+    arguments (hex((a>b)) is '30'/'31', length is 1, scalar min/max
+    compares integers), in ||, in CASTs (the hex()/quote() aliases
+    string-cast their argument), in IN lists and BETWEEN bounds — where
+    Spark would render 'true' or reject the type mix; (2) BLOB operands
+    coerce through their UTF-8 rendering in arithmetic/bitwise/shift
+    (-x'41' is 0, x'32' participates as 2) and a NULL-vs-BLOB operation
+    is a typed NULL; (3) abs()/round() coerce text/blob args through the
+    numeric PREFIX always-REAL (abs('5kg') is 5.0, round('') 0.0) while
+    the math family converts only FULLY-numeric text (ceil('2.5') is
+    3.0, ceil('abc') NULL) and sign() follows the math rule; (4) an
+    out-of-range real literal reads as Infinity (1e999) where Spark
+    rejects the literal; (5) a pure int/real mixed-class scalar min/max
+    carries the winner's storage class on the quad (hex/typeof/text
+    consumers see the int branch exact)."""
+    spark, con = engines
+    exprs = [
+        "hex(a > 1)", "hex(1 > 2)", "quote(a > b)", "length(a > b)",
+        "upper(a IS 1)", "(a < 2) || 'x'", "'x' || (a < 2)",
+        "CAST((a > 1) AS TEXT)", "min((a < 1), 5)", "max((a > 0), -1)",
+        "unicode(a >= -1)", "instr((a < 1), 0)",
+        "1 IN (NULL IS NULL)", "a IN ((b > 0), 2)",
+        "2 BETWEEN 1 AND (1 < 2)", "(a > 0) BETWEEN 0 AND 1",
+        "-x'41'", "+x'41'", "x'41' + 1", "x'32' * 3", "3 << x'32'",
+        "x'41' & 1", "~x'41'", "NULL * x''", "abs(x'41')",
+        "abs('5kg')", "abs(c)", "round('')", "round('2.6')",
+        "round(c)", "ceil('2.5')", "ceil('abc')", "ceil(c)",
+        "sign('5')", "sign('5kg')", "sqrt('4')", "sqrt(c)",
+        "1e999", "-1e999", "1e999 > 5", "1e-999",
+        "typeof(1e999)", "iif(b IS NULL, 0, b < 1e999)",
+        "typeof(min(2, 1.5))", "typeof(min(1, 2.5))",
+        "typeof(max(a, 0.5))", "hex(min(a, 9223372036854775807, 1.5))",
+        "CAST(min(a, 2.5) AS TEXT)", "trim(round(2147483647))",
+        "length(max(a, 0.5))",
+    ]
+    sels = ", ".join(f"{e} AS r{i}" for i, e in enumerate(exprs))
+    q = f"SELECT {sels} FROM td"
+    want, got = _run(spark, con, q)
+    assert want == got
+    rw = rewrite_query(q, SCHEMA)
+    assert rewrite_query(rw, SCHEMA) == rw
