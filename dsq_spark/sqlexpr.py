@@ -288,6 +288,14 @@ _FN_NUM_FULLCAST = frozenset((
     "atan2", "cos", "sin", "tan", "cot", "degrees", "radians", "trunc",
     "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
 ))
+# string functions that treat a BLOB argument as its UTF-8 text
+# (upper(x'61') is 'A' — probed vs sqlite3); substr/length/instr are NOT
+# here — SQLite operates on them bytewise and Spark's BINARY semantics
+# already agree where supported
+_BLOB_TEXT_FNS = frozenset((
+    "upper", "lower", "trim", "ltrim", "rtrim", "replace", "unicode",
+    "instr",
+))
 _FN_ARG0 = frozenset((
     "nullif", "first_value", "last_value", "lag", "lead",
     "any_value", "first", "last", "nth_value",
@@ -405,6 +413,41 @@ def _sat_i64_py(f: float) -> int:
     if f <= float(-(1 << 63)):
         return _I64_MIN
     return int(f)
+
+
+# compile-time mirrors of the runtime prefix regexes (same char classes as
+# _REAL_PREFIX / _INT_PREFIX below) — used to fold string LITERALS in
+# numeric contexts so '1' + '2' is the exact INTEGER 3, not a dynamic quad
+_PY_REAL_PREFIX = re.compile(
+    "^[ \t\n\x0b\x0c\r]*([+-]?(?:[0-9]+[.]?[0-9]*|[.][0-9]+)"
+    "(?:[eE][+-]?[0-9]+)?)")
+_PY_INT_PREFIX = re.compile("^[ \t\n\x0b\x0c\r]*([+-]?[0-9]+)")
+_PY_IS_INT = re.compile(r"^[+-]?[0-9]*$")
+
+
+def _prefix_num_py(s: str) -> int | float:
+    """SQLite text→numeric conversion of a known string: the longest
+    numeric prefix, INTEGER iff it is spelled as a pure digit run within
+    int64 ('2.5e1' is REAL 25.0 by spelling, '9223372036854775808' is
+    REAL by magnitude, '' and junk are INTEGER 0 — probed vs sqlite3)."""
+    m = _PY_REAL_PREFIX.match(s)
+    pre = m.group(1) if m else ""
+    if _PY_IS_INT.match(pre):
+        v = int(pre) if pre else 0
+        return v if _I64_MIN <= v <= _I64_MAX else float(pre)
+    return float(pre)
+
+
+def _prefix_int_py(s: str) -> int:
+    """SQLite's atoi-style text→INTEGER (bitwise/% operands): digits up
+    to the first non-digit, int64-saturated by sign ('2.5e1' & 31 is 2,
+    not 25; '99999999999999999999' saturates — probed vs sqlite3)."""
+    m = _PY_INT_PREFIX.match(s)
+    pre = m.group(1) if m else ""
+    if not pre:
+        return 0
+    v = int(pre)
+    return max(_I64_MIN, min(_I64_MAX, v))
 
 
 def _static_num_val(p: "_P", k: str) -> int | float | None:
@@ -786,7 +829,7 @@ class _P:
     references carry affinity into a comparison, and parentheses are
     transparent), which decides how mixed-type comparisons coerce."""
 
-    __slots__ = ("text", "s", "e", "trip", "varied", "aff", "ival")
+    __slots__ = ("text", "s", "e", "trip", "varied", "aff", "ival", "sval")
 
     def __init__(self, text: str, s: int, e: int):
         self.text, self.s, self.e = text, s, e
@@ -799,6 +842,11 @@ class _P:
         # (operation.html: on +,-,* overflow the op is redone in double).
         # None whenever the value isn't statically integral.
         self.ival = None
+        # the python string value of a STRING (or UTF-8-decodable blob)
+        # literal, used ONLY to fold its numeric-prefix conversion at
+        # compile time in arithmetic contexts ('1' + '2' is the exact
+        # INTEGER 3); None for anything but plain literals
+        self.sval = None
 
 
 class _Rw:
@@ -825,6 +873,7 @@ class _Rw:
         if len(pieces) == 1:  # pure passthrough keeps the piece's tags
             j.trip, j.varied = pieces[0].trip, pieces[0].varied
             j.aff, j.ival = pieces[0].aff, pieces[0].ival
+            j.sval = pieces[0].sval
         return j
 
     def _tokp(self, i: int) -> _P:
@@ -1456,6 +1505,28 @@ class _Rw:
         b = _texty(rt, rk) if mode == "texty_r" else f"({rt})"
         return f"{a} {op} {b}"
 
+    @staticmethod
+    def _fold_sval(p: _P, k: str, bitwise: bool = False) -> tuple[_P, str]:
+        """Fold a string/blob LITERAL's SQLite numeric conversion at
+        compile time: '1' + '2' is the exact INTEGER 3 with a clean plan,
+        where a dynamic operand needs the runtime prefix machinery.
+        Bitwise contexts use the atoi-style integer prefix ('2.5e1' & 31
+        is 2), arithmetic the full numeric prefix with int-by-spelling
+        class ('2.5e1' * '2' is REAL 50.0 — probed vs sqlite3)."""
+        if k not in ("text", "blob") or p.sval is None:
+            return p, k
+        if bitwise:
+            v = _prefix_int_py(p.sval)
+            np = _P(_int_lit(v), p.s, p.e)
+            np.ival = v
+            return np, "int"
+        v = _prefix_num_py(p.sval)
+        if isinstance(v, int):
+            np = _P(_int_lit(v), p.s, p.e)
+            np.ival = v
+            return np, "int"
+        return _P(_dbl_lit(v), p.s, p.e), "real"
+
     def _coerce_num(self, p: _P, k: str, bitwise: bool) -> tuple[_P, str]:
         """SQLite coerces TEXT operands in arithmetic through their longest
         numeric prefix ('5kg' + 1 = 6, 'x' * 2 = 0, NULL propagates) —
@@ -1464,6 +1535,7 @@ class _Rw:
         to INTEGER, the rest to REAL (the int-vs-real storage class of the
         result is dynamic in SQLite and surfaces here as DOUBLE — a
         documented rendering delta, PARITY.md)."""
+        p, k = self._fold_sval(p, k, bitwise)
         if k == "text":
             fn = _int_prefix_bigint if bitwise else _real_prefix_double
             return _P(fn(p.text), p.s, p.e), ("int" if bitwise else "real")
@@ -1493,16 +1565,67 @@ class _Rw:
                       p.s, p.e), "int"
         return p, k
 
+    def _arith_quad(self, lp: _P, lk: str, rp: _P, rk: str,
+                    opch: str) -> _P:
+        """+/-/* with a dynamically-classed operand (text/blob column or
+        computed value, or a quad-carrying piece): the result's
+        int-vs-real storage class follows SQLite — INTEGER iff both
+        operands convert to integer class AND the int64 op doesn't
+        overflow (overflow redoes the op in double, operation.html:
+        '9223372036854775807' + '1' is REAL 9.22e18 — probed) — and
+        rides the trip machinery so typeof/hex/||/comparison/chained-
+        arithmetic consumers stay exact.  try_add/try_subtract/
+        try_multiply NULL on overflow under both ANSI settings, so the
+        emission is ANSI-neutral."""
+        if lk == "bool":
+            lp, lk = _P(f"CAST(({lp.text}) AS BIGINT)", lp.s, lp.e), "int"
+        if rk == "bool":
+            rp, rk = _P(f"CAST(({rp.text}) AS BIGINT)", rp.s, rp.e), "int"
+        l_nn, li, ln, ld = _div_operand(lp, lk)
+        r_nn, ri, rn, rd = _div_operand(rp, rk)
+        nn = f"({l_nn} OR {r_nn})"
+        fn = {"+": "try_add", "-": "try_subtract",
+              "*": "try_multiply"}[opch]
+        isql = f"{fn}({ln}, {rn})"
+        cond = f"({li} AND {ri} AND {isql} IS NOT NULL)"
+        dsql = f"(({ld}) {opch} ({rd}))"
+        out = _P(f"(CASE WHEN {nn} THEN CAST(NULL AS DOUBLE) "
+                 f"WHEN {cond} THEN CAST({isql} AS DOUBLE) "
+                 f"ELSE {dsql} END)", lp.s, rp.e)
+        out.trip = (nn, cond, isql, dsql)
+        return out
+
+    @staticmethod
+    def _dyn_num(p: _P, k: str) -> bool:
+        """Operand whose int-vs-real storage class is only known at
+        runtime: a text/blob column or computed value (literals fold),
+        or a piece already carrying a quad."""
+        return (k in ("text", "blob") and p.sval is None) or (
+            p.trip is not None and k == "unknown")
+
     def _add(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
-        (lp, lk), i = self._mul(i, hi)
         T = self.T
+        (lp, lk), i = self._mul(i, hi)
         pieces, kind = [lp], lk
         while i < hi and T[i].kind == "op" and T[i].text in _ADD_OPS:
+            op = T[i]
+            (rp, rk), i = self._mul(i + 1, hi)
+            rp, rk = self._fold_sval(rp, rk)
+            if len(pieces) == 1:
+                p0, k0 = self._fold_sval(pieces[0], kind)
+                pieces, kind = [p0], k0
+            lq = len(pieces) == 1 and self._dyn_num(pieces[0], kind)
+            rq = self._dyn_num(rp, rk)
+            if ((lq or rq) and "null" not in (kind, rk)
+                    and (lq or kind in _NUMERIC)
+                    and (rq or rk in _NUMERIC)):
+                out = self._arith_quad(self._join(pieces), kind,
+                                       rp, rk, op.text)
+                pieces, kind = [out], "unknown"
+                continue
             if len(pieces) == 1:  # coerce the left side once, lazily
                 p0, k0 = self._coerce_num(pieces[0], kind, bitwise=False)
                 pieces, kind = [p0], k0
-            op = T[i]
-            (rp, rk), i = self._mul(i + 1, hi)
             rp, rk = self._coerce_num(rp, rk, bitwise=False)
             cur = (pieces[0].ival
                    if len(pieces) == 1 and kind == "int" else None)
@@ -1569,7 +1692,7 @@ class _Rw:
         ok = _NUMERIC | {"text", "blob"}
         if lk not in ok or rk not in ok:
             return verbatim, "unknown"  # unknown: strict Spark (doc'd)
-        rp, _rk = self._coerce_num(rp, rk, bitwise=True)
+        rp, rk = self._coerce_num(rp, rk, bitwise=True)
         x = f"CAST(({lp.text}) AS BIGINT)"
         n = rp.text
         n_lit = _lit_value(rp.text) if rk in _NUMERIC else None
@@ -1598,6 +1721,15 @@ class _Rw:
                 lp, lk = self._modulo(lp, lk, rp, rk, op)
                 continue
             if op.text != "/":
+                lp, lk = self._fold_sval(lp, lk)
+                rp, rk = self._fold_sval(rp, rk)
+                lq, rq = self._dyn_num(lp, lk), self._dyn_num(rp, rk)
+                if ((lq or rq) and "null" not in (lk, rk)
+                        and (lq or lk in _NUMERIC)
+                        and (rq or rk in _NUMERIC)):
+                    lp = self._arith_quad(lp, lk, rp, rk, op.text)
+                    lk = "unknown"
+                    continue
                 lp, lk = self._coerce_num(lp, lk, bitwise=False)
                 rp, rk = self._coerce_num(rp, rk, bitwise=False)
                 if (op.text == "*" and lk == "int" and rk == "int"
@@ -1637,12 +1769,23 @@ class _Rw:
             lp, lk = _P(f"CAST(({lp.text}) AS BIGINT)", lp.s, lp.e), "int"
         if rk == "bool":
             rp, rk = _P(f"CAST(({rp.text}) AS BIGINT)", rp.s, rp.e), "int"
+        # a text/blob LITERAL folds: its `%` VALUE is the atoi-style
+        # integer prefix but its CLASS follows the full-prefix spelling
+        # ('2.5e1' % 100 is REAL 2.0 — atoi value 2, real class; probed)
+        for side in ("l", "r"):
+            p, k = (lp, lk) if side == "l" else (rp, rk)
+            if k in ("text", "blob") and p.sval is not None:
+                v = _prefix_int_py(p.sval)
+                np = _P(_int_lit(v), p.s, p.e)
+                np.ival = v
+                k = "int" if isinstance(_prefix_num_py(p.sval), int) \
+                    else "real"
+                if side == "l":
+                    lp, lk = np, k
+                else:
+                    rp, rk = np, k
         verbatim = self._join([lp, _P(op.text, op.start, op.end), rp])
         r_lit = _lit_value(rp.text)
-        if lp.trip is not None and lk == "unknown":
-            lk = "real"  # dynamic division: numeric-or-NULL (quad below)
-        if rp.trip is not None and rk == "unknown":
-            rk = "real"
         if {lk, rk} <= _INTISH:
             if r_lit is not None and r_lit != 0:
                 return verbatim, "int"
@@ -1651,7 +1794,9 @@ class _Rw:
             if "blob" in (lk, rk):  # Spark rejects NULL-vs-BINARY ops
                 return _P("CAST(NULL AS DOUBLE)", lp.s, rp.e), "null"
             return verbatim, "null"
-        if "unknown" in (lk, rk):
+        dyn_l, dyn_r = self._dyn_num(lp, lk), self._dyn_num(rp, rk)
+        if (("unknown" in (lk, rk)) and not (
+                (dyn_l or lk in _NUMERIC) and (dyn_r or rk in _NUMERIC))):
             # dynamic operands keep strict Spark coercion (documented) but
             # must not be ANSI-fragile on a zero divisor
             if r_lit is not None and r_lit != 0:
@@ -1670,14 +1815,31 @@ class _Rw:
                 return _int_prefix_bigint(f"string(({p.text}))")
             return _int_prefix_bigint(p.text)  # text
 
-        return (_P(f"CAST(try_mod({as_int(lp, lk)}, "
-                   f"{as_int(rp, rk)}) AS DOUBLE)", lp.s, rp.e), "real")
+        isql = f"try_mod({as_int(lp, lk)}, {as_int(rp, rk)})"
+        if (dyn_l or dyn_r) and "real" not in (lk, rk):
+            # no statically-REAL operand: the result's int-vs-real class
+            # is dynamic — INTEGER iff both operand classes are integer
+            # ('3' % '2' is 1, '2.5' % 4 is 2.0, ('7'/'2') % 2 is 1 —
+            # probed).  The VALUE is the int computation either way; only
+            # the rendering class differs, so the quad's arms share it.
+            l_nn, li, _li64, _ld = _div_operand(lp, lk)
+            r_nn, ri, _ri64, _rd = _div_operand(rp, rk)
+            nn = f"({l_nn} OR {r_nn})"
+            cond = f"({li} AND {ri})"
+            dsql = f"CAST({isql} AS DOUBLE)"
+            out = _P(f"(CASE WHEN {nn} THEN CAST(NULL AS DOUBLE) "
+                     f"ELSE {dsql} END)", lp.s, rp.e)
+            out.trip = (nn, cond, isql, dsql)
+            return out, "unknown"
+        return _P(f"CAST({isql} AS DOUBLE)", lp.s, rp.e), "real"
 
     def _divide(self, lp: _P, lk: str, rp: _P, rk: str,
                 op: Tok) -> tuple[_P, str]:
         """Compile one `/` per the statically-inferred operand kinds.
         Every emitted form returns NULL on a zero divisor under BOTH ANSI
         settings (SQLite: x/0 = NULL for every storage class)."""
+        lp, lk = self._fold_sval(lp, lk)
+        rp, rk = self._fold_sval(rp, rk)
         if lk == "bool":
             # 0/1 INTEGER in SQLite; Spark rejects boolean `/` operands
             lp, lk = _P(f"CAST(({lp.text}) AS BIGINT)", lp.s, lp.e), "int"
@@ -1738,6 +1900,12 @@ class _Rw:
             tilde = any(p.text == "~" for p in prefixes)
             minus_n = sum(1 for p in prefixes if p.text == "-")
             minus = minus_n > 0
+            if (minus or tilde) and pk in ("text", "blob") \
+                    and pp.sval is not None:
+                # a string/blob literal under -/~ folds through its
+                # numeric conversion (-' 1' is the INTEGER -1, -'1.5'
+                # REAL; ~ converts atoi-style: ~'2.5' is -3 — probed)
+                pp, pk = self._fold_sval(pp, pk, bitwise=tilde)
             trip0 = pp.trip
             if pp.ival is not None and (minus or tilde):
                 # Exact prefix arithmetic over a statically-known
@@ -1791,6 +1959,22 @@ class _Rw:
                 pp = _P(_trip_bigint(trip0), pp.s, pp.e)
                 pk = "int"
                 pp = self._join(prefixes + [pp])
+            elif not tilde and minus and pk in ("text", "blob"):
+                # dynamic text/blob negation: the result's int-vs-real
+                # storage class follows the prefix spelling (typeof(-c)
+                # on c='1' is 'integer', on c='1.5' 'real' — probed), and
+                # negating int64 min promotes to REAL like any overflow
+                nn, cond, isql, dsql = _div_operand(pp, pk)
+                if minus_n % 2:
+                    neg = f"try_subtract(CAST(0 AS BIGINT), {isql})"
+                    cond = f"({cond} AND {neg} IS NOT NULL)"
+                    isql = neg
+                    dsql = f"(- ({dsql}))"
+                out = _P(f"(CASE WHEN {nn} THEN CAST(NULL AS DOUBLE) "
+                         f"WHEN {cond} THEN CAST({isql} AS DOUBLE) "
+                         f"ELSE {dsql} END)", prefixes[0].s, pp.e)
+                out.trip = (nn, cond, isql, dsql)
+                pp, pk = out, "unknown"
             elif tilde or minus:
                 pp, pk = self._coerce_num(pp, pk, bitwise=tilde)
                 pk = "int" if tilde else _numlike(pk)
@@ -1814,7 +1998,7 @@ class _Rw:
                 iv0 = pp.ival if pk == "int" else None
                 np = _P(pp.text, prefixes[0].s, pp.e)
                 np.trip, np.varied, np.aff = trip0, pp.varied, pp.aff
-                np.ival = iv0
+                np.ival, np.sval = iv0, pp.sval
                 pp = np
         pieces = [pp]
         while i < hi:
@@ -1924,7 +2108,13 @@ class _Rw:
             p.ival = v
             return ((p, "int"), i + 1)
         if t.kind == "str":
-            return ((self._tokp(i), "text"), i + 1)
+            p = self._tokp(i)
+            if len(t.text) >= 2 and t.text[0] == "'" and t.text[-1] == "'":
+                # static value for numeric-prefix folding (the earlier
+                # escaping pass may have doubled backslashes — harmless:
+                # a backslash can never be part of a numeric prefix)
+                p.sval = t.text[1:-1].replace("''", "'")
+            return ((p, "text"), i + 1)
         if t.text == "(":
             j = self._match_paren(i, hi)
             if j == i + 1:
@@ -1953,7 +2143,7 @@ class _Rw:
             # unary-minus fold over an oversized integer literal:
             # -(9223372036854775808) is int64 min, probed vs sqlite3)
             gp.trip, gp.varied, gp.aff = ep.trip, ep.varied, ep.aff
-            gp.ival = ep.ival
+            gp.ival, gp.sval = ep.ival, ep.sval
             return ((gp, ek), j + 1)
         if t.kind in ("bt", "word"):
             if t.kind == "word":
@@ -1970,8 +2160,13 @@ class _Rw:
                     return ((self._tokp(i), "bool"), i + 1)
                 if (t.low == "x" and i + 1 < hi and T[i + 1].kind == "str"
                         and T[i + 1].start == t.end):
-                    return ((self._join([self._tokp(i), self._tokp(i + 1)]),
-                             "blob"), i + 2)
+                    bp = self._join([self._tokp(i), self._tokp(i + 1)])
+                    try:  # UTF-8 rendering for numeric-prefix folding
+                        bp.sval = bytes.fromhex(
+                            T[i + 1].text[1:-1]).decode("utf-8")
+                    except ValueError:
+                        pass
+                    return ((bp, "blob"), i + 2)
             return self._ident_or_call(i, hi)
         raise _Unsupported(f"primary at {t.text!r}")
 
@@ -2054,12 +2249,32 @@ class _Rw:
         Returns None to fall through to the generic call path whenever no
         affinity handling is needed — common shapes keep their exact
         bytes, kinds, and plans."""
-        if fname not in ("nullif", "greatest", "least", "typeof"):
+        if fname not in ("nullif", "greatest", "least", "typeof",
+                         "iif", "if", "coalesce", "ifnull"):
             return None
         parsed, j = self._simple_args(i, hi)
         if parsed is None:
             return None
         start, end = name_p.s, self.T[j].end
+        if fname in ("iif", "if", "coalesce", "ifnull"):
+            # SQLite keeps each arm's own storage class per row where
+            # Spark common-types the branches (typeof(iif(1, 1, 2.5)) is
+            # 'integer', typeof(coalesce(1, 2.5)) too — probed): an
+            # int/real (or quad-carrying) arm mix rides a branch quad.
+            # Anything else falls through byte-identical.
+            if fname in ("iif", "if"):
+                if len(parsed) != 3 or not self._branch_mix(parsed[1:]):
+                    return None
+                cp = self._truthify(*parsed[0])
+                out = self._branch_quad([f"({cp.text})"], parsed[1:],
+                                        start, end)
+            else:
+                if len(parsed) < 2 or not self._branch_mix(parsed):
+                    return None
+                conds = [f"(({p.text}) IS NOT NULL)"
+                         for p, _k in parsed[:-1]]
+                out = self._branch_quad(conds, parsed, start, end)
+            return ((out, "unknown"), j + 1)
         if fname == "typeof":
             # the typeof ALIAS (functions._typeof_alias, expanded before
             # this pass) maps Spark type names to SQLite storage-class
@@ -2094,47 +2309,137 @@ class _Rw:
                    start, end)
             return ((p, ak), j + 1)
         if fname in ("greatest", "least") and len(parsed) >= 2:
-            kinds = [k for _p, k in parsed]
+            # a quad-carrying arg (text division, branch quad, mixed
+            # min) is a dynamically-classed NUMERIC member
+            kinds = ["dyn" if (p.trip is not None and k == "unknown")
+                     else k for p, k in parsed]
+            if not all(k in ("int", "real", "bool", "text", "null",
+                             "blob", "dyn") for k in kinds):
+                return None
             has_txt = any(k == "text" for k in kinds)
-            has_num = any(k in _NUMERIC for k in kinds)
-            if not all(k in ("int", "real", "bool", "text", "null")
-                       for k in kinds):
+            has_num = any(k in _NUMERIC or k == "dyn" for k in kinds)
+            has_dyn = any(k == "dyn" for k in kinds)
+            has_blob = any(k == "blob" for k in kinds)
+            n_classes = sum((has_num, has_txt, has_blob))
+            numk = lambda k: k in _NUMERIC or k == "dyn"  # noqa: E731
+            if n_classes == 1 and has_num:
+                if has_dyn or (any(k in _INTISH for k in kinds)
+                               and "real" in kinds):
+                    # pure numeric int/real mix (or a quad arg): the
+                    # winner's storage class is dynamic (min(2, 1.5) is
+                    # REAL, min(1, 2.5) INTEGER) — ride the quad so
+                    # typeof/hex/text consumers stay exact; the SELECT
+                    # surface is DOUBLE (documented, same as
+                    # dynamically-typed division)
+                    nargs = [(p, k2) for (p, _k), k2 in zip(parsed, kinds)
+                             if numk(k2)]
+                    out = self._nm_quad(nargs, fname, start, end)
+                    return ((out, "unknown"), j + 1)
                 return None
-            if (not has_txt and any(k in _INTISH for k in kinds)
-                    and "real" in kinds):
-                # pure numeric int/real mix: the winner's storage class
-                # is dynamic (min(2, 1.5) is REAL, min(1, 2.5) INTEGER)
-                # — ride the quad so typeof/hex/text consumers stay
-                # exact; the SELECT surface is DOUBLE (documented, same
-                # as dynamically-typed division)
-                nargs = [(p, k) for p, k in parsed if k in _NUMERIC]
-                out = self._nm_quad(nargs, fname, start, end)
-                return ((out, "unknown"), j + 1)
-            if not (has_txt and has_num):
-                return None
-            # SQLite's cross-class sort order makes the winner's CLASS
-            # static even though its value is not: TEXT outranks every
-            # numeric, so mixed-class max is the max of the TEXT args
-            # (statically text), and mixed-class min is the min of the
-            # NUMERIC args — whose int-vs-real storage class is dynamic
-            # and rides the division-quad machinery so comparisons,
-            # ||, typeof-free consumers and renderings stay exact
-            # (`trim('%') < min('0', a, c)` is FALSE: text never sorts
-            # below a number — found by the r6 seed sweep; the earlier
-            # text-rendering emission statically mistyped min as text).
+            if n_classes <= 1:
+                return None  # single-class args: native greatest/least
+            # SQLite's cross-class sort order (numeric < TEXT < BLOB)
+            # makes the winner's CLASS static even though its value is
+            # not: mixed-class max is the max of the HIGHEST-class args
+            # (blob if any, else text), mixed-class min the min of the
+            # LOWEST-class args (numeric if any, else text) — whose
+            # int-vs-real storage class can still be dynamic and rides
+            # the division-quad machinery so comparisons, ||, typeof
+            # and renderings stay exact (`trim('%') < min('0', a, c)`
+            # is FALSE: text never sorts below a number — r6 seed
+            # sweep; `quote(max('a', x'41', 5))` is X'41', probed).
             # NULL propagation lives in the scalar max/min alias's
             # any-NULL guard (functions._minmax_alias), whose CASE
             # forwards this piece's quad (see _case).
-            if fname == "greatest":
-                targs = [p.text for p, k in parsed if k == "text"]
-                expr = (f"({targs[0]})" if len(targs) == 1 else
-                        "greatest(" + ", ".join(f"({t})" for t in targs)
+            def _pick(want: str):
+                args = [p.text for p, k in parsed if k == want]
+                fnn = "greatest" if fname == "greatest" else "least"
+                return (f"({args[0]})" if len(args) == 1 else
+                        fnn + "(" + ", ".join(f"({t})" for t in args)
                         + ")")
-                return ((_P(expr, start, end), "text"), j + 1)
-            nargs = [(p, k) for p, k in parsed if k in _NUMERIC]
+            if fname == "greatest":
+                win = "blob" if has_blob else "text"
+                return ((_P(_pick(win), start, end), win), j + 1)
+            if not has_num:  # text + blob mix: text is the low class
+                return ((_P(_pick("text"), start, end), "text"), j + 1)
+            nargs = [(p, k2) for (p, _k), k2 in zip(parsed, kinds)
+                     if numk(k2)]
+            if not any(k in ("real", "dyn") for _p, k in nargs):
+                # all-integer numeric side: the winner is statically
+                # INTEGER (min('1.0', 9223372036854775807) is the exact
+                # int64 max, not its DOUBLE rounding — r6 judge-probe
+                # sweep); no quad needed
+                ints = [f"CAST(({p.text}) AS BIGINT)" for p, _k in nargs]
+                expr = (ints[0] if len(ints) == 1
+                        else "least(" + ", ".join(ints) + ")")
+                return ((_P(expr, start, end), "int"), j + 1)
             out = self._nm_quad(nargs, "least", start, end)
             return ((out, "unknown"), j + 1)
         return None
+
+    @staticmethod
+    def _branch_mix(vals) -> bool:
+        """True when a branch construct (CASE/iif/coalesce) mixes
+        int-classed and real-classed arms, or carries a quad arm — the
+        shapes whose per-row storage class SQLite keeps but Spark's
+        common-type coercion flattens (typeof(iif(1, 1, 2.5)) is
+        'integer' — probed vs sqlite3)."""
+        eff = []
+        for p, k in vals:
+            if p is not None and p.trip is not None and k == "unknown":
+                eff.append("dyn")
+            else:
+                eff.append(k)
+        if not all(k in ("int", "real", "bool", "null", "dyn")
+                   for k in eff):
+            return False
+        return (any(k == "dyn" for k in eff) or
+                (any(k in _INTISH for k in eff)
+                 and any(k == "real" for k in eff)))
+
+    def _branch_quad(self, conds: list[str], vals,
+                     start: int, end: int) -> _P:
+        """Compile a branch construct over mixed int/real arms into a
+        quad-carrying piece: the DOUBLE surface is the value, and the
+        trip dispatches each row to its selected arm's storage class so
+        typeof/hex/||/comparison consumers stay exact.  `conds` are the
+        arm predicates (boolean SQL, one per non-ELSE arm); `vals` the
+        (piece|None, kind) arm values, ELSE last (None piece = implicit
+        NULL)."""
+        def arm(pk, sel: str) -> str:
+            p, k = pk
+            if p is not None and p.trip is not None and k == "unknown":
+                nn, cond, isql, dsql = p.trip
+                if sel == "c":
+                    return cond
+                if sel == "i":
+                    return isql
+                return (f"(CASE WHEN {cond} THEN CAST({isql} AS DOUBLE) "
+                        f"ELSE {dsql} END)")
+            if sel == "c":
+                return "true" if k in _INTISH else "false"
+            if k == "null" or p is None:
+                return ("CAST(NULL AS BIGINT)" if sel == "i"
+                        else "CAST(NULL AS DOUBLE)")
+            if sel == "i":
+                if k in _INTISH:
+                    return f"CAST(({p.text}) AS BIGINT)"
+                # real arm: never selected when the int branch fires,
+                # but the CASE still needs a BIGINT-typed, ANSI-safe arm
+                return _sat_bigint(f"CAST(({p.text}) AS DOUBLE)")
+            if k == "bool":
+                return f"CAST(CAST(({p.text}) AS BIGINT) AS DOUBLE)"
+            return f"CAST(({p.text}) AS DOUBLE)"
+
+        def mk(sel: str) -> str:
+            arms = " ".join(f"WHEN {c} THEN {arm(v, sel)}"
+                            for c, v in zip(conds, vals))
+            return f"(CASE {arms} ELSE {arm(vals[-1], sel)} END)"
+
+        dbl, isq, cond = mk("d"), mk("i"), mk("c")
+        out = _P(dbl, start, end)
+        out.trip = (f"(({dbl}) IS NULL)", cond, isq, dbl)
+        return out
 
     def _nm_quad(self, nargs, fn: str, start: int, end: int) -> _P:
         """greatest/least over numeric args whose winner's int-vs-real
@@ -2142,21 +2447,36 @@ class _Rw:
         class is that of the FIRST argument (call order) achieving the
         extremum — min(1, 1.0) is the INTEGER 1 while min(1.0, 1) is
         the REAL 1.0 in SQLite — and the int branch computes over the
-        INT args directly, exact for |x| > 2^53 where the DOUBLE
-        surface rounds."""
-        dbls = [(f"CAST(CAST(({p.text}) AS BIGINT) AS DOUBLE)"
-                 if k == "bool" else f"CAST(({p.text}) AS DOUBLE)")
-                for p, k in nargs]
+        int renderings directly, exact for |x| > 2^53 where the DOUBLE
+        surface rounds (a truncated real arg can never displace the
+        winning integer: it is only consulted when an int-classed arg
+        holds the extremum, and truncation moves values toward it).
+        A 'dyn' arg (quad-carrying piece) contributes its runtime class
+        and its own int/double arms."""
+        def as_dbl(p: _P, k: str) -> str:
+            if k == "dyn":
+                nn0, cond, isql, dsql = p.trip
+                return (f"(CASE WHEN {cond} THEN CAST({isql} AS DOUBLE) "
+                        f"ELSE {dsql} END)")
+            if k == "bool":
+                return f"CAST(CAST(({p.text}) AS BIGINT) AS DOUBLE)"
+            return f"CAST(({p.text}) AS DOUBLE)"
+
+        dbls = [as_dbl(p, k) for p, k in nargs]
         dbl = (dbls[0] if len(dbls) == 1
                else f"{fn}(" + ", ".join(dbls) + ")")
         nn = f"(({dbl}) IS NULL)"
-        arms = " ".join(
-            f"WHEN {d} = {dbl} THEN "
-            + ("true" if k in _INTISH else "false")
-            for d, (_p, k) in zip(dbls, nargs))
+        def arm_isint(p: _P, k: str) -> str:
+            if k == "dyn":
+                return p.trip[1]
+            return "true" if k in _INTISH else "false"
+
+        arms = " ".join(f"WHEN {d} = {dbl} THEN {arm_isint(p, k)}"
+                        for d, (p, k) in zip(dbls, nargs))
         is_int = f"(CASE {arms} ELSE false END)"
-        ints = [f"CAST(({p.text}) AS BIGINT)" for p, k in nargs
-                if k in _INTISH]
+        ints = [(_trip_bigint(p.trip) if k == "dyn"
+                 else f"CAST(({p.text}) AS BIGINT)")
+                for p, k in nargs if k in _INTISH or k == "dyn"]
         int_sql = (f"CAST({dbl} AS BIGINT)" if not ints
                    else (ints[0] if len(ints) == 1
                          else f"{fn}(" + ", ".join(ints) + ")"))
@@ -2244,6 +2564,20 @@ class _Rw:
                 # probed); try_cast matches under both ANSI settings
                 ep = _P(f"try_cast(({ep.text}) AS DOUBLE)", ep.s, ep.e)
                 ek = "real"
+            elif ek == "blob" and fname in _FN_NUM_FULLCAST:
+                # the math family NULLs BLOB args outright — even
+                # numeric-looking bytes (sqrt(x'34') is NULL, sign(x'')
+                # is NULL — probed); Spark rejects binary input
+                ep = _P("CAST(NULL AS DOUBLE)", ep.s, ep.e)
+                ek = "null"
+            elif ek == "blob" and fname in _BLOB_TEXT_FNS:
+                # these treat a BLOB argument as its UTF-8 text
+                # (upper(x'61') is 'A', trim(x'4120') is 'A',
+                # replace(x'41','A','B') is 'B' — probed); Spark rejects
+                # binary input.  substr()/length() stay native: Spark's
+                # BINARY semantics are already SQLite's bytewise ones.
+                ep = _P(f"string(({ep.text}))", ep.s, ep.e)
+                ek = "text"
             pieces.append(ep)
             kinds.append(ek)
         pieces.append(self._tokp(j))
@@ -2329,26 +2663,26 @@ class _Rw:
             pieces.append(self._tokp(i))
             (cp, ck), i = self.expr(i + 1, hi, boolctx=searched)
             pieces.append(cp)
-            vp = None
+            vp, vk = None, "unknown"
             if i < hi and T[i].low == "then":
                 pieces.append(self._tokp(i))
                 (vp, vk), i = self.expr(i + 1, hi, boolctx=False)
                 pieces.append(vp)
                 arm_kinds.append(vk)
-            whens.append((cp, ck, vp))
-        else_p = None
+            whens.append((cp, ck, vp, vk))
+        else_p, else_k = None, "null"
         if i < hi and T[i].low == "else":
             pieces.append(self._tokp(i))
             (vp, vk), i = self.expr(i + 1, hi, boolctx=False)
             pieces.append(vp)
             arm_kinds.append(vk)
-            else_p = vp
+            else_p, else_k = vp, vk
         if i < hi and T[i].low == "end":
             pieces.append(self._tokp(i))
             i += 1
         kind = _union_all(arm_kinds) if arm_kinds else "unknown"
-        if base is not None and whens and all(w[2] is not None
-                                              for w in whens):
+        complete = whens and all(w[2] is not None for w in whens)
+        if base is not None and complete:
             # SQLite's base-form CASE compares base = WHEN-operand with
             # the SAME affinity rules as a standalone `=` (lang_expr.html
             # §CASE): `CASE 1 WHEN '1' …` misses (no affinity, storage
@@ -2361,20 +2695,46 @@ class _Rw:
             bke = _eff_cmp_kind(bk, bp)
             modes = [_cmp_mode(bke, bp.aff, bp.varied,
                                _eff_cmp_kind(ck, cp), cp.aff, cp.varied)
-                     for cp, ck, _vp in whens]
+                     for cp, ck, _vp, _vk in whens]
             if any(m != "native" for m in modes):
                 arms = " ".join(
                     f"WHEN {self._affinity_cmp(bp.text, bke, '=', cp.text, _eff_cmp_kind(ck, cp), m)} "
                     f"THEN {vp.text}"
-                    for (cp, ck, vp), m in zip(whens, modes))
+                    for (cp, ck, vp, _vk), m in zip(whens, modes))
                 tail = f" ELSE {else_p.text}" if else_p is not None else ""
                 end = pieces[-1].e
                 return ((_P(f"CASE {arms}{tail} END", start, end), kind), i)
+        vals = [(vp, vk) for _cp, _ck, vp, vk in whens] + [(else_p, else_k)]
+        guard_shape = (base is None and len(whens) == 1
+                       and else_p is not None
+                       and whens[0][2] is not None
+                       and whens[0][2].text.strip().upper() == "NULL"
+                       and else_p.trip is not None)
+        if complete and not guard_shape and self._branch_mix(vals):
+            # mixed int/real (or quad-carrying) arms: SQLite keeps each
+            # row's own storage class (typeof(CASE WHEN 1 THEN 1 ELSE
+            # 2.5 END) is 'integer' — probed); rebuild as a branch quad.
+            # Base-form arms become compiled equalities first.
+            if base is None:
+                conds = [f"({cp.text})" for cp, _ck, _vp, _vk in whens]
+            else:
+                bp, bk = base
+                bke = _eff_cmp_kind(bk, bp)
+                conds = []
+                for cp, ck, _vp, _vk in whens:
+                    cke = _eff_cmp_kind(ck, cp)
+                    m = _cmp_mode(bke, bp.aff, bp.varied, cke,
+                                  cp.aff, cp.varied)
+                    conds.append(
+                        self._affinity_cmp(bp.text, bke, "=",
+                                           cp.text, cke, m)
+                        if m != "native"
+                        else f"(({bp.text}) = ({cp.text}))")
+            end = pieces[-1].e
+            out = self._branch_quad(conds, vals, start, end)
+            return ((out, "unknown"), i)
         out = self._join(pieces)
-        if (base is None and len(whens) == 1 and else_p is not None
-                and whens[0][2] is not None
-                and whens[0][2].text.strip().upper() == "NULL"
-                and else_p.trip is not None):
+        if guard_shape:
             # the NULL-guard shape (CASE WHEN <nulls> THEN NULL ELSE x
             # END — what the scalar max/min alias emits) forwards x's
             # division-quad with the guard OR-ed into the null arm, so a
@@ -2459,7 +2819,19 @@ class _Rw:
             return ((aff_p(self._cast_text(ep.text, ek), "text"), "text"),
                     j + 1)
         if tname == "blob":
-            return ((_P(f"CAST({ep.text} AS BINARY)", *span), "blob"), j + 1)
+            # SQLite CAST(x AS BLOB) takes the bytes of x's TEXT
+            # rendering (CAST(5 AS BLOB) is X'35' — probed); Spark's
+            # numeric→binary cast is the raw big-endian word (or an
+            # error for DOUBLE), so convert through text first
+            if ep.trip is not None:
+                inner = _trip_text(ep.trip)
+            elif ek in ("int", "bool"):
+                inner = f"CAST(({ep.text}) AS STRING)"
+            elif ek == "real":
+                inner = f"dsq_real_text(CAST(({ep.text}) AS DOUBLE))"
+            else:
+                inner = f"({ep.text})"  # text/blob/null: byte-preserving
+            return ((_P(f"CAST({inner} AS BINARY)", *span), "blob"), j + 1)
         if tname in ("string", "varchar") and ek == "real":
             # Spark-name string casts of a KNOWN-real source are still our
             # own text conversions (e.g. the hex alias's inner CAST) — use
@@ -2490,6 +2862,11 @@ class _Rw:
     def _cast_int(self, et: str, ek: str) -> str:
         if ek == "text":
             return _int_prefix_bigint(et)
+        if ek == "blob":
+            # BLOB casts convert through the UTF-8 rendering, like text
+            # (CAST(x'3931' AS INTEGER) is 91 — probed); Spark rejects
+            # the binary→numeric cast outright
+            return _int_prefix_bigint(f"string(({et}))")
         if ek == "real":
             # SQLite saturates REAL→INTEGER overflow to ±int64 max; the
             # non-ANSI Spark cast agreed but the ANSI one throws, so the
@@ -2520,6 +2897,8 @@ class _Rw:
     def _cast_real(self, et: str, ek: str) -> str:
         if ek == "text":
             return _real_prefix_double(et)
+        if ek == "blob":  # via the UTF-8 rendering, like text (probed)
+            return _real_prefix_double(f"string(({et}))")
         if ek in ("int", "real", "bool", "null"):
             return f"CAST({et} AS DOUBLE)"
         return (f"(CASE WHEN typeof({et}) = 'string' "

@@ -239,6 +239,25 @@ class Gen:
             # typed-key compilation)
             lambda: self.numtext(),
             lambda: f"max({self.numtext()}, {self.int_(d-1)})",
+            # r6 batch 2/3: dynamic int-vs-real storage class through
+            # text arithmetic, %, unary minus, and branch constructs —
+            # rendered consumers (||, hex, CAST AS TEXT, typeof) see the
+            # runtime class exactly via the quad machinery
+            lambda: f"(({self.numtext()} + {self.int_(0)}) || '')",
+            lambda: f"hex({self.numtext()} * {self.int_(0)})",
+            lambda: f"CAST((c + {self.int_(0)}) AS TEXT)",
+            lambda: f"((c % 3) || '')",
+            lambda: f"(-c || '')",
+            lambda: f"typeof(-c)",
+            lambda: f"typeof(c % 2)",
+            lambda: (f"(iif({self.bool_(0)}, {self.int_(0)}, "
+                     f"{self.real(0)}) || '')"),
+            lambda: (f"typeof(iif({self.bool_(0)}, {self.int_(0)}, "
+                     f"{self.real(0)}))"),
+            lambda: f"typeof(coalesce(NULL, {self.real(0)}, {self.int_(0)}))",
+            lambda: (f"hex(CASE WHEN {self.bool_(0)} THEN {self.int_(0)} "
+                     f"ELSE {self.real(0)} END)"),
+            lambda: f"typeof(min(iif({self.bool_(0)}, 3, 0.5), {self.int_(0)}))",
             # mixed min's SELECT surface is DOUBLE (documented residual,
             # like dynamic division) — int_(0) keeps magnitudes inside
             # double-exact range so _canon compares values, not that
@@ -323,6 +342,10 @@ class Gen:
             lambda: ("({} BETWEEN {} AND {})".format(
                 r.randint(-3, 9), self.numtext(), self.numtext())),
             lambda: f"(hex({self.int_(0)}) {r.choice(cmps)} {r.randint(0, 99)})",
+            # r6 batch 2/3: quad-carrying operands in comparisons
+            lambda: f"((c + {self.int_(0)}) {r.choice(cmps)} {self.numtext()})",
+            lambda: (f"(iif({r.randint(0, 1)}, {self.int_(0)}, "
+                     f"{self.real(0)}) {r.choice(cmps)} a)"),
             lambda: f"(CAST({self.int_(0)} AS TEXT) {r.choice(cmps)} {self.int_(0)})",
             lambda: f"(CAST({self.text(0)} AS INTEGER) {r.choice(cmps)} c)",
         ]
@@ -1239,6 +1262,107 @@ def test_bool_blob_value_positions(engines):
         "typeof(max(a, 0.5))", "hex(min(a, 9223372036854775807, 1.5))",
         "CAST(min(a, 2.5) AS TEXT)", "trim(round(2147483647))",
         "length(max(a, 0.5))",
+    ]
+    sels = ", ".join(f"{e} AS r{i}" for i, e in enumerate(exprs))
+    q = f"SELECT {sels} FROM td"
+    want, got = _run(spark, con, q)
+    assert want == got
+    rw = rewrite_query(q, SCHEMA)
+    assert rewrite_query(rw, SCHEMA) == rw
+
+
+def test_arith_storage_class_matrix(engines):
+    """r6 probe-sweep, batch 2 — SQLite's dynamic int-vs-real storage
+    class through +/-/*/%/unary-minus, pinned vs sqlite3: (1) text/blob
+    operands convert through the numeric prefix with the class of their
+    SPELLING ('1' + '2' is the INTEGER 3, '2.5e1' * '2' is REAL 50.0,
+    typeof(-c) on '1' is 'integer'), literals folding exactly at compile
+    time and columns/computed text riding a quad; (2) int64 overflow in
+    the dynamic path promotes to REAL ('9223372036854775807' + '1');
+    (3) `%` takes the atoi-style integer VALUE but the full-prefix CLASS
+    ('2.5e1' % 100 is REAL 2.0, '3' % '2' INTEGER 1), and a division
+    quad feeding % keeps its class (('7'/'2') % 2 is 1); (4) bitwise
+    text conversion is atoi ('2.5e1' & 31 is 2) with int64-exact digits
+    ('9223372036854775806' & 1 is 0); (5) scalar min/max rank BLOBs
+    above text (quote(max('a', x'41', 5)) is X'41'), an all-integer
+    numeric side is statically INTEGER (min('1.0', int64max) is exact),
+    and blob args reach CAST/upper/trim/replace/unicode/instr through
+    their UTF-8 rendering while the math family NULLs them outright."""
+    spark, con = engines
+    exprs = [
+        "'1' + '2'", "typeof('1' + '2')", "hex('1' + '2')",
+        "('1' + '2') || 'x'", "-'1' || unicode('1')",
+        "trim(-' 1' / hex('1'))", "typeof(-' 1')", "typeof('5kg' * '2')",
+        "typeof('2.0' - 0)", "'9223372036854775807' + '1'",
+        "typeof('9223372036854775807' + '1')", "typeof('0x10' + 0)",
+        "typeof(c + 1)", "hex(c + 1)", "(c + c) || 'x'", "typeof(-c)",
+        "-c || ''", "typeof(c % 2)", "typeof(b % 2)", "c % 2",
+        "'2.5' % 4", "typeof('2.5' % 4)", "'3' % '2'", "typeof('3' % '2')",
+        "'2.5e1' % 100", "typeof('2.5e1' % 100)", "('7' / '2') % 2",
+        "typeof(('7'/'2') % 2)", "'2.5e1' & 31", "'2.5' & 3",
+        "'9223372036854775806' & 1", "'2.5e1' / 5", "typeof('2.5e1' / 5)",
+        "-x'32'", "typeof(-x'32')", "x'32' % 3", "~'2.5'", "~'abc'",
+        "typeof(('7'/'2') - 0)", "('7'/'2') * '2'", "hex(('7'/'2') * '2')",
+        "9223372036854775807 + 'a'", "typeof(9223372036854775807 + 'a')",
+        "typeof('' + '')", "'-2.5' % '2'", "' 25 ' & 31", "'.5' & 3",
+        "-'1e2'", "typeof(-'1e2')", "-'9223372036854775808'",
+        "typeof(-'9223372036854775808')", "3 << '2'", "typeof(-'abc')",
+        "('1'+'2') = 3", "('1'+'2') = '3'", "typeof(c * 2.0)",
+        "nullif(min(trim('1.0'), iif('1.0', 9223372036854775807, NULL)), 0)",
+        "typeof(min('1.0', 9223372036854775807))", "hex(min('z', 5, 9))",
+        "typeof(min('x', 3, 4))", "quote(max('a', x'41', 5))",
+        "quote(min('a', x'41', 5))", "quote(max(-1, x''))",
+        "typeof(min(-1, x''))", "length(min(-1, x''))",
+        "quote(min('a', x'41'))", "upper(min(-1, x''))", "abs(sign(x''))",
+        "ceil(x'41')", "sqrt(x'34')", "abs(CAST(x'41' AS INTEGER))",
+        "CAST(x'3931' AS INTEGER)", "typeof(CAST(x'3931' AS INTEGER))",
+        "CAST(x'32' AS REAL)", "CAST(x'41' AS TEXT)", "upper(x'61')",
+        "lower(x'41')", "trim(x'4120')", "replace(x'41', 'A', 'B')",
+        "unicode(x'41')", "instr(x'4142', x'42')", "instr(x'4142', '2')",
+        "substr(min(x'', 1), 1, 2)", "quote(substr(x'4142', 1, 1))",
+        "max('5', 10)", "min('5', 10)", "typeof(min('5', 10))",
+        "((max(2147483647, x'')))", "min(9223372036854775807, '1.0', 5)",
+    ]
+    sels = ", ".join(f"{e} AS r{i}" for i, e in enumerate(exprs))
+    q = f"SELECT {sels} FROM td"
+    want, got = _run(spark, con, q)
+    assert want == got
+    rw = rewrite_query(q, SCHEMA)
+    assert rewrite_query(rw, SCHEMA) == rw
+
+
+def test_branch_storage_class_matrix(engines):
+    """r6 probe-sweep, batch 3 — SQLite keeps each row's own storage
+    class through CASE/iif/coalesce/ifnull arms where Spark common-types
+    the branches: typeof(iif(1, 1, 2.5)) is 'integer',
+    typeof(coalesce(NULL, 2.5, 1)) 'real', hex/||/comparison consumers
+    see the selected arm's class, a division quad survives as an arm,
+    and the quad feeds scalar min/max (typeof(min(iif(1,3,0.5), 7)) is
+    'integer') and further arithmetic.  CAST(x AS BLOB) takes the bytes
+    of the TEXT rendering (CAST(5 AS BLOB) is X'35'), not Spark's raw
+    big-endian word.  All pinned vs sqlite3."""
+    spark, con = engines
+    exprs = [
+        "typeof(iif(a > 0, 1, 2.5))", "hex(iif(1, 1, 2.5))",
+        "iif(1, 1, 2.5) || 'x'", "iif(0, 1, 2.5) || 'x'",
+        "typeof(CASE WHEN a > 99 THEN 1 ELSE 2.5 END)",
+        "CASE WHEN 0 THEN 1 ELSE 2.5 END || ''",
+        "hex(CASE WHEN 1 THEN 9007199254740993 ELSE 0.5 END)",
+        "typeof(coalesce(NULL, 2.5, a))", "coalesce(NULL, a, 2.5) || ''",
+        "typeof(ifnull(a, 1.5))", "ifnull(NULL, 2.5) || ''",
+        "typeof(CASE a WHEN 1 THEN 5 ELSE 0.5 END)",
+        "typeof(CASE '1' WHEN 1 THEN 5 ELSE 0.5 END)",
+        "typeof(coalesce('7'/'2', 1.5))", "coalesce('7'/'2', 1.5) || ''",
+        "hex(iif(1, '7'/'2', 0.5))", "CASE WHEN a > 0 THEN 1 END || ''",
+        "iif(NULL, 1, 2.5) || ''", "(CASE WHEN 1 THEN 2 ELSE 0.5 END) = '2'",
+        "typeof(min(iif(1, 3, 0.5), 7))", "hex(min(iif(1, 3, 0.5), 7))",
+        "min(iif(1, 3, 0.5), a) || ''", "typeof(min('z', iif(1, 3, 0.5), 7))",
+        "typeof(max(iif(1, 3, 0.5), 1.5))",
+        "hex(min(9223372036854775807, iif(1, 9223372036854775806, 0.5)))",
+        "(iif(a IS NOT NULL, 2, 0.5)) + 1 || ''",
+        "quote(CAST(5 AS BLOB))", "quote(CAST('ab' AS BLOB))",
+        "quote(CAST(2.5 AS BLOB))", "quote(CAST('7'/'2' AS BLOB))",
+        "length(CAST(12345 AS BLOB))", "quote(CAST(a AS BLOB))",
     ]
     sels = ", ".join(f"{e} AS r{i}" for i, e in enumerate(exprs))
     q = f"SELECT {sels} FROM td"
