@@ -587,6 +587,8 @@ def _eff_cmp_kind(k: str, p: "_P") -> str:
     both rank 1); the texty modes need a TEXT-affinity column on the
     other side, which cannot coexist with the schema-less operands that
     produce quads."""
+    if p.cls is not None:
+        return "cls"  # text-rendered branch: per-arm class keys apply
     if p.trip is not None and k not in ("int", "real", "bool", "text"):
         return "real"
     return k
@@ -608,6 +610,23 @@ def _cmp_mode(lk: str, la, lv: bool, rk: str, ra, rv: bool) -> str:
                 numeric < text, NEVER equal: 1 = '1' is 0, 1 < '0' is 1
                 (pinned vs sqlite3, test_no_affinity_comparison_matrix);
     'native'  — same-class or non-static operands, Spark comparison."""
+    if lk == "cls" or rk == "cls":
+        # a TEXT-rendered branch construct: its per-row storage class is
+        # carried on the piece (cls), so the comparison builds per-arm
+        # keys.  Against a NUMERIC-affinity column (or varied ingest)
+        # the text arms numeric-parse (key); against a TEXT-affinity
+        # column both sides are their renderings (native); anything
+        # no-affinity compares storage classes exactly (class).
+        if lk == "cls" and rk == "cls":
+            return "class"
+        ok, oaff, ov = (rk, ra, rv) if lk == "cls" else (lk, la, lv)
+        if oaff == "num" or ov:
+            return "key"
+        if oaff == "text":
+            return "native"
+        if ok in _NUMERIC or ok in ("text", "blob"):
+            return "class"
+        return "native"  # unknown/null other side: hands off
     if lv or rv:
         return "key"
     l_num, r_num = lk in _NUMERIC, rk in _NUMERIC
@@ -656,6 +675,36 @@ def _typed_key_null_sql(t: str, k: str = "unknown",
     null_arm = f"CAST(NULL AS {_KEY_STRUCT})"
     return (f"(CASE WHEN ({t}) IS NULL THEN {null_arm} "
             f"ELSE {body} END)")
+
+
+def _cls_key_sql(cls, parse: bool, null_rank0: bool = False) -> str:
+    """Comparison key of a TEXT-rendered branch construct, built from
+    its per-arm class structure: each arm keys with ITS OWN static kind
+    (an int arm is rank-1 numeric, a text arm rank 2, a blob arm rank 3)
+    so `iif(0, 'a', 5) = 5` compares the INTEGER 5, not the rendering
+    '5'.  ``parse`` follows the mode exactly like _typed_key_sql: under
+    NUMERIC affinity (key mode) text arms numeric-parse; under rule 3
+    (class mode) they pin rank 2.  ``null_rank0`` is the IS variant
+    (rank-0 NULL arm, keys never NULL)."""
+    conds, arms = cls
+    key = _typed_key_sql if null_rank0 else _typed_key_null_sql
+    null_key = ("named_struct('r', 0, 'n', CAST(0 AS DOUBLE), 't', '')"
+                if null_rank0 else f"CAST(NULL AS {_KEY_STRUCT})")
+
+    def arm_key(a) -> str:
+        text, kind, trip = a
+        if text is None or kind == "null":
+            return null_key
+        if trip is not None:
+            nn, cond, isql, dsql = trip
+            dbl = (f"(CASE WHEN {cond} THEN CAST({isql} AS DOUBLE) "
+                   f"ELSE {dsql} END)")
+            return key(dbl, "real", parse)
+        return key(text, kind, parse)
+
+    whens = " ".join(f"WHEN {c} THEN {arm_key(a)}"
+                     for c, a in zip(conds, arms))
+    return f"(CASE {whens} ELSE {arm_key(arms[-1])} END)"
 
 
 def _typed_key_sql(t: str, k: str = "unknown", parse: bool = True) -> str:
@@ -829,7 +878,8 @@ class _P:
     references carry affinity into a comparison, and parentheses are
     transparent), which decides how mixed-type comparisons coerce."""
 
-    __slots__ = ("text", "s", "e", "trip", "varied", "aff", "ival", "sval")
+    __slots__ = ("text", "s", "e", "trip", "varied", "aff", "ival",
+                 "sval", "cls")
 
     def __init__(self, text: str, s: int, e: int):
         self.text, self.s, self.e = text, s, e
@@ -847,6 +897,12 @@ class _P:
         # compile time in arithmetic contexts ('1' + '2' is the exact
         # INTEGER 3); None for anything but plain literals
         self.sval = None
+        # per-arm class structure of a TEXT-rendered branch construct
+        # (CASE/iif/coalesce over class-mixed arms): (conds, arms) where
+        # arms are (text|None, kind, trip|None), ELSE last — lets the
+        # comparison compiler build EXACT per-row storage-class keys
+        # (iif(0, 'a', 5) = 5 is 1: the selected arm is the INTEGER 5)
+        self.cls = None
 
 
 class _Rw:
@@ -873,7 +929,7 @@ class _Rw:
         if len(pieces) == 1:  # pure passthrough keeps the piece's tags
             j.trip, j.varied = pieces[0].trip, pieces[0].varied
             j.aff, j.ival = pieces[0].aff, pieces[0].ival
-            j.sval = pieces[0].sval
+            j.sval, j.cls = pieces[0].sval, pieces[0].cls
         return j
 
     def _tokp(self, i: int) -> _P:
@@ -1076,21 +1132,39 @@ class _Rw:
         relational level per SQLite's two comparison precedences."""
         return self._cmp_level(i, hi, eq_level=True)
 
-    def _rel(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
+    def _rel(self, i: int, hi: int,
+             seed=None) -> tuple[tuple[_P, str], int]:
         """Relational level — <, >, <=, >= over bitwise-level operands."""
-        return self._cmp_level(i, hi, eq_level=False)
+        return self._cmp_level(i, hi, eq_level=False, seed=seed)
 
-    def _cmp_level(self, i: int, hi: int,
-                   eq_level: bool) -> tuple[tuple[_P, str], int]:
+    def _cmp_level(self, i: int, hi: int, eq_level: bool,
+                   seed=None) -> tuple[tuple[_P, str], int]:
         sub = self._rel if eq_level else self._bit
         ops = _EQ_OPS if eq_level else _REL_OPS
-        (lp, lk), i = sub(i, hi)
+        (lp, lk), i = sub(i, hi, seed=seed)
         T = self.T
         made_bool = False
         pieces = [lp]
         while i < hi:
             t = T[i]
             nxt = T[i + 1] if i + 1 < hi else None
+            if (made_bool and t.kind == "op"
+                    and (t.text == "||" or t.text in _MUL_OPS
+                         or t.text in _ADD_OPS or t.text in _BIT_OPS
+                         or (eq_level and t.text in _REL_OPS))):
+                # A compiled comparison result (IN-group, BETWEEN, …)
+                # followed by a TIGHTER-level operator: SQLite reduces
+                # the comparison first and feeds its 0/1 INTEGER to the
+                # operator (`0 IN ('1', 2.5) || 'x'` is '0x' — probed).
+                # Re-enter the tighter levels with the boolean as the
+                # seed operand (the sub-levels coerce bool as needed).
+                joined = self._join(pieces)
+                (np, nk), i = (self._rel(i, hi, seed=(joined, "bool"))
+                               if eq_level else
+                               self._bit(i, hi, seed=(joined, "bool")))
+                pieces, lk = [np], nk
+                made_bool = nk == "bool"
+                continue
             if t.kind == "op" and t.text in ops:
                 if made_bool and len(pieces) > 1:
                     # CHAINED comparison (left-assoc in SQLite:
@@ -1154,7 +1228,8 @@ class _Rw:
                     lhs = self._join(pieces)
                     expr = self._affinity_cmp(
                         lhs.text, _eff_cmp_kind(lk, lhs), op_txt,
-                        rp.text, _eff_cmp_kind(rk2, rp), mode)
+                        rp.text, _eff_cmp_kind(rk2, rp), mode,
+                        lcls=lhs.cls, rcls=rp.cls)
                     pieces = [_P(expr, lhs.s, rp.e)]
                     # the collapsed lhs of any FURTHER chained comparison
                     # is this boolean (SQLite chains left-assoc:
@@ -1204,8 +1279,13 @@ class _Rw:
                             # null-safe equality: NULL IS NULL → rank0 =
                             # rank0.
                             pr = mode == "key"
-                            expr = (f"({_typed_key_sql(lhs.text, lke, pr)} "
-                                    f"= {_typed_key_sql(rp.text, rke, pr)})")
+                            a = (_cls_key_sql(lhs.cls, pr, null_rank0=True)
+                                 if lhs.cls is not None
+                                 else _typed_key_sql(lhs.text, lke, pr))
+                            b = (_cls_key_sql(rp.cls, pr, null_rank0=True)
+                                 if rp.cls is not None
+                                 else _typed_key_sql(rp.text, rke, pr))
+                            expr = f"({a} = {b})"
                         elif mode in ("texty_l", "texty_r"):
                             a = _texty(lhs.text, lke) if mode == "texty_l" \
                                 else f"({lhs.text})"
@@ -1293,7 +1373,8 @@ class _Rw:
                         lke = _eff_cmp_kind(lk, lp0)
                         cmps = [self._affinity_cmp(
                                     lp0.text, lke, "=", ep.text,
-                                    _eff_cmp_kind(ek, ep), m)
+                                    _eff_cmp_kind(ek, ep), m,
+                                    lcls=lp0.cls, rcls=ep.cls)
                                 for (ep, ek), m in zip(elems, modes)]
                         expr = "(" + " OR ".join(cmps) + ")"
                         if negated:
@@ -1341,7 +1422,10 @@ class _Rw:
                                 if T[x].start < ep.s)
                             if mode in ("key", "class"):
                                 pr = mode == "key"
-                                lsql = _typed_key_null_sql(lp0.text, lke, pr)
+                                lsql = (_cls_key_sql(lp0.cls, pr)
+                                        if lp0.cls is not None else
+                                        _typed_key_null_sql(lp0.text,
+                                                            lke, pr))
                                 esql = _typed_key_null_sql(ep.text, eke, pr)
                             elif mode == "texty_l":
                                 lsql = _texty(lp0.text, lke)
@@ -1432,10 +1516,10 @@ class _Rw:
                     lke = _eff_cmp_kind(lk, lp0)
                     ge = self._affinity_cmp(lp0.text, lke, ">=",
                                             b1.text, _eff_cmp_kind(bk1, b1),
-                                            m1)
+                                            m1, lcls=lp0.cls, rcls=b1.cls)
                     le = self._affinity_cmp(lp0.text, lke, "<=",
                                             b2.text, _eff_cmp_kind(bk2, b2),
-                                            m2)
+                                            m2, lcls=lp0.cls, rcls=b2.cls)
                     expr = f"({ge} AND {le})"
                     if negated:
                         expr = f"(NOT {expr})"
@@ -1491,16 +1575,21 @@ class _Rw:
         return out or None
 
     def _affinity_cmp(self, lt: str, lk: str, op: str, rt: str, rk: str,
-                      mode: str) -> str:
+                      mode: str, lcls=None, rcls=None) -> str:
         """One compiled comparison per _cmp_mode (see there); 'native'
         emits the plain Spark comparison.  The key and class modes compare
         NULL-propagating keys as a BARE binary comparison (no outer null
         guard) so NULLs three-value correctly AND an equality stays an
-        extractable equi-join condition."""
+        extractable equi-join condition.  ``lcls``/``rcls`` carry the
+        per-arm class structure of a TEXT-rendered branch operand — its
+        key is built per selected arm (_cls_key_sql)."""
         if mode in ("key", "class"):
             parse = mode == "key"
-            return (f"({_typed_key_null_sql(lt, lk, parse)} {op} "
-                    f"{_typed_key_null_sql(rt, rk, parse)})")
+            a = (_cls_key_sql(lcls, parse) if lcls is not None
+                 else _typed_key_null_sql(lt, lk, parse))
+            b = (_cls_key_sql(rcls, parse) if rcls is not None
+                 else _typed_key_null_sql(rt, rk, parse))
+            return f"({a} {op} {b})"
         a = _texty(lt, lk) if mode == "texty_l" else f"({lt})"
         b = _texty(rt, rk) if mode == "texty_r" else f"({rt})"
         return f"{a} {op} {b}"
@@ -1603,9 +1692,10 @@ class _Rw:
         return (k in ("text", "blob") and p.sval is None) or (
             p.trip is not None and k == "unknown")
 
-    def _add(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
+    def _add(self, i: int, hi: int,
+             seed=None) -> tuple[tuple[_P, str], int]:
         T = self.T
-        (lp, lk), i = self._mul(i, hi)
+        (lp, lk), i = self._mul(i, hi, seed=seed)
         pieces, kind = [lp], lk
         while i < hi and T[i].kind == "op" and T[i].text in _ADD_OPS:
             op = T[i]
@@ -1653,7 +1743,8 @@ class _Rw:
             kind = _arith(kind, rk)
         return (self._join(pieces), kind), i
 
-    def _bit(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
+    def _bit(self, i: int, hi: int,
+             seed=None) -> tuple[tuple[_P, str], int]:
         """SQLite's `& | << >>` level (below +/-).  Operands coerce to
         INTEGER (text via numeric prefix, REAL via saturating truncation);
         shifts compile to 64-bit shiftleft/shiftright with SQLite's
@@ -1663,7 +1754,7 @@ class _Rw:
         (3 << 62 = -1073741824 vs SQLite's -4611686018427387904, a silent
         wrong-value delta before this level existed).  In-range literal
         counts skip the guards."""
-        (lp, lk), i = self._add(i, hi)
+        (lp, lk), i = self._add(i, hi, seed=seed)
         T = self.T
         while i < hi and T[i].kind == "op" and T[i].text in _BIT_OPS:
             op = T[i]
@@ -1711,8 +1802,9 @@ class _Rw:
                    f"ELSE {rev}({x}, CAST(-({n}) AS SMALLINT)) END)",
                    lp.s, rp.e), "int")
 
-    def _mul(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
-        (lp, lk), i = self._unary(i, hi)
+    def _mul(self, i: int, hi: int,
+             seed=None) -> tuple[tuple[_P, str], int]:
+        (lp, lk), i = self._unary(i, hi, seed=seed)
         T = self.T
         while i < hi and T[i].kind == "op" and T[i].text in _MUL_OPS:
             op = T[i]
@@ -1887,15 +1979,24 @@ class _Rw:
         out.trip = (nn, cond, int_sql, dbl)
         return out, "unknown"
 
-    def _unary(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
+    def _unary(self, i: int, hi: int,
+               seed=None) -> tuple[tuple[_P, str], int]:
         T = self.T
-        prefixes: list[_P] = []
-        while i < hi and T[i].kind == "op" and T[i].text in ("+", "-", "~"):
-            prefixes.append(self._tokp(i))
-            i += 1
-        if i >= hi:
-            raise _Unsupported("dangling unary operator")
-        (pp, pk), i = self._primary(i, hi)
+        if seed is not None:
+            # re-entry with an already-compiled operand (a comparison
+            # result feeding a tighter-level operator): skip straight to
+            # the postfix/concat loop
+            pp, pk = seed
+            prefixes = []
+        else:
+            prefixes: list[_P] = []
+            while (i < hi and T[i].kind == "op"
+                   and T[i].text in ("+", "-", "~")):
+                prefixes.append(self._tokp(i))
+                i += 1
+            if i >= hi:
+                raise _Unsupported("dangling unary operator")
+            (pp, pk), i = self._primary(i, hi)
         if prefixes:
             tilde = any(p.text == "~" for p in prefixes)
             minus_n = sum(1 for p in prefixes if p.text == "-")
@@ -1998,7 +2099,7 @@ class _Rw:
                 iv0 = pp.ival if pk == "int" else None
                 np = _P(pp.text, prefixes[0].s, pp.e)
                 np.trip, np.varied, np.aff = trip0, pp.varied, pp.aff
-                np.ival, np.sval = iv0, pp.sval
+                np.ival, np.sval, np.cls = iv0, pp.sval, pp.cls
                 pp = np
         pieces = [pp]
         while i < hi:
@@ -2143,7 +2244,7 @@ class _Rw:
             # unary-minus fold over an oversized integer literal:
             # -(9223372036854775808) is int64 min, probed vs sqlite3)
             gp.trip, gp.varied, gp.aff = ep.trip, ep.varied, ep.aff
-            gp.ival, gp.sval = ep.ival, ep.sval
+            gp.ival, gp.sval, gp.cls = ep.ival, ep.sval, ep.cls
             return ((gp, ek), j + 1)
         if t.kind in ("bt", "word"):
             if t.kind == "word":
@@ -2263,18 +2364,24 @@ class _Rw:
             # int/real (or quad-carrying) arm mix rides a branch quad.
             # Anything else falls through byte-identical.
             if fname in ("iif", "if"):
-                if len(parsed) != 3 or not self._branch_mix(parsed[1:]):
+                if len(parsed) != 3:
                     return None
+                vals = parsed[1:]
                 cp = self._truthify(*parsed[0])
-                out = self._branch_quad([f"({cp.text})"], parsed[1:],
-                                        start, end)
+                conds = [f"({cp.text})"]
             else:
-                if len(parsed) < 2 or not self._branch_mix(parsed):
+                if len(parsed) < 2:
                     return None
+                vals = parsed
                 conds = [f"(({p.text}) IS NOT NULL)"
                          for p, _k in parsed[:-1]]
-                out = self._branch_quad(conds, parsed, start, end)
-            return ((out, "unknown"), j + 1)
+            if self._branch_mix(vals):
+                out = self._branch_quad(conds, vals, start, end)
+                return ((out, "unknown"), j + 1)
+            if self._branch_textmix(vals):
+                out = self._branch_text(conds, vals, start, end)
+                return ((out, "text"), j + 1)
+            return None
         if fname == "typeof":
             # the typeof ALIAS (functions._typeof_alias, expanded before
             # this pass) maps Spark type names to SQLite storage-class
@@ -2288,6 +2395,32 @@ class _Rw:
                 nn, cond, _isql, _dsql = parsed[0][0].trip
                 p = _P(f"(CASE WHEN {nn} THEN 'void' "
                        f"WHEN {cond} THEN 'bigint' ELSE 'double' END)",
+                       start, end)
+                return ((p, "text"), j + 1)
+            if len(parsed) == 1 and parsed[0][0].cls is not None:
+                # TEXT-rendered branch construct: dispatch on the
+                # SELECTED arm's own storage class (Spark type names —
+                # the typeof alias's outer mapping translates them)
+                conds, arms = parsed[0][0].cls
+
+                def arm_ty(a) -> str:
+                    text, kind, trip = a
+                    if text is None or kind == "null":
+                        return "'void'"
+                    if trip is not None:
+                        nn0, cond0, _i, _d = trip
+                        return (f"(CASE WHEN {nn0} THEN 'void' "
+                                f"WHEN {cond0} THEN 'bigint' "
+                                f"ELSE 'double' END)")
+                    ty = {"int": "'bigint'", "bool": "'bigint'",
+                          "real": "'double'", "blob": "'binary'"}.get(
+                              kind, "'string'")
+                    return (f"(CASE WHEN ({text}) IS NULL THEN 'void' "
+                            f"ELSE {ty} END)")
+
+                whens = " ".join(f"WHEN {c} THEN {arm_ty(a)}"
+                                 for c, a in zip(conds, arms))
+                p = _P(f"(CASE {whens} ELSE {arm_ty(arms[-1])} END)",
                        start, end)
                 return ((p, "text"), j + 1)
             return None
@@ -2304,7 +2437,8 @@ class _Rw:
                 return None
             # CASE falls to ELSE on a NULL comparison — exactly SQLite's
             # 'returns X if the arguments are different' (a NULL Y keeps X)
-            eq = self._affinity_cmp(ap.text, ake, "=", bp.text, bke, mode)
+            eq = self._affinity_cmp(ap.text, ake, "=", bp.text, bke, mode,
+                                    lcls=ap.cls, rcls=bp.cls)
             p = _P(f"(CASE WHEN {eq} THEN NULL ELSE ({ap.text}) END)",
                    start, end)
             return ((p, ak), j + 1)
@@ -2396,6 +2530,59 @@ class _Rw:
         return (any(k == "dyn" for k in eff) or
                 (any(k in _INTISH for k in eff)
                  and any(k == "real" for k in eff)))
+
+    @staticmethod
+    def _branch_textmix(vals) -> bool:
+        """True when a branch construct mixes TEXT or BLOB arms with
+        other storage classes — shapes Spark either rejects outright
+        (blob-vs-numeric IF/coalesce) or coerces engine-specifically.
+        Compiled to the arms' SQLite TEXT renderings: exact for every
+        rendering/arithmetic/function consumer; the per-row class
+        itself (typeof, comparison class) degrades to TEXT — documented
+        residual, PARITY.md."""
+        classes = set()
+        for p, k in vals:
+            if p is not None and p.trip is not None and k == "unknown":
+                classes.add("num")
+            elif k in _NUMERIC:
+                classes.add("num")
+            elif k in ("text", "blob"):
+                classes.add(k)
+            elif k != "null":
+                return False  # unknown arm: stay hands-off
+        return len(classes) > 1 and ("text" in classes
+                                     or "blob" in classes)
+
+    def _branch_text(self, conds: list[str], vals,
+                     start: int, end: int) -> _P:
+        """Branch construct over class-mixed arms including text/blob:
+        each arm renders through SQLite's value→TEXT conversion (ints
+        verbatim, reals via %!.15g, blobs via UTF-8) so ||/functions/
+        arithmetic consumers see exactly what SQLite would render."""
+        def arm(pk) -> str:
+            p, k = pk
+            if p is None or k == "null":
+                return "CAST(NULL AS STRING)"
+            if p.trip is not None and k == "unknown":
+                return _trip_text(p.trip)
+            if k == "real":
+                return f"dsq_real_text(CAST(({p.text}) AS DOUBLE))"
+            if k == "bool":
+                return f"string(CAST(({p.text}) AS BIGINT))"
+            if k in ("int", "blob"):
+                return f"string(({p.text}))"
+            return f"({p.text})"  # text
+
+        arms = " ".join(f"WHEN {c} THEN {arm(v)}"
+                        for c, v in zip(conds, vals))
+        out = _P(f"(CASE {arms} ELSE {arm(vals[-1])} END)", start, end)
+        # carry the per-arm class structure so the comparison compiler
+        # (and typeof) can dispatch on the SELECTED arm's storage class
+        # instead of the TEXT rendering
+        out.cls = (list(conds),
+                   [(None if p is None else p.text, k,
+                     None if p is None else p.trip) for p, k in vals])
+        return out
 
     def _branch_quad(self, conds: list[str], vals,
                      start: int, end: int) -> _P:
@@ -2698,7 +2885,7 @@ class _Rw:
                      for cp, ck, _vp, _vk in whens]
             if any(m != "native" for m in modes):
                 arms = " ".join(
-                    f"WHEN {self._affinity_cmp(bp.text, bke, '=', cp.text, _eff_cmp_kind(ck, cp), m)} "
+                    f"WHEN {self._affinity_cmp(bp.text, bke, '=', cp.text, _eff_cmp_kind(ck, cp), m, lcls=bp.cls, rcls=cp.cls)} "
                     f"THEN {vp.text}"
                     for (cp, ck, vp, _vk), m in zip(whens, modes))
                 tail = f" ELSE {else_p.text}" if else_p is not None else ""
@@ -2710,10 +2897,12 @@ class _Rw:
                        and whens[0][2] is not None
                        and whens[0][2].text.strip().upper() == "NULL"
                        and else_p.trip is not None)
-        if complete and not guard_shape and self._branch_mix(vals):
-            # mixed int/real (or quad-carrying) arms: SQLite keeps each
-            # row's own storage class (typeof(CASE WHEN 1 THEN 1 ELSE
-            # 2.5 END) is 'integer' — probed); rebuild as a branch quad.
+        if complete and not guard_shape and (
+                self._branch_mix(vals) or self._branch_textmix(vals)):
+            # mixed-class arms: SQLite keeps each row's own storage
+            # class (typeof(CASE WHEN 1 THEN 1 ELSE 2.5 END) is
+            # 'integer' — probed); int/real mixes rebuild as a branch
+            # quad, text/blob mixes as the arms' TEXT renderings.
             # Base-form arms become compiled equalities first.
             if base is None:
                 conds = [f"({cp.text})" for cp, _ck, _vp, _vk in whens]
@@ -2727,12 +2916,16 @@ class _Rw:
                                   cp.aff, cp.varied)
                     conds.append(
                         self._affinity_cmp(bp.text, bke, "=",
-                                           cp.text, cke, m)
+                                           cp.text, cke, m,
+                                           lcls=bp.cls, rcls=cp.cls)
                         if m != "native"
                         else f"(({bp.text}) = ({cp.text}))")
             end = pieces[-1].e
-            out = self._branch_quad(conds, vals, start, end)
-            return ((out, "unknown"), i)
+            if self._branch_mix(vals):
+                out = self._branch_quad(conds, vals, start, end)
+                return ((out, "unknown"), i)
+            out = self._branch_text(conds, vals, start, end)
+            return ((out, "text"), i)
         out = self._join(pieces)
         if guard_shape:
             # the NULL-guard shape (CASE WHEN <nulls> THEN NULL ELSE x

@@ -1360,6 +1360,32 @@ def test_branch_storage_class_matrix(engines):
         "typeof(max(iif(1, 3, 0.5), 1.5))",
         "hex(min(9223372036854775807, iif(1, 9223372036854775806, 0.5)))",
         "(iif(a IS NOT NULL, 2, 0.5)) + 1 || ''",
+        # text/blob-vs-numeric arm mixes: TEXT-rendered surface with a
+        # per-arm class structure (cls) driving comparisons and typeof
+        "iif(0, 'a', 5) = 5", "iif(0, 'a', 5) = '5'", "iif(1, '5', 5) = 5",
+        "iif(0, 'a', a) < 6", "iif(0, 'a', 5) < 'b'",
+        "typeof(iif(0, 'a', a))", "typeof(iif(1, 'a', 5))",
+        "typeof(iif(1, x'41', 5))", "typeof(coalesce(NULL, 'x', 1))",
+        "nullif(iif(0, 'a', 5), 5)", "iif(0, 'a', 5) IS 5",
+        "iif(0, 'a', a) IN (1, 9)", "iif(0, 'a', 5) IN ('5', 9)",
+        "iif(0, 'a', 5) BETWEEN 4 AND 6", "'5' = iif(0, 'a', 5)",
+        "CASE iif(0, 'a', 5) WHEN 5 THEN 'hit' ELSE 'miss' END",
+        "typeof(CASE WHEN a > 99 THEN x'41' ELSE 7 END)",
+        "iif(0, 'a', 5) = iif(1, 5, 'b')", "hex(iif(1, 2, 'x'))",
+        "iif(1, 2.5, 'x') || ''", "iif(1, a, 'x') + 2",
+        "upper(iif(1, x'4142', 9))", "coalesce(x'41', -2) || ''",
+        "length(+coalesce(x'', -0.5))",
+        "CASE WHEN a > 0 THEN 'v' ELSE 0 END || 'x'",
+        "CASE WHEN 1 THEN x'41' ELSE 1 END || 'x'",
+        "trim(coalesce('7'/'2', 'z'))", "abs(iif(0, 'a', '5kg'))",
+        "-iif(0, 'a', 5)", "~iif(0, 'a', '12x')", "iif(0, 'a', 5) % 3",
+        # comparison results feeding TIGHTER-precedence operators: the
+        # reduced 0/1 INTEGER participates (0 IN ('1', 2.5) || 'x')
+        "0 IN ('1', 2.5) || 'x'", "a IN (1, 2) || 'x'", "2 IN (1) * 5",
+        "3 IN (3) + 1", "1 IN (1) & 3", "a IN (1) << 2",
+        "0 NOT IN (1) || 'y'", "1 IS NULL || 'x'", "1 IN (1) = 1",
+        "a IN (1) < 2", "2 IN (2) - 5", "0 IN (1, NULL) || 'q'",
+        "1 IN (2, 3) % 2",
         "quote(CAST(5 AS BLOB))", "quote(CAST('ab' AS BLOB))",
         "quote(CAST(2.5 AS BLOB))", "quote(CAST('7'/'2' AS BLOB))",
         "length(CAST(12345 AS BLOB))", "quote(CAST(a AS BLOB))",
