@@ -1107,12 +1107,15 @@ class _Rw:
         double-wrapped); 'unknown' dispatches on foldable typeof() — the
         boolean arm keeps Spark-boolean functions working, the string arm
         applies the text coercion, everything else compares its DOUBLE
-        cast (so `WHERE a` works even with no schema); 'blob' passes
-        through (loud, like today — SQLite can't ingest blobs here)."""
-        if k in ("bool", "blob"):
+        cast (so `WHERE a` works even with no schema); 'blob' coerces
+        through its UTF-8 rendering like every blob numeric conversion
+        (iif(x'31', 1, 2) is 1, iif(x'', 1, 2) is 2 — probed)."""
+        if k == "bool":
             return p
         if k == "null":
             return _P("CAST(NULL AS BOOLEAN)", p.s, p.e)
+        if k == "blob":
+            return _P(self._text_truthy(f"string(({p.text}))"), p.s, p.e)
         if k == "text":
             return _P(self._text_truthy(p.text), p.s, p.e)
         if k == "unknown":
@@ -1202,11 +1205,11 @@ class _Rw:
                     # boolean-vs-numeric comparisons outright, so a bool
                     # side against a numeric side compares via its int
                     # value (the chained-comparison shape above)
-                    if lhs_one and lk == "bool" and rk2 in ("int", "real"):
+                    if lhs_one and lk == "bool" and rk2 != "bool":
                         lhs0 = pieces[0]
                         pieces = [_P(f"CAST(({lhs0.text}) AS BIGINT)",
                                      lhs0.s, lhs0.e)]
-                    elif rk2 == "bool" and lk in ("int", "real") and lhs_one:
+                    elif rk2 == "bool" and lk != "bool" and lhs_one:
                         rp = _P(f"CAST(({rp.text}) AS BIGINT)", rp.s, rp.e)
                     pieces.append(op_tok)
                     pieces.append(rp)
@@ -1238,6 +1241,20 @@ class _Rw:
                 made_bool = True
                 continue
             if eq_level and t.low == "is":
+                if made_bool and len(pieces) > 1:
+                    # collapse a chained native comparison so the word
+                    # operator sees ONE boolean operand (SQLite is
+                    # left-assoc at this level: `2 = 2 BETWEEN 0 AND 1`
+                    # is `(2 = 2) BETWEEN 0 AND 1`; a verbatim rebuild
+                    # would re-parse under Spark's different precedence).
+                    # A trailing NOT (already-consumed negation prefix)
+                    # stays outside the collapsed operand.
+                    tail_not = pieces[-1].text.lower() == "not"
+                    body = pieces[:-1] if tail_not else pieces
+                    if len(body) > 1:
+                        body = [self._join(body)]
+                        pieces = body + ([pieces[-1]] if tail_not else [])
+                        lk = "bool"
                 # SQLite's IS is general null-safe equality (`a IS 1`,
                 # `a IS NOT b`), not just the NULL/TRUE/FALSE test — those
                 # spellings (and IS [NOT] DISTINCT FROM) stay verbatim,
@@ -1317,6 +1334,20 @@ class _Rw:
                 i += 1
                 continue
             if eq_level and t.low == "in":
+                if made_bool and len(pieces) > 1:
+                    # collapse a chained native comparison so the word
+                    # operator sees ONE boolean operand (SQLite is
+                    # left-assoc at this level: `2 = 2 BETWEEN 0 AND 1`
+                    # is `(2 = 2) BETWEEN 0 AND 1`; a verbatim rebuild
+                    # would re-parse under Spark's different precedence).
+                    # A trailing NOT (already-consumed negation prefix)
+                    # stays outside the collapsed operand.
+                    tail_not = pieces[-1].text.lower() == "not"
+                    body = pieces[:-1] if tail_not else pieces
+                    if len(body) > 1:
+                        body = [self._join(body)]
+                        pieces = body + ([pieces[-1]] if tail_not else [])
+                        lk = "bool"
                 in_tok = self._tokp(i)
                 i += 1
                 if i < hi and T[i].text == "(":
@@ -1330,6 +1361,17 @@ class _Rw:
                     elems = None
                     if len(base) == 1 and not subq and j > i + 1:
                         elems = self._in_elements(i, j)
+                    if len(base) == 1 and lk == "null" and elems:
+                        # a statically-NULL LHS over a non-empty literal
+                        # list is NULL (NULL IN (1,2) and NULL NOT IN
+                        # (1,2) are both NULL — probed); Spark rejects
+                        # the VOID/element type mix outright
+                        pieces = [_P("CAST(NULL AS BOOLEAN)",
+                                     base[0].s, T[j].end)]
+                        lk = "bool"
+                        i = j + 1
+                        made_bool = True
+                        continue
                     coerced = False
                     if elems:
                         # comparison results in an IN list (or as its
@@ -1456,6 +1498,28 @@ class _Rw:
                 made_bool = True
                 continue
             if eq_level and t.low in _CMP_WORDS:
+                if made_bool and len(pieces) > 1:
+                    # collapse a chained native comparison so the word
+                    # operator sees ONE boolean operand (SQLite is
+                    # left-assoc at this level: `2 = 2 BETWEEN 0 AND 1`
+                    # is `(2 = 2) BETWEEN 0 AND 1`; a verbatim rebuild
+                    # would re-parse under Spark's different precedence).
+                    # A trailing NOT (already-consumed negation prefix)
+                    # stays outside the collapsed operand.
+                    tail_not = pieces[-1].text.lower() == "not"
+                    body = pieces[:-1] if tail_not else pieces
+                    if len(body) > 1:
+                        body = [self._join(body)]
+                        pieces = body + ([pieces[-1]] if tail_not else [])
+                        lk = "bool"
+                if lk == "bool" and len(pieces) <= 2:
+                    # a comparison result under LIKE/GLOB matches its
+                    # 0/1 INTEGER's rendering ((3 > 2) LIKE '1' is 1 —
+                    # probed); Spark would match 'true'
+                    b0 = pieces[0]
+                    nb = _P(f"CAST(({b0.text}) AS BIGINT)", b0.s, b0.e)
+                    pieces[0] = nb
+                    lk = "int"
                 pieces.append(self._tokp(i))
                 rhs0 = i + 1
                 (rp, _rk), i = self._rel(i + 1, hi)
@@ -1470,8 +1534,27 @@ class _Rw:
                 made_bool = True
                 continue
             if eq_level and t.low == "between":
+                # SQLite's BETWEEN middle operand is a FULL eq-level
+                # expression terminated by AND (1 BETWEEN 2 IN (2) AND 3
+                # is 1: the middle is (2 IN (2)) — probed); the UPPER
+                # bound binds tighter and a following IN/= chains onto
+                # the whole BETWEEN (0 BETWEEN -1 AND 1 IN (1) is 1)
+                if made_bool and len(pieces) > 1:
+                    # collapse a chained native comparison so the word
+                    # operator sees ONE boolean operand (SQLite is
+                    # left-assoc at this level: `2 = 2 BETWEEN 0 AND 1`
+                    # is `(2 = 2) BETWEEN 0 AND 1`; a verbatim rebuild
+                    # would re-parse under Spark's different precedence).
+                    # A trailing NOT (already-consumed negation prefix)
+                    # stays outside the collapsed operand.
+                    tail_not = pieces[-1].text.lower() == "not"
+                    body = pieces[:-1] if tail_not else pieces
+                    if len(body) > 1:
+                        body = [self._join(body)]
+                        pieces = body + ([pieces[-1]] if tail_not else [])
+                        lk = "bool"
                 bt_tok = self._tokp(i)
-                (b1, bk1), i = self._rel(i + 1, hi)
+                (b1, bk1), i = self._cmp(i + 1, hi)
                 and_tok, b2, bk2 = None, None, "unknown"
                 if i < hi and T[i].low == "and":
                     and_tok = self._tokp(i)
@@ -2381,6 +2464,9 @@ class _Rw:
             if self._branch_textmix(vals):
                 out = self._branch_text(conds, vals, start, end)
                 return ((out, "text"), j + 1)
+            if self._branch_boolmix(vals):
+                out = self._branch_int(conds, vals, start, end)
+                return ((out, "int"), j + 1)
             return None
         if fname == "typeof":
             # the typeof ALIAS (functions._typeof_alias, expanded before
@@ -2443,6 +2529,34 @@ class _Rw:
                    start, end)
             return ((p, ak), j + 1)
         if fname in ("greatest", "least") and len(parsed) >= 2:
+            if any(p.cls is not None for p, _k in parsed):
+                # a class-dynamic branch arg (text-rendered CASE/iif/
+                # coalesce): the winner's CLASS is only known per row —
+                # select by the cross-class comparison key (array_min/
+                # array_max over (key, rendering) structs; single
+                # expression, stays in codegen) and surface the winner's
+                # TEXT rendering.  NULL propagation lives in the scalar
+                # alias's any-NULL guard, like every minmax shape here.
+                fn = "array_max" if fname == "greatest" else "array_min"
+                elems = []
+                for p, k in parsed:
+                    ke = _eff_cmp_kind(k, p)
+                    key = (_cls_key_sql(p.cls, False)
+                           if p.cls is not None else
+                           _typed_key_null_sql(p.text, ke, False))
+                    if p.trip is not None and p.cls is None:
+                        rend = _trip_text(p.trip)
+                    elif k == "real":
+                        rend = f"dsq_real_text(CAST(({p.text}) AS DOUBLE))"
+                    elif k == "bool":
+                        rend = f"string(CAST(({p.text}) AS BIGINT))"
+                    elif k in ("int", "blob"):
+                        rend = f"string(({p.text}))"
+                    else:
+                        rend = f"({p.text})"
+                    elems.append(f"named_struct('k', {key}, 'v', {rend})")
+                expr = (f"({fn}(array(" + ", ".join(elems) + ")).v)")
+                return ((_P(expr, start, end), "text"), j + 1)
             # a quad-carrying arg (text division, branch quad, mixed
             # min) is a dynamically-classed NUMERIC member
             kinds = ["dyn" if (p.trip is not None and k == "unknown")
@@ -2583,6 +2697,30 @@ class _Rw:
                    [(None if p is None else p.text, k,
                      None if p is None else p.trip) for p, k in vals])
         return out
+
+    @staticmethod
+    def _branch_boolmix(vals) -> bool:
+        """Bool arms mixed with integer arms: both are SQLite INTEGERS
+        (class-static, no quad needed) but Spark rejects the CASE type
+        mix — rebuild with the bool arms cast (CASE … THEN NULL >= 0.1
+        ELSE 2147483647 END — r6 probe class)."""
+        ks = set(k for _p, k in vals)
+        return "bool" in ks and "int" in ks and ks <= {"int", "bool",
+                                                       "null"}
+
+    @staticmethod
+    def _branch_int(conds: list[str], vals, start: int, end: int) -> _P:
+        """Branch construct over int/bool arms: statically INTEGER."""
+        def arm(pk) -> str:
+            p, k = pk
+            if p is None or k == "null":
+                return "CAST(NULL AS BIGINT)"
+            return f"CAST(({p.text}) AS BIGINT)" if k == "bool" \
+                else f"({p.text})"
+
+        arms = " ".join(f"WHEN {c} THEN {arm(v)}"
+                        for c, v in zip(conds, vals))
+        return _P(f"(CASE {arms} ELSE {arm(vals[-1])} END)", start, end)
 
     def _branch_quad(self, conds: list[str], vals,
                      start: int, end: int) -> _P:
@@ -2807,6 +2945,12 @@ class _Rw:
         return out, i
 
     def _fn_kind(self, fname: str, arg_kinds: list[str]) -> str:
+        if (fname in ("substr", "substring") and arg_kinds
+                and arg_kinds[0] == "blob"):
+            # SQLite substr() on a BLOB is bytewise and returns a BLOB
+            # (typeof(substr(x'4142',1,1)) is 'blob' — probed); Spark's
+            # substring(BINARY) agrees, so the kind must follow
+            return "blob"
         if fname in _FN_INT:
             return "int"
         if fname in _FN_REAL:
@@ -2869,7 +3013,12 @@ class _Rw:
             i += 1
         kind = _union_all(arm_kinds) if arm_kinds else "unknown"
         complete = whens and all(w[2] is not None for w in whens)
-        if base is not None and complete:
+        vals0 = [(vp, vk) for _cp, _ck, vp, vk in whens] + [(else_p,
+                                                             else_k)]
+        mixed = complete and (self._branch_mix(vals0)
+                              or self._branch_textmix(vals0)
+                              or self._branch_boolmix(vals0))
+        if base is not None and complete and not mixed:
             # SQLite's base-form CASE compares base = WHEN-operand with
             # the SAME affinity rules as a standalone `=` (lang_expr.html
             # §CASE): `CASE 1 WHEN '1' …` misses (no affinity, storage
@@ -2891,14 +3040,13 @@ class _Rw:
                 tail = f" ELSE {else_p.text}" if else_p is not None else ""
                 end = pieces[-1].e
                 return ((_P(f"CASE {arms}{tail} END", start, end), kind), i)
-        vals = [(vp, vk) for _cp, _ck, vp, vk in whens] + [(else_p, else_k)]
+        vals = vals0
         guard_shape = (base is None and len(whens) == 1
                        and else_p is not None
                        and whens[0][2] is not None
                        and whens[0][2].text.strip().upper() == "NULL"
                        and else_p.trip is not None)
-        if complete and not guard_shape and (
-                self._branch_mix(vals) or self._branch_textmix(vals)):
+        if mixed and not guard_shape:
             # mixed-class arms: SQLite keeps each row's own storage
             # class (typeof(CASE WHEN 1 THEN 1 ELSE 2.5 END) is
             # 'integer' — probed); int/real mixes rebuild as a branch
@@ -2924,8 +3072,11 @@ class _Rw:
             if self._branch_mix(vals):
                 out = self._branch_quad(conds, vals, start, end)
                 return ((out, "unknown"), i)
-            out = self._branch_text(conds, vals, start, end)
-            return ((out, "text"), i)
+            if self._branch_textmix(vals):
+                out = self._branch_text(conds, vals, start, end)
+                return ((out, "text"), i)
+            out = self._branch_int(conds, vals, start, end)
+            return ((out, "int"), i)
         out = self._join(pieces)
         if guard_shape:
             # the NULL-guard shape (CASE WHEN <nulls> THEN NULL ELSE x

@@ -1386,6 +1386,26 @@ def test_branch_storage_class_matrix(engines):
         "0 NOT IN (1) || 'y'", "1 IS NULL || 'x'", "1 IN (1) = 1",
         "a IN (1) < 2", "2 IN (2) - 5", "0 IN (1, NULL) || 'q'",
         "1 IN (2, 3) % 2",
+        # chained comparisons through the WORD operators (left-assoc:
+        # `2 = 2 BETWEEN 0 AND 1` is `(2 = 2) BETWEEN 0 AND 1`), the
+        # BETWEEN middle operand absorbing eq-level ops (1 BETWEEN
+        # 2 IN (2) AND 3 is 1), LIKE over a 0/1 comparison result,
+        # blob iif conditions, NULL-literal IN, and bool/int CASE arms
+        "2 = 2 BETWEEN 0 AND a", "a = 1 BETWEEN 0 AND 2",
+        "2 = 2 IN (1, 3)", "1 = 0 NOT IN (1, 2)", "3 > 2 LIKE '1'",
+        "a = a IS 1", "1 < 2 IS NOT 1", "5 = 5 NOT LIKE '0'",
+        "1 = 1 BETWEEN 'a' AND 'b'", "1 BETWEEN 2 IN (2) AND 3",
+        "5 BETWEEN a IN (0, 1) AND 9", "1 BETWEEN 2 = 2 AND 3",
+        "1 BETWEEN 0 LIKE '0' AND 3", "2 BETWEEN 1 BETWEEN 0 AND 1 AND 3",
+        "2 BETWEEN 1 BETWEEN 0 AND 1 AND 1", "1 BETWEEN 2 IS 2 AND 3",
+        "0 BETWEEN -1 AND 1 IN (1)", "0 BETWEEN -1 AND a IN (2)",
+        "(3 > 2) GLOB '1'", "iif(x'', 1, 2)", "iif(x'31', 1, 2)",
+        "iif(x'', NULL, 'abc')", "NULL IN (1, 2)", "NULL NOT IN (1, 2)",
+        "CAST(NULL IN (x'', -0.5) AS TEXT)", "typeof(substr(x'4142', 1, 1))",
+        "quote(substr(x'4142', 1, 1))", "quote(nullif(x'', 0.1))",
+        "hex(0 <= x'' > NULL / 2147483647)",
+        "CASE a WHEN -9223372036854775808 THEN NULL >= 0.1 ELSE 2147483647 END",
+        "max('q', coalesce(a, 'x'))", "upper('0.5x' = '' BETWEEN substr(0.0, 1, 2) AND round(x''))",
         "quote(CAST(5 AS BLOB))", "quote(CAST('ab' AS BLOB))",
         "quote(CAST(2.5 AS BLOB))", "quote(CAST('7'/'2' AS BLOB))",
         "length(CAST(12345 AS BLOB))", "quote(CAST(a AS BLOB))",
