@@ -382,6 +382,35 @@ _LIT_NUM = re.compile(
 _I64_MIN, _I64_MAX = -(1 << 63), (1 << 63) - 1
 
 
+def _paren_atom(t: str) -> bool:
+    """True when the whole text is ONE parenthesized atom — `(a < b)`
+    yes, `(a) < b(c)` no.  Quote-aware (''-escaped string literals may
+    contain parens).  Used to decide whether a bool operand needs
+    explicit grouping before Spark re-parses it."""
+    if len(t) < 2 or t[0] != "(" or t[-1] != ")":
+        return False
+    d, i, n = 0, 0, len(t)
+    while i < n:
+        ch = t[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if t[i] == "'":
+                    if i + 1 < n and t[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+            if d == 0 and i < n - 1:
+                return False
+        i += 1
+    return d == 0
+
+
 def _dbl_lit(v: float) -> str:
     """A Spark DOUBLE literal for an exact IEEE754 value, parenthesized so
     it embeds verbatim in any operator position.  repr() is the shortest
@@ -1211,6 +1240,14 @@ class _Rw:
                                      lhs0.s, lhs0.e)]
                     elif rk2 == "bool" and lk != "bool" and lhs_one:
                         rp = _P(f"CAST(({rp.text}) AS BIGINT)", rp.s, rp.e)
+                    elif (rk2 == "bool" and lk == "bool" and eq_level
+                          and not _paren_atom(rp.text)):
+                        # a bool RHS from the TIGHTER relational level
+                        # (`a = b < c` is `a = (b < c)` in SQLite's
+                        # two-level precedence) needs its grouping made
+                        # explicit — Spark's comparisons are one flat
+                        # left-assoc level and would re-group
+                        rp = _P(f"({rp.text})", rp.s, rp.e)
                     pieces.append(op_tok)
                     pieces.append(rp)
                 else:
@@ -1252,8 +1289,13 @@ class _Rw:
                     tail_not = pieces[-1].text.lower() == "not"
                     body = pieces[:-1] if tail_not else pieces
                     if len(body) > 1:
-                        body = [self._join(body)]
-                        pieces = body + ([pieces[-1]] if tail_not else [])
+                        j0 = self._join(body)
+                        # parenthesized: Spark's precedence differs at
+                        # this level (`a IN (..) IS NULL` won't parse,
+                        # `.. || x` regroups), so the reduced boolean
+                        # must be an atom
+                        jp = _P(f"({j0.text})", j0.s, j0.e)
+                        pieces = [jp] + ([pieces[-1]] if tail_not else [])
                         lk = "bool"
                 # SQLite's IS is general null-safe equality (`a IS 1`,
                 # `a IS NOT b`), not just the NULL/TRUE/FALSE test — those
@@ -1270,9 +1312,13 @@ class _Rw:
                     i += 1
                 if i < hi and self._starts_expr(i):
                     (rp, rk), i = self._rel(i, hi)
-                    if (distinct_form or rk in ("null", "bool")
+                    if (distinct_form
                             or rp.text.upper() in ("TRUE", "FALSE", "NULL",
                                                    "UNKNOWN")):
+                        # Spark's IS only parses the keyword spellings
+                        # (IS NULL/TRUE/…/DISTINCT FROM); an EXPRESSION
+                        # RHS — even a boolean or typed-NULL one — must
+                        # go through the <=> compilation below
                         pieces.extend(is_toks)
                         pieces.append(rp)
                     else:
@@ -1319,7 +1365,23 @@ class _Rw:
                                    == _static_num_val(rp, rk))
                             expr = _BOOL_T if res else _BOOL_F
                         else:
-                            expr = f"({lhs.text} <=> {rp.text})"
+                            a, b = lhs.text, rp.text
+                            # a 0/1 comparison result against a numeric
+                            # side null-safe-compares as its INTEGER
+                            if lk == "bool" and rk != "bool":
+                                a = f"CAST(({a}) AS BIGINT)"
+                            elif rk == "bool" and lk != "bool":
+                                b = f"CAST(({b}) AS BIGINT)"
+                            # text/blob vs a NULL expression: pin the
+                            # null side's type — Spark would implicitly
+                            # cast the text side to DOUBLE ('x' → NULL,
+                            # making 'x' <=> NULL/2 TRUE; SQLite is 0)
+                            ty = {"text": "STRING", "blob": "BINARY"}
+                            if rk == "null" and lk in ty:
+                                b = f"CAST(({b}) AS {ty[lk]})"
+                            elif lk == "null" and rk in ty:
+                                a = f"CAST(({a}) AS {ty[rk]})"
+                            expr = f"({a} <=> {b})"
                         if negated:
                             expr = f"NOT {expr}"
                         pieces = [_P(expr, lhs.s, rp.e)]
@@ -1345,8 +1407,13 @@ class _Rw:
                     tail_not = pieces[-1].text.lower() == "not"
                     body = pieces[:-1] if tail_not else pieces
                     if len(body) > 1:
-                        body = [self._join(body)]
-                        pieces = body + ([pieces[-1]] if tail_not else [])
+                        j0 = self._join(body)
+                        # parenthesized: Spark's precedence differs at
+                        # this level (`a IN (..) IS NULL` won't parse,
+                        # `.. || x` regroups), so the reduced boolean
+                        # must be an atom
+                        jp = _P(f"({j0.text})", j0.s, j0.e)
+                        pieces = [jp] + ([pieces[-1]] if tail_not else [])
                         lk = "bool"
                 in_tok = self._tokp(i)
                 i += 1
@@ -1509,8 +1576,13 @@ class _Rw:
                     tail_not = pieces[-1].text.lower() == "not"
                     body = pieces[:-1] if tail_not else pieces
                     if len(body) > 1:
-                        body = [self._join(body)]
-                        pieces = body + ([pieces[-1]] if tail_not else [])
+                        j0 = self._join(body)
+                        # parenthesized: Spark's precedence differs at
+                        # this level (`a IN (..) IS NULL` won't parse,
+                        # `.. || x` regroups), so the reduced boolean
+                        # must be an atom
+                        jp = _P(f"({j0.text})", j0.s, j0.e)
+                        pieces = [jp] + ([pieces[-1]] if tail_not else [])
                         lk = "bool"
                 if lk == "bool" and len(pieces) <= 2:
                     # a comparison result under LIKE/GLOB matches its
@@ -1550,8 +1622,13 @@ class _Rw:
                     tail_not = pieces[-1].text.lower() == "not"
                     body = pieces[:-1] if tail_not else pieces
                     if len(body) > 1:
-                        body = [self._join(body)]
-                        pieces = body + ([pieces[-1]] if tail_not else [])
+                        j0 = self._join(body)
+                        # parenthesized: Spark's precedence differs at
+                        # this level (`a IN (..) IS NULL` won't parse,
+                        # `.. || x` regroups), so the reduced boolean
+                        # must be an atom
+                        jp = _P(f"({j0.text})", j0.s, j0.e)
+                        pieces = [jp] + ([pieces[-1]] if tail_not else [])
                         lk = "bool"
                 bt_tok = self._tokp(i)
                 (b1, bk1), i = self._cmp(i + 1, hi)
@@ -1729,6 +1806,10 @@ class _Rw:
             # materialize through its quad (int branch exact) — also
             # keeps the rewrite a fixpoint (the CASE re-parses as real)
             return _P(_trip_bigint(p.trip), p.s, p.e), "int"
+        if bitwise and k == "null" and p.text.strip().upper() != "NULL":
+            # a TYPED null (e.g. a compiled NULL division is DOUBLE):
+            # Spark rejects int|double, so pin the bitwise slot's type
+            return _P(f"CAST(({p.text}) AS BIGINT)", p.s, p.e), "null"
         if bitwise and k == "real":
             # SQLite casts REAL bitwise operands to INTEGER with int64
             # saturation (2.5 & 3 = 2, 1e30 & 1 = 1 — probed vs sqlite3);
@@ -1966,7 +2047,8 @@ class _Rw:
                 return verbatim, "int"
             return _P(f"try_mod({lp.text}, {rp.text})", lp.s, rp.e), "int"
         if "null" in (lk, rk):
-            if "blob" in (lk, rk):  # Spark rejects NULL-vs-BINARY ops
+            if "blob" in (lk, rk) or "text" in (lk, rk):
+                # same typed-NULL rule as division (see _divide)
                 return _P("CAST(NULL AS DOUBLE)", lp.s, rp.e), "null"
             return verbatim, "null"
         dyn_l, dyn_r = self._dyn_num(lp, lk), self._dyn_num(rp, rk)
@@ -2022,7 +2104,11 @@ class _Rw:
             rp, rk = _P(f"CAST(({rp.text}) AS BIGINT)", rp.s, rp.e), "int"
         verbatim = self._join([lp, _P(op.text, op.start, op.end), rp])
         if "null" in (lk, rk):
-            if "blob" in (lk, rk):  # Spark rejects NULL-vs-BINARY ops
+            if "blob" in (lk, rk) or "text" in (lk, rk):
+                # x / NULL is NULL whatever x is; emitting the verbatim
+                # form would be a Spark type error for BINARY and can
+                # re-group under Spark's precedence when x contains a ||
+                # (Spark binds / tighter than ||, SQLite the reverse)
                 return _P("CAST(NULL AS DOUBLE)", lp.s, rp.e), "null"
             return verbatim, "null"
         l_lit, r_lit = _lit_value(lp.text), _lit_value(rp.text)
@@ -2585,6 +2671,21 @@ class _Rw:
                     return ((out, "unknown"), j + 1)
                 return None
             if n_classes <= 1:
+                if ((has_txt or has_blob)
+                        and any(k == "null"
+                                and p.text.strip().upper() != "NULL"
+                                for (p, _k), k in zip(parsed, kinds))):
+                    # a TYPED null arg (a compiled NULL division is
+                    # DOUBLE) breaks Spark's same-type greatest/least
+                    # over strings; the scalar alias's any-NULL guard
+                    # nulls the result anyway, so only the TYPE matters
+                    ty = "STRING" if has_txt else "BINARY"
+                    args = [f"CAST(NULL AS {ty})" if k == "null"
+                            else f"({p.text})"
+                            for (p, _k), k in zip(parsed, kinds)]
+                    expr = fname + "(" + ", ".join(args) + ")"
+                    return ((_P(expr, start, end),
+                             "text" if has_txt else "blob"), j + 1)
                 return None  # single-class args: native greatest/least
             # SQLite's cross-class sort order (numeric < TEXT < BLOB)
             # makes the winner's CLASS static even though its value is
