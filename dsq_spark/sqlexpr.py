@@ -1234,6 +1234,16 @@ class _Rw:
                     # boolean-vs-numeric comparisons outright, so a bool
                     # side against a numeric side compares via its int
                     # value (the chained-comparison shape above)
+                    if (((lk == "null") != (rk2 == "null"))
+                            and "blob" in (lk, rk2) and lhs_one):
+                        # BLOB vs a typed-NULL expression: the result is
+                        # NULL; the verbatim BINARY-vs-DOUBLE comparison
+                        # is a Spark type error
+                        pieces = [_P("CAST(NULL AS BOOLEAN)",
+                                     pieces[0].s, rp.e)]
+                        lk = "bool"
+                        made_bool = True
+                        continue
                     if lhs_one and lk == "bool" and rk2 != "bool":
                         lhs0 = pieces[0]
                         pieces = [_P(f"CAST(({lhs0.text}) AS BIGINT)",
@@ -2304,9 +2314,11 @@ class _Rw:
                     lp0 = self._join(pieces)
                     pieces = [_P(f"CAST(({lp0.text}) AS BIGINT)",
                                  lp0.s, lp0.e)]
-                elif len(pieces) == 1 and pieces[0].trip is not None:
+                elif (len(pieces) == 1 and pieces[0].trip is not None
+                        and pieces[0].cls is None):
                     # dynamic division: render per its runtime storage
-                    # class (int branch '3', real branch %!.15g)
+                    # class (int branch '3', real branch %!.15g).  A
+                    # cls-carrying piece's surface IS its rendering.
                     lp0 = pieces[0]
                     pieces = [_P(_trip_text(lp0.trip), lp0.s, lp0.e)]
                 pieces.append(self._tokp(i))
@@ -2316,7 +2328,7 @@ class _Rw:
                             rp.s, rp.e)
                 elif rk == "bool":
                     rp = _P(f"CAST(({rp.text}) AS BIGINT)", rp.s, rp.e)
-                elif rp.trip is not None:
+                elif rp.trip is not None and rp.cls is None:
                     rp = _P(_trip_text(rp.trip), rp.s, rp.e)
                 pieces.append(rp)
                 pk = "text"
@@ -2520,12 +2532,26 @@ class _Rw:
         affinity handling is needed — common shapes keep their exact
         bytes, kinds, and plans."""
         if fname not in ("nullif", "greatest", "least", "typeof",
-                         "iif", "if", "coalesce", "ifnull"):
+                         "iif", "if", "coalesce", "ifnull",
+                         "substr", "substring"):
             return None
         parsed, j = self._simple_args(i, hi)
         if parsed is None:
             return None
         start, end = name_p.s, self.T[j].end
+        if fname in ("substr", "substring"):
+            if len(parsed) in (2, 3) and parsed[0][1] == "blob":
+                # SQLite substr() on a ZERO-LENGTH blob returns NULL
+                # (substr(x'', 1, 2) is NULL while substr(x'41', 2, 5)
+                # is X'' — probed); Spark's bytewise substring agrees
+                # on everything else
+                args = ", ".join(f"({p.text})" for p, _k in parsed)
+                src = parsed[0][0].text
+                expr = (f"(CASE WHEN length(({src})) = 0 "
+                        f"THEN CAST(NULL AS BINARY) "
+                        f"ELSE substring({args}) END)")
+                return ((_P(expr, start, end), "blob"), j + 1)
+            return None
         if fname in ("iif", "if", "coalesce", "ifnull"):
             # SQLite keeps each arm's own storage class per row where
             # Spark common-types the branches (typeof(iif(1, 1, 2.5)) is
@@ -2553,6 +2579,11 @@ class _Rw:
             if self._branch_boolmix(vals):
                 out = self._branch_int(conds, vals, start, end)
                 return ((out, "int"), j + 1)
+            nt = self._branch_nulltype(vals)
+            if nt is not None:
+                out = self._branch_typednull(conds, vals, nt, start, end)
+                return ((out, "text" if nt == "STRING" else "blob"),
+                        j + 1)
             return None
         if fname == "typeof":
             # the typeof ALIAS (functions._typeof_alias, expanded before
@@ -2563,7 +2594,8 @@ class _Rw:
             # even when the runtime class is integer.  Substitute the
             # quad's own dispatch, in SPARK names so the alias's outer
             # mapping keeps working: typeof('7'/'2') is 'integer'.
-            if len(parsed) == 1 and parsed[0][0].trip is not None:
+            if (len(parsed) == 1 and parsed[0][0].trip is not None
+                    and parsed[0][0].cls is None):
                 nn, cond, _isql, _dsql = parsed[0][0].trip
                 p = _P(f"(CASE WHEN {nn} THEN 'void' "
                        f"WHEN {cond} THEN 'bigint' ELSE 'double' END)",
@@ -2797,7 +2829,86 @@ class _Rw:
         out.cls = (list(conds),
                    [(None if p is None else p.text, k,
                      None if p is None else p.trip) for p, k in vals])
+        # … and a numeric quad built from the arm VALUES, so arithmetic
+        # and INTEGER/REAL casts convert each row's selected arm exactly
+        # instead of re-parsing the (lossy for 16+-digit reals and Inf)
+        # TEXT rendering: CAST(CASE … ELSE 9007199254740992.0 END AS
+        # INTEGER) is the exact int64, CASE … ELSE 1e999 END - 1 is Inf
+        out.trip = self._cls_num_quad(out.text, out.cls)
         return out
+
+    @staticmethod
+    def _cls_num_quad(surface: str, cls) -> tuple[str, str, str, str]:
+        """(null, is_int, int64, double) arms of a class-mixed branch,
+        dispatching per SELECTED arm with each arm's own numeric
+        conversion (text arms through the prefix machinery, numeric
+        arms exactly)."""
+        conds, arms = cls
+
+        def per(a, sel: str) -> str:
+            text, kind, trip = a
+            if text is None or kind == "null":
+                return {"c": "false", "i": "CAST(NULL AS BIGINT)",
+                        "d": "CAST(NULL AS DOUBLE)"}[sel]
+            if trip is not None:
+                nn0, cond0, isql0, dsql0 = trip
+                if sel == "c":
+                    return cond0
+                if sel == "i":
+                    return isql0
+                return (f"(CASE WHEN {cond0} THEN CAST({isql0} AS DOUBLE) "
+                        f"ELSE {dsql0} END)")
+            if kind in _INTISH:
+                return {"c": "true",
+                        "i": f"CAST(({text}) AS BIGINT)",
+                        "d": f"CAST(CAST(({text}) AS BIGINT) AS DOUBLE)"
+                        if kind == "bool" else f"CAST(({text}) AS DOUBLE)"
+                        }[sel]
+            if kind == "real":
+                return {"c": "false", "i": _sat_bigint(f"CAST(({text}) AS DOUBLE)"),
+                        "d": f"CAST(({text}) AS DOUBLE)"}[sel]
+            src = f"({text})" if kind == "text" else f"string(({text}))"
+            pre = f"regexp_extract({src}, {_REAL_PREFIX}, 1)"
+            return {"c": f"({pre} RLIKE {_IS_INT_PREFIX})",
+                    "i": _prefix_int_chain(pre),
+                    "d": f"coalesce(try_cast({pre} AS DOUBLE), "
+                         f"CAST(0 AS DOUBLE))"}[sel]
+
+        def mk(sel: str) -> str:
+            whens = " ".join(f"WHEN {c} THEN {per(a, sel)}"
+                             for c, a in zip(conds, arms))
+            return f"(CASE {whens} ELSE {per(arms[-1], sel)} END)"
+
+        return (f"(({surface}) IS NULL)", mk("c"), mk("i"), mk("d"))
+
+    @staticmethod
+    def _branch_nulltype(vals):
+        """When a single-class text/blob branch construct carries a
+        COMPUTED null arm (a compiled NULL division is DOUBLE-typed),
+        Spark rejects the arm type mix; the arm only needs the class's
+        type.  Returns 'STRING'/'BINARY' when that retyping is needed,
+        else None."""
+        ks = set(k for _p, k in vals)
+        if not (ks <= {"text", "null"} or ks <= {"blob", "null"}):
+            return None
+        if not any(k == "null" and p is not None
+                   and p.text.strip().upper() != "NULL"
+                   for p, k in vals):
+            return None
+        return "STRING" if "text" in ks else "BINARY"
+
+    @staticmethod
+    def _branch_typednull(conds, vals, ty: str, start: int,
+                          end: int) -> _P:
+        def arm(pk) -> str:
+            p, k = pk
+            if p is None or k == "null":
+                return f"CAST(NULL AS {ty})"
+            return f"({p.text})"
+
+        arms = " ".join(f"WHEN {c} THEN {arm(v)}"
+                        for c, v in zip(conds, vals))
+        return _P(f"(CASE {arms} ELSE {arm(vals[-1])} END)", start, end)
 
     @staticmethod
     def _branch_boolmix(vals) -> bool:
@@ -2953,7 +3064,8 @@ class _Rw:
             if (ordinal == 1 and fname in _REGEXP_FNS
                     and k == a0 + 1 and T[a0].kind == "str"):
                 ep = _P(_go_regex_to_java(ep.text), ep.s, ep.e)
-            if ep.trip is not None and fname in self._TRIP_TEXT_ARGS:
+            if (ep.trip is not None and ep.cls is None
+                    and fname in self._TRIP_TEXT_ARGS):
                 spots = self._TRIP_TEXT_ARGS[fname]
                 if spots is None or ordinal in spots:
                     ep = _P(_trip_text(ep.trip), ep.s, ep.e)
@@ -3118,7 +3230,8 @@ class _Rw:
                                                              else_k)]
         mixed = complete and (self._branch_mix(vals0)
                               or self._branch_textmix(vals0)
-                              or self._branch_boolmix(vals0))
+                              or self._branch_boolmix(vals0)
+                              or self._branch_nulltype(vals0) is not None)
         if base is not None and complete and not mixed:
             # SQLite's base-form CASE compares base = WHEN-operand with
             # the SAME affinity rules as a standalone `=` (lang_expr.html
@@ -3176,8 +3289,12 @@ class _Rw:
             if self._branch_textmix(vals):
                 out = self._branch_text(conds, vals, start, end)
                 return ((out, "text"), i)
-            out = self._branch_int(conds, vals, start, end)
-            return ((out, "int"), i)
+            if self._branch_boolmix(vals):
+                out = self._branch_int(conds, vals, start, end)
+                return ((out, "int"), i)
+            nt = self._branch_nulltype(vals)
+            out = self._branch_typednull(conds, vals, nt, start, end)
+            return ((out, "text" if nt == "STRING" else "blob"), i)
         out = self._join(pieces)
         if guard_shape:
             # the NULL-guard shape (CASE WHEN <nulls> THEN NULL ELSE x
@@ -3227,6 +3344,17 @@ class _Rw:
             # aliases route their argument through a string cast)
             ep = _P(f"CAST(({ep.text}) AS BIGINT)", ep.s, ep.e)
             ek = "int"
+        if ep.cls is not None and tname in ("text", "string",
+                                            "varchar", "blob"):
+            # a class-mixed branch's TEXT surface already renders each
+            # arm per its own class; BLOB takes those bytes
+            if tname == "blob":
+                return ((_P(f"CAST(({ep.text}) AS BINARY)", *span),
+                         "blob"), j + 1)
+            pc = _P(f"({ep.text})", *span)
+            if tname == "text":
+                pc.aff = "text"
+            return ((pc, "text"), j + 1)
         if ep.trip is not None:
             # a dynamic int-or-real value (text division, mixed-class
             # scalar min) converts per its RUNTIME storage class, exactly

@@ -1409,6 +1409,26 @@ def test_branch_storage_class_matrix(engines):
         "quote(CAST(5 AS BLOB))", "quote(CAST('ab' AS BLOB))",
         "quote(CAST(2.5 AS BLOB))", "quote(CAST('7'/'2' AS BLOB))",
         "length(CAST(12345 AS BLOB))", "quote(CAST(a AS BLOB))",
+        # class-mixed branches carry a NUMERIC quad too: arithmetic and
+        # INTEGER/REAL casts convert the selected arm's VALUE exactly
+        # (never its lossy TEXT rendering), and the substr-on-empty-blob
+        # NULL quirk / typed-null arm mixes / blob-vs-NULL comparisons
+        "CAST(coalesce(CASE '-2' WHEN 9223372036854775808 THEN '0.5x' ELSE 9007199254740992.0 END, min(0, '-2')) AS INTEGER)",
+        "CASE a WHEN ~2.5 THEN CASE 2 WHEN 0 THEN '' ELSE 1e999 END ELSE nullif(1e999, '1.0') END - date('2024-01-06')",
+        "CAST(iif(1, 9007199254740993, 'x') AS INTEGER)",
+        "hex(iif(a > 0, 9007199254740993, 'x') + 0)",
+        "iif(0, 'a', 2.5) * 2 || ''", "CAST(iif(0, 'a', 2.5) AS REAL)",
+        "quote(substr(x'', 1, 2))", "quote(substr(x'41', 2, 5))",
+        "quote(substr(x'4142', 1, 1))", "unicode(quote(substr(x'', 1, 2)))",
+        "quote(substr(x'', 2))", "quote(substr(x'4142', 3))",
+        "coalesce(substr(x'', 1, 2), CAST(2147483647 AS TEXT)) * coalesce(-2, length(a))",
+        "max(9007199254740992.0, x'') < -NULL",
+        "coalesce(max(x'', ''), 9007199254740992.0 / NULL)",
+        "x'41' = NULL / 2", "x'41' < NULL * a",
+        "CAST(iif(0, x'41', NULL/2) AS TEXT)",
+        "CASE WHEN a > 0 THEN x'' ELSE NULL/2 END IS NULL",
+        "1 IS nullif(9223372036854775808 IN ('1.0', 0), coalesce('1.0', '0.5x'))",
+        "'x' IS NULL / 2", "2 IS 1 + 1", "1 IS (a < 2)",
     ]
     sels = ", ".join(f"{e} AS r{i}" for i, e in enumerate(exprs))
     q = f"SELECT {sels} FROM td"
