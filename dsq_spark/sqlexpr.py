@@ -325,6 +325,10 @@ _INT_PREFIX = f"'^[{_WS}]*([+-]?[0-9]+)'"
 _REAL_PREFIX = (f"'^[{_WS}]*([+-]?(?:[0-9]+[.]?[0-9]*|[.][0-9]+)"
                 f"(?:[eE][+-]?[0-9]+)?)'")
 _IS_INT_PREFIX = r"'^[+-]?[0-9]*$'"  # '' coerces to integer 0
+# a WHOLE (already-trimmed) string that is a number — SQLite's strict
+# text→numeric conversion for the math function family
+_FULL_NUM = ("'^[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)"
+             "([eE][+-]?[0-9]+)?$'")
 
 _TYPEOF_INTS = "('tinyint', 'smallint', 'int', 'bigint')"
 
@@ -2304,6 +2308,12 @@ class _Rw:
                 i += 2
                 continue
             if t.kind == "op" and t.text == "||":
+                if pk == "blob":
+                    # SQLite || yields TEXT even for blob operands
+                    # (typeof(x'41' || x'42') is 'text', value 'AB' —
+                    # probed); Spark's concat would stay BINARY
+                    lp0 = self._join(pieces)
+                    pieces = [_P(f"string(({lp0.text}))", lp0.s, lp0.e)]
                 if pk == "real":  # SQLite renders REAL via %!.15g in concat
                     lp0 = self._join(pieces)
                     pieces = [_P(f"dsq_real_text(CAST({lp0.text} AS DOUBLE))",
@@ -2328,6 +2338,8 @@ class _Rw:
                             rp.s, rp.e)
                 elif rk == "bool":
                     rp = _P(f"CAST(({rp.text}) AS BIGINT)", rp.s, rp.e)
+                elif rk == "blob":
+                    rp = _P(f"string(({rp.text}))", rp.s, rp.e)
                 elif rp.trip is not None and rp.cls is None:
                     rp = _P(_trip_text(rp.trip), rp.s, rp.e)
                 pieces.append(rp)
@@ -3092,15 +3104,29 @@ class _Rw:
                 # round('') is 0.0, abs(x'41') is 0.0 — probed); Spark's
                 # implicit cast would NULL junk (and throw under ANSI).
                 # string(), not CAST AS STRING: the string-cast
-                # interception must not see this emission.
-                arg = f"string(({ep.text}))" if ek == "blob" else ep.text
-                ep = _P(_real_prefix_double(arg), ep.s, ep.e)
+                # interception must not see this emission.  A
+                # quad-carrying piece (class-mixed branch) converts per
+                # its arm VALUES (round(coalesce(1e999, 'x')) is Inf,
+                # not the prefix of the 'Inf' rendering).
+                if ep.trip is not None:
+                    nn0, cond0, isql0, dsql0 = ep.trip
+                    ep = _P(f"(CASE WHEN {nn0} THEN CAST(NULL AS DOUBLE) "
+                            f"WHEN {cond0} THEN CAST({isql0} AS DOUBLE) "
+                            f"ELSE {dsql0} END)", ep.s, ep.e)
+                else:
+                    arg = (f"string(({ep.text}))" if ek == "blob"
+                           else ep.text)
+                    ep = _P(_real_prefix_double(arg), ep.s, ep.e)
                 ek = "real"
             elif ek == "text" and fname in _FN_NUM_FULLCAST:
-                # the math family converts FULLY-numeric text and NULLs
-                # anything else (ceil('2.5') is 3.0, ceil('abc') NULL —
-                # probed); try_cast matches under both ANSI settings
-                ep = _P(f"try_cast(({ep.text}) AS DOUBLE)", ep.s, ep.e)
+                # the math family converts FULLY-numeric text (leading/
+                # trailing whitespace allowed) and NULLs anything else —
+                # including the Inf/NaN spellings Spark's cast accepts
+                # (ceil('2.5') is 3.0, ceil('abc') and sign('Inf') are
+                # NULL — probed); try_cast matches under both ANSI modes
+                ep = _P(f"(CASE WHEN trim(({ep.text})) RLIKE "
+                        f"{_FULL_NUM} THEN try_cast(({ep.text}) "
+                        f"AS DOUBLE) END)", ep.s, ep.e)
                 ek = "real"
             elif ek == "blob" and fname in _FN_NUM_FULLCAST:
                 # the math family NULLs BLOB args outright — even
