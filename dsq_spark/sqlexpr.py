@@ -1757,6 +1757,10 @@ class _Rw:
         extractable equi-join condition.  ``lcls``/``rcls`` carry the
         per-arm class structure of a TEXT-rendered branch operand — its
         key is built per selected arm (_cls_key_sql)."""
+        if ((lk == "null") != (rk == "null")) and "blob" in (lk, rk):
+            # BLOB vs a typed-NULL expression: NULL (Spark's
+            # BINARY-vs-DOUBLE comparison is a type error)
+            return "CAST(NULL AS BOOLEAN)"
         if mode in ("key", "class"):
             parse = mode == "key"
             a = (_cls_key_sql(lcls, parse) if lcls is not None
@@ -2259,6 +2263,10 @@ class _Rw:
                          f"ELSE {dsql} END)", prefixes[0].s, pp.e)
                 out.trip = (nn, cond, isql, dsql)
                 pp, pk = out, "unknown"
+            elif tilde and pk == "null":
+                # ~ over a (possibly sign-wrapped) NULL: typed NULL —
+                # Spark's `~(- NULL)` rejects the DOUBLE-typed operand
+                pp = _P("CAST(NULL AS BIGINT)", prefixes[0].s, pp.e)
             elif tilde or minus:
                 pp, pk = self._coerce_num(pp, pk, bitwise=tilde)
                 pk = "int" if tilde else _numlike(pk)
@@ -2865,10 +2873,12 @@ class _Rw:
             if trip is not None:
                 nn0, cond0, isql0, dsql0 = trip
                 if sel == "c":
-                    return cond0
+                    return f"(CASE WHEN {nn0} THEN false ELSE {cond0} END)"
                 if sel == "i":
-                    return isql0
-                return (f"(CASE WHEN {cond0} THEN CAST({isql0} AS DOUBLE) "
+                    return (f"(CASE WHEN {nn0} THEN CAST(NULL AS BIGINT) "
+                            f"ELSE {isql0} END)")
+                return (f"(CASE WHEN {nn0} THEN CAST(NULL AS DOUBLE) "
+                        f"WHEN {cond0} THEN CAST({isql0} AS DOUBLE) "
                         f"ELSE {dsql0} END)")
             if kind in _INTISH:
                 return {"c": "true",
@@ -2958,12 +2968,19 @@ class _Rw:
         def arm(pk, sel: str) -> str:
             p, k = pk
             if p is not None and p.trip is not None and k == "unknown":
+                # every inner-quad arm must stay behind its OWN null
+                # gate: the dsql/isql arms are only meaningful when the
+                # operand is non-NULL (a text prefix of NULL coalesces
+                # to 0.0 — iif(0, 7, 2.5 + substr(x'',1,2)) must be
+                # NULL, not 2.5)
                 nn, cond, isql, dsql = p.trip
                 if sel == "c":
-                    return cond
+                    return f"(CASE WHEN {nn} THEN false ELSE {cond} END)"
                 if sel == "i":
-                    return isql
-                return (f"(CASE WHEN {cond} THEN CAST({isql} AS DOUBLE) "
+                    return (f"(CASE WHEN {nn} THEN CAST(NULL AS BIGINT) "
+                            f"ELSE {isql} END)")
+                return (f"(CASE WHEN {nn} THEN CAST(NULL AS DOUBLE) "
+                        f"WHEN {cond} THEN CAST({isql} AS DOUBLE) "
                         f"ELSE {dsql} END)")
             if sel == "c":
                 return "true" if k in _INTISH else "false"
@@ -3005,7 +3022,8 @@ class _Rw:
         def as_dbl(p: _P, k: str) -> str:
             if k == "dyn":
                 nn0, cond, isql, dsql = p.trip
-                return (f"(CASE WHEN {cond} THEN CAST({isql} AS DOUBLE) "
+                return (f"(CASE WHEN {nn0} THEN CAST(NULL AS DOUBLE) "
+                        f"WHEN {cond} THEN CAST({isql} AS DOUBLE) "
                         f"ELSE {dsql} END)")
             if k == "bool":
                 return f"CAST(CAST(({p.text}) AS BIGINT) AS DOUBLE)"

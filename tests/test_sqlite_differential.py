@@ -1436,3 +1436,36 @@ def test_branch_storage_class_matrix(engines):
     assert want == got
     rw = rewrite_query(q, SCHEMA)
     assert rewrite_query(rw, SCHEMA) == rw
+
+
+def test_null_gating_and_tilde_null(engines):
+    """r6 final sweep: (1) every inner-quad arm stays behind its own
+    null gate (iif(0, 7, 2.5 + substr(x'', 1, 2)) is NULL — the text
+    prefix of a NULL operand must not coalesce to 0.0); (2) ~ over a
+    sign-wrapped NULL is a typed NULL (Spark rejects ~DOUBLE); (3) a
+    BLOB against a typed-NULL expression is NULL through BETWEEN/IN
+    desugars too; (4) blob || blob is TEXT; (5) the math family NULLs
+    Inf/NaN text spellings.  All pinned vs sqlite3."""
+    spark, con = engines
+    exprs = [
+        "~-NULL", "~+NULL", "-~NULL",
+        "iif(0, 7, +2.5 + substr(x'', 1, 2))",
+        "iif(0, 7, 2.5 + substr(x'', 1, 2)) IS NULL",
+        "x'41' BETWEEN ~' 1' AND -0.5 % NULL",
+        "max(NULL, x'41') BETWEEN ~' 1' AND -0.5 % NULL",
+        "a IN (unicode('-2'), ~-NULL)",
+        "min(iif(0, 1, 2.5), coalesce(NULL, 3)) || ''",
+        "quote(x'41' || x'42')", "typeof(x'41' || x'42')",
+        "x'41' || x'42' || 'x'", "quote(x'' || x'41')",
+        "CASE x'41' || x'42' WHEN 'AB' THEN 1 ELSE 0 END",
+        "-sign(quote(1e999))", "sign('Inf')", "sign('nan')",
+        "ceil('Infinity')", "ceil('2.5 x')", "sign('0x10')",
+        "round(coalesce(+1e999, upper(-1))) = 1e999",
+        "abs(iif(0, 'x', 1e999)) = 1e999",
+    ]
+    sels = ", ".join(f"{e} AS r{i}" for i, e in enumerate(exprs))
+    q = f"SELECT {sels} FROM td"
+    want, got = _run(spark, con, q)
+    assert want == got
+    rw = rewrite_query(q, SCHEMA)
+    assert rewrite_query(rw, SCHEMA) == rw
