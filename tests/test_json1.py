@@ -331,6 +331,12 @@ def test_json_mutator_fast_path_matrix(spark):
         "json_set(j, '$.b', true)", "json_insert(j, '$.a', 9)",
         "json_insert(j, '$.b', 9)", "json_replace(j, '$.a', 9)",
         "json_replace(j, '$.b', 9)", "json_set(j, '$.c', 'q\\path')",
+        # ADVICE r6: the value renderer must keep SQLite's %!.15g shape —
+        # integral reals keep the forced decimal point (3.0 stays 3.0,
+        # preserving the stored JSON type), -0.0 normalizes to 0.0, and
+        # an integer literal past int64 promotes to REAL
+        "json_set(j, '$.b', 3.0)", "json_set(j, '$.b', -0.0)",
+        "json_set(j, '$.b', 9223372036854775808)",
     ]
     spark.createDataFrame([(d,) for d in docs], "j string") \
         .createOrReplaceTempView("jfast_m")
