@@ -327,6 +327,8 @@ def register_all(spark: SparkSession, strict_json: bool | None = None) -> None:
             spark.sql(stmt)
     from dsq_spark.functions.json1 import register_json1
     register_json1(spark, strict=strict_json)
+    from dsq_spark.functions.sqlite_real import register_quote_real
+    register_quote_real(spark)
 
 
 import re as _re
@@ -949,14 +951,24 @@ def _like_fn_alias(parts: list[str]) -> str:
 
 
 def _quote_alias(parts: list[str]) -> str:
-    """SQLite quote(): numbers verbatim, text single-quoted with '' escapes,
-    blobs X'HEX', NULL → 'NULL'."""
+    """SQLite quote(): integers verbatim, REALs via SQLite 3.40's exact
+    quoteFunc rendering (%!.15g when its own AtoF round-trips it, else
+    the long-double %!.20e — functions/sqlite_real.py; the dsq_quote_real
+    pandas UDF is byte-calibrated vs sqlite3 on 200k doubles), text
+    single-quoted with '' escapes, blobs X'HEX', NULL → 'NULL'."""
     x = parts[0].strip()
     t = f"typeof({x})"
     return (
         f"CASE WHEN {x} IS NULL THEN 'NULL' "
-        f"WHEN {t} IN ('tinyint', 'smallint', 'int', 'bigint', 'boolean', "
-        f"'float', 'double') OR {t} ILIKE 'decimal%' THEN CAST({x} AS STRING) "
+        f"WHEN {t} IN ('tinyint', 'smallint', 'int', 'bigint', 'boolean') "
+        f"THEN CAST({x} AS STRING) "
+        # string(x), not CAST AS DOUBLE: a BINARY argument would fail
+        # ANALYSIS in this (dead) arm, and Spark's string() of a double
+        # is Java's shortest round-trip rendering, which the UDF parses
+        # back to the identical double; string() is also never touched
+        # by the %!.15g string-cast interception on a second pass
+        f"WHEN {t} IN ('float', 'double') OR {t} ILIKE 'decimal%' "
+        f"THEN dsq_quote_real(string({x})) "
         # (the hex alias's idempotence guard recognizes this emitted
         # concat('X''', upper(hex(  prefix and leaves the byte-hex alone)
         f"WHEN {t} = 'binary' THEN concat('X''', upper(hex({x})), '''') "

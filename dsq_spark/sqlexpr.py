@@ -266,7 +266,7 @@ _FN_TEXT = frozenset((
     "string_agg", "soundex", "regexp_extract", "regexp_replace",
     "get_json_object", "json_quote", "json_array", "json_object", "json",
     "glob_regex", "base64", "md5", "sha1", "space", "dsq_real_text",
-    "string",
+    "dsq_quote_real", "string",
     "url_scheme", "url_host", "url_path", "url_fragment", "url_param",
     # the datetime compiler's emission tops: SQLite date/time/strftime
     # return TEXT, so `date(x) < 20250000` compares by storage class
@@ -558,6 +558,19 @@ _CMP_FOLD = {
     "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
     ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
 }
+
+
+def _lossy_static_pair(a, b) -> bool:
+    """True when a native Spark comparison of these two STATIC numerics
+    would promote an int past 2^53 to double and lose exactness — the
+    only pairs where SQLite's exact int-vs-real comparison (its
+    sqlite3IntFloatCompare) and Spark's promote-both disagree.  Gates
+    the IN/BETWEEN/nullif/CASE-base static folds so ordinary literal
+    comparisons keep their byte-identical native emissions."""
+    return ((isinstance(a, int) and isinstance(b, float)
+             and abs(a) > 2**53)
+            or (isinstance(b, int) and isinstance(a, float)
+                and abs(b) > 2**53))
 
 
 def _lit_value(text: str) -> float | None:
@@ -1520,6 +1533,28 @@ class _Rw:
                                 coerced = True
                             ne.append((ep, ek))
                         elems = ne
+                    if elems and len(base) == 1:
+                        # all-static numeric membership with a >2^53
+                        # int-vs-real pair folds exactly (SQLite's
+                        # int-float comparison is exact; Spark's double
+                        # promotion makes 9223372036854775807 IN
+                        # (9223372036854775808) true — r7 probe sweep)
+                        lv = _static_num_val(base[0], lk)
+                        evs = [_static_num_val(ep, ek)
+                               for ep, ek in elems]
+                        if (lv is not None
+                                and all(v is not None for v in evs)
+                                and any(_lossy_static_pair(lv, v)
+                                        for v in evs)):
+                            res = any(lv == v for v in evs)
+                            if negated:
+                                res = not res
+                            pieces = [_P(_BOOL_T if res else _BOOL_F,
+                                         base[0].s, T[j].end)]
+                            lk = "bool"
+                            i = j + 1
+                            made_bool = True
+                            continue
                     modes = [
                         _cmp_mode(_eff_cmp_kind(lk, base[0]),
                                   base[0].aff, base[0].varied,
@@ -1721,6 +1756,25 @@ class _Rw:
                     m2 = _cmp_mode(lke, lp0.aff, lp0.varied,
                                    _eff_cmp_kind(bk2, b2), b2.aff, b2.varied)
                 if m1 == "native" and m2 == "native":
+                    if lhs_one and b2 is not None:
+                        # all-static numeric bounds with a >2^53
+                        # int-vs-real pair fold exactly (same class as
+                        # the IN fold above — r7 probe sweep)
+                        lv = _static_num_val(base[0], lk)
+                        v1 = _static_num_val(b1, bk1)
+                        v2 = _static_num_val(b2, bk2)
+                        if (lv is not None and v1 is not None
+                                and v2 is not None
+                                and (_lossy_static_pair(lv, v1)
+                                     or _lossy_static_pair(lv, v2))):
+                            res = v1 <= lv <= v2
+                            if negated:
+                                res = not res
+                            pieces = [_P(_BOOL_T if res else _BOOL_F,
+                                         base[0].s, b2.e)]
+                            lk = "bool"
+                            made_bool = True
+                            continue
                     pieces.append(bt_tok)
                     pieces.append(b1)
                     if and_tok is not None:
@@ -2611,12 +2665,36 @@ class _Rw:
         bytes, kinds, and plans."""
         if fname not in ("nullif", "greatest", "least", "typeof",
                          "iif", "if", "coalesce", "ifnull",
-                         "substr", "substring"):
+                         "substr", "substring", "abs"):
             return None
         parsed, j = self._simple_args(i, hi)
         if parsed is None:
             return None
         start, end = name_p.s, self.T[j].end
+        if fname == "abs":
+            # abs() PRESERVES the storage class (abs of an INTEGER is
+            # INTEGER — typeof(abs(min(-1, 0.0))) is 'integer', upper of
+            # it is '1' not '1.0'; r7 probe sweep), so a quad-carrying
+            # argument yields a quad result with abs applied to each
+            # arm.  int64 min is excluded from the int arm (SQLite
+            # raises 'integer overflow' there — this engine surfaces the
+            # REAL magnitude instead, unpinned).  All other abs shapes
+            # fall through to the generic path.
+            if not (len(parsed) == 1 and parsed[0][0].trip is not None
+                    and parsed[0][0].cls is None
+                    and parsed[0][1] == "unknown"):
+                return None
+            nn, cond, isql, dsql = parsed[0][0].trip
+            full_d = (f"(CASE WHEN {cond} THEN CAST({isql} AS DOUBLE) "
+                      f"ELSE {dsql} END)")
+            n_cond = f"({cond} AND ({isql}) <> {_LONG_MIN})"
+            n_isql = f"abs({isql})"
+            n_dsql = f"abs({full_d})"
+            out = _P(f"(CASE WHEN {nn} THEN CAST(NULL AS DOUBLE) "
+                     f"WHEN {n_cond} THEN CAST({n_isql} AS DOUBLE) "
+                     f"ELSE {n_dsql} END)", start, end)
+            out.trip = (nn, n_cond, n_isql, n_dsql)
+            return ((out, "unknown"), j + 1)
         if fname in ("substr", "substring"):
             if len(parsed) in (2, 3) and parsed[0][1] == "blob":
                 # SQLite substr() on a ZERO-LENGTH blob returns NULL
@@ -2730,6 +2808,18 @@ class _Rw:
             return None
         if fname == "nullif" and len(parsed) == 2:
             (ap, ak), (bp, bk) = parsed
+            av, bv = _static_num_val(ap, ak), _static_num_val(bp, bk)
+            if (av is not None and bv is not None
+                    and _lossy_static_pair(av, bv)):
+                # exact static fold for the >2^53 int-vs-real pair:
+                # nullif(9007199254740993, 9007199254740992.0) keeps the
+                # int (SQLite compares exactly; Spark's double promotion
+                # would call them equal and NULL it — r7 probe sweep)
+                if av == bv:
+                    ty = "BIGINT" if ak in _INTISH else "DOUBLE"
+                    return ((_P(f"CAST(NULL AS {ty})", start, end),
+                             "null"), j + 1)
+                return ((_P(f"({ap.text})", start, end), ak), j + 1)
             ake, bke = _eff_cmp_kind(ak, ap), _eff_cmp_kind(bk, bp)
             # function arguments are bare VALUES — no column affinity
             # reaches nullif's internal `=` (probed: nullif(a, '1') on an
@@ -3391,11 +3481,30 @@ class _Rw:
             modes = [_cmp_mode(bke, bp.aff, bp.varied,
                                _eff_cmp_kind(ck, cp), cp.aff, cp.varied)
                      for cp, ck, _vp, _vk in whens]
-            if any(m != "native" for m in modes):
+            bval = _static_num_val(bp, bk)
+            lossy = [bval is not None
+                     and (cv := _static_num_val(cp, ck)) is not None
+                     and _lossy_static_pair(bval, cv)
+                     for cp, ck, _vp, _vk in whens]
+            if any(m != "native" for m in modes) or any(lossy):
+
+                def cond(cp, ck, m, lz):
+                    if lz:
+                        # >2^53 int-vs-real WHEN operand: exact static
+                        # fold (native `=` would double-promote)
+                        return (_BOOL_T
+                                if bval == _static_num_val(cp, ck)
+                                else _BOOL_F)
+                    return self._affinity_cmp(
+                        bp.text, bke, "=", cp.text,
+                        _eff_cmp_kind(ck, cp), m,
+                        lcls=bp.cls, rcls=cp.cls) if m != "native" \
+                        else f"(({bp.text}) = ({cp.text}))"
+
                 arms = " ".join(
-                    f"WHEN {self._affinity_cmp(bp.text, bke, '=', cp.text, _eff_cmp_kind(ck, cp), m, lcls=bp.cls, rcls=cp.cls)} "
-                    f"THEN {vp.text}"
-                    for (cp, ck, vp, _vk), m in zip(whens, modes))
+                    f"WHEN {cond(cp, ck, m, lz)} THEN {vp.text}"
+                    for (cp, ck, vp, _vk), m, lz
+                    in zip(whens, modes, lossy))
                 tail = f" ELSE {else_p.text}" if else_p is not None else ""
                 end = pieces[-1].e
                 return ((_P(f"CASE {arms}{tail} END", start, end), kind), i)
@@ -3416,9 +3525,16 @@ class _Rw:
             else:
                 bp, bk = base
                 bke = _eff_cmp_kind(bk, bp)
+                bval = _static_num_val(bp, bk)
                 conds = []
                 for cp, ck, _vp, _vk in whens:
                     cke = _eff_cmp_kind(ck, cp)
+                    cval = _static_num_val(cp, ck)
+                    if (bval is not None and cval is not None
+                            and _lossy_static_pair(bval, cval)):
+                        # >2^53 int-vs-real WHEN operand: exact fold
+                        conds.append(_BOOL_T if bval == cval else _BOOL_F)
+                        continue
                     m = _cmp_mode(bke, bp.aff, bp.varied, cke,
                                   cp.aff, cp.varied)
                     conds.append(

@@ -7,8 +7,25 @@ This sweep generates deep CONSTANT compositions — function results feeding
 comparisons, typeof() of everything, boundary literals — and diffs
 `SELECT <expr>` between sqlite3 and rewrite_query+Spark.
 
-Exploration tool, not a test: prints mismatches for triage (known
-documented residuals vs new bug classes).  Usage:
+Hardened r7 (r6 VERDICT #8): the sweep is a GATE, not just an exploration
+tool.  Engine errors are hard failures (a query that RUNS in the
+reference must run here), and every result difference is classified
+strictly:
+
+  * VALUE mismatch — any payload difference at all.  Text compares
+    byte-exact (no float-rendering forgiveness), NULL-vs-non-NULL is a
+    value difference.  Hard failure.
+  * class delta — the value is EXACTLY equal and only the storage class
+    differs, in one of the three documented PARITY.md surface families:
+    (a) int-valued DOUBLE vs INTEGER either way (the dynamic-quad /
+    ceil-floor SELECT surface), (b) the engine surfaces a number's
+    SQLite TEXT rendering byte-for-byte (class-mixed branch arms),
+    (c) the engine surfaces a BLOB's UTF-8 payload as TEXT byte-for-byte
+    (blob arms through branches).  Reported, counted, not a failure.
+
+Exit status is non-zero on any engine error or VALUE mismatch, and
+tests/test_sqlite_differential.py::test_constant_probe_sweep_gate runs a
+sampled sweep as part of the suite.  Usage:
 
     python scripts/probe_constants.py [N] [SEED]
 """
@@ -95,19 +112,63 @@ def canon(v):
     return "t:" + str(v)
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 400
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0xC0FFEE
-    from dsq_spark.functions import register_all
-    from dsq_spark.rewrite import rewrite_query
-    from dsq_spark.session import get_spark
+def _sqlite_render(v) -> str | None:
+    """SQLite's value→TEXT rendering of a numeric (int verbatim, real via
+    %!.15g — the same transform as dsq_real_text)."""
+    from dsq_spark.sqlexpr import _real_text_py
 
-    spark = get_spark()
-    spark.sparkContext.setLogLevel("ERROR")
-    register_all(spark)
-    con = sqlite3.connect(":memory:")
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        if math.isinf(v):
+            return "Inf" if v > 0 else "-Inf"
+        return _real_text_py(v)
+    return None
+
+
+def classify(got, want) -> str | None:
+    """A documented PARITY.md class-only surface family, else None
+    (= VALUE mismatch).  Every family requires EXACT payload equality —
+    only the storage class may differ."""
+    num = (int, float, bool)
+    # (a) int-valued numeric, classes swapped (quad DOUBLE surface /
+    # ceil-floor BIGINT surface)
+    if (isinstance(got, num) and isinstance(want, num)
+            and not isinstance(got, bool) and not isinstance(want, bool)):
+        try:
+            if (float(got) == float(want)
+                    and not (math.isnan(float(got))
+                             or math.isnan(float(want)))):
+                return "class-num"
+        except (OverflowError, ValueError):
+            pass
+    # (b) the engine surfaces the number's exact SQLite TEXT rendering
+    if isinstance(got, str) and isinstance(want, num):
+        if got == _sqlite_render(want):
+            return "class-render"
+    # (c) the engine surfaces the BLOB's UTF-8 payload as TEXT
+    if isinstance(got, str) and isinstance(want, (bytes, bytearray)):
+        try:
+            if got == bytes(want).decode("utf-8"):
+                return "class-blob-text"
+        except UnicodeDecodeError:
+            pass
+    return None
+
+
+def sweep(spark, con, n: int, seed: int):
+    """Run the sweep; returns (checked, value_mismatches, class_deltas,
+    errors) where value_mismatches/errors are hard failures and
+    class_deltas the documented surface families."""
+    from dsq_spark.rewrite import rewrite_query
+
     r = random.Random(seed)
-    mismatches, errors, checked = [], [], 0
+    value_mm, class_d, errors = [], [], []
+    checked = 0
     while checked < n:
         expr = gen(r, r.randint(2, 3))
         try:
@@ -121,16 +182,38 @@ def main() -> None:
         except Exception as e:
             errors.append((expr, str(e).split("\n")[0][:160]))
             continue
-        cw, cg = canon(want), canon(got)
-        if cw != cg:
-            # int-valued float vs int is a CLASS mismatch in SQLite terms
-            mismatches.append((expr, cg, cw))
-    print(f"checked {checked}: {len(mismatches)} mismatches, "
+        if canon(want) == canon(got):
+            continue
+        fam = classify(got, want)
+        if fam is not None:
+            class_d.append((expr, fam, canon(got), canon(want)))
+        else:
+            value_mm.append((expr, canon(got), canon(want)))
+    return checked, value_mm, class_d, errors
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0xC0FFEE
+    from dsq_spark.functions import register_all
+    from dsq_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    register_all(spark)
+    con = sqlite3.connect(":memory:")
+    checked, value_mm, class_d, errors = sweep(spark, con, n, seed)
+    print(f"checked {checked}: {len(value_mm)} VALUE mismatches, "
+          f"{len(class_d)} documented class deltas, "
           f"{len(errors)} engine errors")
-    for e, g, w in mismatches[:60]:
-        print(f"  MISMATCH {e!r}\n    engine={g}  sqlite={w}")
+    for e, g, w in value_mm[:60]:
+        print(f"  VALUE    {e!r}\n    engine={g}  sqlite={w}")
+    for e, fam, g, w in class_d[:30]:
+        print(f"  {fam:14s} {e!r}  engine={g}  sqlite={w}")
     for e, msg in errors[:20]:
         print(f"  ERROR    {e!r}\n    {msg}")
+    if value_mm or errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -562,3 +562,41 @@ def test_printf_negative_zero(spark):
         want = con.execute(q).fetchone()[0]
         got = spark.sql(rewrite_query(q)).collect()[0]["v"]
         assert str(want) == str(got), q
+
+
+def test_quote_real_matches_sqlite():
+    """quote() of a REAL, byte-exact vs sqlite3 (r6 VERDICT missing-#4):
+    SQLite renders %!.15g, re-parses it with its own long-double AtoF,
+    and falls back to the long-double %!.20e when that does not
+    round-trip — functions/sqlite_real.py reproduces both, including
+    the double-rounding in AtoF's extreme-exponent branch and the
+    et_getdigit artifacts (quote(9007199254740992.0) is
+    '9.00719925474099199994e+15', not the exact decimal expansion).
+    Pure-Python differential: no Spark session needed."""
+    import math
+    import random
+    import sqlite3
+    import struct
+
+    from dsq_spark.functions.sqlite_real import sqlite_quote_real
+
+    con = sqlite3.connect(":memory:")
+    r = random.Random(0xBEEF)
+    vals = [9007199254740992.0, float(2**63), math.pi, 0.1, 1e20, -0.0,
+            0.0, 123.456, 5e-324, 2.2250738585072014e-308,
+            1.7976931348623157e308, -1.5e-300, 1.0, 2.5]
+    for _ in range(4000):
+        b = r.getrandbits(64)
+        v = struct.unpack("<d", struct.pack("<Q", b))[0]
+        if not (math.isnan(v) or math.isinf(v)):
+            vals.append(v)
+    for _ in range(2000):
+        vals.append(r.uniform(-1e6, 1e6))
+        vals.append(r.uniform(-1e18, 1e18))
+    bad = []
+    for v in vals:
+        want = con.execute("SELECT quote(?)", (v,)).fetchone()[0]
+        got = sqlite_quote_real(repr(v))  # string arg, like the alias
+        if got != want:
+            bad.append((v, want, got))
+    assert not bad, bad[:5]

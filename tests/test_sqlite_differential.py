@@ -1518,3 +1518,64 @@ def test_scalar_minmax_tie_class_and_concat_exactness(engines):
     assert want == got
     rw = rewrite_query(q, SCHEMA)
     assert rewrite_query(rw, SCHEMA) == rw
+
+
+def test_int_real_exact_comparisons_and_quote(engines):
+    """r7 probe-sweep closures, pinned vs sqlite3: (1) SQLite compares
+    INTEGER vs REAL exactly (sqlite3IntFloatCompare) where Spark
+    promotes both to double — static >2^53 pairs now fold exactly in
+    =/</IN/BETWEEN/nullif/IS/CASE-base positions; (2) quote() of a REAL
+    uses SQLite's own two-stage rendering (%!.15g if its AtoF
+    round-trips, else the long-double %!.20e) — byte-exact; (3) abs()
+    preserves the storage class of a quad-carrying argument."""
+    spark, con = engines
+    exprs = [
+        "9223372036854775807 = 9223372036854775808",
+        "9223372036854775807 < 9223372036854775808",
+        "9223372036854775807 IN (0.0, 9223372036854775808)",
+        "9007199254740993 IN (9007199254740992.0)",
+        "nullif(9223372036854775808, 9223372036854775807)",
+        "nullif(9007199254740993, 9007199254740992.0)",
+        "typeof(nullif(9007199254740993, 9007199254740992.0))",
+        "9223372036854775807 IS 9223372036854775808",
+        "9007199254740993 BETWEEN 0 AND 9007199254740992.0",
+        "CASE 9223372036854775807 WHEN 9223372036854775808 "
+        "THEN 1 ELSE 0 END",
+        "CASE 9007199254740993 WHEN 9007199254740992.0 "
+        "THEN 1 ELSE 2.5 END",
+        "quote(9007199254740992.0)", "quote(2.5)", "quote(1e20)",
+        "quote(3.141592653589793)", "quote(abs((9223372036854775808)))",
+        "quote(-0.0)", "quote(1e999)", "quote(x'41')", "quote(b)",
+        "typeof(abs(min(-1, 0.0)))", "upper(abs(min(-1, 0.0)))",
+        "abs(min(-1, 0.0)) || ''", "hex(abs(min(a, -1.0)))",
+    ]
+    sels = ", ".join(f"{e} AS r{i}" for i, e in enumerate(exprs))
+    q = f"SELECT {sels} FROM td"
+    want, got = _run(spark, con, q)
+    assert want == got
+    rw = rewrite_query(q, SCHEMA)
+    assert rewrite_query(rw, SCHEMA) == rw
+
+
+def test_constant_probe_sweep_gate(engines):
+    """The constant-expression probe (scripts/probe_constants.py) as a
+    suite gate (r6 VERDICT #5/#8): a sampled sweep must finish with ZERO
+    engine errors and ZERO value mismatches — documented class-only
+    surface deltas (PARITY.md families, classified payload-exact by the
+    probe's canon) are reported but allowed.  The standalone script runs
+    bigger sweeps; this pins the no-error/no-value-diff bar in CI."""
+    import os
+    import sqlite3 as _sq
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                    os.pardir, "scripts"))
+    import probe_constants as pc
+
+    spark, con2 = engines
+    con = _sq.connect(":memory:")
+    checked, value_mm, class_d, errors = pc.sweep(
+        spark, con, 250, 0xD5EED7)
+    assert checked == 250
+    assert not errors, errors[:5]
+    assert not value_mm, value_mm[:5]
