@@ -693,10 +693,21 @@ def _minmax_alias(agg: str, scalar: str):
         args = [p.strip() for p in parts]
         if len(args) == 1:
             return f"{agg}({args[0]})"
+        if all(_BARE_NUM_LIT.fullmatch(a) for a in args):
+            # all-literal args can never be NULL: skip the guard so the
+            # expression compiler's exact static fold stays a bare
+            # literal (an outer unary minus must see min's int64-min
+            # result and promote — r7 probe sweep)
+            return f"{scalar}({', '.join(args)})"
         nulls = " OR ".join(f"({a}) IS NULL" for a in args)
         return f"CASE WHEN {nulls} THEN NULL ELSE {scalar}({', '.join(args)}) END"
 
     return build
+
+
+# a signed, possibly parenthesized numeric literal (int or real)
+_BARE_NUM_LIT = __import__("re").compile(
+    r"[-+(\s]*\d+(?:\.\d*)?(?:[eE][+-]?\d+)?[)\s]*")
 
 
 def _group_concat_alias(parts: list[str]) -> str:

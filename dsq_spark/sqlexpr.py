@@ -325,6 +325,16 @@ _INT_PREFIX = f"'^[{_WS}]*([+-]?[0-9]+)'"
 _REAL_PREFIX = (f"'^[{_WS}]*([+-]?(?:[0-9]+[.]?[0-9]*|[.][0-9]+)"
                 f"(?:[eE][+-]?[0-9]+)?)'")
 _IS_INT_PREFIX = r"'^[+-]?[0-9]*$'"  # '' coerces to integer 0
+
+
+def _int_spelled(pre: str) -> str:
+    """The numeric prefix converts to INTEGER class: pure digit-run
+    spelling AND within int64 — a digit run past int64 converts to REAL
+    by magnitude (typeof('9223372036854775808' + 0) is 'real', value
+    9.223372036854776e18; '' is the INTEGER 0 — probed vs sqlite3, r7
+    probe sweep found hex()-fed arithmetic saturating instead)."""
+    return (f"({pre} RLIKE {_IS_INT_PREFIX} AND ({pre} = '' OR "
+            f"try_cast({pre} AS BIGINT) IS NOT NULL))")
 # a WHOLE (already-trimmed) string that is a number — SQLite's strict
 # text→numeric conversion for the math function family
 _FULL_NUM = ("'^[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)"
@@ -430,9 +440,15 @@ def _dbl_lit(v: float) -> str:
 
 def _int_lit(v: int) -> str:
     """An exact int64 literal piece.  int64 min needs the L-suffixed
-    special form (its magnitude alone overflows Spark's literal parse)."""
+    special form (its magnitude alone overflows Spark's literal parse),
+    and int32 min needs the L suffix too: Spark folds the adjacent-sign
+    spelling `-2147483648` to an INT literal, whose abs() silently
+    WRAPS to itself under non-ANSI arithmetic (SQLite integers are
+    int64: abs(~2147483647) is 2147483648 — r7 probe sweep)."""
     if v == _I64_MIN:
         return _LONG_MIN
+    if v == -2147483648:
+        return "(-2147483648L)"
     return f"(-{-v})" if v < 0 else str(v)
 
 
@@ -560,6 +576,26 @@ _CMP_FOLD = {
 }
 
 
+def _exact_int_real_cmp(x_sql: str, op: str, c: float) -> str:
+    """Comparison of a DYNAMIC int64 expression ``x_sql`` against a
+    STATIC real ``c`` with |c| > 2^53, exact per SQLite's int-float
+    comparison (Spark would promote x to double and lose the low bits).
+    Doubles past 2^53 are integral, so an in-int64-range c substitutes
+    as the exact int64 literal (native int compare, NULL-propagating);
+    a c beyond int64 range resolves the truth for EVERY int64 and emits
+    a NULL-propagating constant (x = x is TRUE-or-NULL, x != x
+    FALSE-or-NULL)."""
+    if -(2.0**63) <= c < 2.0**63:
+        return f"(({x_sql}) {op} {_int_lit(int(c))})"
+    big = c >= 2.0**63  # c above every int64 (else below int64 min)
+    truth = {
+        "=": False, "==": False, "!=": True, "<>": True,
+        "<": big, "<=": big, ">": not big, ">=": not big,
+    }[op]
+    return (f"(({x_sql}) = ({x_sql}))" if truth
+            else f"(({x_sql}) != ({x_sql}))")
+
+
 def _lossy_static_pair(a, b) -> bool:
     """True when a native Spark comparison of these two STATIC numerics
     would promote an int past 2^53 to double and lose exactness — the
@@ -580,6 +616,10 @@ def _lit_value(text: str) -> float | None:
     s = text.strip()
     while len(s) > 1 and s[0] == "(" and s[-1] == ")":
         s = s[1:-1].strip()
+    if s == "CAST('Infinity' AS DOUBLE)":
+        return math.inf  # the engine's own Inf-literal emission (1e999)
+    if s == "-CAST('Infinity' AS DOUBLE)" or s == "-(CAST('Infinity' AS DOUBLE))":
+        return -math.inf
     if not _LIT_NUM.fullmatch(s):
         return None
     body = s[:-2] if s[-2:].lower() == "bd" else \
@@ -628,6 +668,34 @@ def _trip_bigint(trip) -> str:
     nn, cond, isql, dsql = trip
     return (f"(CASE WHEN {nn} THEN CAST(NULL AS BIGINT) "
             f"WHEN {cond} THEN {isql} ELSE {_sat_bigint(dsql)} END)")
+
+
+def _cls_bigint(cls) -> str:
+    """INTEGER (bitwise-context) conversion of a class-mixed branch,
+    dispatching per SELECTED arm: TEXT/BLOB arms convert atoi-style on
+    their own text (~(CASE … ELSE quote(2^63) END) inverts the integer
+    prefix 9, not the saturated double — r7 probe sweep), numeric arms
+    cast with int64 saturation, inner quads ride their int arm.  The
+    generic quad would real-prefix text arms and saturate, which is
+    SQLite's rule for VALUES but not for bitwise TEXT conversion."""
+    conds, arms = cls
+
+    def arm(a) -> str:
+        text, kind, trip = a
+        if text is None or kind == "null":
+            return "CAST(NULL AS BIGINT)"
+        if trip is not None:
+            return _trip_bigint(trip)
+        if kind in _INTISH:
+            return f"CAST(({text}) AS BIGINT)"
+        if kind == "real":
+            return _sat_bigint(f"CAST(({text}) AS DOUBLE)")
+        src = f"({text})" if kind == "text" else f"string(({text}))"
+        return _int_prefix_bigint(src)
+
+    whens = " ".join(f"WHEN {c} THEN {arm(a)}"
+                     for c, a in zip(conds, arms))
+    return f"(CASE {whens} ELSE {arm(arms[-1])} END)"
 
 
 def _trip_text(trip) -> str:
@@ -894,12 +962,12 @@ def _div_operand(p: "_P", k: str) -> tuple[str, str, str, str]:
         src = f"({t})" if k == "text" else f"string(({t}))"
         pre = f"regexp_extract({src}, {_REAL_PREFIX}, 1)"
         return (null,
-                f"({pre} RLIKE {_IS_INT_PREFIX})",
+                _int_spelled(pre),
                 _prefix_int_chain(pre),
                 f"coalesce(try_cast({pre} AS DOUBLE), CAST(0 AS DOUBLE))")
     pre = f"regexp_extract(string(({t})), {_REAL_PREFIX}, 1)"
     is_int = (f"(CASE WHEN typeof({t}) IN {_TYPEOF_INTS} THEN true "
-              f"WHEN typeof({t}) = 'string' THEN ({pre} RLIKE {_IS_INT_PREFIX}) "
+              f"WHEN typeof({t}) = 'string' THEN {_int_spelled(pre)} "
               f"ELSE false END)")
     as_i = (f"(CASE WHEN typeof({t}) = 'string' THEN "
             f"{_prefix_int_chain(pre)} "
@@ -1204,6 +1272,18 @@ class _Rw:
             return p
         if k == "null":
             return _P("CAST(NULL AS BOOLEAN)", p.s, p.e)
+        if p.trip is not None and k in ("text", "unknown"):
+            # a quad/cls-carrying piece is truthy per its exact per-row
+            # VALUE, not its TEXT rendering — a class-mixed branch with
+            # an Inf arm renders 'Inf' whose numeric prefix is 0, but
+            # iif(CASE … THEN 1e999 …, a, b) takes the a arm in SQLite
+            # (r7 probe sweep); the quad's double arm is value-exact for
+            # every arm class (text arms numeric-prefix, reals exact)
+            nn, cond, isql, dsql = p.trip
+            full = (f"(CASE WHEN {cond} THEN CAST({isql} AS DOUBLE) "
+                    f"ELSE {dsql} END)")
+            return _P(f"(CASE WHEN {nn} THEN CAST(NULL AS BOOLEAN) "
+                      f"ELSE {full} <> CAST(0 AS DOUBLE) END)", p.s, p.e)
         if k == "blob":
             return _P(self._text_truthy(f"string(({p.text}))"), p.s, p.e)
         if k == "text":
@@ -1288,6 +1368,26 @@ class _Rw:
                             res = _CMP_FOLD[op_txt](lv, rv)
                             pieces = [_P(_BOOL_T if res else _BOOL_F,
                                          pieces[0].s, rp.e)]
+                            lk = "bool"
+                            made_bool = True
+                            continue
+                        # a DYNAMIC int64 side against a STATIC real
+                        # past 2^53 compares exactly via int64
+                        # substitution (the shift/bitwise result vs
+                        # 9223372036854775808 class — r7 probe sweep)
+                        expr = None
+                        if (lv is None and isinstance(rv, float)
+                                and abs(rv) > 2**53 and lk in _INTISH):
+                            expr = _exact_int_real_cmp(
+                                pieces[0].text, op_txt, rv)
+                        elif (rv is None and isinstance(lv, float)
+                                and abs(lv) > 2**53 and rk2 in _INTISH):
+                            flip = {"<": ">", ">": "<",
+                                    "<=": ">=", ">=": "<="}
+                            expr = _exact_int_real_cmp(
+                                rp.text, flip.get(op_txt, op_txt), lv)
+                        if expr is not None:
+                            pieces = [_P(expr, pieces[0].s, rp.e)]
                             lk = "bool"
                             made_bool = True
                             continue
@@ -1435,6 +1535,33 @@ class _Rw:
                             res = (_static_num_val(pieces[0], lk)
                                    == _static_num_val(rp, rk))
                             expr = _BOOL_T if res else _BOOL_F
+                        elif (len(pieces) == 1 and lk in _INTISH
+                              and _static_num_val(pieces[0], lk) is None
+                              and isinstance(
+                                  _static_num_val(rp, rk), float)
+                              and abs(_static_num_val(rp, rk)) > 2**53):
+                            # dynamic int64 IS static real past 2^53:
+                            # null-safe exact compare via int64
+                            # substitution (beyond-int64 reals are
+                            # never equal to any int64, incl. NULL)
+                            c = _static_num_val(rp, rk)
+                            if -(2.0**63) <= c < 2.0**63:
+                                expr = (f"(({lhs.text}) <=> "
+                                        f"{_int_lit(int(c))})")
+                            else:
+                                expr = _BOOL_F
+                        elif (len(pieces) == 1 and rk in _INTISH
+                              and _static_num_val(rp, rk) is None
+                              and isinstance(
+                                  _static_num_val(pieces[0], lk), float)
+                              and abs(_static_num_val(pieces[0],
+                                                      lk)) > 2**53):
+                            c = _static_num_val(pieces[0], lk)
+                            if -(2.0**63) <= c < 2.0**63:
+                                expr = (f"(({rp.text}) <=> "
+                                        f"{_int_lit(int(c))})")
+                            else:
+                                expr = _BOOL_F
                         else:
                             a, b = lhs.text, rp.text
                             # a 0/1 comparison result against a numeric
@@ -1443,16 +1570,21 @@ class _Rw:
                                 a = f"CAST(({a}) AS BIGINT)"
                             elif rk == "bool" and lk != "bool":
                                 b = f"CAST(({b}) AS BIGINT)"
-                            # text/blob vs a NULL expression: pin the
-                            # null side's type — Spark would implicitly
-                            # cast the text side to DOUBLE ('x' → NULL,
-                            # making 'x' <=> NULL/2 TRUE; SQLite is 0)
+                            # text/blob vs a NULL expression: the null
+                            # side is statically ALWAYS NULL, so IS
+                            # reduces to the other side's IS NULL —
+                            # Spark would otherwise implicitly cast the
+                            # text side to DOUBLE ('x' → NULL, making
+                            # 'x' <=> NULL/2 TRUE; SQLite is 0), and a
+                            # typed-NULL (DOUBLE) cannot even cast to
+                            # BINARY (r7 probe sweep error class)
                             ty = {"text": "STRING", "blob": "BINARY"}
                             if rk == "null" and lk in ty:
-                                b = f"CAST(({b}) AS {ty[lk]})"
+                                expr = f"(({a}) IS NULL)"
                             elif lk == "null" and rk in ty:
-                                a = f"CAST(({a}) AS {ty[rk]})"
-                            expr = f"({a} <=> {b})"
+                                expr = f"(({b}) IS NULL)"
+                            else:
+                                expr = f"({a} <=> {b})"
                         if negated:
                             expr = f"NOT {expr}"
                         pieces = [_P(expr, lhs.s, rp.e)]
@@ -1534,23 +1666,68 @@ class _Rw:
                             ne.append((ep, ek))
                         elems = ne
                     if elems and len(base) == 1:
-                        # all-static numeric membership with a >2^53
-                        # int-vs-real pair folds exactly (SQLite's
-                        # int-float comparison is exact; Spark's double
-                        # promotion makes 9223372036854775807 IN
-                        # (9223372036854775808) true — r7 probe sweep)
+                        # a >2^53 int-vs-real pair between the LHS and
+                        # any element — static-static or
+                        # static-vs-dynamic-int — desugars to an exact
+                        # OR chain (SQLite's int-float comparison is
+                        # exact; Spark's double promotion makes
+                        # 9223372036854775807 IN (9223372036854775808)
+                        # true — r7 probe sweep).  The OR chain keeps
+                        # IN's three-valued NULL semantics.
                         lv = _static_num_val(base[0], lk)
                         evs = [_static_num_val(ep, ek)
                                for ep, ek in elems]
-                        if (lv is not None
-                                and all(v is not None for v in evs)
-                                and any(_lossy_static_pair(lv, v)
-                                        for v in evs)):
-                            res = any(lv == v for v in evs)
+
+                        def in_lossy(ev, ek_):
+                            if lv is not None and ev is not None:
+                                return _lossy_static_pair(lv, ev)
+                            if (lv is None and lk in _INTISH
+                                    and isinstance(ev, float)
+                                    and abs(ev) > 2**53):
+                                return True
+                            return (ev is None and ek_ in _INTISH
+                                    and isinstance(lv, float)
+                                    and abs(lv) > 2**53)
+
+                        if any(in_lossy(v, ek)
+                               for v, (_ep, ek) in zip(evs, elems)):
+                            lp0 = base[0]
+                            lke0 = _eff_cmp_kind(lk, lp0)
+                            cmps = []
+                            for v, (ep, ek) in zip(evs, elems):
+                                if lv is not None and v is not None:
+                                    cmps.append(_BOOL_T if lv == v
+                                                else _BOOL_F)
+                                elif (lv is None and isinstance(v, float)
+                                        and abs(v) > 2**53):
+                                    cmps.append(_exact_int_real_cmp(
+                                        lp0.text, "=", v))
+                                elif (v is None and isinstance(lv, float)
+                                        and abs(lv) > 2**53):
+                                    cmps.append(_exact_int_real_cmp(
+                                        ep.text, "=", lv))
+                                else:
+                                    # non-numeric element: the SAME
+                                    # affinity/storage-class compare the
+                                    # regular IN desugar would emit
+                                    # (-9007199254740993 IN (0.0, '')
+                                    # is 0, not NULL)
+                                    m = _cmp_mode(
+                                        lke0, lp0.aff, lp0.varied,
+                                        _eff_cmp_kind(ek, ep), None,
+                                        ep.varied)
+                                    cmps.append(
+                                        self._affinity_cmp(
+                                            lp0.text, lke0, "=",
+                                            ep.text,
+                                            _eff_cmp_kind(ek, ep), m,
+                                            lcls=lp0.cls, rcls=ep.cls)
+                                        if m != "native" else
+                                        f"(({lp0.text}) = ({ep.text}))")
+                            expr = "(" + " OR ".join(cmps) + ")"
                             if negated:
-                                res = not res
-                            pieces = [_P(_BOOL_T if res else _BOOL_F,
-                                         base[0].s, T[j].end)]
+                                expr = f"(NOT {expr})"
+                            pieces = [_P(expr, base[0].s, T[j].end)]
                             lk = "bool"
                             i = j + 1
                             made_bool = True
@@ -1757,21 +1934,50 @@ class _Rw:
                                    _eff_cmp_kind(bk2, b2), b2.aff, b2.varied)
                 if m1 == "native" and m2 == "native":
                     if lhs_one and b2 is not None:
-                        # all-static numeric bounds with a >2^53
-                        # int-vs-real pair fold exactly (same class as
-                        # the IN fold above — r7 probe sweep)
+                        # a >2^53 int-vs-real pair among (x, lo)/(x, hi)
+                        # — static-static or static-vs-dynamic-int —
+                        # desugars to two exact comparisons (SQLite's
+                        # int-float compare is exact; 2^63 BETWEEN 0.1
+                        # AND <int64 expr> is 0 — r7 probe sweep)
                         lv = _static_num_val(base[0], lk)
                         v1 = _static_num_val(b1, bk1)
                         v2 = _static_num_val(b2, bk2)
-                        if (lv is not None and v1 is not None
-                                and v2 is not None
-                                and (_lossy_static_pair(lv, v1)
-                                     or _lossy_static_pair(lv, v2))):
-                            res = v1 <= lv <= v2
+
+                        def pair_lossy(av, ak, bv, bk_):
+                            if av is not None and bv is not None:
+                                return _lossy_static_pair(av, bv)
+                            if (av is None and ak in _INTISH
+                                    and isinstance(bv, float)
+                                    and abs(bv) > 2**53):
+                                return True
+                            return (bv is None and bk_ in _INTISH
+                                    and isinstance(av, float)
+                                    and abs(av) > 2**53)
+
+                        def pair_sql(xp, xk, xv, op, bp, bk_, bv):
+                            if xv is not None and bv is not None:
+                                return (_BOOL_T if _CMP_FOLD[op](xv, bv)
+                                        else _BOOL_F)
+                            if (xv is None and isinstance(bv, float)
+                                    and abs(bv) > 2**53):
+                                return _exact_int_real_cmp(xp.text, op, bv)
+                            if (bv is None and isinstance(xv, float)
+                                    and abs(xv) > 2**53):
+                                flip = {"<": ">", ">": "<",
+                                        "<=": ">=", ">=": "<="}
+                                return _exact_int_real_cmp(
+                                    bp.text, flip.get(op, op), xv)
+                            return f"(({xp.text}) {op} ({bp.text}))"
+
+                        if (pair_lossy(lv, lk, v1, bk1)
+                                or pair_lossy(lv, lk, v2, bk2)):
+                            xp0 = base[0]
+                            ge = pair_sql(xp0, lk, lv, ">=", b1, bk1, v1)
+                            le = pair_sql(xp0, lk, lv, "<=", b2, bk2, v2)
+                            expr = f"({ge} AND {le})"
                             if negated:
-                                res = not res
-                            pieces = [_P(_BOOL_T if res else _BOOL_F,
-                                         base[0].s, b2.e)]
+                                expr = f"(NOT {expr})"
+                            pieces = [_P(expr, base[0].s, b2.e)]
                             lk = "bool"
                             made_bool = True
                             continue
@@ -1901,6 +2107,10 @@ class _Rw:
         result is dynamic in SQLite and surfaces here as DOUBLE — a
         documented rendering delta, PARITY.md)."""
         p, k = self._fold_sval(p, k, bitwise)
+        if bitwise and p.cls is not None:
+            # class-mixed branch in a bitwise context: per-arm conversion
+            # (text arms atoi on their own text, numeric arms saturate)
+            return _P(_cls_bigint(p.cls), p.s, p.e), "int"
         if k == "text":
             fn = _int_prefix_bigint if bitwise else _real_prefix_double
             return _P(fn(p.text), p.s, p.e), ("int" if bitwise else "real")
@@ -1929,7 +2139,15 @@ class _Rw:
         if bitwise and k == "real":
             # SQLite casts REAL bitwise operands to INTEGER with int64
             # saturation (2.5 & 3 = 2, 1e30 & 1 = 1 — probed vs sqlite3);
-            # Spark rejects double operands outright.
+            # Spark rejects double operands outright.  A literal
+            # saturates statically, keeping the whole bitwise chain
+            # foldable (2^63 | 2.5 is exactly int64max | 2).
+            lv0 = _lit_value(p.text)
+            if lv0 is not None:
+                sat = _sat_i64_py(lv0)
+                np = _P(_int_lit(sat), p.s, p.e)
+                np.ival = sat
+                return np, "int"
             return _P(_sat_bigint(f"CAST(({p.text}) AS DOUBLE)"),
                       p.s, p.e), "int"
         return p, k
@@ -1999,6 +2217,28 @@ class _Rw:
             rp, rk = self._coerce_num(rp, rk, bitwise=False)
             cur = (pieces[0].ival
                    if len(pieces) == 1 and kind == "int" else None)
+            if len(pieces) == 1:
+                # a static int×real (or real×real) literal pair folds in
+                # double like SQLite (int converts, IEEE add) — keeps
+                # downstream comparisons exact ('abc' + 2^63 folds to
+                # the REAL 2^63, whose compare vs int64 is then the
+                # static-exact path; r7 probe sweep)
+                lval = cur if kind == "int" else (
+                    _lit_value(pieces[0].text) if kind == "real" else None)
+                rval = (rp.ival if rk == "int" else
+                        (_lit_value(rp.text) if rk == "real" else None))
+                if (lval is not None and rval is not None
+                        and (kind == "real" or rk == "real")):
+                    fv = (float(lval) + float(rval) if op.text == "+"
+                          else float(lval) - float(rval))
+                    if math.isnan(fv):  # Inf - Inf: SQLite stores NULL
+                        pieces = [_P("CAST(NULL AS DOUBLE)",
+                                     pieces[0].s, rp.e)]
+                        kind = "null"
+                    else:
+                        pieces = [_P(_dbl_lit(fv), pieces[0].s, rp.e)]
+                        kind = "real"
+                    continue
             if cur is not None and rp.ival is not None and rk == "int":
                 # both sides statically integral: fold exactly, with
                 # SQLite's overflow-promotes-to-REAL (the op is redone in
@@ -2044,6 +2284,16 @@ class _Rw:
                 lp, lk = self._shift(lp, lk, rp, rk, op)
                 continue
             rp, rk = self._coerce_num(rp, rk, bitwise=True)
+            if (lk == "int" and rk == "int"
+                    and lp.ival is not None and rp.ival is not None):
+                # static &/| fold (Python's arbitrary-precision bitwise
+                # on int64-range two's-complement values is exact)
+                v = (lp.ival & rp.ival if op.text == "&"
+                     else lp.ival | rp.ival)
+                np = _P(_int_lit(v), lp.s, rp.e)
+                np.ival = v
+                lp, lk = np, "int"
+                continue
             lp = self._join([lp, _P(op.text, op.start, op.end), rp])
             lk = "int"
         return (lp, lk), i
@@ -2067,6 +2317,25 @@ class _Rw:
         x = f"CAST(({lp.text}) AS BIGINT)"
         n = rp.text
         n_lit = _lit_value(rp.text) if rk in _NUMERIC else None
+        if (lk == "int" and lp.ival is not None and rk == "int"
+                and rp.ival is not None):
+            # both operands static: fold with SQLite's 64-bit semantics
+            # (|count| >= 64 saturates, negative counts reverse)
+            xv, nv = lp.ival, rp.ival
+            lft = left
+            if nv < 0:
+                lft, nv = not lft, -nv
+            if nv >= 64:
+                v = 0 if lft else (-1 if xv < 0 else 0)
+            elif lft:
+                v = (xv << nv) & ((1 << 64) - 1)
+                if v >= 1 << 63:
+                    v -= 1 << 64
+            else:
+                v = xv >> nv  # Python >> is arithmetic (sign-filling)
+            np = _P(_int_lit(v), lp.s, rp.e)
+            np.ival = v
+            return np, "int"
         fn = "shiftleft" if left else "shiftright"
         if n_lit is not None and 0 <= n_lit < 64 and n_lit == int(n_lit):
             return _P(f"{fn}({x}, {int(n_lit)})", lp.s, rp.e), "int"
@@ -2120,6 +2389,25 @@ class _Rw:
                                 lp.s, rp.e)
                         lk = "real"
                     continue
+                if op.text == "*":
+                    # static int×real (or real×real) multiply: fold in
+                    # double like SQLite (same as the _add fold)
+                    lval = (lp.ival if lk == "int" else
+                            (_lit_value(lp.text) if lk == "real"
+                             else None))
+                    rval = (rp.ival if rk == "int" else
+                            (_lit_value(rp.text) if rk == "real"
+                             else None))
+                    if (lval is not None and rval is not None
+                            and (lk == "real" or rk == "real")):
+                        fv = float(lval) * float(rval)
+                        if math.isnan(fv):  # 0 * Inf: SQLite NULL
+                            lp = _P("CAST(NULL AS DOUBLE)", lp.s, rp.e)
+                            lk = "null"
+                        else:
+                            lp = _P(_dbl_lit(fv), lp.s, rp.e)
+                            lk = "real"
+                        continue
                 lp = self._join([lp, _P(op.text, op.start, op.end), rp])
                 lk = _arith(lk, rk)
                 continue
@@ -2293,6 +2581,28 @@ class _Rw:
                 # REAL; ~ converts atoi-style: ~'2.5' is -3 — probed)
                 pp, pk = self._fold_sval(pp, pk, bitwise=tilde)
             trip0 = pp.trip
+            if tilde and pk == "real" and pp.ival is None:
+                # an INNERMOST ~ over a REAL literal (with any sign
+                # prefixes between them) casts to INTEGER with
+                # saturation — statically, so the rest of the chain
+                # folds and a following '-' keeps SQLite's overflow
+                # promotion (round(-~1e999) is +9.223372036854776e18,
+                # not the int64 wrap; ~-1e999 is int64 MAX — r7 probes)
+                lv0 = _lit_value(pp.text)
+                if lv0 is not None and not math.isnan(lv0):
+                    k2 = len(prefixes)
+                    while k2 > 0 and prefixes[k2 - 1].text in ("+", "-"):
+                        if prefixes[k2 - 1].text == "-":
+                            lv0 = -lv0
+                        k2 -= 1
+                    if k2 > 0 and prefixes[k2 - 1].text == "~":
+                        v0 = ~_sat_i64_py(lv0)
+                        pp = _P(_int_lit(v0), prefixes[k2 - 1].s, pp.e)
+                        pp.ival = v0
+                        pk = "int"
+                        prefixes = prefixes[:k2 - 1]
+                        minus = any(p.text == "-" for p in prefixes)
+                        tilde = any(p.text == "~" for p in prefixes)
             if pp.ival is not None and (minus or tilde):
                 # Exact prefix arithmetic over a statically-known
                 # integer, with SQLite's oversized-literal rules
@@ -2326,9 +2636,11 @@ class _Rw:
                             v = _sat_i64_py(v)
                         v = ~v
                 if isinstance(v, int):
-                    if pk == "real" or tilde:
+                    if pk == "real" or tilde or v == -2147483648:
                         # re-emit: Spark would width-type the verbatim
-                        # chain (INT literals) and ~/- can overflow it
+                        # chain (INT literals) and ~/- can overflow it;
+                        # -2147483648 specifically folds to an INT
+                        # literal in Spark whose abs() silently wraps
                         pp = _P(_int_lit(v), prefixes[0].s, pp.e)
                     else:  # in-range sign chain: Spark agrees verbatim
                         pp = self._join(prefixes + [pp])
@@ -2341,8 +2653,11 @@ class _Rw:
             elif tilde and trip0 is not None:
                 # ~ casts its operand to INTEGER: materialize the division
                 # quad (int branch exact, real branch truncated like
-                # SQLite's CAST) instead of re-dispatching the DOUBLE
-                pp = _P(_trip_bigint(trip0), pp.s, pp.e)
+                # SQLite's CAST) instead of re-dispatching the DOUBLE;
+                # a cls piece dispatches per arm (text arms atoi-style)
+                conv = (_cls_bigint(pp.cls) if pp.cls is not None
+                        else _trip_bigint(trip0))
+                pp = _P(conv, pp.s, pp.e)
                 pk = "int"
                 pp = self._join(prefixes + [pp])
             elif not tilde and minus and pk in ("text", "blob"):
@@ -2376,7 +2691,7 @@ class _Rw:
                     if minus_n % 2:
                         isql, dsql = f"(- ({isql}))", f"(- ({dsql}))"
                     pp.trip = (nn, cond, isql, dsql)
-            else:
+            elif prefixes:
                 # SQLite's unary '+' is a pure NO-OP for EVERY storage
                 # class (TEXT stays TEXT, BLOB stays BLOB — typeof of
                 # +x'41' is 'blob') while Spark's coerces or rejects:
@@ -2384,7 +2699,9 @@ class _Rw:
                 # the dropped tokens don't re-enter via gap restoration.
                 # It DOES break the oversized-literal minus fold
                 # (+9223372036854775808 is REAL even under a later '-'),
-                # so ival survives only for in-range ints.
+                # so ival survives only for in-range ints.  (prefixes
+                # can be [] here when the ~-literal pre-saturation above
+                # consumed the whole chain — nothing left to widen.)
                 iv0 = pp.ival if pk == "int" else None
                 np = _P(pp.text, prefixes[0].s, pp.e)
                 np.trip, np.varied, np.aff = trip0, pp.varied, pp.aff
@@ -2665,13 +2982,40 @@ class _Rw:
         bytes, kinds, and plans."""
         if fname not in ("nullif", "greatest", "least", "typeof",
                          "iif", "if", "coalesce", "ifnull",
-                         "substr", "substring", "abs"):
+                         "substr", "substring", "abs",
+                         "round", "ceil", "ceiling", "floor"):
             return None
         parsed, j = self._simple_args(i, hi)
         if parsed is None:
             return None
         start, end = name_p.s, self.T[j].end
+        if fname in ("round", "ceil", "ceiling", "floor"):
+            # ±Inf folds through statically (round(1e999) is Inf), so a
+            # later static arithmetic sees the Inf operand and maps
+            # Inf*0 to SQLite's NULL instead of Spark's runtime NaN
+            # (r7 probe sweep); every other shape falls through.
+            if (len(parsed) in (1, 2) and parsed[0][1] == "real"
+                    and (v0 := _lit_value(parsed[0][0].text)) is not None
+                    and math.isinf(v0)):
+                return ((_P(_dbl_lit(v0), start, end), "real"), j + 1)
+            return None
         if fname == "abs":
+            if len(parsed) == 1:
+                # static fold (abs is exact; int64 min promotes to the
+                # REAL magnitude — SQLite errors there, unpinned)
+                v0 = _static_num_val(*parsed[0])
+                if isinstance(v0, float):
+                    if not math.isnan(v0):
+                        return ((_P(_dbl_lit(abs(v0)), start, end),
+                                 "real"), j + 1)
+                elif isinstance(v0, int):
+                    av = abs(v0)
+                    if av <= _I64_MAX:
+                        np = _P(_int_lit(av), start, end)
+                        np.ival = av
+                        return ((np, "int"), j + 1)
+                    return ((_P(_dbl_lit(float(av)), start, end),
+                             "real"), j + 1)
             # abs() PRESERVES the storage class (abs of an INTEGER is
             # INTEGER — typeof(abs(min(-1, 0.0))) is 'integer', upper of
             # it is '1' not '1.0'; r7 probe sweep), so a quad-carrying
@@ -2680,6 +3024,70 @@ class _Rw:
             # raises 'integer overflow' there — this engine surfaces the
             # REAL magnitude instead, unpinned).  All other abs shapes
             # fall through to the generic path.
+            if len(parsed) == 1 and parsed[0][0].cls is not None:
+                # abs over a CLASS-MIXED branch dispatches per arm:
+                # an int arm stays INTEGER (abs(coalesce(0, x'')) || ''
+                # is '0', not '0.0' — r7 probe sweep), text/blob arms
+                # convert via the REAL prefix (always real class), and
+                # int64 min falls to the REAL arm (SQLite errors there;
+                # unpinned).
+                conds, arms = parsed[0][0].cls
+
+                def a_c(a) -> str:
+                    text, k2, trip2 = a
+                    if text is None or k2 == "null":
+                        return "false"
+                    if trip2 is not None:
+                        nn0, c0, i0, _d0 = trip2
+                        return (f"(CASE WHEN {nn0} THEN false "
+                                f"WHEN {c0} THEN ({i0}) <> {_LONG_MIN} "
+                                f"ELSE false END)")
+                    if k2 == "bool":
+                        return "true"
+                    if k2 in _INTISH:
+                        return (f"(CAST(({text}) AS BIGINT) <> "
+                                f"{_LONG_MIN})")
+                    return "false"
+
+                def a_i(a) -> str:
+                    text, k2, trip2 = a
+                    if text is None or k2 == "null":
+                        return "CAST(NULL AS BIGINT)"
+                    if trip2 is not None:
+                        return f"abs({trip2[2]})"  # gated by a_c
+                    if k2 in _INTISH:
+                        return f"abs(CAST(({text}) AS BIGINT))"
+                    return "CAST(0 AS BIGINT)"
+
+                def a_d(a) -> str:
+                    text, k2, trip2 = a
+                    if text is None or k2 == "null":
+                        return "CAST(NULL AS DOUBLE)"
+                    if trip2 is not None:
+                        nn0, c0, i0, d0 = trip2
+                        return (f"abs((CASE WHEN {c0} THEN "
+                                f"CAST({i0} AS DOUBLE) ELSE {d0} END))")
+                    if k2 == "bool":
+                        return (f"CAST(abs(CAST(({text}) AS BIGINT)) "
+                                f"AS DOUBLE)")
+                    if k2 in _INTISH or k2 == "real":
+                        return f"abs(CAST(({text}) AS DOUBLE))"
+                    src = f"({text})" if k2 == "text" \
+                        else f"string(({text}))"
+                    return f"abs({_real_prefix_double(src)})"
+
+                def mk(fn2) -> str:
+                    whens = " ".join(f"WHEN {c} THEN {fn2(a)}"
+                                     for c, a in zip(conds, arms))
+                    return f"(CASE {whens} ELSE {fn2(arms[-1])} END)"
+
+                nn = f"(({parsed[0][0].text}) IS NULL)"
+                cond, isql, dsql = mk(a_c), mk(a_i), mk(a_d)
+                out = _P(f"(CASE WHEN {nn} THEN CAST(NULL AS DOUBLE) "
+                         f"WHEN {cond} THEN CAST({isql} AS DOUBLE) "
+                         f"ELSE {dsql} END)", start, end)
+                out.trip = (nn, cond, isql, dsql)
+                return ((out, "unknown"), j + 1)
             if not (len(parsed) == 1 and parsed[0][0].trip is not None
                     and parsed[0][0].cls is None
                     and parsed[0][1] == "unknown"):
@@ -2835,8 +3243,44 @@ class _Rw:
                                     lcls=ap.cls, rcls=bp.cls)
             p = _P(f"(CASE WHEN {eq} THEN NULL ELSE ({ap.text}) END)",
                    start, end)
+            if ap.trip is not None:
+                # a quad/cls-carrying X keeps its exact per-row values
+                # through nullif's keep branch — trim(2^63) -
+                # nullif(CASE…real-arm…, y) must subtract the arm VALUE,
+                # not its 15-digit rendering (r7 probe sweep); the
+                # nullified row folds into the quad's null arm.  A cls
+                # piece ALSO forwards its class structure with a
+                # synthetic NULL arm under the eq condition, so
+                # arm-dispatched comparison keys stay NULL on nullified
+                # rows and the trip-with-cls invariant (materializers
+                # skip cls pieces) holds.
+                nn0, cond0, isql0, dsql0 = ap.trip
+                p.trip = (f"((({eq}) IS TRUE) OR {nn0})",
+                          cond0, isql0, dsql0)
+                if ap.cls is not None:
+                    p.cls = ([eq] + list(ap.cls[0]),
+                             [(None, "null", None)] + list(ap.cls[1]))
             return ((p, ak), j + 1)
         if fname in ("greatest", "least") and len(parsed) >= 2:
+            statics = [_static_num_val(p, k) for p, k in parsed]
+            if all(v is not None for v in statics):
+                # all-static numeric min/max folds exactly: SQLite's
+                # comparison is int-float-exact (max(9007199254740992.0,
+                # 9007199254740993) is the INTEGER — the doubles tie but
+                # the int is bigger; r7 probe sweep) and the tie CLASS
+                # follows the scan rules (min keeps the LAST tied arg,
+                # max the FIRST)
+                best, bi = statics[0], 0
+                for ix in range(1, len(statics)):
+                    v = statics[ix]
+                    if (v <= best) if fname == "least" else (v > best):
+                        best, bi = v, ix
+                if parsed[bi][1] == "real":
+                    return ((_P(_dbl_lit(float(best)), start, end),
+                             "real"), j + 1)
+                np = _P(_int_lit(int(best)), start, end)
+                np.ival = int(best)
+                return ((np, "int"), j + 1)
             if any(p.cls is not None for p, _k in parsed):
                 # a class-dynamic branch arg (text-rendered CASE/iif/
                 # coalesce): the winner's CLASS is only known per row —
@@ -2858,19 +3302,57 @@ class _Rw:
                            if p.cls is not None else
                            _typed_key_null_sql(p.text, ke, False))
                     if p.trip is not None and p.cls is None:
+                        nn0, c0, _i0, _d0 = p.trip
                         rend = _trip_text(p.trip)
+                        code = f"(CASE WHEN {c0} THEN 0 ELSE 1 END)"
+                    elif p.cls is not None:
+                        rend = f"({p.text})"
+                        ccs, cas = p.cls
+                        _cmap = {"int": "0", "bool": "0", "real": "1",
+                                 "blob": "3"}
+
+                        def _acode(a):
+                            t2, k2, tr2 = a
+                            if tr2 is not None:
+                                return (f"(CASE WHEN {tr2[1]} THEN 0 "
+                                        f"ELSE 1 END)")
+                            return _cmap.get(k2, "2")
+
+                        cw = " ".join(f"WHEN {c2} THEN {_acode(a)}"
+                                      for c2, a in zip(ccs, cas))
+                        code = f"(CASE {cw} ELSE {_acode(cas[-1])} END)"
                     elif k == "real":
                         rend = f"dsq_real_text(CAST(({p.text}) AS DOUBLE))"
+                        code = "1"
                     elif k == "bool":
                         rend = f"string(CAST(({p.text}) AS BIGINT))"
+                        code = "0"
                     elif k in ("int", "blob"):
                         rend = f"string(({p.text}))"
+                        code = "0" if k == "int" else "3"
                     else:
                         rend = f"({p.text})"
+                        code = "2"
                     elems.append(f"named_struct('k', {key}, "
-                                 f"'i', {-pos}, 'v', {rend})")
-                expr = (f"({fn}(array(" + ", ".join(elems) + ")).v)")
-                return ((_P(expr, start, end), "text"), j + 1)
+                                 f"'i', {-pos}, 'v', {rend}, "
+                                 f"'c', {code})")
+                win = f"({fn}(array(" + ", ".join(elems) + ")))"
+                out = _P(f"({win}.v)", start, end)
+                # the winner's storage class is per-row dynamic: carry a
+                # synthesized cls dispatching on the winner's class code
+                # so typeof/comparison consumers see the SELECTED arg's
+                # class (typeof(max(3, CASE…END)) is 'integer' — r7
+                # probe sweep), with the winner's RENDERING as each
+                # arm's value (int renderings re-parse exactly; 16+
+                # digit real renderings keep the %!.15g residual).
+                v_txt = f"({win}.v)"
+                out.cls = ([f"(({win}.c) = 0)", f"(({win}.c) = 1)",
+                            f"(({win}.c) = 2)", f"(({win}.c) = 3)"],
+                           [(v_txt, "int", None), (v_txt, "real", None),
+                            (v_txt, "text", None), (v_txt, "blob", None),
+                            (v_txt, "text", None)])
+                out.trip = self._cls_num_quad(out.text, out.cls)
+                return ((out, "text"), j + 1)
             # a quad-carrying arg (text division, branch quad, mixed
             # min) is a dynamically-classed NUMERIC member
             kinds = ["dyn" if (p.trip is not None and k == "unknown")
@@ -2984,7 +3466,17 @@ class _Rw:
         itself (typeof, comparison class) degrades to TEXT — documented
         residual, PARITY.md."""
         classes = set()
+        has_cls_arm = False
         for p, k in vals:
+            if p is not None and p.cls is not None:
+                # an arm that is ITSELF a class-mixed branch must
+                # rebuild even in an all-text mix, or its per-arm class
+                # structure (blob arms included) is silently dropped —
+                # substr(coalesce(coalesce(x'', 0.0), t), 1, 2) needs
+                # the inner blob arm visible (r7 probe sweep)
+                has_cls_arm = True
+                classes.add("text")
+                continue
             if p is not None and p.trip is not None and k == "unknown":
                 classes.add("num")
             elif k in _NUMERIC:
@@ -2993,6 +3485,8 @@ class _Rw:
                 classes.add(k)
             elif k != "null":
                 return False  # unknown arm: stay hands-off
+        if has_cls_arm:
+            return True
         return len(classes) > 1 and ("text" in classes
                                      or "blob" in classes)
 
@@ -3021,10 +3515,31 @@ class _Rw:
         out = _P(f"(CASE {arms} ELSE {arm(vals[-1])} END)", start, end)
         # carry the per-arm class structure so the comparison compiler
         # (and typeof) can dispatch on the SELECTED arm's storage class
-        # instead of the TEXT rendering
-        out.cls = (list(conds),
-                   [(None if p is None else p.text, k,
-                     None if p is None else p.trip) for p, k in vals])
+        # instead of the TEXT rendering.  An arm that is ITSELF a cls
+        # piece (nested branch) FLATTENS into the outer structure —
+        # coalesce(coalesce(x'', 0.0), t) must still see the blob arm
+        # (substr's zero-length-blob NULL rule fires through nesting —
+        # r7 probe sweep); flattened conds keep CASE scan order.
+        f_conds: list[str] = []
+        f_arms: list = []
+        n_c = len(conds)
+        for ix, (p, k) in enumerate(vals):
+            c = conds[ix] if ix < n_c else None  # None = outer ELSE
+            if p is not None and p.cls is not None:
+                ic, ia = p.cls
+                for d, a in zip(ic, ia):
+                    f_conds.append(f"(({c}) AND {d})" if c is not None
+                                   else d)
+                    f_arms.append(a)
+                if c is not None:
+                    f_conds.append(c)  # inner ELSE under the outer cond
+                f_arms.append(ia[-1])
+            else:
+                if c is not None:
+                    f_conds.append(c)
+                f_arms.append((None if p is None else p.text, k,
+                               None if p is None else p.trip))
+        out.cls = (f_conds, f_arms)
         # … and a numeric quad built from the arm VALUES, so arithmetic
         # and INTEGER/REAL casts convert each row's selected arm exactly
         # instead of re-parsing the (lossy for 16+-digit reals and Inf)
@@ -3067,7 +3582,7 @@ class _Rw:
                         "d": f"CAST(({text}) AS DOUBLE)"}[sel]
             src = f"({text})" if kind == "text" else f"string(({text}))"
             pre = f"regexp_extract({src}, {_REAL_PREFIX}, 1)"
-            return {"c": f"({pre} RLIKE {_IS_INT_PREFIX})",
+            return {"c": _int_spelled(pre),
                     "i": _prefix_int_chain(pre),
                     "d": f"coalesce(try_cast({pre} AS DOUBLE), "
                          f"CAST(0 AS DOUBLE))"}[sel]
@@ -3567,6 +4082,14 @@ class _Rw:
             nn0, cond, isql, dsql = else_p.trip
             out.trip = (f"({nn0} OR ({whens[0][0].text}))", cond, isql,
                         dsql)
+            if else_p.cls is not None:
+                # forward the class structure too, with a synthetic
+                # NULL arm under the guard condition (same shape as
+                # nullif's forwarding): typeof/comparisons over the
+                # guarded scalar-minmax keep per-row class dispatch
+                out.cls = ([f"({whens[0][0].text})"]
+                           + list(else_p.cls[0]),
+                           [(None, "null", None)] + list(else_p.cls[1]))
         return ((out, kind), i)
 
     def _cast(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
@@ -3605,6 +4128,14 @@ class _Rw:
             # aliases route their argument through a string cast)
             ep = _P(f"CAST(({ep.text}) AS BIGINT)", ep.s, ep.e)
             ek = "int"
+        if (ek == "real" and tname in ("real", "double", "float",
+                                       "numeric")
+                and (lv0 := _lit_value(ep.text)) is not None):
+            # no-op double cast of a real literal folds to the literal
+            # (the round() alias wraps its result in CAST AS DOUBLE, and
+            # the Inf literal must stay statically visible so Inf*0
+            # folds to SQLite's NULL, not a runtime NaN — r7 probes)
+            return ((_P(_dbl_lit(lv0), *span), "real"), j + 1)
         if ep.cls is not None and tname in ("text", "string",
                                             "varchar", "blob"):
             # a class-mixed branch's TEXT surface already renders each

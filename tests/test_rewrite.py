@@ -182,8 +182,10 @@ def test_fromless_tail_clauses_not_aliased():
     # but keeps its verbatim-text name, with the tail clause outside
     out = rewrite_query("SELECT 1 + 2 ORDER BY 1")
     assert out == "SELECT 3  AS `1 + 2` ORDER BY 1"
+    # abs of a static value folds exactly since r7 (class preservation);
+    # the verbatim-text name and the tail clause placement still hold
     out = rewrite_query("SELECT abs(-3) WHERE 1 = 1")
-    assert out == "SELECT abs(-3)  AS `abs(-3)` WHERE 1 = 1"
+    assert out == "SELECT 3  AS `abs(-3)` WHERE 1 = 1"
     # keyword-prefixed identifiers are not clause boundaries
     out = rewrite_query("SELECT union_id FROM {}")
     assert out == "SELECT union_id FROM t_0"

@@ -1579,3 +1579,54 @@ def test_constant_probe_sweep_gate(engines):
     assert checked == 250
     assert not errors, errors[:5]
     assert not value_mm, value_mm[:5]
+
+
+def test_r7_fresh_seed_probe_closures(engines):
+    """Second r7 probe-sweep batch, pinned vs sqlite3: (1) an integer
+    digit-run past int64 converts to REAL by magnitude in text→numeric
+    conversion (-hex(2147483647) is -3.23e19, not int64 saturation);
+    (2) class-mixed branches convert atoi-style per TEXT arm in bitwise
+    contexts; (3) scalar min/max over statics compares int-float-exact
+    and the cls-struct path carries the winner's CLASS (typeof sees the
+    selected argument); (4) branch truthiness uses arm VALUES (an Inf
+    arm is truthy though its rendering's prefix is 0); (5) nullif
+    forwards its kept argument's quad/cls; (6) Inf-producing abs/round
+    and int×real arithmetic fold statically, mapping Inf*0 to SQLite's
+    NULL instead of a runtime NaN; (7) -2147483648 and minus-after-~
+    chains keep int64 semantics; (8) substr sees blob arms through
+    NESTED branches; (9) IS against a typed-NULL side reduces to
+    IS NULL (a DOUBLE-typed NULL cannot cast to BINARY)."""
+    spark, con = engines
+    exprs = [
+        "-hex(2147483647)", "-trim(hex(9223372036854775807))",
+        "typeof('9223372036854775808' + 0)", "'' + 0",
+        "~iif(abs(x''), 2147483647 = 9223372036854775807, "
+        "quote(9223372036854775808))",
+        "typeof(max(9007199254740992.0, 9007199254740993)) || "
+        "hex(min(9007199254740993, -9223372036854775808))",
+        "typeof(max(length(2.5), CASE 'abc' WHEN 0 THEN '0.5x' "
+        "ELSE -1 END))",
+        "typeof(max(CASE 1 WHEN 1 THEN x'41' ELSE 'a' END, 'b'))",
+        "iif(CASE '1.0' WHEN '1.0' THEN 1e999 ELSE 'abc' END, "
+        "coalesce('0.5x', ' 1'), (-0.5))",
+        "9223372036854775808 BETWEEN 0.1 AND "
+        "9223372036854775808 >> quote(-0.5)",
+        "abs(round(1e999)) * 0.0 + ' 1' BETWEEN unicode(0.1) "
+        "AND quote(0.0)",
+        "(trim(9223372036854775808)) - nullif(CASE 9223372036854775807 "
+        "WHEN 2147483647 THEN '0.5x' ELSE 9223372036854775808 END, "
+        "iif(1e999, -0.5, 2.5))",
+        "abs(coalesce(0, x'')) || round(length('-2'))",
+        "-min(2, -9223372036854775808) || max(0, ' 1')",
+        "abs(-2147483648)", "abs(~2147483647)", "round(-~1e999)",
+        "~-1e999", "substr(coalesce(coalesce(x'', 0.0), upper(-1)), 1, 2)",
+        "CAST(x'' IS NULL / 9007199254740993 IN ('1.0', 1e999) AS REAL)",
+        "9223372036854775808 | 2.5", "1 << 62.5", "3 << 70", "5 & 3.5",
+        "nullif('7'/'2', 99) + a", "typeof(nullif('7'/'2', 99))",
+    ]
+    sels = ", ".join(f"{e} AS r{i}" for i, e in enumerate(exprs))
+    q = f"SELECT {sels} FROM td"
+    want, got = _run(spark, con, q)
+    assert want == got
+    rw = rewrite_query(q, SCHEMA)
+    assert rewrite_query(rw, SCHEMA) == rw
