@@ -289,7 +289,8 @@ def _sql_udfs() -> list[str]:
     return stmts
 
 
-def register_all(spark: SparkSession, strict_json: bool | None = None) -> None:
+def register_all(spark: SparkSession, strict_json: bool | None = None,
+                 force: bool = False) -> None:
     """Register the extended function library on this session.
 
     ``strict_json`` (default: the DSQ_STRICT_JSON env flag, i.e. the
@@ -298,10 +299,26 @@ def register_all(spark: SparkSession, strict_json: bool | None = None) -> None:
     while this engine's default is the softer NULL / zero rows
     (documented PARITY delta).  Strict mode re-registers json() and
     json_extract() with a raise_error guard (still pure Catalyst) and
-    bakes raising closures into the JSON1 Python engine."""
+    bakes raising closures into the JSON1 Python engine.
+
+    Idempotent AND cheap on repeat: the ~70 DDL statements + pandas-UDF
+    registrations cost ~0.9 s of py4j round-trips, and query helpers
+    call this per query — a session-scoped conf marker skips the replay
+    when the same mode is already registered (this was the entire
+    r5→r6 'regression' of strftime_code_coverage: the library grew, and
+    every datetime/dialect query re-paid its registration).  ``force``
+    replays regardless (tests that monkeypatch registration)."""
     if strict_json is None:
         strict_json = os.environ.get("DSQ_STRICT_JSON", "").lower() in (
             "1", "true", "yes")
+    mode = "strict" if strict_json else "soft"
+    marker = "spark.dsq.registeredFunctions"
+    if not force:
+        try:
+            if spark.conf.get(marker, "") == mode:
+                return
+        except Exception:
+            pass
     for stmt in _sql_udfs():
         spark.sql(stmt)
     if strict_json:
@@ -329,6 +346,10 @@ def register_all(spark: SparkSession, strict_json: bool | None = None) -> None:
     register_json1(spark, strict=strict_json)
     from dsq_spark.functions.sqlite_real import register_quote_real
     register_quote_real(spark)
+    try:
+        spark.conf.set(marker, mode)
+    except Exception:
+        pass  # conf not settable: repeats stay correct, just not cheap
 
 
 import re as _re
