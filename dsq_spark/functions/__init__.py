@@ -222,7 +222,10 @@ def _sql_udfs() -> list[str]:
         # whose escaping differs (backslash vs doubled quote) — documented
         # delta, same purpose.
         "CREATE OR REPLACE TEMPORARY FUNCTION unicode(s STRING) RETURNS INT "
-        "RETURN CASE WHEN length(s) = 0 THEN NULL ELSE ascii(s) END",  # '' -> NULL like SQLite
+        # '' → NULL like SQLite, and a leading NUL too: SQLite reads a
+        # C string, so unicode(zeroblob(1)) / unicode(x'0041') are NULL
+        "RETURN CASE WHEN length(s) = 0 OR ascii(s) = 0 THEN NULL "
+        "ELSE ascii(s) END",
         # SQLite REAL→TEXT rendering (C printf %!.15g, sqlite3 src/func.c):
         # 15 significant digits, trailing zeros trimmed, a mandatory
         # fractional part ('100.0', '1.0e+20'), scientific form exactly
@@ -953,7 +956,10 @@ def _trim_alias(kind: str):
             if _re.match(r"(?is)\s*(BOTH|LEADING|TRAILING)\b", parts[0]):
                 return f"TRIM({parts[0]})"
             return f"{name}({parts[0]})"
-        return f"TRIM({kind} {parts[1].strip()} FROM {parts[0].strip()})"
+        # both operands parenthesized: a raw charset like `-1 OR 0`
+        # would otherwise splice into the TRIM syntax (r7 probe sweep)
+        return (f"TRIM({kind} ({parts[1].strip()}) "
+                f"FROM ({parts[0].strip()}))")
 
     return build
 
@@ -988,7 +994,8 @@ def _quote_alias(parts: list[str]) -> str:
     the long-double %!.20e — functions/sqlite_real.py; the dsq_quote_real
     pandas UDF is byte-calibrated vs sqlite3 on 200k doubles), text
     single-quoted with '' escapes, blobs X'HEX', NULL → 'NULL'."""
-    x = parts[0].strip()
+    # parenthesized against operator-tail arguments (see _typeof_alias)
+    x = f"({parts[0].strip()})"
     t = f"typeof({x})"
     return (
         f"CASE WHEN {x} IS NULL THEN 'NULL' "
@@ -1058,7 +1065,10 @@ def _printf_alias(parts: list[str]) -> str:
 def _typeof_alias(parts: list[str]) -> str:
     """SQLite typeof(): 'integer'/'real'/'text'/'blob'/'null'. Spark's own
     typeof() gives the static Catalyst type; booleans are SQLite integers."""
-    x = parts[0].strip()
+    # parenthesized: a raw argument ending in an operator tail
+    # (`1 OR 0`, `NOT 1 = 0`) would otherwise capture the IS NULL
+    # (`A OR B IS NULL` parses as A OR (B IS NULL) — r7 probe sweep)
+    x = f"({parts[0].strip()})"
     t = f"typeof({x})"
     return (
         f"CASE WHEN {x} IS NULL THEN 'null' "

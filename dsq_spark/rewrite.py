@@ -178,14 +178,22 @@ def _rewrite_arrows(sql: str) -> str:
     return _ARROW.sub(repl, sql)
 
 
-_GLOB = re.compile(r"\bGLOB\s*('(?:[^'\\]|\\.|'')*')", re.IGNORECASE)
+_GLOB = re.compile(
+    r"\bGLOB\s*('(?:[^'\\]|\\.|'')*')"
+    # the literal must BE the whole pattern operand: a following
+    # tighter-binding operator (||, arithmetic, bitwise) extends the
+    # pattern expression (`x GLOB '' * y` matches against ''*y — r7
+    # probe sweep), and the expression compiler handles those
+    r"(?!\s*(?:\|\||<<|>>|[*/%+&|~-]))",
+    re.IGNORECASE)
 
 
 def _rewrite_glob(sql: str) -> str:
     """`x GLOB 'pat'` → `x RLIKE glob_regex('pat')` (full-match semantics —
     glob_regex anchors; see dsq_spark.functions). SQLite also exposes the
     function form glob(pat, s), registered directly. Only literal patterns
-    are rewritten — a non-literal RHS (rare) can use glob() explicitly.
+    WHOLLY forming the operand are rewritten — computed patterns compile
+    in dsq_spark.sqlexpr (both operands through SQLite's TEXT rendering).
     Runs whole-statement because the pattern operand IS a literal; GLOB
     keywords inside literals are skipped via span check."""
     spans = _skip_spans(sql)
@@ -336,6 +344,10 @@ def _alias_select_list(sql: str) -> str:
                     if (sql[i:i + wl].upper() == wu
                             and (i + wl == n
                                  or not (sql[i + wl].isalnum() or sql[i + wl] == "_"))):
+                        if (wu == "FROM"
+                                and re.search(r"(?i)\bDISTINCT\s*$",
+                                              sql[max(0, i - 12):i])):
+                            break  # IS [NOT] DISTINCT FROM, not a clause
                         return i
             i += 1
         return None

@@ -670,6 +670,86 @@ def _trip_bigint(trip) -> str:
             f"WHEN {cond} THEN {isql} ELSE {_sat_bigint(dsql)} END)")
 
 
+def _like_escape_fold(pat_lit: str, esc_lit: str) -> str | None:
+    """Rewrite a LITERAL LIKE pattern so Spark accepts SQLite's ESCAPE
+    semantics: SQLite treats ESC+c as a literal c for ANY c, while
+    Spark raises INVALID_FORMAT when c is not %/_/ESC — those escapes
+    fold away (the wildcard/ESC ones keep identical semantics).  Both
+    arguments are single-quoted literals; returns None when the escape
+    is not exactly one character."""
+    if not (len(pat_lit) >= 2 and pat_lit[0] == "'"
+            and pat_lit[-1] == "'"
+            and len(esc_lit) >= 3 and esc_lit[0] == "'"
+            and esc_lit[-1] == "'"):
+        return None
+    esc = esc_lit[1:-1].replace("''", "'")
+    if len(esc) != 1:
+        return None
+    body = pat_lit[1:-1]
+    chars: list[str] = []
+    i = 0
+    while i < len(body):
+        if body[i] == "'" and i + 1 < len(body) and body[i + 1] == "'":
+            chars.append("'")
+            i += 2
+        else:
+            chars.append(body[i])
+            i += 1
+    out: list[str] = []
+    i = 0
+    while i < len(chars):
+        ch = chars[i]
+        if ch == esc and i + 1 < len(chars):
+            nxt = chars[i + 1]
+            if nxt in ("%", "_") or nxt == esc:
+                out.append(ch)
+            out.append(nxt)
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "'" + "".join("''" if c == "'" else c for c in out) + "'"
+
+
+def _cls_blob_selected(p: "_P") -> str | None:
+    """SQL condition: this cls piece's SELECTED arm is a non-NULL BLOB
+    (the LIKE/GLOB blob rule must fire per row — iif(c, x'', 0.0) GLOB p
+    is 0 on the blob rows; r7 probes).  None when no blob arm exists."""
+    if p.cls is None:
+        return None
+    conds, arms = p.cls
+    if not any(k2 == "blob" for _t, k2, _tr in arms):
+        return None
+
+    def arm(a) -> str:
+        text, k2, _tr = a
+        if k2 == "blob" and text is not None:
+            return f"(({text}) IS NOT NULL)"
+        return "false"
+
+    whens = " ".join(f"WHEN {c} THEN {arm(a)}"
+                     for c, a in zip(conds, arms))
+    return f"(CASE {whens} ELSE {arm(arms[-1])} END)"
+
+
+def _sqlite_text_sql(p: "_P", k: str) -> str:
+    """SQLite's value→TEXT rendering of one piece for operand positions
+    that convert to TEXT (GLOB/LIKE operands): ints verbatim, reals via
+    %!.15g, bools as 0/1, blobs via UTF-8, quads per their runtime
+    class; text (and cls surfaces, which ARE renderings) pass through."""
+    if p.trip is not None and p.cls is None:
+        return _trip_text(p.trip)
+    if k == "real":
+        return f"dsq_real_text(CAST(({p.text}) AS DOUBLE))"
+    if k == "bool":
+        return f"string(CAST(({p.text}) AS BIGINT))"
+    if k in ("int", "blob"):
+        return f"string(({p.text}))"
+    if k == "null":
+        return "CAST(NULL AS STRING)"
+    return f"({p.text})"
+
+
 def _cls_bigint(cls) -> str:
     """INTEGER (bitwise-context) conversion of a class-mixed branch,
     dispatching per SELECTED arm: TEXT/BLOB arms convert atoi-style on
@@ -1299,6 +1379,32 @@ class _Rw:
                 p.s, p.e)
         return _P(f"({p.text}) <> 0", p.s, p.e)
 
+    def _not_value_operand(self, i: int, hi: int, eq: bool = False):
+        """A NOT-prefixed operand in a VALUE position (LIKE/GLOB rhs, a
+        unary-plus chain): SQLite parses it as the 0/1 INTEGER of the
+        truthified negation ('a' LIKE NOT 1 matches against '0' —
+        probed); Spark's NOT only lives at the boolean level.  With
+        ``eq`` the negated operand captures the FULL equality level
+        ('a' LIKE NOT 1 = 0 matches against NOT(1 = 0) — probed), the
+        LIKE/GLOB-rhs behavior; without it only the relational level
+        (the unary-plus-chain shape).  Returns ((piece, 'int'),
+        next_index) or None when T[i] is not NOT."""
+        T = self.T
+        nots = 0
+        j = i
+        while j < hi and T[j].low == "not":
+            nots += 1
+            j += 1
+        if nots == 0:
+            return None
+        (p, k), j2 = self._cmp(j, hi) if eq else self._rel(j, hi)
+        tp = self._truthify(p, k)
+        expr = tp.text
+        for _ in range(nots):
+            expr = f"(NOT ({expr}))"
+        np = _P(f"CAST({expr} AS BIGINT)", T[i].start, p.e)
+        return ((np, "int"), j2)
+
     def _cmp(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
         """Equality level — =, ==, !=, <>, <=> plus the word operators
         (IS, IN, LIKE family, BETWEEN); operands parse at the TIGHTER
@@ -1477,6 +1583,12 @@ class _Rw:
                 negated = False
                 distinct_form = False
                 while i < hi and T[i].low in ("not", "distinct", "from"):
+                    if T[i].low == "not" and negated:
+                        # only ONE keyword NOT belongs to IS; a second
+                        # is a value-position NOT on the operand
+                        # (0 IS NOT NOT 2.5 is 0 IS NOT (NOT 2.5) —
+                        # r7 probe sweep)
+                        break
                     negated = negated or T[i].low == "not"
                     distinct_form = distinct_form or T[i].low == "distinct"
                     is_toks.append(self._tokp(i))
@@ -1586,7 +1698,10 @@ class _Rw:
                             else:
                                 expr = f"({a} <=> {b})"
                         if negated:
-                            expr = f"NOT {expr}"
+                            # parenthesized: a bare NOT prefix would be
+                            # captured by a consumer's operator tail
+                            # (typeof(NOT 1 = 0) hit the alias's IS NULL)
+                            expr = f"(NOT {expr})"
                         pieces = [_P(expr, lhs.s, rp.e)]
                         lk = "bool"  # collapsed lhs for further chaining
                 else:
@@ -1862,16 +1977,142 @@ class _Rw:
                     nb = _P(f"CAST(({b0.text}) AS BIGINT)", b0.s, b0.e)
                     pieces[0] = nb
                     lk = "int"
-                pieces.append(self._tokp(i))
+                if t.low == "glob":
+                    # GLOB whose pattern is NOT a string literal (the
+                    # text-level pass rewrites literal patterns only):
+                    # Spark has no GLOB operator, and SQLite converts
+                    # both operands to TEXT via its own rendering
+                    # ('' GLOB 2.5 is 0, not a parse error — r7 probes)
+                    neg2 = bool(pieces) and \
+                        pieces[-1].text.lower() == "not"
+                    base2 = pieces[:-1] if neg2 else pieces
+                    lhs2 = self._join(base2)
+                    po = self._not_value_operand(i + 1, hi, eq=True)
+                    if po is not None:
+                        (rp, rk2), i = po
+                    else:
+                        (rp, rk2), i = self._rel(i + 1, hi)
+                    if "blob" in (lk, rk2):
+                        # SQLite GLOB is 0 when either operand is a
+                        # runtime BLOB — that check precedes even the
+                        # NULL check (NULL GLOB x'41' is 0) — but a
+                        # blob-KIND side that is NULL at runtime is not
+                        # a blob, and NULL wins then (substr(x'',1,2)
+                        # GLOB t is NULL — r7 probes)
+                        bchk = " OR ".join(
+                            f"(({p2}) IS NOT NULL)"
+                            for p2, k2x in ((lhs2.text, lk),
+                                            (rp.text, rk2))
+                            if k2x == "blob")
+                        expr = (f"(CASE WHEN {bchk} THEN false "
+                                f"ELSE CAST(NULL AS BOOLEAN) END)")
+                    else:
+                        a2 = _sqlite_text_sql(lhs2, lk)
+                        b2g = _sqlite_text_sql(rp, rk2)
+                        expr = f"(({a2}) RLIKE glob_regex({b2g}))"
+                        bsl = [c for c in (_cls_blob_selected(lhs2),
+                                           _cls_blob_selected(rp))
+                               if c is not None]
+                        if bsl:
+                            # per-row blob rule for cls operands
+                            expr = (f"(CASE WHEN {' OR '.join(bsl)} "
+                                    f"THEN false ELSE {expr} END)")
+                    if neg2:
+                        expr = f"(NOT {expr})"
+                    pieces = [_P(expr, lhs2.s, rp.e)]
+                    lk = "bool"
+                    made_bool = True
+                    continue
+                op_tok2 = self._tokp(i)
                 rhs0 = i + 1
-                (rp, _rk), i = self._rel(i + 1, hi)
+                po = self._not_value_operand(rhs0, hi, eq=True)
+                if po is not None:
+                    (rp, _rk), i = po
+                else:
+                    (rp, _rk), i = self._rel(i + 1, hi)
                 if (t.low in ("rlike", "regexp") and i == rhs0 + 1
                         and T[rhs0].kind == "str"):
                     rp = _P(_go_regex_to_java(rp.text), rp.s, rp.e)
+                if t.low in ("like", "ilike") and "blob" in (lk, _rk):
+                    # SQLite LIKE is 0 when either operand is a runtime
+                    # BLOB — precedes the NULL check (NULL LIKE x'41'
+                    # is 0) — but a blob-KIND side that is NULL at
+                    # runtime falls to NULL (see the GLOB rule)
+                    neg2 = bool(pieces) and \
+                        pieces[-1].text.lower() == "not"
+                    base2 = pieces[:-1] if neg2 else pieces
+                    lhs2 = self._join(base2)
+                    bchk = " OR ".join(
+                        f"(({p2}) IS NOT NULL)"
+                        for p2, k2x in ((lhs2.text, lk),
+                                        (rp.text, _rk))
+                        if k2x == "blob")
+                    expr = (f"(CASE WHEN {bchk} THEN false "
+                            f"ELSE CAST(NULL AS BOOLEAN) END)")
+                    if neg2:
+                        expr = f"(NOT {expr})"
+                    pieces = [_P(expr, lhs2.s, rp.e)]
+                    lk = "bool"
+                    made_bool = True
+                    continue
+                if (t.low in ("like", "ilike") and len(pieces) >= 1
+                        and (lk == "real"
+                             or (pieces[-1].trip is not None
+                                 and pieces[-1].cls is None))):
+                    # SQLite converts LIKE operands to TEXT via its own
+                    # rendering (1e20 LIKE '1%' matches '1.0e+20');
+                    # Spark's implicit cast is Java's '1.0E20'
+                    b0 = pieces[-1]
+                    pieces[-1] = _P(_sqlite_text_sql(b0, lk), b0.s, b0.e)
+                    lk = "text"
+                if t.low in ("like", "ilike"):
+                    # per-row blob rule for cls operands (either side)
+                    neg2 = bool(pieces) and \
+                        pieces[-1].text.lower() == "not"
+                    lhs3 = self._join(pieces[:-1] if neg2 else pieces)
+                    bsl = [c for c in (_cls_blob_selected(lhs3),
+                                       _cls_blob_selected(rp)) if c]
+                    if bsl:
+                        a3 = _sqlite_text_sql(lhs3, lk)
+                        b3 = _sqlite_text_sql(rp, _rk)
+                        expr = (f"(CASE WHEN {' OR '.join(bsl)} "
+                                f"THEN false ELSE ({a3}) "
+                                f"{t.text} ({b3}) END)")
+                        if neg2:
+                            expr = f"(NOT {expr})"
+                        pieces = [_P(expr, lhs3.s, rp.e)]
+                        lk = "bool"
+                        made_bool = True
+                        continue
+                pieces.append(op_tok2)
+                if (t.low in ("like", "ilike")
+                        and (_rk == "real"
+                             or (rp.trip is not None
+                                 and rp.cls is None))):
+                    rp = _P(_sqlite_text_sql(rp, _rk), rp.s, rp.e)
+                elif t.low in ("like", "ilike") and _rk == "bool":
+                    # a comparison result as the PATTERN matches its
+                    # 0/1 INTEGER's rendering, like the lhs rule
+                    rp = _P(f"CAST(({rp.text}) AS BIGINT)", rp.s, rp.e)
+                rp_is_lit = i == rhs0 + 1 and T[rhs0].kind == "str"
                 pieces.append(rp)
                 if i < hi and T[i].low == "escape":
-                    pieces.append(self._tokp(i))
+                    esc_tok = self._tokp(i)
+                    e0 = i + 1
                     (ep, _ek), i = self._rel(i + 1, hi)
+                    if (t.low in ("like", "ilike") and rp_is_lit
+                            and i == e0 + 1 and T[e0].kind == "str"):
+                        folded = _like_escape_fold(pieces[-1].text,
+                                                   ep.text)
+                        if folded is not None:
+                            # SQLite's ESCAPE makes ESC+c a literal c
+                            # for ANY c; Spark ERRORS when c is not a
+                            # wildcard/ESC — fold those escapes away in
+                            # literal patterns ('a!b' ESCAPE '!'
+                            # matches 'ab' — probed)
+                            pieces[-1] = _P(folded, pieces[-1].s,
+                                            pieces[-1].e)
+                    pieces.append(esc_tok)
                     pieces.append(ep)
                 made_bool = True
                 continue
@@ -2889,6 +3130,13 @@ class _Rw:
                     return ((self._tokp(i), "null"), i + 1)
                 if t.low in ("true", "false"):
                     return ((self._tokp(i), "bool"), i + 1)
+                if t.low == "not":
+                    # NOT in a VALUE position (+NOT '1.0' — SQLite
+                    # accepts it anywhere an expr goes): the 0/1
+                    # INTEGER of the truthified negation
+                    po = self._not_value_operand(i, hi)
+                    if po is not None:
+                        return po
                 if (t.low == "x" and i + 1 < hi and T[i + 1].kind == "str"
                         and T[i + 1].start == t.end):
                     bp = self._join([self._tokp(i), self._tokp(i + 1)])
@@ -2916,6 +3164,25 @@ class _Rw:
             i += 2
         if i < hi and T[i].text == "(" and not star_end:
             fname = last_name.lower()
+            if fname == "trim" and i + 1 < hi and T[i + 1].kind == "word" \
+                    and T[i + 1].low in ("both", "leading", "trailing"):
+                # TRIM(BOTH/LEADING/TRAILING chars FROM src) — the
+                # 2-arg trim alias's emission.  Parsed explicitly: the
+                # generic call path would read TRAILING as an
+                # identifier/call, skipping the charset's SQLite TEXT
+                # conversion (rtrim(2^63, 2^63) strips the %!.15g
+                # rendering's own characters, yielding '' — r7 probes).
+                j = self._match_paren(i, hi)
+                kw = T[i + 1].text
+                (cp2, ck2), k2 = self.expr(i + 2, j, boolctx=False)
+                if k2 < j and T[k2].low == "from":
+                    (sp2, sk2), k3 = self.expr(k2 + 1, j, boolctx=False)
+                    if k3 == j:
+                        chars = _sqlite_text_sql(cp2, ck2)
+                        src = _sqlite_text_sql(sp2, sk2)
+                        p = _P(f"TRIM({kw} {chars} FROM {src})",
+                               pieces[0].s, T[j].end)
+                        return ((p, "text"), j + 1)
             if len(pieces) == 1:
                 special = self._special_call(fname, pieces[0], i, hi)
                 if special is not None:
@@ -2983,12 +3250,25 @@ class _Rw:
         if fname not in ("nullif", "greatest", "least", "typeof",
                          "iif", "if", "coalesce", "ifnull",
                          "substr", "substring", "abs",
-                         "round", "ceil", "ceiling", "floor"):
+                         "round", "ceil", "ceiling", "floor",
+                         "replace"):
             return None
         parsed, j = self._simple_args(i, hi)
         if parsed is None:
             return None
         start, end = name_p.s, self.T[j].end
+        if fname == "replace":
+            if len(parsed) != 3:
+                return None
+            args = [_sqlite_text_sql(p, k) for p, k in parsed]
+            # SQLite returns the source VERBATIM when the pattern is
+            # empty — before even looking at the replacement
+            # (replace('x', '', NULL) is 'x', not NULL — r7 probes);
+            # all three arguments convert to TEXT first
+            expr = (f"(CASE WHEN ({args[1]}) = '' THEN ({args[0]}) "
+                    f"ELSE replace({args[0]}, {args[1]}, {args[2]}) "
+                    f"END)")
+            return ((_P(expr, start, end), "text"), j + 1)
         if fname in ("round", "ceil", "ceiling", "floor"):
             # ±Inf folds through statically (round(1e999) is Inf), so a
             # later static arithmetic sees the Inf operand and maps
@@ -3153,6 +3433,28 @@ class _Rw:
             else:
                 if len(parsed) < 2:
                     return None
+                p0, k0 = parsed[0]
+                v0 = _static_num_val(p0, k0)
+                if v0 is not None:
+                    # statically NON-NULL first argument: coalesce IS
+                    # that argument — folded so -ifnull(-2^63, 0)
+                    # promotes to REAL instead of wrapping (r7 probe
+                    # sweep).  Re-emitted via the literal helpers: the
+                    # raw piece text could start with '-' and a
+                    # preceding unary minus would join into a `--`
+                    # SQL comment.  Spanned over the whole call.
+                    if k0 == "real":
+                        return ((_P(_dbl_lit(float(v0)), start, end),
+                                 "real"), j + 1)
+                    np = _P(_int_lit(int(v0)), start, end)
+                    np.ival = int(v0)
+                    return ((np, "int"), j + 1)
+                if k0 in ("text", "blob") and p0.sval is not None:
+                    np = _P(p0.text, start, end)
+                    np.trip, np.varied, np.aff = p0.trip, p0.varied, \
+                        p0.aff
+                    np.ival, np.sval, np.cls = p0.ival, p0.sval, p0.cls
+                    return ((np, k0), j + 1)
                 vals = parsed
                 conds = [f"(({p.text}) IS NOT NULL)"
                          for p, _k in parsed[:-1]]
@@ -4188,14 +4490,24 @@ class _Rw:
             # rendering (CAST(5 AS BLOB) is X'35' — probed); Spark's
             # numeric→binary cast is the raw big-endian word (or an
             # error for DOUBLE), so convert through text first
+            if ek == "null":
+                # a TYPED null (abs(NULL) is DOUBLE) cannot cast to
+                # BINARY in Spark — the value is statically NULL.  Kind
+                # 'blob', not 'null': consumers must see a blob-typed
+                # operand (the math family NULLs blobs instead of
+                # emitting sign(BINARY), a type error — r7 probes)
+                return ((_P("CAST(NULL AS BINARY)", *span), "blob"),
+                        j + 1)
             if ep.trip is not None:
                 inner = _trip_text(ep.trip)
             elif ek in ("int", "bool"):
                 inner = f"CAST(({ep.text}) AS STRING)"
             elif ek == "real":
                 inner = f"dsq_real_text(CAST(({ep.text}) AS DOUBLE))"
+            elif ek == "unknown":
+                inner = f"string(({ep.text}))"
             else:
-                inner = f"({ep.text})"  # text/blob/null: byte-preserving
+                inner = f"({ep.text})"  # text/blob: byte-preserving
             return ((_P(f"CAST({inner} AS BINARY)", *span), "blob"), j + 1)
         if tname in ("string", "varchar") and ek == "real":
             # Spark-name string casts of a KNOWN-real source are still our

@@ -88,6 +88,28 @@ def gen(r: random.Random, d: int) -> str:
         lambda: f"date('2024-01-0{r.randint(1, 9)}')",
         lambda: f"unicode({gen(r, d - 1)})",
         lambda: f"quote({gen(r, d - 1)})",
+        # r7 additions: pattern matching, searched CASE, boolean
+        # connectives, more string machinery, blob construction
+        lambda: f"{gen(r, d - 1)} LIKE {gen(r, d - 1)}",
+        lambda: f"{gen(r, d - 1)} GLOB {gen(r, d - 1)}",
+        lambda: (f"CASE WHEN {gen(r, d - 1)} THEN {gen(r, d - 1)} "
+                 f"ELSE {gen(r, d - 1)} END"),
+        lambda: f"{gen(r, d - 1)} AND {gen(r, d - 1)}",
+        lambda: f"{gen(r, d - 1)} OR {gen(r, d - 1)}",
+        lambda: f"NOT {gen(r, d - 1)}",
+        lambda: f"ltrim({gen(r, d - 1)})",
+        lambda: f"rtrim({gen(r, d - 1)}, {gen(r, d - 1)})",
+        lambda: f"replace({gen(r, d - 1)}, {gen(r, d - 1)}, {gen(r, d - 1)})",
+        lambda: f"CAST({gen(r, d - 1)} AS BLOB)",
+        # zeroblob(0) only: non-empty zeroblobs put NUL bytes into TEXT
+        # conversions, where SQLite's own docs declare string-function
+        # behavior UNDEFINED (substr truncates at the NUL C-string-style
+        # while trim/hex keep the bytes) — not a parity target
+        lambda: "zeroblob(0)",
+        lambda: f"lower({gen(r, d - 1)})",
+        lambda: f"{gen(r, d - 1)} NOT IN ({gen(r, d - 1)})",
+        lambda: f"ifnull({gen(r, d - 1)}, {gen(r, d - 1)})",
+        lambda: f"{gen(r, d - 1)} IS NOT {gen(r, d - 1)}",
     ]
     return r.choice(forms)()
 

@@ -1630,3 +1630,62 @@ def test_r7_fresh_seed_probe_closures(engines):
     assert want == got
     rw = rewrite_query(q, SCHEMA)
     assert rewrite_query(rw, SCHEMA) == rw
+
+
+def test_r7_extended_grammar_closures(engines):
+    """Third r7 probe batch (the sweep grammar gained LIKE/GLOB,
+    searched CASE, boolean connectives, trim/replace, CAST AS BLOB),
+    pinned vs sqlite3: (1) aliases parenthesize their argument
+    (typeof(1 OR 0) must not parse `B IS NULL` into the OR); (2) GLOB
+    with a computed pattern compiles (both operands through SQLite's
+    TEXT rendering), and a literal pattern followed by a tighter
+    operator is NOT the whole pattern; (3) LIKE/GLOB are 0 when either
+    operand is a runtime BLOB — per-row for class-mixed branches, NULL
+    still winning when the blob-kind side is NULL; (4) a NOT-prefixed
+    pattern operand is the 0/1 of the truthified negation, capturing
+    the full equality level; (5) IS consumes exactly one keyword NOT;
+    (6) unicode() of a NUL-led string is NULL (C-string read);
+    (7) 2-arg trims convert their charset via SQLite's rendering (the
+    TRIM(TRAILING x FROM y) form parses explicitly); (8) replace()
+    returns the source verbatim on an empty pattern, before looking at
+    the replacement; (9) a literal LIKE pattern's ESCAPE folds
+    SQLite's escape-anything rule into Spark's escape-wildcards-only;
+    (10) coalesce/ifnull fold a statically non-NULL first argument
+    (so -ifnull(-2^63, 0) promotes to REAL)."""
+    spark, con = engines
+    exprs = [
+        "typeof(1 IS NOT -1)", "typeof(1 OR 0)", "quote(1 OR 0)",
+        "quote('0.5x' OR -9223372036854775808)",
+        "2147483647 GLOB 2.5", "0 GLOB '' * upper('')",
+        "'ab' GLOB 'a' || '*'", "2.5 GLOB trim(' 2.5 ')",
+        "x'41' GLOB x'41'", "NULL GLOB x'41'", "x'41' LIKE 'A'",
+        "NULL LIKE x'41'", "x'41' NOT LIKE 'A'",
+        "substr(x'', 1, 1) LIKE 'a'",
+        "iif('0.5x', x'', 0.0) GLOB trim(NULL)",
+        "iif(0, x'', 0.0) GLOB '0*'",
+        "iif(1, x'41', 'a') NOT LIKE 'A'",
+        "'a' LIKE NOT 1", "'0' LIKE NOT 1", "'a' LIKE NOT 1 = 0",
+        "'1' LIKE NOT 'abc' NOT IN ('x')", "'0' LIKE 1 > 2",
+        "0 IS NOT NOT 2.5", "1 IS NOT NOT 2.5",
+        "5 IS NOT DISTINCT FROM 5", "+NOT '1.0'",
+        "unicode(zeroblob(1))", "unicode(x'0041')", "unicode(x'4100')",
+        "rtrim(9223372036854775808, 9223372036854775808)",
+        "rtrim(123, 3)", "rtrim('ab01', -1 OR 0)", "rtrim('abc', x'63')",
+        "replace('abc', '', NULL)", "replace(123, 2, 'Z')",
+        "replace(x'414241', x'42', 'z')",
+        "'a%b' LIKE 'a!%b' ESCAPE '!'", "'ab' LIKE 'a!b' ESCAPE '!'",
+        "'a!b' LIKE 'a!!b' ESCAPE '!'",
+        "-coalesce(-1, 9007199254740993)",
+        "-ifnull(-9223372036854775808, 0)",
+        "typeof(-ifnull(-9223372036854775808, 0))",
+        "sign(CAST(NULL AS BLOB))", "CAST(abs(NULL) AS BLOB)",
+        "coalesce(x'', -0.5) || 'z'",
+        "instr(ifnull(0.1, 9007199254740992.0), min(x'41', '-2')) "
+        "LIKE max(9007199254740993, 2) - 1e999 >= '1.0'",
+    ]
+    sels = ", ".join(f"{e} AS r{i}" for i, e in enumerate(exprs))
+    q = f"SELECT {sels} FROM td"
+    want, got = _run(spark, con, q)
+    assert want == got
+    rw = rewrite_query(q, SCHEMA)
+    assert rewrite_query(rw, SCHEMA) == rw
