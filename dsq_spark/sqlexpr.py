@@ -3519,17 +3519,23 @@ class _Rw:
         if fname == "nullif" and len(parsed) == 2:
             (ap, ak), (bp, bk) = parsed
             av, bv = _static_num_val(ap, ak), _static_num_val(bp, bk)
-            if (av is not None and bv is not None
-                    and _lossy_static_pair(av, bv)):
-                # exact static fold for the >2^53 int-vs-real pair:
-                # nullif(9007199254740993, 9007199254740992.0) keeps the
-                # int (SQLite compares exactly; Spark's double promotion
-                # would call them equal and NULL it — r7 probe sweep)
+            if av is not None and bv is not None:
+                # exact static fold: int-vs-real pairs past 2^53 compare
+                # exactly (Spark's double promotion would NULL
+                # nullif(9007199254740993, 9007199254740992.0)), and the
+                # kept argument re-emits as a literal with its exact
+                # value so -nullif(-2^63, 0) promotes to REAL instead of
+                # wrapping (r7 probe sweeps)
                 if av == bv:
                     ty = "BIGINT" if ak in _INTISH else "DOUBLE"
                     return ((_P(f"CAST(NULL AS {ty})", start, end),
                              "null"), j + 1)
-                return ((_P(f"({ap.text})", start, end), ak), j + 1)
+                if ak == "real":
+                    return ((_P(_dbl_lit(float(av)), start, end),
+                             "real"), j + 1)
+                np = _P(_int_lit(int(av)), start, end)
+                np.ival = int(av)
+                return ((np, "int"), j + 1)
             ake, bke = _eff_cmp_kind(ak, ap), _eff_cmp_kind(bk, bp)
             # function arguments are bare VALUES — no column affinity
             # reaches nullif's internal `=` (probed: nullif(a, '1') on an
