@@ -161,13 +161,14 @@ def classify(got, want) -> str | None:
     # ceil-floor BIGINT surface)
     if (isinstance(got, num) and isinstance(want, num)
             and not isinstance(got, bool) and not isinstance(want, bool)):
-        try:
-            if (float(got) == float(want)
-                    and not (math.isnan(float(got))
-                             or math.isnan(float(want)))):
-                return "class-num"
-        except (OverflowError, ValueError):
-            pass
+        # EXACT Python ==: int-vs-float comparison in Python is exact
+        # (no double promotion), so an off-by-one past 2^53 — an engine
+        # INTEGER 9007199254740993 vs sqlite REAL 9007199254740992.0 —
+        # is a VALUE mismatch, never maskable as a class delta
+        # (r7 judge: float(got) == float(want) hid exactly that shape).
+        # NaN == NaN is False, so NaNs fall through to VALUE.
+        if got == want:
+            return "class-num"
     # (b) the engine surfaces the number's exact SQLite TEXT rendering
     if isinstance(got, str) and isinstance(want, num):
         if got == _sqlite_render(want):

@@ -600,3 +600,22 @@ def test_quote_real_matches_sqlite():
         if got != want:
             bad.append((v, want, got))
     assert not bad, bad[:5]
+
+
+def test_register_all_once_per_session(spark):
+    """r7 VERDICT #8: register_all's session-conf marker must make a
+    REPEAT call issue ZERO DDL — the ~0.9 s of per-query py4j
+    round-trips was the real r5→r6 bench regression, and a future
+    round's new UDF must not silently reintroduce it.  Counted by
+    wrapping spark.sql itself."""
+    register_all(spark)  # ensure the marker is set for this mode
+    calls = []
+    orig = spark.sql
+    spark.sql = lambda *a, **k: (calls.append(a[0] if a else k), orig(*a, **k))[1]
+    try:
+        register_all(spark)
+        assert calls == [], f"repeat register_all issued DDL: {calls[:3]}"
+        register_all(spark, force=True)
+        assert calls, "force=True must replay registration"
+    finally:
+        spark.sql = orig

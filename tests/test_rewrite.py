@@ -58,7 +58,8 @@ def test_agg_aliases():
     assert "percentile(abs(x - 1), 0.25D)" in out
     # alias name inside a string literal is untouched
     out = rewrite_query("SELECT 'stdev(x)' AS lit, total(y) FROM {}")
-    assert "'stdev(x)'" in out and "coalesce(sum(y), 0.0d)" in out
+    assert "'stdev(x)'" in out
+    assert "coalesce(CAST(sum(y) AS DOUBLE), 0.0d)" in out
     # SQLite format() == printf (variadic); Spark's own format_* untouched
     out = rewrite_query("SELECT format('%s-%02d', a, b), date_format(ts, 'yyyy') FROM {}")
     # NULL coercion per conversion spec (SQLite: NULL -> ''/0 under %s/%d)
