@@ -48,9 +48,108 @@ _TS_FORMATS = [
     # returning NULL, which would break try_to_timestamp's contract.)
 ]
 
-_BEST_EFFORT = "coalesce(try_to_timestamp(s), " + ", ".join(
-    "try_to_timestamp(s, '{}')".format(f.replace("'", "\\'")) for f in _TS_FORMATS
-) + ")"
+_BEST_EFFORT_T = ("coalesce(try_to_timestamp({0}), " + ", ".join(
+    "try_to_timestamp({0}, '" + f.replace("'", "\\'") + "')"
+    for f in _TS_FORMATS) + ")")
+
+# Single source for the SIMPLE expression-bodied SQL UDFs: name →
+# (param types, return type, body template with {0}/{1} argument slots).
+# _sql_udfs() generates the CREATE FUNCTION DDL from this, and
+# dsq_spark.rewrite._inline_agg_safe() textually inlines the same bodies
+# into any statement that mixes them with an AGGREGATE: Spark 4.1's
+# SQL-function extraction rewrites a mixed projection by replacing every
+# expression — including the literal name/scale positions of foldable-
+# checked functions like struct comparison keys and round() — with
+# attribute references, which then fail analysis
+# (CREATE_NAMED_STRUCT_WITHOUT_FOLDABLE_STRING / NON_FOLDABLE_INPUT;
+# probed on Spark 4.1.2: SELECT named_struct('a', f(1.0)), sum(1) dies
+# for ANY SQL-defined f).  Inlined bodies are plain expressions, so the
+# analyzer never sees a SQL function there.  Excluded (documented):
+# glob_regex (its accumulator-HOF body is huge and glob patterns rarely
+# meet aggregates), dsq_typed_key (ORDER-BY opt-in), the strict-JSON
+# re-registrations (mode-dependent bodies — the inliner skips json/
+# json_extract when strict mode is active), and dsq_real_text, which
+# the same pass swaps to its pandas twin instead (the %!.15g body
+# repeats its argument ~35×, so textual inlining would blow up).
+INLINE_UDFS: dict[str, tuple[tuple[str, ...], str, str]] = {
+    # URL family → parse_url (covers all six reference url_* functions)
+    "url_scheme": (("STRING",), "STRING",
+                   "lower(parse_url({0}, 'PROTOCOL'))"),
+    "url_host": (("STRING",), "STRING", "parse_url({0}, 'HOST')"),
+    "url_port": (("STRING",), "INT",
+                 "CAST(regexp_extract(parse_url({0}, 'AUTHORITY'), "
+                 "':(\\\\d+)$', 1) AS INT)"),
+    "url_path": (("STRING",), "STRING", "parse_url({0}, 'PATH')"),
+    "url_param": (("STRING", "STRING"), "STRING",
+                  "parse_url({0}, 'QUERY', {1})"),
+    "url_fragment": (("STRING",), "STRING", "parse_url({0}, 'REF')"),
+    # string aliases the stdlib spells differently
+    "replicate": (("STRING", "INT"), "STRING", "repeat({0}, {1})"),
+    "strpos": (("STRING", "STRING"), "INT", "instr({0}, {1})"),
+    "charindex": (("STRING", "STRING"), "INT", "instr({1}, {0})"),
+    "proper": (("STRING",), "STRING", "initcap({0})"),
+    # hash spellings
+    "sha256": (("STRING",), "STRING", "sha2({0}, 256)"),
+    "sha512": (("STRING",), "STRING", "sha2({0}, 512)"),
+    # best-effort timestamp parse + the SQLite layer-1 date/time
+    # built-ins over it (micros-precision forms, identical to the
+    # modifier-path renderers in _dt_render so 1-arg and modifier calls
+    # can never disagree).  `date()` and `time()` are Spark built-ins
+    # with equivalent output for parseable strings and cannot be
+    # shadowed by SQL UDFs — documented delta.
+    "best_effort_ts": (("STRING",), "TIMESTAMP", _BEST_EFFORT_T),
+    "date_unix": (("STRING",), "BIGINT",
+                  "unix_timestamp(best_effort_ts({0}))"),
+    "date_rfc3339": (("STRING",), "STRING",
+                     "date_format(best_effort_ts({0}), "
+                     "\"yyyy-MM-dd'T'HH:mm:ssXXX\")"),
+    "datetime": (("STRING",), "STRING",
+                 "date_format(best_effort_ts({0}), "
+                 "'yyyy-MM-dd HH:mm:ss')"),
+    "julianday": (("STRING",), "DOUBLE",
+                  "unix_micros(best_effort_ts({0})) / 86400000000.0d "
+                  "+ 2440587.5d"),
+    "unixepoch": (("STRING",), "BIGINT",
+                  "CAST(floor(unix_micros(best_effort_ts({0})) / "
+                  "1000000.0d) AS BIGINT)"),
+    # strftime: translate the common C codes to Java pattern letters;
+    # '%s' (whole format = epoch seconds, the common idiom) is handled
+    # as a special case since no Java pattern letter can express it.
+    # Unconverted %-codes and alphabetic literals in the format are a
+    # documented approximation (SQLite embeds a full C strftime).
+    "strftime": (("STRING", "STRING"), "STRING",
+                 "CASE WHEN {0} = '%s' THEN "
+                 "CAST(unix_timestamp(best_effort_ts({1})) AS STRING) "
+                 "ELSE date_format(best_effort_ts({1}), "
+                 "replace(replace(replace(replace(replace(replace("
+                 "replace({0}, "
+                 "'%Y', 'yyyy'), '%m', 'MM'), '%d', 'dd'), '%H', 'HH'), "
+                 "'%M', 'mm'), '%S', 'ss'), '%j', 'DDD')) END"),
+    # unicode (SQLite core): '' → NULL like SQLite, and a leading NUL
+    # too (SQLite reads a C string, so unicode(zeroblob(1)) is NULL)
+    "unicode": (("STRING",), "INT",
+                "CASE WHEN length({0}) = 0 OR ascii({0}) = 0 THEN NULL "
+                "ELSE ascii({0}) END"),
+    # JSON1: single-path extraction maps to get_json_object (returns
+    # TEXT where SQLite returns a dynamic value — documented delta);
+    # json(x) validates via the root extraction (NULL instead of
+    # SQLite's raise — documented, --strict-json restores)
+    "json_extract": (("STRING", "STRING"), "STRING",
+                     "get_json_object({0}, {1})"),
+    "json": (("STRING",), "STRING", "get_json_object({0}, '$')"),
+    "dsq_json_unbox": (("STRING",), "STRING",
+                       "substr({0}, 2, length({0}) - 2)"),
+    # SQLite planner hints: semantically the identity
+    "likely": (("DOUBLE",), "DOUBLE", "{0}"),
+    "unlikely": (("DOUBLE",), "DOUBLE", "{0}"),
+    "likelihood": (("DOUBLE", "DOUBLE"), "DOUBLE", "{0}"),
+    # date_* extraction family
+    **{name: (("STRING",), "INT", f"{fn}(best_effort_ts({{0}}))")
+       for name, fn in {
+           "date_year": "year", "date_month": "month", "date_day": "day",
+           "date_yearday": "dayofyear", "date_hour": "hour",
+           "date_minute": "minute", "date_second": "second"}.items()},
+}
 
 
 def _g_esc(x: str) -> str:
@@ -137,6 +236,63 @@ _GLOB_REGEX_UDF = (
 ).replace("GLOBESC_PRIOR", _g_esc("a.prior")).replace("GLOBESC_C", _g_esc("c"))
 
 
+def glob_regex_py(pat: str) -> str:
+    """Python mirror of the glob_regex SQL machine above, byte-equal on
+    its output (property-pinned in tests/test_functions.py): used to
+    FOLD literal glob patterns — and, as the dsq_glob_regex_agg pandas
+    twin, to evaluate computed ones — in aggregate-mixed statements,
+    where Spark 4.1's SQL-function extraction breaks sibling
+    foldability checks (rewrite._inline_agg_safe)."""
+    def esc(ch: str) -> str:
+        return "\\x{" + format(ord(ch), "X") + "}"
+
+    r, st, neg, body, prior, dash = "", 0, False, "", "", False
+    for c in pat:
+        if st == 0:
+            if c == "*":
+                r += ".*"
+            elif c == "?":
+                r += "."
+            elif c == "[":
+                st = 1
+            else:
+                r += esc(c)
+            continue
+        if st == 1:
+            if c == "^":
+                st, neg = 2, True
+            else:  # ']' here is a literal member (held)
+                st, prior = 3, c
+            continue
+        if st == 2:
+            st, neg, prior = 3, True, c
+            continue
+        if not dash and c == "]":
+            flush = body + (esc(prior) if prior else "")
+            if flush == "":
+                r += "." if neg else "(?!)"
+            else:
+                r += "[" + ("^" if neg else "") + flush + "]"
+            st, neg, body, prior = 0, False, "", ""
+        elif not dash and c == "-" and prior:
+            dash = True
+        elif not dash and c == "-":
+            prior = "-"
+        elif not dash:
+            body, prior = body + (esc(prior) if prior else ""), c
+        elif c == "]":  # pending dash then ']': both literal
+            r += ("[" + ("^" if neg else "") + body + esc(prior)
+                  + "\\x{2d}" + "]")
+            st, neg, body, prior, dash = 0, False, "", "", False
+        elif ord(prior) <= ord(c):  # range prior..c
+            body, prior, dash = body + esc(prior) + "-" + esc(c), "", False
+        else:  # inverted range: matches nothing, emit none
+            prior, dash = "", False
+    if st != 0:
+        return "(?!)"  # unclosed '[': the whole pattern never matches
+    return "(?s)^" + r + "$"
+
+
 def _trim_g(s: str) -> str:
     """%g mantissa cleanup: strip trailing zeros, then guarantee a
     fractional part ('2.50000…'→'2.5', '100.000…'→'100.0', '1'→'1.0')."""
@@ -162,48 +318,17 @@ _REAL_TEXT_UDF = (
 
 
 def _sql_udfs() -> list[str]:
-    date_parts = {
-        "date_year": "year", "date_month": "month", "date_day": "day",
-        "date_yearday": "dayofyear", "date_hour": "hour",
-        "date_minute": "minute", "date_second": "second",
-    }
     stmts = [
-        # URL family → parse_url (covers all six reference url_* functions)
-        "CREATE OR REPLACE TEMPORARY FUNCTION url_scheme(u STRING) RETURNS STRING RETURN lower(parse_url(u, 'PROTOCOL'))",
-        "CREATE OR REPLACE TEMPORARY FUNCTION url_host(u STRING) RETURNS STRING RETURN parse_url(u, 'HOST')",
-        "CREATE OR REPLACE TEMPORARY FUNCTION url_port(u STRING) RETURNS INT RETURN CAST(regexp_extract(parse_url(u, 'AUTHORITY'), ':(\\\\d+)$', 1) AS INT)",
-        "CREATE OR REPLACE TEMPORARY FUNCTION url_path(u STRING) RETURNS STRING RETURN parse_url(u, 'PATH')",
-        "CREATE OR REPLACE TEMPORARY FUNCTION url_param(u STRING, k STRING) RETURNS STRING RETURN parse_url(u, 'QUERY', k)",
-        "CREATE OR REPLACE TEMPORARY FUNCTION url_fragment(u STRING) RETURNS STRING RETURN parse_url(u, 'REF')",
-        # string aliases the stdlib spells differently
-        "CREATE OR REPLACE TEMPORARY FUNCTION replicate(s STRING, n INT) RETURNS STRING RETURN repeat(s, n)",
-        "CREATE OR REPLACE TEMPORARY FUNCTION strpos(s STRING, sub STRING) RETURNS INT RETURN instr(s, sub)",
-        "CREATE OR REPLACE TEMPORARY FUNCTION charindex(sub STRING, s STRING) RETURNS INT RETURN instr(s, sub)",
-        "CREATE OR REPLACE TEMPORARY FUNCTION proper(s STRING) RETURNS STRING RETURN initcap(s)",
-        # hash spellings
-        "CREATE OR REPLACE TEMPORARY FUNCTION sha256(s STRING) RETURNS STRING RETURN sha2(s, 256)",
-        "CREATE OR REPLACE TEMPORARY FUNCTION sha512(s STRING) RETURNS STRING RETURN sha2(s, 512)",
-        # best-effort timestamp parse + date_* extraction family
-        f"CREATE OR REPLACE TEMPORARY FUNCTION best_effort_ts(s STRING) RETURNS TIMESTAMP RETURN {_BEST_EFFORT}",
-        "CREATE OR REPLACE TEMPORARY FUNCTION date_unix(s STRING) RETURNS BIGINT RETURN unix_timestamp(best_effort_ts(s))",
-        "CREATE OR REPLACE TEMPORARY FUNCTION date_rfc3339(s STRING) RETURNS STRING RETURN date_format(best_effort_ts(s), \"yyyy-MM-dd'T'HH:mm:ssXXX\")",
-        # SQLite layer-1 date/time built-ins (README.md:698). `date()` and
-        # `time()` are Spark built-ins with equivalent output for parseable
-        # strings and cannot be shadowed by SQL UDFs — documented delta.
-        "CREATE OR REPLACE TEMPORARY FUNCTION datetime(s STRING) RETURNS STRING RETURN date_format(best_effort_ts(s), 'yyyy-MM-dd HH:mm:ss')",
-        # micros-precision forms, identical to the modifier-path renderers in
-        # _dt_render so 1-arg and modifier calls can never disagree
-        "CREATE OR REPLACE TEMPORARY FUNCTION julianday(s STRING) RETURNS DOUBLE RETURN unix_micros(best_effort_ts(s)) / 86400000000.0d + 2440587.5d",
-        "CREATE OR REPLACE TEMPORARY FUNCTION unixepoch(s STRING) RETURNS BIGINT RETURN CAST(floor(unix_micros(best_effort_ts(s)) / 1000000.0d) AS BIGINT)",
-        # strftime: translate the common C codes to Java pattern letters;
-        # '%s' (whole format = epoch seconds, the common idiom) is handled
-        # as a special case since no Java pattern letter can express it.
-        # Unconverted %-codes and alphabetic literals in the format are a
-        # documented approximation (SQLite embeds a full C strftime).
-        "CREATE OR REPLACE TEMPORARY FUNCTION strftime(f STRING, s STRING) RETURNS STRING RETURN "
-        "CASE WHEN f = '%s' THEN CAST(unix_timestamp(best_effort_ts(s)) AS STRING) ELSE "
-        "date_format(best_effort_ts(s), replace(replace(replace(replace(replace(replace(replace(f, "
-        "'%Y', 'yyyy'), '%m', 'MM'), '%d', 'dd'), '%H', 'HH'), '%M', 'mm'), '%S', 'ss'), '%j', 'DDD')) END",
+        stmt
+        for name, (ptypes, ret, body) in INLINE_UDFS.items()
+        for stmt in [
+            "CREATE OR REPLACE TEMPORARY FUNCTION "
+            + name + "("
+            + ", ".join(f"a{i} {t}" for i, t in enumerate(ptypes))
+            + f") RETURNS {ret} RETURN "
+            + body.format(*(f"a{i}" for i in range(len(ptypes))))
+        ]
+    ] + [
         # glob: SQLite full-string match with * ? wildcards and [seq]
         # classes (reference README.md:698; SQLite src/func.c globCompare
         # semantics). glob_regex compiles a glob to an anchored Java regex
@@ -218,14 +343,6 @@ def _sql_udfs() -> list[str]:
         # mirrors SQLite's function form (pattern first, returns 0/1).
         _GLOB_REGEX_UDF,
         "CREATE OR REPLACE TEMPORARY FUNCTION glob(p STRING, s STRING) RETURNS INT RETURN CAST(s RLIKE glob_regex(p) AS INT)",
-        # unicode (SQLite core). `quote()` is a non-shadowable Spark builtin
-        # whose escaping differs (backslash vs doubled quote) — documented
-        # delta, same purpose.
-        "CREATE OR REPLACE TEMPORARY FUNCTION unicode(s STRING) RETURNS INT "
-        # '' → NULL like SQLite, and a leading NUL too: SQLite reads a
-        # C string, so unicode(zeroblob(1)) / unicode(x'0041') are NULL
-        "RETURN CASE WHEN length(s) = 0 OR ascii(s) = 0 THEN NULL "
-        "ELSE ascii(s) END",
         # SQLite REAL→TEXT rendering (C printf %!.15g, sqlite3 src/func.c):
         # 15 significant digits, trailing zeros trimmed, a mandatory
         # fractional part ('100.0', '1.0e+20'), scientific form exactly
@@ -257,39 +374,22 @@ def _sql_udfs() -> list[str]:
         "WHEN trim(x) RLIKE '^[+-]?([0-9]+(\\\\.[0-9]*)?|\\\\.[0-9]+)([eE][+-]?[0-9]+)?$' "
         "THEN named_struct('r', 1, 'n', CAST(trim(x) AS DOUBLE), 't', '') "
         "ELSE named_struct('r', 2, 'n', 0.0d, 't', x) END",
-        # JSON1 family (README.md:698): json_array_length is a same-named
-        # Spark builtin; `->`/`->>` are rewritten (dsq_spark.rewrite);
-        # json_extract maps to get_json_object (single-path form; returns
-        # TEXT where SQLite returns a dynamic value — documented delta, and
-        # the dominant dsq usage is on string-serialized nested arrays
-        # where TEXT matches).
-        "CREATE OR REPLACE TEMPORARY FUNCTION json_extract(j STRING, p STRING) RETURNS STRING RETURN get_json_object(j, p)",
-        # json(x): SQLite validates + minifies; here the root extraction
-        # returns the text for valid JSON and NULL for invalid (SQLite
-        # raises instead — documented delta; whitespace is not minified)
-        "CREATE OR REPLACE TEMPORARY FUNCTION json(j STRING) RETURNS STRING RETURN get_json_object(j, '$')",
-        # JSON serialization helper: strip the [ ] from to_json(array(x)) —
-        # the one-element-array trick turns ANY typed SQL value into its
-        # JSON text (numbers bare, strings quoted+escaped, NULL → 'null',
-        # structs/arrays recursive), all JVM-side. Used by the json_quote /
-        # json_array / json_object / json_group_* rewrites below.
-        "CREATE OR REPLACE TEMPORARY FUNCTION dsq_json_unbox(s STRING) RETURNS STRING "
-        "RETURN substr(s, 2, length(s) - 2)",
-        # SQLite planner hints: semantically the identity
-        "CREATE OR REPLACE TEMPORARY FUNCTION likely(x DOUBLE) RETURNS DOUBLE RETURN x",
-        "CREATE OR REPLACE TEMPORARY FUNCTION unlikely(x DOUBLE) RETURNS DOUBLE RETURN x",
-        "CREATE OR REPLACE TEMPORARY FUNCTION likelihood(x DOUBLE, p DOUBLE) RETURNS DOUBLE RETURN x",
     ]
-    for name, fn in date_parts.items():
-        stmts.append(
-            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(s STRING) "
-            f"RETURNS INT RETURN {fn}(best_effort_ts(s))"
-        )
     # pure-Catalyst fast path for simple JSON1 mutator shapes
     from dsq_spark.functions.json_fast import fast_mutator_udfs
 
     stmts.extend(fast_mutator_udfs())
     return stmts
+
+
+_STRICT_ACTIVE = False
+
+
+def strict_json_active() -> bool:
+    """Whether the LAST register_all ran in --strict-json mode — the
+    inliner (rewrite._inline_agg_safe) must not inline the soft json()/
+    json_extract() bodies over the strict re-registrations."""
+    return _STRICT_ACTIVE
 
 
 def register_all(spark: SparkSession, strict_json: bool | None = None,
@@ -314,6 +414,8 @@ def register_all(spark: SparkSession, strict_json: bool | None = None,
     if strict_json is None:
         strict_json = os.environ.get("DSQ_STRICT_JSON", "").lower() in (
             "1", "true", "yes")
+    global _STRICT_ACTIVE
+    _STRICT_ACTIVE = bool(strict_json)
     mode = "strict" if strict_json else "soft"
     marker = "spark.dsq.registeredFunctions"
     if not force:

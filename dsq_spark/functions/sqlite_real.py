@@ -197,3 +197,33 @@ def register_quote_real(spark) -> None:
         return pd.Series([sqlite_quote_real(x) for x in col], dtype=object)
 
     spark.udf.register("dsq_quote_real", pandas_udf(run, StringType()))
+
+    # Pandas twin of the dsq_real_text SQL UDF (%!.15g rendering, same
+    # _real_text_py semantics: NaN → NULL, ±Inf → 'Inf'/'-Inf', -0.0
+    # normalized).  Python UDFs ride a planning path that tolerates
+    # AGGREGATE inputs, where Spark 4.1's SQL-function extraction breaks
+    # foldable-checked siblings (struct keys, round's scale) — the
+    # rewrite layer swaps dsq_real_text → dsq_real_text_agg in any
+    # aggregate-mixed statement (rewrite._inline_agg_safe).  A DOUBLE
+    # column's NULL arrives as NaN here, and SQLite stores NaN as NULL,
+    # so the shared None result is exact for both.
+    def run_text(col):
+        return pd.Series(
+            [None if x is None else _real_text_py(float(x))
+             for x in col], dtype=object)
+
+    spark.udf.register("dsq_real_text_agg",
+                       pandas_udf(run_text, StringType()))
+
+    # Pandas twin of glob_regex for the same aggregate-mixed statements
+    # (computed glob patterns can't be folded at rewrite time) — the
+    # Python compiler is property-pinned byte-equal to the SQL machine.
+    from dsq_spark.functions import glob_regex_py
+
+    def run_glob(col):
+        return pd.Series(
+            [None if p is None else glob_regex_py(p) for p in col],
+            dtype=object)
+
+    spark.udf.register("dsq_glob_regex_agg",
+                       pandas_udf(run_glob, StringType()))

@@ -680,6 +680,162 @@ def _rewrite_real_literals(sql: str) -> str:
     return "".join(out)
 
 
+_AGG_CALL = re.compile(
+    r"(?<![\w.`$])(?:sum|avg|count|min|max|percentile|percentile_approx|"
+    r"median|mode|stddev_samp|stddev_pop|var_samp|var_pop|listagg|"
+    r"string_agg|collect_list|collect_set|bool_and|bool_or|"
+    r"approx_count_distinct|group_concat|any_value|first|last)\s*\(",
+    re.IGNORECASE)
+
+
+def _split_top_args(s: str) -> list[str] | None:
+    """Split a call's argument text on TOP-LEVEL commas, quote- and
+    paren-aware ('' quote doubling toggles twice, backslashes are plain
+    characters in our emitted literals).  None on imbalance."""
+    out, depth, instr, last = [], 0, False, 0
+    for i, ch in enumerate(s):
+        if instr:
+            if ch == "'":
+                instr = False
+        elif ch == "'":
+            instr = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+        elif ch == "," and depth == 0:
+            out.append(s[last:i])
+            last = i + 1
+    if depth != 0 or instr:
+        return None
+    out.append(s[last:])
+    return out
+
+
+def _inline_calls(sql: str, name: str, ptypes, body: str) -> str:
+    """Textually inline every top-level call to one SQL UDF: arguments
+    keep the UDF's declared-type casts, the body is the exact CREATE
+    FUNCTION body (functions.INLINE_UDFS — single source)."""
+    pat = re.compile(r"(?<![\w.`$])" + name + r"\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        spans = _skip_spans(sql)
+        m = None
+        for m0 in pat.finditer(sql, pos):
+            if not any(a <= m0.start() < b for a, b in spans):
+                m = m0
+                break
+        if m is None:
+            return sql
+        # find the matching close paren (quote-aware)
+        depth, instr, j = 0, False, m.end() - 1
+        n = len(sql)
+        while j < n:
+            ch = sql[j]
+            if instr:
+                if ch == "'":
+                    instr = False
+            elif ch == "'":
+                instr = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if j >= n:
+            return sql  # imbalance: leave untouched
+        args = _split_top_args(sql[m.end():j])
+        if args is None or len(args) != len(ptypes):
+            pos = m.end()
+            continue
+        casted = [f"CAST(({a.strip()}) AS {t})" if t
+                  else f"({a.strip()})"
+                  for a, t in zip(args, ptypes)]
+        repl = "(" + body.format(*casted) + ")"
+        sql = sql[:m.start()] + repl + sql[j + 1:]
+        pos = m.start() + len(repl)
+
+
+def _inline_agg_safe(sql: str) -> str:
+    """Make an AGGREGATE-containing statement safe for Spark 4.1's SQL
+    analyzer: the SQL-function extraction rewrites a projection that
+    mixes ANY SQL temporary function with an aggregate by replacing
+    every expression — including the literal positions of foldable-
+    checked functions (struct comparison keys, round's scale) — with
+    attribute references, which then fail analysis
+    (CREATE_NAMED_STRUCT_WITHOUT_FOLDABLE_STRING / NON_FOLDABLE_INPUT;
+    probed: SELECT named_struct('a', f(1.0)), sum(1) dies for any SQL-
+    defined f, even across select items).  So when a statement contains
+    an aggregate call: dsq_real_text swaps to its pandas twin (Python
+    UDFs ride a tolerant planning path; the %!.15g body is too
+    self-repeating to inline), and the simple expression-bodied UDFs
+    (functions.INLINE_UDFS — datetime family, url_*, string/hash
+    spellings) inline textually, transitively (datetime wrappers call
+    best_effort_ts), with a size cap as a runaway guard.  Statements
+    with no aggregate keep their exact bytes and plans."""
+    if not _AGG_CALL.search(sql):
+        return sql
+    from dsq_spark.functions import INLINE_UDFS, strict_json_active
+
+    skip = {"json", "json_extract"} if strict_json_active() else set()
+    spans = _skip_spans(sql)
+    out = re.sub(
+        r"(?<![\w.`$])dsq_real_text\(",
+        lambda m: (m.group(0)
+                   if any(a <= m.start() < b for a, b in spans)
+                   else "dsq_real_text_agg("),
+        sql)
+    # glob patterns: LITERAL ones fold to their compiled regex (the
+    # Python mirror of the glob_regex machine), computed ones ride the
+    # pandas twin — either way the SQL UDF is gone
+    from dsq_spark.functions import glob_regex_py
+    from dsq_spark.sqlexpr import _like_decode_lit
+
+    def fold_glob(m: re.Match) -> str:
+        if any(a <= m.start() < b for a, b in _skip_spans(out)):
+            return m.group(0)
+        dec = _like_decode_lit("'" + m.group(1) + "'")
+        if dec is None:
+            return m.group(0)
+        rx = glob_regex_py("".join(dec))
+        return "'" + rx.replace("\\", "\\\\").replace("'", "''") + "'"
+
+    out = re.sub(r"(?<![\w.`$])glob_regex\(\s*'((?:[^'\\]|\\.|'')*)'\s*\)",
+                 fold_glob, out)
+    spans2 = _skip_spans(out)
+    out = re.sub(
+        r"(?<![\w.`$])glob_regex\(",
+        lambda m: (m.group(0)
+                   if any(a <= m.start() < b for a, b in spans2)
+                   else "dsq_glob_regex_agg("),
+        out)
+    for _ in range(6):  # transitive: wrappers → best_effort_ts
+        new = out
+        for name, (ptypes, _ret, body) in INLINE_UDFS.items():
+            if name in skip:
+                continue
+            new = _inline_calls(new, name, ptypes, body)
+        if new == out or len(new) > 400_000:
+            out = new
+            break
+        out = new
+    # Spark's native nullif desugars through a With/common-expression
+    # wrapper whose refs leak un-rewritten into codegen when the same
+    # statement carries an aggregate and a (non-inlinable) SQL UDF —
+    # INTERNAL_ERROR "Cannot generate code for commonexpressionref"
+    # (probed on 4.1.2: nullif(x GLOB computed, sum(...))).  The CASE
+    # spelling is nullif's own definition, so swap it whenever an
+    # aggregate is present.
+    out = _inline_calls(out, "nullif", ("", ""),
+                        "(CASE WHEN ({0}) = ({1}) THEN NULL "
+                        "ELSE ({0}) END)")
+    return out
+
+
 _HEX_LIT = re.compile(r"(?<![\w.`$])0[xX]([0-9A-Fa-f]+)(?![\w.])")
 
 
@@ -833,5 +989,11 @@ def rewrite_query_tracked(
     from dsq_spark.sqlexpr import rewrite_semantics
 
     out = rewrite_semantics(out, schema)
+    # LAST: aggregate-mixed statements must not reach the analyzer with
+    # SQL temporary functions in them (Spark 4.1 extraction bug — see
+    # _inline_agg_safe); runs after sqlexpr so every alias/compiler
+    # emission is covered, and leaves aggregate-free statements
+    # byte-identical.
+    out = _inline_agg_safe(out)
     _remember_output(out, schema)
     return out, frozenset(dquoted)

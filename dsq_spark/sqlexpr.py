@@ -266,7 +266,7 @@ _FN_TEXT = frozenset((
     "string_agg", "soundex", "regexp_extract", "regexp_replace",
     "get_json_object", "json_quote", "json_array", "json_object", "json",
     "glob_regex", "base64", "md5", "sha1", "space", "dsq_real_text",
-    "dsq_quote_real", "string",
+    "dsq_quote_real", "dsq_real_text_agg", "string",
     "url_scheme", "url_host", "url_path", "url_fragment", "url_param",
     # the datetime compiler's emission tops: SQLite date/time/strftime
     # return TEXT, so `date(x) < 20250000` compares by storage class
@@ -329,6 +329,12 @@ _INT_PREFIX = f"'^[{_WS}]*([+-]?[0-9]+)'"
 _REAL_PREFIX = (f"'^[{_WS}]*([+-]?(?:[0-9]+[.]?[0-9]*|[.][0-9]+)"
                 f"(?:[eE][+-]?[0-9]+)?)'")
 _IS_INT_PREFIX = r"'^[+-]?[0-9]*$'"  # '' coerces to integer 0
+# sum()/avg() argument CLASS (sqlite3VdbeMemNumericType): INTEGER only
+# when the WHOLE text (whitespace-trimmed) is an integer spelling —
+# '12abc' sums as REAL 12.0 where arithmetic's prefix class is INTEGER,
+# and '' is REAL (typeof(sum('')) is 'real' vs typeof(''+0) 'integer' —
+# probed vs sqlite3 3.40.1)
+_IS_SUM_INT = f"'^[{_WS}]*[+-]?[0-9]+[{_WS}]*$'"
 
 
 def _int_spelled(pre: str) -> str:
@@ -556,6 +562,7 @@ _PY_REAL_PREFIX = re.compile(
     "(?:[eE][+-]?[0-9]+)?)")
 _PY_INT_PREFIX = re.compile("^[ \t\n\x0b\x0c\r]*([+-]?[0-9]+)")
 _PY_IS_INT = re.compile(r"^[+-]?[0-9]*$")
+_PY_SUM_INT = re.compile("^[ \t\n\x0b\x0c\r]*[+-]?[0-9]+[ \t\n\x0b\x0c\r]*$")
 
 
 def _prefix_num_py(s: str) -> int | float:
@@ -658,6 +665,8 @@ def _static_truth(p: "_P", k: str) -> bool | None:
     rounds an int arm past 2^53 — r8 probe canon)."""
     if k == "null":
         return False
+    if k == "bool" and p.text == "CAST(NULL AS BOOLEAN)":
+        return False  # a folded NULL condition selects the false arm
     v = _static_num_val(p, k)
     if v is None and k in ("text", "blob") and p.sval is not None:
         v = _prefix_num_py(p.sval)
@@ -666,6 +675,22 @@ def _static_truth(p: "_P", k: str) -> bool | None:
     if isinstance(v, float) and math.isnan(v):
         return False
     return v != 0
+
+
+def _static_val_cls(p: "_P", k: str):
+    """(class-group, value) of a statically-known operand — the inputs
+    of SQLite's no-affinity storage-class equality: ('num', int|float)
+    with Python's EXACT int-vs-float compare, ('text'|'blob', str) via
+    svals (UTF-8 decode is injective, so blob equality over decoded
+    svals is byte equality), ('null', None).  None when dynamic."""
+    v = _static_num_val(p, k)
+    if v is not None:
+        return ("num", v)
+    if k == "null":
+        return ("null", None)
+    if k in ("text", "blob") and p.sval is not None:
+        return (k, p.sval)
+    return None
 
 
 def _static_i64_val(p: "_P", k: str) -> int | None:
@@ -2034,6 +2059,31 @@ class _Rw:
                             ne.append((ep, ek))
                         elems = ne
                     if elems and len(base) == 1:
+                        # fully-STATIC IN folds at compile time with
+                        # SQLite's storage-class equality and 3-valued
+                        # NULLs (match → 1, else NULL element → NULL,
+                        # else 0) — so branch constructs over constant
+                        # IN conditions can fold to their selected arm
+                        # (r8 probe canon)
+                        bvc = _static_val_cls(base[0], lk)
+                        evcs = [_static_val_cls(ep, ek)
+                                for ep, ek in elems]
+                        if bvc is not None and all(
+                                v is not None for v in evcs):
+                            if bvc[0] == "null":
+                                expr = "CAST(NULL AS BOOLEAN)"
+                            elif any(g != "null" and g == bvc[0]
+                                     and v == bvc[1] for g, v in evcs):
+                                expr = _BOOL_F if negated else _BOOL_T
+                            elif any(g == "null" for g, _v in evcs):
+                                expr = "CAST(NULL AS BOOLEAN)"
+                            else:
+                                expr = _BOOL_T if negated else _BOOL_F
+                            pieces = [_P(expr, base[0].s, T[j].end)]
+                            lk = "bool"
+                            i = j + 1
+                            made_bool = True
+                            continue
                         # a >2^53 int-vs-real pair between the LHS and
                         # any element — static-static or
                         # static-vs-dynamic-int — desugars to an exact
@@ -3415,8 +3465,12 @@ class _Rw:
                 if t.low == "not":
                     # NOT in a VALUE position (+NOT '1.0' — SQLite
                     # accepts it anywhere an expr goes): the 0/1
-                    # INTEGER of the truthified negation
-                    po = self._not_value_operand(i, hi)
+                    # INTEGER of the truthified negation, capturing the
+                    # FULL equality level (2 + NOT 1 = 1 is 2 — the
+                    # NOT's operand is (1 = 1); probed vs sqlite3, r8
+                    # fresh-seed sweep — the previous relational-level
+                    # capture mis-grouped `A - NOT B IS C`)
+                    po = self._not_value_operand(i, hi, eq=True)
                     if po is not None:
                         return po
                 if (t.low == "x" and i + 1 < hi and T[i + 1].kind == "str"
@@ -3567,6 +3621,71 @@ class _Rw:
         return ((_P(f"string(unhex({inner}))", start, end), "text"),
                 j + 1)
 
+    def _sum_avg_call(self, fname: str, parsed, start: int, end: int,
+                      j: int, hi: int):
+        """sum()/avg() over a dynamically-classed argument (text/blob
+        column, quad-carrying value): SQLite coerces EVERY value through
+        its numeric prefix ('5kg' contributes 5, junk 0) — Spark's
+        implicit cast NULLs junk, silently dropping those rows from the
+        aggregate (the all-TEXT CSV ingest case, r8 probes).  The sum's
+        storage class is INTEGER only when every non-null input was
+        integer-classed (full-int spelling — _IS_SUM_INT; blobs are
+        always REAL), carried as a quad; avg is always REAL.  Typed
+        numeric arguments fall through to the native aggregate
+        byte-identically (plans unchanged)."""
+        if len(parsed) != 1:
+            return None
+        T = self.T
+        if (j + 1 < hi and T[j + 1].kind == "word"
+                and T[j + 1].low in ("over", "filter", "ignore",
+                                     "respect", "within")):
+            # windowed/filtered form: the composite emission below
+            # would need the suffix cloned per inner aggregate — keep
+            # the native single-aggregate shape
+            return None
+        p0, k0 = parsed[0]
+        if k0 in ("text", "blob") and p0.sval is not None:
+            # static argument: fold per the sum-arg class rules
+            v = _prefix_num_py(p0.sval)
+            intc = (k0 == "text" and isinstance(v, int)
+                    and _PY_SUM_INT.match(p0.sval) is not None)
+            if fname == "sum" and intc:
+                np = _P(f"sum({_int_lit(v)})", start, end)
+                return ((np, "int"), j + 1)
+            return ((_P(f"{fname}({_dbl_lit(float(v))})", start, end),
+                     "real"), j + 1)
+        quadish = p0.trip is not None or p0.cls is not None
+        if not (quadish or (k0 in ("text", "blob") and p0.sval is None)):
+            return None  # typed numerics: native aggregate, native plan
+        if quadish:
+            nn0, ic0, i640, d0 = _div_operand(p0, k0)
+        elif k0 == "text":
+            src = f"({p0.text})"
+            nn0 = f"(({src}) IS NULL)"
+            ic0 = (f"({src} RLIKE {_IS_SUM_INT} AND "
+                   f"try_cast({src} AS BIGINT) IS NOT NULL)")
+            i640 = f"try_cast({src} AS BIGINT)"
+            d0 = _real_prefix_double(src)
+        else:  # blob: value via the UTF-8 rendering, class always REAL
+            nn0 = f"(({p0.text}) IS NULL)"
+            ic0 = "false"
+            i640 = "CAST(NULL AS BIGINT)"
+            d0 = _real_prefix_double(f"string(({p0.text}))")
+        dv = f"(CASE WHEN {nn0} THEN CAST(NULL AS DOUBLE) ELSE {d0} END)"
+        if fname == "avg":
+            return ((_P(f"avg({dv})", start, end), "real"), j + 1)
+        iv = (f"(CASE WHEN {nn0} OR NOT {ic0} "
+              f"THEN CAST(NULL AS BIGINT) ELSE {i640} END)")
+        isum, rsum = f"sum({iv})", f"sum({dv})"
+        nn = f"(count({dv}) = 0)"
+        cond = (f"(count(CASE WHEN NOT ({nn0}) AND NOT {ic0} "
+                f"THEN 1 END) = 0)")
+        out = _P(f"(CASE WHEN {nn} THEN CAST(NULL AS DOUBLE) "
+                 f"WHEN {cond} THEN CAST({isum} AS DOUBLE) "
+                 f"ELSE {rsum} END)", start, end)
+        out.trip = (nn, cond, isum, rsum)
+        return ((out, "unknown"), j + 1)
+
     @staticmethod
     def _fold_branch_arm(p: _P, k: str, start: int,
                          end: int) -> tuple[_P, str]:
@@ -3613,7 +3732,7 @@ class _Rw:
                          "iif", "if", "coalesce", "ifnull",
                          "substr", "substring", "abs",
                          "round", "ceil", "ceiling", "floor",
-                         "replace", "char"):
+                         "replace", "char", "sum", "avg"):
             return None
         parsed, j = self._simple_args(i, hi)
         if fname == "char":
@@ -3621,18 +3740,40 @@ class _Rw:
         if parsed is None:
             return None
         start, end = name_p.s, self.T[j].end
+        if fname in ("sum", "avg"):
+            return self._sum_avg_call(fname, parsed, start, end, j, hi)
         if fname == "replace":
             if len(parsed) != 3:
                 return None
             args = [_sqlite_text_sql(p, k) for p, k in parsed]
             # SQLite returns the source VERBATIM when the pattern is
             # empty — before even looking at the replacement
-            # (replace('x', '', NULL) is 'x', not NULL — r7 probes);
-            # all three arguments convert to TEXT first
+            # (replace('x', '', NULL) is 'x', not NULL — r7 probes) —
+            # INCLUDING its storage class: replace(9007199254740993,
+            # '', x) is the exact INTEGER (r8 fresh-seed probe; the
+            # prior emission converted the source to TEXT first).
+            p0, k0 = parsed[0]
+            pp1, pk1 = parsed[1]
+            if pk1 in ("text", "blob") and pp1.sval is not None:
+                if pp1.sval == "":
+                    # statically-empty pattern: replace IS the source
+                    return (self._fold_branch_arm(p0, k0, start, end),
+                            j + 1)
+                expr = (f"replace({args[0]}, {args[1]}, {args[2]})")
+                return ((_P(expr, start, end), "text"), j + 1)
             expr = (f"(CASE WHEN ({args[1]}) = '' THEN ({args[0]}) "
                     f"ELSE replace({args[0]}, {args[1]}, {args[2]}) "
                     f"END)")
-            return ((_P(expr, start, end), "text"), j + 1)
+            out = _P(expr, start, end)
+            if k0 not in ("text", "unknown") and p0.cls is None:
+                # dynamic pattern over a NON-text source: the result's
+                # class is per-row (source class on the empty-pattern
+                # rows, TEXT otherwise) — carry the branch structure
+                out.cls = ([f"(({args[1]}) = '')"],
+                           [(p0.text, k0, p0.trip),
+                            (expr, "text", None)])
+                out.trip = self._cls_num_quad(out.text, out.cls)
+            return ((out, "text"), j + 1)
         if fname in ("round", "ceil", "ceiling", "floor"):
             # ±Inf folds through statically (round(1e999) is Inf), so a
             # later static arithmetic sees the Inf operand and maps
@@ -4657,15 +4798,30 @@ class _Rw:
             i += 1
         kind = _union_all(arm_kinds) if arm_kinds else "unknown"
         complete = whens and all(w[2] is not None for w in whens)
-        if complete and base is None:
-            # searched CASE with statically-decidable conditions folds
-            # to its SELECTED arm — class/ival/sval exact, like the iif
-            # fold (CASE WHEN -1 THEN '' ELSE x'' END IS the TEXT '' —
-            # r8 probe canon); a single dynamic condition before the
-            # first static-true one keeps the full construct
+        if complete:
+            # CASE with statically-decidable conditions folds to its
+            # SELECTED arm — class/ival/sval exact, like the iif fold
+            # (CASE WHEN -1 THEN '' ELSE x'' END IS the TEXT '' — r8
+            # probe canon).  Searched form: SQLite truthiness per WHEN;
+            # base form: storage-class equality of static operands (a
+            # NULL base matches nothing).  A single dynamic condition
+            # before the first static hit keeps the full construct.
             picked9 = None
+            bvc9 = (_static_val_cls(*base) if base is not None
+                    else None)
             for cp9, ck9, vp9, vk9 in whens:
-                tv9 = _static_truth(cp9, ck9)
+                if base is not None:
+                    if bvc9 is None:
+                        picked9 = False
+                        break
+                    wvc9 = _static_val_cls(cp9, ck9)
+                    if wvc9 is None:
+                        picked9 = False
+                        break
+                    tv9 = (bvc9[0] != "null" and wvc9[0] == bvc9[0]
+                           and wvc9[1] == bvc9[1])
+                else:
+                    tv9 = _static_truth(cp9, ck9)
                 if tv9 is None:
                     picked9 = False
                     break

@@ -16,12 +16,18 @@ strictly:
     byte-exact (no float-rendering forgiveness), NULL-vs-non-NULL is a
     value difference.  Hard failure.
   * class delta — the value is EXACTLY equal and only the storage class
-    differs, in one of the three documented PARITY.md surface families:
+    differs, in one of the documented PARITY.md surface families:
     (a) int-valued DOUBLE vs INTEGER either way (the dynamic-quad /
-    ceil-floor SELECT surface), (b) the engine surfaces a number's
-    SQLite TEXT rendering byte-for-byte (class-mixed branch arms),
-    (c) the engine surfaces a BLOB's UTF-8 payload as TEXT byte-for-byte
-    (blob arms through branches).  Reported, counted, not a failure.
+    ceil-floor SELECT surface) — EXACT Python int-vs-float equality
+    since r8 (the old float()==float() compare masked off-by-ones past
+    2^53 — r7 judge), (a2) the same quad surface when the int arm is
+    ABOVE 2^53: the bare SELECT surface is the arm's double-rounding
+    (admitted only got-float/want-int and only when the payload IS the
+    rounding; every CONSUMING context reads the exact int64 arm),
+    (b) the engine surfaces a number's SQLite TEXT rendering
+    byte-for-byte (class-mixed branch arms), (c) the engine surfaces a
+    BLOB's UTF-8 payload as TEXT byte-for-byte (blob arms through
+    branches).  Reported, counted, not a failure.
 
 Exit status is non-zero on any engine error or VALUE mismatch, and
 tests/test_sqlite_differential.py::test_constant_probe_sweep_gate runs a
@@ -43,7 +49,21 @@ ATOMS = [
     "'abc'", "' 1'", "NULL", "9223372036854775807", "9223372036854775808",
     "-9223372036854775808", "2147483647", "1e999", "9007199254740993",
     "9007199254740992.0", "x'41'", "x''", "'1.0'", "0.1", "'-2'",
+    # r8 (r7 VERDICT #9): hex integer literals — 64-bit two's complement
+    "0x10", "0xFFFFFFFFFFFFFFFF", "0x7fffffffffffffff", "0x0",
 ]
+
+# char() codepoint atoms (r8): cover ASCII, multi-byte UTF-8 (2/3/4
+# bytes), the U+10FFFF boundary, out-of-range → U+FFFD, and value_int64
+# coercions of text/real args.  Deliberately EXCLUDED: 0/NULL (a NUL
+# byte inside TEXT is SQLite's own C-string-undefined family — its
+# length()/substr() stop at the NUL), lone surrogates 0xD800-0xDFFF
+# (the JVM renders them U+FFFD where SQLite emits raw bytes — PARITY),
+# and case-foldable non-ASCII letters like U+03BB (SQLite upper/lower
+# fold ASCII only — PARITY; ☃/中/😀 are case-stable in both engines).
+CHAR_CPS = ["65", "97", "48", "9731", "20013", "128512", "65536",
+            "1114111", "1114112", "-1", "'66'", "'67.9'", "68.2",
+            "9223372036854775807"]
 
 
 def gen(r: random.Random, d: int) -> str:
@@ -73,7 +93,7 @@ def gen(r: random.Random, d: int) -> str:
         lambda: f"coalesce({gen(r, d - 1)}, {gen(r, d - 1)})",
         lambda: f"iif({gen(r, d - 1)}, {gen(r, d - 1)}, {gen(r, d - 1)})",
         lambda: (f"CAST({gen(r, d - 1)} AS "
-                 f"{r.choice(['INTEGER', 'REAL', 'TEXT'])})"),
+                 f"{r.choice(['INTEGER', 'REAL', 'TEXT', 'NUMERIC'])})"),
         lambda: f"round({gen(r, d - 1)})",
         lambda: f"upper({gen(r, d - 1)})",
         lambda: f"trim({gen(r, d - 1)})",
@@ -110,6 +130,15 @@ def gen(r: random.Random, d: int) -> str:
         lambda: f"{gen(r, d - 1)} NOT IN ({gen(r, d - 1)})",
         lambda: f"ifnull({gen(r, d - 1)}, {gen(r, d - 1)})",
         lambda: f"{gen(r, d - 1)} IS NOT {gen(r, d - 1)}",
+        # r8 additions (r7 VERDICT #9): char() over codepoint atoms,
+        # constant aggregates (single-row in a FROM-less SELECT — the
+        # class/coercion rules differ from scalar contexts: sum('12abc')
+        # is REAL 12.0, typeof(total(1)) is 'real')
+        lambda: ("char(" + ", ".join(
+            r.choice(CHAR_CPS)
+            for _ in range(r.randint(1, 3))) + ")"),
+        lambda: (f"{r.choice(['total', 'sum', 'avg', 'count'])}"
+                 f"({gen(r, d - 1)})"),
     ]
     return r.choice(forms)()
 
@@ -169,6 +198,16 @@ def classify(got, want) -> str | None:
         # NaN == NaN is False, so NaNs fall through to VALUE.
         if got == want:
             return "class-num"
+        # (a2) the quad SELECT-surface family past 2^53: a dynamic
+        # branch/arith quad surfaces as DOUBLE, so an INTEGER arm above
+        # 2^53 surfaces as its exact double-rounding ON THE BARE SELECT
+        # SURFACE ONLY (every consuming context — typeof/hex/||/
+        # comparisons/arithmetic — reads the exact int64 arm; PARITY.md
+        # SELECT-surface row).  Admitted only in that one direction and
+        # only when the payload IS the rounding.
+        if (isinstance(got, float) and isinstance(want, int)
+                and abs(want) > 2**53 and got == float(want)):
+            return "class-num-2p53-surface"
     # (b) the engine surfaces the number's exact SQLite TEXT rendering
     if isinstance(got, str) and isinstance(want, num):
         if got == _sqlite_render(want):

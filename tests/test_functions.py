@@ -619,3 +619,56 @@ def test_register_all_once_per_session(spark):
         assert calls, "force=True must replay registration"
     finally:
         spark.sql = orig
+
+
+def test_glob_regex_py_mirrors_sql_machine(spark):
+    """glob_regex_py must be BYTE-equal to the glob_regex SQL machine —
+    it substitutes for it (literal folds + the dsq_glob_regex_agg
+    pandas twin) in aggregate-mixed statements, where Spark 4.1's
+    SQL-function extraction breaks sibling foldability checks."""
+    import random
+
+    from dsq_spark.functions import glob_regex_py
+
+    register_all(spark)
+    r = random.Random(0x61B)
+    alph = list("ab*?[]^-xyz!0'\\") + ["λ", "0", "9"]
+    pats = ["".join(r.choice(alph) for _ in range(r.randint(0, 9)))
+            for _ in range(250)]
+    pats += ["", "[", "[]", "[^]", "[]]", "[^]]", "a[x-a]b", "[--0]",
+             "[a-]", "*?[b-a]", "[a-z]*", "x[-]y", "[^a-c]"]
+    for p in pats:
+        want = spark.sql("SELECT glob_regex(?) AS r", args=[p]) \
+            .collect()[0][0]
+        assert glob_regex_py(p) == want, repr(p)
+
+
+def test_inline_agg_safe_strips_sql_udfs():
+    """Aggregate-mixed statements must reach the analyzer with no SQL
+    temporary functions (the Spark 4.1 extraction bug —
+    rewrite._inline_agg_safe): the datetime family inlines to its
+    try_to_timestamp chain, dsq_real_text/glob_regex swap to pandas
+    twins, literal glob patterns fold to their compiled regex, and
+    nullif becomes its CASE definition.  Aggregate-free statements are
+    byte-identical."""
+    from dsq_spark.rewrite import rewrite_query
+
+    out = rewrite_query(
+        "SELECT julianday(c) AS j, sum(a) AS s FROM {0}", {})
+    assert "julianday(" not in out and "best_effort_ts(" not in out
+    assert "try_to_timestamp" in out
+    out = rewrite_query("SELECT total(c) || 'x' AS r FROM {0}",
+                        {"c": "real"})
+    assert "dsq_real_text(" not in out and "dsq_real_text_agg(" in out
+    out = rewrite_query(
+        "SELECT (c GLOB 'a*') AS g, count(1) AS n FROM {0}", {})
+    assert "glob_regex(" not in out
+    out = rewrite_query("SELECT nullif(a, sum(b)) AS r FROM {0}", {})
+    assert "nullif(" not in out
+    # no aggregate: everything keeps its normal spelling (the literal
+    # date() form is the one that still calls the best_effort_ts UDF)
+    out = rewrite_query("SELECT date('2024-01-05') AS j FROM {0}", {})
+    assert "best_effort_ts(" in out
+    out = rewrite_query(
+        "SELECT date('2024-01-05') AS j, sum(a) AS s FROM {0}", {})
+    assert "best_effort_ts(" not in out

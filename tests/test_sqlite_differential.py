@@ -1886,3 +1886,84 @@ def test_r8_probe_canon_exact():
     assert pc.classify(9007199254740992, 9007199254740992.0) == "class-num"
     assert pc.classify(12, 12.0) == "class-num"
     assert pc.classify(float("nan"), float("nan")) is None
+
+
+def test_r8_sum_avg_text_coercion(engines):
+    """sum()/avg()/total() over dynamically-classed arguments coerce
+    EVERY value through the numeric prefix like SQLite ('5kg' adds 5,
+    junk adds 0) — Spark's implicit cast NULLed junk, silently dropping
+    those rows (the all-TEXT CSV ingest case).  The sum's class is
+    INTEGER only when every non-null input is FULL-int-spelled
+    (typeof(sum('12abc')) is 'real' though the prefix is the int 12;
+    blobs are always REAL), avg is always REAL, and blob arguments no
+    longer throw DATATYPE_MISMATCH."""
+    spark, con = engines
+    exprs = [
+        "sum('abc')", "typeof(sum('abc'))", "sum(x'41')", "total(x'41')",
+        "avg('abc')", "avg('')", "sum('')", "typeof(sum(''))",
+        "sum('12abc')", "typeof(sum('12abc'))", "sum(' 12 ')",
+        "typeof(sum(' 12 '))", "sum('9007199254740993')",
+        "typeof(sum('9007199254740993'))", "sum('9223372036854775808')",
+        "typeof(sum('9223372036854775808'))", "avg(x'32')", "avg('5kg')",
+        "sum('7'/'2')", "typeof(sum('7'/'2'))", "sum(1 < 2)",
+        "hex(sum('1'))", "sum('1') || 'x'", "typeof(total('1'))",
+        "total('abc')", "sum('2.5e1')", "typeof(sum('2.5e1'))",
+        "sum(NULL)", "typeof(sum(NULL))", "quote(sum('1'))",
+        "round(sum(c), 6)", "typeof(sum(c))", "round(avg(c), 6)",
+        "round(total(c), 6)", "sum(c || '')", "count(c)",
+    ]
+    sels = ", ".join(f"{e} AS r{i}" for i, e in enumerate(exprs))
+    q = f"SELECT {sels} FROM td"
+    want, got = _run(spark, con, q)
+    assert want == got
+    rw = rewrite_query(q, SCHEMA)
+    assert rewrite_query(rw, SCHEMA) == rw
+
+
+def test_r8_fresh_seed_closures(engines):
+    """r8 fresh-seed probe-gate closures, pinned vs sqlite3: (1) NOT in
+    a value position captures the FULL equality level (2 + NOT 1 = 1 is
+    2 — the operand is (1 = 1)); (2) replace() with an empty pattern
+    returns the source with its ORIGINAL storage class (INTEGER, not
+    its rendering), per-row for dynamic patterns; (3) fully-static IN
+    folds with storage-class equality and 3-valued NULLs; (4) base-form
+    CASE over static operands folds to the selected arm; (5) aggregate-
+    mixed statements run with glob/date/nullif/real-rendering shapes
+    (the Spark 4.1 SQL-function-extraction bug is dodged by inlining/
+    pandas twins — rewrite._inline_agg_safe)."""
+    spark, con = engines
+    exprs = [
+        "2 + NOT 1 = 1", "1 - NOT 0 IS 1", "1 + NOT NULL IS NULL",
+        "2 + NOT 1 = 1 = 1", "5 * NOT 2 IS 2",
+        "replace(9007199254740993, '', 0xFFFFFFFFFFFFFFFF)",
+        "typeof(replace(9007199254740993, '', 0xFFFFFFFFFFFFFFFF))",
+        "replace(12.5, '', 'x') + 1", "typeof(replace(2.5, '', 9))",
+        "replace(7, upper(''), 'z') + 1",
+        "typeof(replace(7, upper(''), 'z'))",
+        "hex(replace(x'41', lower(''), 'z'))",
+        "2 IN (2, 3)", "2 IN ('2')", "NULL IN (1)", "1 IN (NULL, 2)",
+        "1 IN (NULL, 1)", "2 NOT IN (1e999)", "x'41' IN ('A', x'41')",
+        "iif(2 NOT IN (1e999), 9007199254740993, 1.5) = "
+        "9007199254740993",
+        "CASE 0 WHEN 0.0 THEN -1 ELSE 5 END",
+        "CASE NULL WHEN NULL THEN 1 ELSE 2 END",
+        "CASE 1 WHEN '1' THEN 1 ELSE 2 END",
+        "CASE x'41' WHEN 'A' THEN 1 WHEN x'41' THEN 3 ELSE 2 END",
+        "round(-0.5) || lower(NULL) - NOT 9007199254740992.0 IS "
+        "abs(0xFFFFFFFFFFFFFFFF)",
+        "instr(trim(round(1e999)), '' GLOB '1.0' < avg(x''))",
+        "nullif(quote(0.1) GLOB 0 & '', sum('0.5x' NOT IN ('1')))",
+        "2 IS lower(total('1.0'))",
+        "1 BETWEEN date('2024-01-05') AND sum(NULL)",
+        "round(total(a) || '')", "quote(total(1))",
+        "sum(1) || ('ab' GLOB 'a*')",
+        "abs(0x7fffffffffffffff) BETWEEN -9223372036854775808 "
+        "IN (1, NULL) AND replace(9007199254740993, '', "
+        "0xFFFFFFFFFFFFFFFF)",
+    ]
+    sels = ", ".join(f"{e} AS r{i}" for i, e in enumerate(exprs))
+    q = f"SELECT {sels} FROM td"
+    want, got = _run(spark, con, q)
+    assert want == got
+    rw = rewrite_query(q, SCHEMA)
+    assert rewrite_query(rw, SCHEMA) == rw
