@@ -40,81 +40,23 @@ from dsq_spark.queries import streaming_q  # noqa: F401,E402
 
 # The driver's correctness harness checks only the FIRST 50 registry entries,
 # so registration order decides which queries get a hard driver-verified row.
-# Round 7 rotation (r6 VERDICT action #2): the window is (a) the EIGHTEEN
-# r4-verified TPC-H-family queries the r6 rotation deferred (their last
-# hard row is r4 — none may go a third round), (b) the two changed/new
-# dialect rows — dialect_compare_affinity's min_class_sel ORACLE corrected
-# (sqlite3 returns the INTEGER column for min(col,'5'); the engine always
-# did — r6 VERDICT #1) and the NEW dialect_scalar_minmax pinning this
-# round's compiler fixes (min/max tie class, concat-fold int64 arithmetic,
-# bool-vs-typed-NULL branch arms, branch-carried zero-length-blob substr)
-# — then (c) thirty of the fifty r5-verified rows in queue order.  The
-# remaining twenty r5-verified rows (window_topn_per_group …
-# text_quality_scores) go to the FRONT of the round-8 queue, followed by
-# the fifty r6-verified rows; every registered query, in-window or not,
+# Round 8 rotation (r7 VERDICT action #1): the window is (a) the FIFTEEN
+# r5-verified rows the r7 rotation deferred (window_topn_per_group …
+# text_quality_scores — their last hard row is r5, none may go a third
+# round), (b) the NEW dialect_numeric_char_hex row pinning this round's
+# built-in fixes (CAST AS NUMERIC integer-collapse, char() Unicode
+# codepoints, 0x hex literals, total()'s REAL class, sum-over-text
+# prefix coercion, bare-trailing-LIKE-escape, exact real-vs-int past
+# 2^53, and the aggregate-mixed SQL-UDF inlining path), then (c)
+# thirty-four of the forty-nine r6-verified rows in queue order.  The
+# remaining fifteen r6-verified rows (q2_min_cost_supplier …
+# limit_offset) go to the FRONT of the round-9 queue, followed by the
+# fifty r7-verified rows; every registered query, in-window or not,
 # stays green in the identical local oracle suite
 # (tests/test_queries_oracle.py + scripts/verify_contract.py, both with
 # ANSI-on legs mirroring the driver's session config).
 _PRIORITY = [
-    # (a) r4-verified TPC-H family deferred by r6 — eighteen, mandatory
-    "q4_priority_exists",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_conditional_agg",
-    "q13_customer_distribution",
-    "q14_promo_ratio",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_avg_subquery",
-    "q18_large_orders",
-    "q19_ored_predicates",
-    "q20_heavy_shippers",
-    "q22_anti_join_avg",
-    "rollup_time_hierarchy",
-    "mix_token_budget",
-    "dedup_canonical_keep",
-    # (b) changed (min_class_sel oracle corrected to the INTEGER column —
-    # r6 VERDICT #1) + NEW row pinning the r7 compiler fixes
-    "dialect_compare_affinity",
-    "dialect_scalar_minmax",
-    # (c) thirty of the fifty r5-verified rows, queue order
-    "agg_cube",
-    "mm_feature_neighbors",
-    "agg_approx_quantile",
-    "mm_audio_stats",
-    "mm_frame_sample",
-    "sim_ivf_kmeans_topk",
-    "sim_kmeans_refine",
-    "dedup_incremental_lsh",
-    "emb_quantize_int8",
-    "pack_token_shards",
-    "sample_stratified",
-    "window_distribution",
-    "text_gopher_rules",
-    "baseline_groupby",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q10_returned_items",
-    "join_outer_coverage",
-    "join_right_full",
-    "join_semi_anti",
-    "set_operations",
-    "cte_scalar_subquery",
-    "recursive_cte_series",
-    "agg_stats",
-    "agg_having_distinct",
-    "case_cast_coalesce",
-    "date_functions",
-    "regexp_functions",
-    "string_functions",
-    "window_running_sum",
-    # --- everything below is PAST the 50-row window this round ---
-    # r5-verified, deferred to round 8 (FRONT of the r8 queue): the last
-    # twenty of the r5 batch — machinery with in-window siblings
-    # (window_running_sum/window_distribution, dedup_incremental_lsh,
-    # sim_ivf_kmeans_topk, text_gopher_rules, q1/q3/q10 joins+aggs).
+    # (a) r5-verified rows deferred by r7 — fifteen, mandatory
     "window_topn_per_group",
     "window_exclude_frame",
     "sessionize_events",
@@ -130,7 +72,9 @@ _PRIORITY = [
     "text_charlm_quality",
     "text_chunk_documents",
     "text_quality_scores",
-    # r6-verified (freshest rows), window again after the above
+    # (b) NEW row pinning the r8 built-in fixes
+    "dialect_numeric_char_hex",
+    # (c) thirty-four of the forty-nine r6-verified rows, queue order
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "join_cross_theta",
@@ -165,6 +109,11 @@ _PRIORITY = [
     "dialect_truthiness",
     "dialect_bitwise_shifts",
     "q21_sole_returner",
+    # --- everything below is PAST the 50-row window this round ---
+    # r6-verified, deferred to round 9 (FRONT of the r9 queue): the last
+    # fifteen of the r6 batch — machinery with in-window siblings
+    # (dialect_*, json_each_props/json1_mutators, sample_hash_split,
+    # dedup_simhash, sim_* and text_* families).
     "q2_min_cost_supplier",
     "asof_join_events",
     "pivot_event_types",
@@ -180,6 +129,57 @@ _PRIORITY = [
     "text_pii_scrub",
     "mm_image_meta",
     "limit_offset",
+    # r7-verified (freshest rows), window again after the above
+    "q4_priority_exists",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_conditional_agg",
+    "q13_customer_distribution",
+    "q14_promo_ratio",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_avg_subquery",
+    "q18_large_orders",
+    "q19_ored_predicates",
+    "q20_heavy_shippers",
+    "q22_anti_join_avg",
+    "rollup_time_hierarchy",
+    "mix_token_budget",
+    "dedup_canonical_keep",
+    "dialect_compare_affinity",
+    "dialect_scalar_minmax",
+    "agg_cube",
+    "mm_feature_neighbors",
+    "agg_approx_quantile",
+    "mm_audio_stats",
+    "mm_frame_sample",
+    "sim_ivf_kmeans_topk",
+    "sim_kmeans_refine",
+    "dedup_incremental_lsh",
+    "emb_quantize_int8",
+    "pack_token_shards",
+    "sample_stratified",
+    "window_distribution",
+    "text_gopher_rules",
+    "baseline_groupby",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "join_outer_coverage",
+    "join_right_full",
+    "join_semi_anti",
+    "set_operations",
+    "cte_scalar_subquery",
+    "recursive_cte_series",
+    "agg_stats",
+    "agg_having_distinct",
+    "case_cast_coalesce",
+    "date_functions",
+    "regexp_functions",
+    "string_functions",
+    "window_running_sum",
 ]
 _MODULE_ORDER = ["tpch_extra", "multimodal_q", "datetime_q", "dedup", "core", "text", "similarity"]
 

@@ -348,3 +348,67 @@ def dialect_truthiness(spark, sf_dir):
         "CAST(count(CASE WHEN l_quantity - 1.0 THEN 1 END) AS BIGINT) "
         "AS n_qty "
         "FROM dsq_truthy_li WHERE l_linenumber - 1")
+
+
+@register(
+    "dialect_numeric_char_hex",
+    oracle="""
+SELECT o_orderkey,
+       'integer' AS num_t,
+       CAST(o_orderkey AS VARCHAR) AS num_r,
+       CAST(1 AS BIGINT) AS num_exact,
+       'real' AS num_real_t,
+       chr(CAST(65 + o_orderkey % 26 AS INTEGER)) || chr(955) ||
+           chr(CAST(65536 + o_orderkey % 10 AS INTEGER)) AS ch,
+       upper(hex(chr(CAST(1 + o_orderkey % 2000 AS INTEGER)))) AS ch_hex,
+       o_orderkey & 240 AS hex_mask,
+       o_orderkey - 1 AS hex_neg,
+       CAST(0 AS BIGINT) AS esc_trail,
+       CAST(0 AS BIGINT) AS exact_cmp,
+       'real' AS total_t,
+       CAST(CAST(o_orderkey AS DOUBLE) AS VARCHAR) AS total_r,
+       CAST(regexp_extract(o_orderpriority, '[0-9]+') AS DOUBLE)
+           AS sum_prio
+FROM orders
+WHERE o_orderkey < 9000
+ORDER BY o_orderkey
+LIMIT 2000
+""",
+    doc=(
+        "Round-8 built-in fixes as a hard driver row (r7 VERDICT #2-#5 "
+        "+ ADVICE): CAST(text AS NUMERIC) collapses losslessly to "
+        "INTEGER (sqlite3VdbeMemNumerify — exact past 2^53, where the "
+        "prior DOUBLE cast was off by one), char() UTF-8-encodes full "
+        "Unicode codepoints (Spark's native char is chr(n % 256)), 0x "
+        "hex literals are 64-bit two's-complement int64s, total() is "
+        "statically REAL (typeof 'real', '…0' rendering), sum() over a "
+        "TEXT column coerces every value through its numeric prefix "
+        "(Spark's cast dropped junk rows), a literal LIKE pattern "
+        "ending in a bare escape matches nothing (Spark raised "
+        "ESC_AT_THE_END), and a dynamic REAL vs a static int past 2^53 "
+        "compares exactly.  The GROUP BY keeps aggregates in the "
+        "statement, so the row also drives the aggregate-mixed "
+        "SQL-UDF inlining path end-to-end (rewrite._inline_agg_safe)."
+    ),
+)
+def dialect_numeric_char_hex(spark, sf_dir):
+    return _run_rewritten(
+        spark, sf_dir, "dsq_nch_ord", "orders",
+        "SELECT o_orderkey, "
+        "typeof(CAST(o_orderkey || '.0' AS NUMERIC)) AS num_t, "
+        "CAST(o_orderkey || '.0' AS NUMERIC) || '' AS num_r, "
+        "(CAST((o_orderkey + 9007199254740000) || '' AS NUMERIC) = "
+        "(o_orderkey + 9007199254740000)) + 0 AS num_exact, "
+        "typeof(CAST(o_orderkey || '.5' AS NUMERIC)) AS num_real_t, "
+        "char(65 + o_orderkey % 26, 955, 65536 + o_orderkey % 10) AS ch, "
+        "hex(char(1 + o_orderkey % 2000)) AS ch_hex, "
+        "o_orderkey & 0xF0 AS hex_mask, "
+        "0xFFFFFFFFFFFFFFFF + o_orderkey AS hex_neg, "
+        "(o_orderpriority LIKE '%!' ESCAPE '!') + 0 AS esc_trail, "
+        "(o_totalprice = 9007199254740993) + 0 AS exact_cmp, "
+        "typeof(total(o_orderkey)) AS total_t, "
+        "total(o_orderkey) || '' AS total_r, "
+        "sum(o_orderpriority) AS sum_prio "
+        "FROM dsq_nch_ord WHERE o_orderkey < 9000 "
+        "GROUP BY o_orderkey, o_orderpriority, o_totalprice "
+        "ORDER BY o_orderkey LIMIT 2000")
