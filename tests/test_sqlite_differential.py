@@ -1967,3 +1967,27 @@ def test_r8_fresh_seed_closures(engines):
     assert want == got
     rw = rewrite_query(q, SCHEMA)
     assert rewrite_query(rw, SCHEMA) == rw
+
+
+def test_r8_upper_lower_ascii_only(engines):
+    """SQLite's upper()/lower() fold ASCII only (func.c sqlite3Toupper
+    over bytes < 0x80) — compiled r8 as translate() over the ASCII
+    alphabets; non-ASCII letters pass through (upper('aλb') is 'AλB',
+    upper(char(223)) keeps ß), with the standard TEXT conversions for
+    non-text arguments and sval folding for statics."""
+    spark, con = engines
+    exprs = [
+        "upper('aλb')", "lower('AΛB')", "upper(x'61')", "upper(NULL)",
+        "typeof(upper(5))", "upper(2.5)", "upper('it''s ok')",
+        "lower(char(955, 65))", "hex(upper(char(223)))",
+        "upper('abc') = 'ABC'", "length(upper('aλ'))",
+        "upper(min('a','B'))", "replace(upper('a'), '', 1)",
+        "upper(lower('XyZ'))", "upper(c)", "lower(c)",
+        "upper('7'/'2')", "upper(9007199254740993)", "upper(1e20)",
+    ]
+    sels = ", ".join(f"{e} AS r{i}" for i, e in enumerate(exprs))
+    q = f"SELECT {sels} FROM td"
+    want, got = _run(spark, con, q)
+    assert want == got
+    rw = rewrite_query(q, SCHEMA)
+    assert rewrite_query(rw, SCHEMA) == rw
