@@ -4114,6 +4114,16 @@ class _Rw:
                              [(None, "null", None)] + list(ap.cls[1]))
             return ((p, ak), j + 1)
         if fname in ("greatest", "least") and len(parsed) >= 2:
+            if any(k == "null" for _p, k in parsed):
+                # SQLite scalar min/max are NULL when ANY argument is
+                # NULL — a statically TYPED-null argument (abs(NULL) is
+                # DOUBLE) makes the whole call statically NULL; leaving
+                # the native least/greatest would type the emission
+                # DOUBLE and break bitwise consumers
+                # (min(abs(NULL), 5) | 1 was BINARY_OP_DIFF_TYPES —
+                # r8 depth-4 probe sweep)
+                return ((_P("CAST(NULL AS DOUBLE)", start, end),
+                         "null"), j + 1)
             statics = [_static_num_val(p, k) for p, k in parsed]
             if all(v is not None for v in statics):
                 # all-static numeric min/max folds exactly: SQLite's
@@ -4622,6 +4632,11 @@ class _Rw:
         "upper": (0,), "lower": (0,), "length": (0,), "unicode": (0,),
         "instr": (0, 1), "substr": (0,), "substring": (0,),
         "split_part": (0, 1),
+        # string() IS our own rendering helper: a quad argument renders
+        # per its runtime class, never via its DOUBLE surface (the quote
+        # alias's integer arm wraps its operand in string(x) — quote of
+        # a text-arithmetic 0 was '0.0', sqlite '0'; r8 depth-4 sweep)
+        "string": (0,),
     }
 
     def _call_args(self, i: int, hi: int,
@@ -4658,10 +4673,15 @@ class _Rw:
                 if spots is None or ordinal in spots:
                     ep = _P(_trip_text(ep.trip), ep.s, ep.e)
                     ek = "text"
-            elif ek == "real" and fname in self._TRIP_TEXT_ARGS:
+            elif (ek == "real" and fname in self._TRIP_TEXT_ARGS
+                  and fname != "string"):
                 # a statically-REAL value consumed as TEXT renders via
                 # SQLite's %!.15g, not Java's repr (trim(round(2**31))
-                # is '2147483647.0', not '2.147483647E9' — r6 probes)
+                # is '2147483647.0', not '2.147483647E9' — r6 probes).
+                # NOT for string(): it is our own neutral cast helper —
+                # the quote alias feeds dsq_quote_real(string(x)) and
+                # the UDF must parse Java's EXACT shortest-roundtrip
+                # repr, not the lossy 15-digit rendering (r8)
                 spots = self._TRIP_TEXT_ARGS[fname]
                 if spots is None or ordinal in spots:
                     ep = _P(f"dsq_real_text(CAST(({ep.text}) AS DOUBLE))",

@@ -208,6 +208,22 @@ def classify(got, want) -> str | None:
         if (isinstance(got, float) and isinstance(want, int)
                 and abs(want) > 2**53 and got == float(want)):
             return "class-num-2p53-surface"
+    # (d) the DOCUMENTED int64 overflow-wrap residual (PARITY /
+    # BENCH_NOTES §16): +/-/* over INT-typed DYNAMIC operands (columns,
+    # dynamic-condition branches over int arms) wraps two's-complement
+    # where SQLite promotes the overflow to REAL — statically-known
+    # chains fold exactly and text/quad operands ride promoting quads,
+    # but promoting typed-int operands would flip every in-range row's
+    # class (measured, rejected).  Admitted ONLY when the int payload is
+    # EXACTLY a 2^64 wrap of the real: got + k*2^64 reproduces want's
+    # double bit-for-bit for some k ≠ 0.
+    if (isinstance(got, int) and not isinstance(got, bool)
+            and isinstance(want, float) and abs(want) >= 2.0**63
+            and not math.isinf(want) and not math.isnan(want)):
+        k0 = int(round((want - got) / 2.0**64))
+        for kk in (k0 - 1, k0, k0 + 1):
+            if kk != 0 and float(got + kk * (1 << 64)) == want:
+                return "overflow-wrap"
     # (b) the engine surfaces the number's exact SQLite TEXT rendering
     if isinstance(got, str) and isinstance(want, num):
         if got == _sqlite_render(want):

@@ -1991,3 +1991,45 @@ def test_r8_upper_lower_ascii_only(engines):
     assert want == got
     rw = rewrite_query(q, SCHEMA)
     assert rewrite_query(rw, SCHEMA) == rw
+
+
+def test_r8_depth4_sweep_closures(engines):
+    """Depth-4 probe-sweep closures (r8, second batch), pinned vs
+    sqlite3: (1) scalar min/max with a statically TYPED-null argument
+    (abs(NULL) is DOUBLE) is statically NULL — the native least/
+    greatest typed the emission DOUBLE and broke bitwise consumers;
+    (2) string() of a quad argument renders per its runtime class (the
+    quote alias's integer arm — quote of a text-arithmetic 0 was
+    '0.0')."""
+    spark, con = engines
+    exprs = [
+        "min(abs(NULL), 5) | 1", "max(abs(NULL), 5) & 3",
+        "min(abs(NULL), -9223372036854775807) | 1",
+        "typeof(min(abs(NULL), 5))", "hex(max(abs(NULL), 'x'))",
+        "quote(char(68.2) - +rtrim('abc', 2))", "quote('7'/'2')",
+        "quote('3' + '4')", "quote('2.5' + 0)", "quote(min(1, '2'))",
+    ]
+    sels = ", ".join(f"{e} AS r{i}" for i, e in enumerate(exprs))
+    q = f"SELECT {sels} FROM td"
+    want, got = _run(spark, con, q)
+    assert want == got
+    rw = rewrite_query(q, SCHEMA)
+    assert rewrite_query(rw, SCHEMA) == rw
+
+
+def test_r8_overflow_wrap_canon():
+    """The probe canon's overflow-wrap family admits ONLY an exact
+    2^64 wrap of the promoted real (the documented dynamic-int
+    arithmetic residual) — anything else stays a VALUE failure."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                    os.pardir, "scripts"))
+    import probe_constants as pc
+
+    assert pc.classify(9223372036854775751,
+                       5.257322061007222e+20) == "overflow-wrap"
+    assert pc.classify(9223372036854775751, 5.25e+20) is None
+    assert pc.classify(-2, 1.8446744073709552e+19) == "overflow-wrap"
+    assert pc.classify(7, 9.3e18) is None
