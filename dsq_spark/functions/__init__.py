@@ -1160,32 +1160,17 @@ def _printf_alias(parts: list[str]) -> str:
       argument coerced accordingly (found by the differential fuzz).
     Text-coercion edges (%d on '7dogs' prefix-parses in SQLite) follow the
     documented CAST delta (PARITY.md P-delta)."""
+    # Literal-format argument coercion (the sqlite3_value_int64/double/
+    # text rules: '%d' atoi-prefixes text, blobs convert via UTF-8,
+    # NULL prints 0/0.0/'' instead of 'null', '%s' renders reals via
+    # %!.15g) lives in the DIALECT layer since r8 — sqlexpr's printf
+    # special-call knows each argument's static kind, so blob arguments
+    # can't poison the analysis of the numeric arms.  The alias only
+    # normalizes the spelling.
     ps = [p.strip() for p in parts]
     fmt = ps[0]
     if len(ps) > 1 and fmt.startswith("'") and fmt.endswith("'"):
-        convs = [c for c in _PRINTF_SPEC.findall(fmt) if c != "%"]
-        coerced = []
-        for i, arg in enumerate(ps[1:]):
-            conv = convs[i] if i < len(convs) else "s"
-            if arg.startswith(("coalesce(CAST(", "(coalesce(CAST(")):
-                # our own emitted coercion re-entering on a second rewrite
-                # pass — already NULL-safe and typed (idempotence)
-                coerced.append(arg)
-            elif conv in "diuxXo":
-                coerced.append(f"coalesce(CAST({arg} AS BIGINT), 0)")
-            elif conv in "feEgG":
-                # + 0.0 normalizes EXACT negative zero: SQLite's printf
-                # renders -0.0 unsigned under float conversions where
-                # java.util.Formatter prints '-0.00' (values that merely
-                # ROUND to zero keep their sign in both — probed)
-                coerced.append(
-                    f"(coalesce(CAST({arg} AS DOUBLE), 0.0D) "
-                    f"+ CAST(0 AS DOUBLE))")
-            elif conv == "s":
-                coerced.append(f"coalesce(CAST({arg} AS STRING), '')")
-            else:
-                coerced.append(arg)
-        return f"printf({fmt}, {', '.join(coerced)})"
+        return f"printf({', '.join(ps)})"
     ps = [f"CAST({p} AS DOUBLE)" if _NUM_LIT.match(p) else p for p in ps]
     return f"printf({', '.join(ps)})"
 

@@ -188,6 +188,113 @@ def sqlite_quote_real(v) -> str | None:
     return _q20e(v)
 
 
+_AR_ROUND = [5e-01, 5e-02, 5e-03, 5e-04, 5e-05,
+             5e-06, 5e-07, 5e-08, 5e-09, 5e-10]
+_F_SPEC = re.compile(r"([-+ 0#]*)([0-9]*)(?:[.]([0-9]+))?[fF]$")
+
+
+def _fmt_float(v: float, precision: int) -> str:
+    """printf.c etFLOAT — the %f digit path: per-precision rounder with
+    the small-value 3e-16 nudge, long-double normalization, and the
+    16-significant-digit et_getdigit budget (printf('%f', 2^53) is
+    '9007199254740991.000000' in SQLite — the scaled divisions drift,
+    and the budget zero-fills past digit 16)."""
+    prefix = "-" if v < 0 else ""
+    rv = _L(-v if v < 0 else v)
+    idx = precision & 0xFFF
+    rounder = _L(_AR_ROUND[idx % 10])
+    while idx >= 10:
+        rounder = rounder * _L(1.0e-10)
+        idx -= 10
+    # etFLOAT's extra nudge (printf.c): based on the binary exponent
+    import struct as _st
+    u = _st.unpack("<Q", _st.pack("<d", float(rv)))[0]
+    ex = -1023 + int((u >> 52) & 0x7FF)
+    exd3 = ex // 3 if ex >= 0 else -((-ex) // 3)  # C truncates toward 0
+    if precision + exd3 < 15:
+        rounder = rounder + rv * _L(3e-16)
+    rv = rv + rounder
+    exp = 0
+    if rv > 0:
+        scale = _L(1.0)
+        while rv >= _L(1e100) * scale and exp <= 350:
+            scale = scale * _L(1e100)
+            exp += 100
+        while rv >= _L(1e10) * scale and exp <= 350:
+            scale = scale * _L(1e10)
+            exp += 10
+        while rv >= _L(10.0) * scale and exp <= 350:
+            scale = scale * _L(10.0)
+            exp += 1
+        rv = rv / scale
+        while rv < _L(1e-8):
+            rv = rv * _L(1e8)
+            exp -= 8
+        while rv < _L(1.0):
+            rv = rv * _L(10.0)
+            exp -= 1
+        if exp > 350:
+            return prefix + "Inf"
+    state = {"rv": rv, "nsd": 16}
+
+    def getdigit() -> str:
+        if state["nsd"] <= 0:
+            return "0"
+        state["nsd"] -= 1
+        d = int(state["rv"])
+        state["rv"] = (state["rv"] - _L(d)) * _L(10.0)
+        return chr(d + 48)
+
+    out = []
+    e2 = exp
+    if e2 < 0:
+        out.append("0")
+    else:
+        while e2 >= 0:
+            out.append(getdigit())
+            e2 -= 1
+        e2 = -1
+    p = precision
+    if p > 0:
+        out.append(".")
+    e2 += 1
+    while e2 < 0 and p > 0:
+        out.append("0")
+        p -= 1
+        e2 += 1
+    while p > 0:
+        out.append(getdigit())
+        p -= 1
+    return prefix + "".join(out)
+
+
+def sqlite_printf_float(v: float, spec: str) -> str:
+    """One %f conversion with C width/flag handling ('8.3f', '-6f',
+    '05.2f', '.0f', 'f')."""
+    m = _F_SPEC.match(spec)
+    flags, w, pr = (m.group(1), m.group(2), m.group(3)) if m         else ("", "", None)
+    prec = int(pr) if pr is not None else 6
+    if math.isnan(v):
+        v = 0.0
+    body = _fmt_float(v, prec)
+    if "+" in flags and not body.startswith("-"):
+        body = "+" + body
+    elif " " in flags and not body.startswith("-"):
+        body = " " + body
+    width = int(w) if w else 0
+    if len(body) < width:
+        if "-" in flags:
+            body = body.ljust(width)
+        elif "0" in flags:
+            sign = ""
+            if body[0] in "+- ":
+                sign, body = body[0], body[1:]
+            body = sign + body.rjust(width - len(sign), "0")
+        else:
+            body = body.rjust(width)
+    return body
+
+
 def register_quote_real(spark) -> None:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -227,3 +334,13 @@ def register_quote_real(spark) -> None:
 
     spark.udf.register("dsq_glob_regex_agg",
                        pandas_udf(run_glob, StringType()))
+
+    # %f conversions of printf() route here (cold path): SQLite's own
+    # printf digit loop, byte-calibrated — see _fmt_float.
+    def run_pf(vals, specs):
+        return pd.Series(
+            [None if v is None else sqlite_printf_float(float(v), s0)
+             for v, s0 in zip(vals, specs)], dtype=object)
+
+    spark.udf.register("dsq_printf_float",
+                       pandas_udf(run_pf, StringType()))

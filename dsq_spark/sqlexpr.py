@@ -3621,6 +3621,176 @@ class _Rw:
         return ((_P(f"string(unhex({inner}))", start, end), "text"),
                 j + 1)
 
+    def _real64_of(self, p: _P, k: str) -> str:
+        """sqlite3_value_double of one compiled piece: reals verbatim,
+        ints cast, text/blob via the REAL prefix, quads/class branches
+        per their runtime arm, unknowns dispatched on typeof()."""
+        if p.trip is not None:
+            nn, cond, isql, dsql = p.trip
+            return (f"(CASE WHEN {nn} THEN CAST(NULL AS DOUBLE) "
+                    f"WHEN {cond} THEN CAST({isql} AS DOUBLE) "
+                    f"ELSE {dsql} END)")
+        t = p.text
+        if k in _INTISH or k == "real":
+            return f"CAST(({t}) AS DOUBLE)"
+        if k == "bool":
+            return f"CAST(CAST(({t}) AS BIGINT) AS DOUBLE)"
+        if k == "null":
+            return "CAST(NULL AS DOUBLE)"
+        if k in ("text", "blob"):
+            src = f"({t})" if k == "text" else f"string(({t}))"
+            return _real_prefix_double(src)
+        pre = _real_prefix_double(f"string(({t}))")
+        return (f"(CASE WHEN typeof({t}) = 'string' THEN {pre} "
+                f"WHEN typeof({t}) IN {_TYPEOF_INTS} "
+                f"THEN CAST(({t}) AS DOUBLE) "
+                f"ELSE CAST(({t}) AS DOUBLE) END)")
+
+    _PF_SPEC = re.compile(r"%[-+ 0#]*\d*(?:[.]\d+)?([a-zA-Z%])")
+
+    def _printf_call(self, parsed, start: int, end: int, j: int):
+        """printf()/format() with a LITERAL format: each argument
+        coerces per its conversion spec exactly like SQLite's printf —
+        %d takes sqlite3_value_int64 (atoi prefix on text/blob:
+        printf('%d', '12abc') is 12; truncation on reals; NULL prints
+        0), %f takes value_double (REAL prefix on text/blob, NULL 0.0,
+        -0.0 unsigned), %s takes value_text (reals via %!.15g, NULL
+        '').  SQLite spellings Java rejects or renders differently
+        rewrite through %s: %i is %d, %c is the codepoint's character
+        (the char() machinery), %u the unsigned-64 decimal (exact via
+        DECIMAL(20,0)), and width-less %g/%G strip trailing zeros like
+        C (Java keeps them).  Missing trailing arguments print as the
+        conversion's zero value like SQLite.  Kind-aware (r8): the old
+        alias-level coercion was kind-blind, so a BLOB argument
+        poisoned the numeric arms' analysis.  Residuals (documented):
+        flagged/width %c/%u/%g keep Java's rendering, and ±Inf under
+        the float conversions prints Java's 'Infinity' vs C's 'inf'."""
+        if not parsed or len(parsed) < 1:
+            return None
+        f0, fk0 = parsed[0]
+        if fk0 != "text" or f0.sval is None or len(parsed) < 2:
+            return None
+        specs = []
+
+        def fix(m: re.Match) -> str:
+            c = m.group(1)
+            if c == "%":
+                return m.group(0)
+            mid = m.group(0)[1:-1]  # flags/width/precision
+            c2 = "d" if c == "i" else c
+            if c2 in ("c", "u") and "0" not in mid and "." not in mid:
+                specs.append(("~" + c2, mid))
+                return "%" + mid + "s"
+            if c2 in ("g", "G") and re.fullmatch(
+                    r"(?:[.][0-9]+)?", mid):
+                specs.append(("~" + c2, mid))
+                return "%s"
+            if c2 in ("f", "F", "e", "E"):
+                # rendered inner-side so ±Inf prints SQLite's
+                # 'Inf'/'-Inf' (Java prints 'Infinity')
+                specs.append(("~" + c2, mid))
+                return "%s"
+            specs.append((c2, mid))
+            return "%" + mid + c2
+
+        fmt_txt = self._PF_SPEC.sub(fix, f0.text)
+
+        def arg_sql(conv: str, mid: str, p, k) -> str:
+            t = p.text
+            if conv in "duxXo":
+                if k in _INTISH and t.startswith("coalesce("):
+                    return t  # our own emission re-entering
+                return (f"coalesce({self._int64_of(p, k)}, "
+                        f"CAST(0 AS BIGINT))")
+            if conv in "feEgG":  # flagged %g/%G kept in the format
+                if k == "real" and t.endswith("+ CAST(0 AS DOUBLE))"):
+                    return t
+                return (f"(coalesce({self._real64_of(p, k)}, "
+                        f"CAST(0 AS DOUBLE)) + CAST(0 AS DOUBLE))")
+            if conv in ("~f", "~F"):
+                # SQLite's %f digit loop (16-significant-digit budget,
+                # long-double drift: printf('%f', 2^53) is
+                # ...991.000000) — byte-calibrated Python port
+                # (functions/sqlite_real.py::_fmt_float), Arrow-batched;
+                # printf is a cold path.  Width/flags applied in the
+                # UDF; NaN renders the 0 value (SQLite stores NaN as
+                # NULL, value_double(NULL) is 0.0); ±Inf prints
+                # 'Inf'/'-Inf'.
+                d = (f"(coalesce({self._real64_of(p, k)}, "
+                     f"CAST(0 AS DOUBLE)) + CAST(0 AS DOUBLE))")
+                return f"dsq_printf_float({d}, '{mid}f')"
+            if conv in ("~e", "~E"):
+                d = (f"(coalesce({self._real64_of(p, k)}, "
+                     f"CAST(0 AS DOUBLE)) + CAST(0 AS DOUBLE))")
+                inner = f"format_string('%{mid}{conv[1]}', {d})"
+                return (f"(CASE WHEN isnan({d}) THEN "
+                        f"format_string('%{mid}{conv[1]}', "
+                        f"CAST(0 AS DOUBLE)) "
+                        f"WHEN ({d}) = CAST('Infinity' AS DOUBLE) "
+                        f"THEN 'Inf' "
+                        f"WHEN ({d}) = -CAST('Infinity' AS DOUBLE) "
+                        f"THEN '-Inf' ELSE {inner} END)")
+            if conv in ("~g", "~G"):
+                prec = re.search(r"[.]([0-9]+)$", mid)
+                pv = int(prec.group(1)) if prec else 6
+                d = (f"(coalesce({self._real64_of(p, k)}, "
+                     f"CAST(0 AS DOUBLE)) + CAST(0 AS DOUBLE))")
+                g = f"format_string('%.{pv}{conv[1]}', {d})"
+                r1 = (f"regexp_replace({g}, "
+                      f"'([.][0-9]*[1-9])0+([eE]|$)', '$1$2')")
+                r2 = f"regexp_replace({r1}, '[.]0*([eE]|$)', '$1')"
+                return (f"(CASE WHEN isnan({d}) THEN '0' "
+                        f"WHEN ({d}) = CAST('Infinity' AS DOUBLE) "
+                        f"THEN 'Inf' "
+                        f"WHEN ({d}) = -CAST('Infinity' AS DOUBLE) "
+                        f"THEN '-Inf' ELSE {r2} END)")
+            if conv == "~c":
+                # SQLite %c prints the FIRST CHARACTER of the
+                # argument's TEXT rendering (printf('%c', 65) is '6',
+                # 'hello' gives 'h', NULL a NUL byte — probed)
+                tx = _sqlite_text_sql(p, k)
+                return (f"(CASE WHEN ({tx}) IS NULL OR ({tx}) = '' "
+                        f"THEN string(unhex('00')) "
+                        f"ELSE substr({tx}, 1, 1) END)")
+            if conv == "~u":
+                v = (f"coalesce({self._int64_of(p, k)}, "
+                     f"CAST(0 AS BIGINT))")
+                return (f"string(CASE WHEN {v} >= 0 "
+                        f"THEN CAST({v} AS DECIMAL(20, 0)) "
+                        f"ELSE CAST({v} AS DECIMAL(20, 0)) "
+                        f"+ 18446744073709551616BD END)")
+            if conv == "s":
+                if k == "text" and t.startswith("coalesce("):
+                    return t
+                return f"coalesce({_sqlite_text_sql(p, k)}, '')"
+            return f"({t})"
+
+        out_args = [arg_sql(cv, mid, p, k)
+                    for (cv, mid), (p, k) in zip(specs, parsed[1:])]
+        for idx in range(len(out_args), len(parsed) - 1):
+            out_args.append(f"({parsed[1 + idx][0].text})")
+        # missing trailing arguments print as the conversion's zero
+        for cv, _mid in specs[len(parsed) - 1:]:
+            if cv == "~c":
+                out_args.append("string(unhex('00'))")
+            elif cv in ("~u", "~g", "~G"):
+                out_args.append("'0'")
+            elif cv in ("~f", "~F"):
+                out_args.append(
+                    f"dsq_printf_float(CAST(0 AS DOUBLE), '{_mid}f')")
+            elif cv in ("~e", "~E"):
+                out_args.append(
+                    f"format_string('%{{0}}', CAST(0 AS DOUBLE))"
+                    .replace("{0}", _mid + cv[1]))
+            elif cv in "duxXo":
+                out_args.append("CAST(0 AS BIGINT)")
+            elif cv in "feEgG":
+                out_args.append("CAST(0 AS DOUBLE)")
+            else:
+                out_args.append("''")
+        expr = f"printf({fmt_txt}, " + ", ".join(out_args) + ")"
+        return ((_P(expr, start, end), "text"), j + 1)
+
     def _sum_avg_call(self, fname: str, parsed, start: int, end: int,
                       j: int, hi: int):
         """sum()/avg() over a dynamically-classed argument (text/blob
@@ -3733,7 +3903,7 @@ class _Rw:
                          "substr", "substring", "abs",
                          "round", "ceil", "ceiling", "floor",
                          "replace", "char", "sum", "avg",
-                         "upper", "lower"):
+                         "upper", "lower", "printf"):
             return None
         parsed, j = self._simple_args(i, hi)
         if fname == "char":
@@ -3743,6 +3913,10 @@ class _Rw:
         start, end = name_p.s, self.T[j].end
         if fname in ("sum", "avg"):
             return self._sum_avg_call(fname, parsed, start, end, j, hi)
+        if fname == "printf":
+            pf = self._printf_call(parsed, start, end, j)
+            if pf is not None:
+                return pf
         if fname in ("upper", "lower"):
             # SQLite's upper()/lower() fold ASCII ONLY (upper('aλb') is
             # 'AλB' — func.c uses sqlite3Toupper over bytes < 0x80),

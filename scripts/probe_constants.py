@@ -139,6 +139,12 @@ def gen(r: random.Random, d: int) -> str:
             for _ in range(r.randint(1, 3))) + ")"),
         lambda: (f"{r.choice(['total', 'sum', 'avg', 'count'])}"
                  f"({gen(r, d - 1)})"),
+        # r8 batch 2: printf over one literal conversion spec (the
+        # sqlite3_value_int64/double/text coercions, %i/%c/%u/%g
+        # rewrites, Inf spellings — all compiled in sqlexpr)
+        lambda: ("printf('<%" + r.choice(
+            ["d", "s", ".2f", "x", "i", "05d", "g", "c", "u", "e",
+             "8.3f", "-6d"]) + ">', " + gen(r, d - 1) + ")"),
     ]
     return r.choice(forms)()
 

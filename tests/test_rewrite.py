@@ -63,8 +63,10 @@ def test_agg_aliases():
     # SQLite format() == printf (variadic); Spark's own format_* untouched
     out = rewrite_query("SELECT format('%s-%02d', a, b), date_format(ts, 'yyyy') FROM {}")
     # NULL coercion per conversion spec (SQLite: NULL -> ''/0 under %s/%d)
-    assert ("printf('%s-%02d', coalesce(CAST(a AS STRING), ''), "
-            "coalesce(CAST(b AS BIGINT), 0))") in out
+    # kind-aware per-spec coercion (r8): %s renders through the SQLite
+    # text rendering, %d through the sqlite3_value_int64 conversion
+    assert "printf('%s-%02d', coalesce((a), '')" in out
+    assert "CAST(0 AS BIGINT))" in out
     assert "date_format(ts, 'yyyy')" in out
 
 

@@ -2033,3 +2033,54 @@ def test_r8_overflow_wrap_canon():
     assert pc.classify(9223372036854775751, 5.25e+20) is None
     assert pc.classify(-2, 1.8446744073709552e+19) == "overflow-wrap"
     assert pc.classify(7, 9.3e18) is None
+
+
+def test_r8_printf_conversion_matrix(engines):
+    """printf()/format() with literal formats, pinned vs sqlite3 (r8):
+    per-spec argument coercion is kind-aware in the dialect layer — %d
+    atoi-prefixes text ('12abc' prints 12) and converts blobs (the old
+    kind-blind CAST NULLed the prefix and blobs were analysis errors),
+    %s renders reals via %!.15g ('1.0e+20'), %i maps to %d, %c prints
+    the FIRST CHARACTER of the value's text rendering, %u the exact
+    unsigned-64 decimal, width-less %g/%G strip trailing zeros like C,
+    floats print SQLite's 'Inf'/'-Inf' spellings, and missing trailing
+    arguments print the conversion's zero."""
+    spark, con = engines
+    exprs = [
+        "printf('%d', '12abc')", "printf('%d', 12.9)",
+        "printf('%s', 2.5)", "printf('%.2f', '3abc')",
+        "printf('%d', x'41')", "printf('%x', 255)",
+        "printf('%5.1f|%03d', 2.5, 7)", "printf('%s', x'41')",
+        "printf('%s', 1e20)", "printf('%d', NULL)",
+        "printf('%.2f', NULL)", "printf('%s', NULL)",
+        "printf('%d', -0.9)", "printf('%.1f', -0.0)",
+        "format('%d-%s', '9kg', 'x')", "printf('%d', 9007199254740993)",
+        "printf('%i', '  42z')", "printf('%s', '7'/'2')",
+        "printf('%d %d', 5)", "printf('%s %s', 'a')",
+        "printf('%d', min(1,'2'))", "printf('%s', iif(0,'a',5))",
+        "printf('%%d %d', 7)", "printf('%d', 1<2)",
+        "printf('%g', 2.5)", "printf('%g', 100000000.0)",
+        "printf('%.3g', 1234.5)", "printf('%c', 65)",
+        "printf('%c', 955)", "printf('%c', 'hello')",
+        "printf('%c', x'4142')", "printf('%c', 9.7)",
+        "printf('%u', -1)", "printf('%u', 42)",
+        "printf('%G', 0.00001)", "printf('%g', 0.00001)",
+        "printf('%f', 1e999)", "printf('%.2f', -1e999)",
+        "printf('%e', 1e999)", "printf('%g', 1e999)",
+        "printf('%d', 1e999)", "printf('%c', 1e999)",
+        "printf('%u', 1e999)", "hex(printf('%c', NULL))",
+        "printf('%-8.2f|', 2.5)", "printf('%08.2f', 2.5)",
+        "printf('%e', 2.5)", "printf('%.3e', 12345.678)",
+        "printf('%d', a)", "printf('%.1f', b)", "printf('%s', c)",
+        "printf('<%8.3f>', 9223372036854775807)",
+        "printf('%f', 9007199254740992.0)", "printf('%.2f', 1e20)",
+        "printf('%f', -9223372036854775808)", "printf('%.0f', 1e19)",
+        "printf('%.17f', 0.1)", "hex(printf('%c', ''))",
+        "hex(printf('%c', x''))",
+    ]
+    sels = ", ".join(f"{e} AS r{i}" for i, e in enumerate(exprs))
+    q = f"SELECT {sels} FROM td"
+    want, got = _run(spark, con, q)
+    assert want == got
+    rw = rewrite_query(q, SCHEMA)
+    assert rewrite_query(rw, SCHEMA) == rw
