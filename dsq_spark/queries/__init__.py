@@ -47,10 +47,13 @@ from dsq_spark.queries import streaming_q  # noqa: F401,E402
 # built-in fixes (CAST AS NUMERIC integer-collapse, char() Unicode
 # codepoints, 0x hex literals, total()'s REAL class, sum-over-text
 # prefix coercion, bare-trailing-LIKE-escape, exact real-vs-int past
-# 2^53, and the aggregate-mixed SQL-UDF inlining path), then (c)
-# thirty-four of the forty-nine r6-verified rows in queue order.  The
-# remaining fifteen r6-verified rows (q2_min_cost_supplier …
-# limit_offset) go to the FRONT of the round-9 queue, followed by the
+# 2^53, and the aggregate-mixed SQL-UDF inlining path) plus the
+# dialect_bare_aggregate row for the bare-columns-in-aggregate rule
+# (probe_columns find, this session), then (c)
+# thirty-three of the forty-nine r6-verified rows in queue order.  The
+# remaining sixteen r6-verified rows (q21_sole_returner,
+# q2_min_cost_supplier … limit_offset) go to the FRONT of the round-9
+# queue, followed by the
 # fifty r7-verified rows; every registered query, in-window or not,
 # stays green in the identical local oracle suite
 # (tests/test_queries_oracle.py + scripts/verify_contract.py, both with
@@ -72,9 +75,11 @@ _PRIORITY = [
     "text_charlm_quality",
     "text_chunk_documents",
     "text_quality_scores",
-    # (b) NEW row pinning the r8 built-in fixes
+    # (b) NEW rows pinning the r8 built-in fixes and the bare-columns-
+    # in-aggregate-queries rule (probe_columns find)
     "dialect_numeric_char_hex",
-    # (c) thirty-four of the forty-nine r6-verified rows, queue order
+    "dialect_bare_aggregate",
+    # (c) thirty-three of the forty-nine r6-verified rows, queue order
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "join_cross_theta",
@@ -108,8 +113,10 @@ _PRIORITY = [
     "dialect_int_division",
     "dialect_truthiness",
     "dialect_bitwise_shifts",
-    "q21_sole_returner",
     # --- everything below is PAST the 50-row window this round ---
+    # (q21_sole_returner slipped to #51 when dialect_bare_aggregate
+    # joined the (b) block — r6-verified, still oracle-green locally)
+    "q21_sole_returner",
     # r6-verified, deferred to round 9 (FRONT of the r9 queue): the last
     # fifteen of the r6 batch — machinery with in-window siblings
     # (dialect_*, json_each_props/json1_mutators, sample_hash_split,

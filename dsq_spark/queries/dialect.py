@@ -412,3 +412,42 @@ def dialect_numeric_char_hex(spark, sf_dir):
         "FROM dsq_nch_ord WHERE o_orderkey < 9000 "
         "GROUP BY o_orderkey, o_orderpriority, o_totalprice "
         "ORDER BY o_orderkey LIMIT 2000")
+
+
+@register(
+    "dialect_bare_aggregate",
+    oracle="""
+SELECT o_orderpriority,
+       arg_max(o_custkey, o_orderkey) AS ck,
+       arg_max(o_totalprice, o_orderkey) AS tp,
+       max(o_orderkey) AS top_key
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc=(
+        "SQLite's bare-columns-in-aggregate-queries rule as a hard "
+        "driver row (r8, found by scripts/probe_columns.py: "
+        "`SELECT id, avg(b) FROM t` RUNS in the reference's embedded "
+        "engine, Spark raised MISSING_GROUP_BY).  With exactly one "
+        "min()/max() aggregate, bare result columns take their values "
+        "from a row holding the extremum "
+        "(sqlite.org/lang_select.html#bareagg) — compiled to "
+        "min_by/max_by, which DuckDB spells arg_min/arg_max.  "
+        "max(o_orderkey) keys the extremum on the table's unique key, "
+        "so the picked row is deterministic on both engines.  Scale: "
+        "one scan + partial max_by aggregation per group — max_by "
+        "carries (value, key) pairs through the map-side combine, no "
+        "extra shuffle vs a plain max."
+    ),
+)
+def dialect_bare_aggregate(spark, sf_dir):
+    return _run_rewritten(
+        spark, sf_dir, "dsq_bareagg_ord", "orders",
+        "SELECT o_orderpriority, "
+        "o_custkey AS ck, "
+        "o_totalprice AS tp, "
+        "max(o_orderkey) AS top_key "
+        "FROM dsq_bareagg_ord "
+        "GROUP BY o_orderpriority "
+        "ORDER BY o_orderpriority")

@@ -314,6 +314,49 @@ def _alias_item(item: str) -> str:
     return f"{item} AS `{core}` "
 
 
+def _scan_kw(sql: str, spans, start: int, *words: str,
+             end: int | None = None) -> int | None:
+    """First depth-0 occurrence of any of ``words`` outside literals,
+    from start.  Multiple words matter for the select-list end scan:
+    a FROM-less query can still carry WHERE/ORDER/LIMIT/UNION/... —
+    stopping only at FROM would swallow the tail clause into the last
+    select item and alias it (SELECT 1 LIMIT 2 AS `1 LIMIT 2`)."""
+    depth, i = 0, start
+    n = len(sql) if end is None else end
+    targets = [(len(w), w.upper()) for w in words]
+    while i < n:
+        if any(a <= i < b for a, b in spans):
+            i += 1
+            continue
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+            for wl, wu in targets:
+                if (sql[i:i + wl].upper() == wu
+                        and (i + wl == len(sql)
+                             or not (sql[i + wl].isalnum() or sql[i + wl] == "_"))):
+                    if wu == "FROM":
+                        # IS [NOT] DISTINCT FROM, not a clause —
+                        # scan back over UNBOUNDED whitespace (a
+                        # fixed lookback window missed five+ spaces
+                        # between DISTINCT and FROM — ADVICE r7)
+                        k9 = i
+                        while k9 > 0 and sql[k9 - 1].isspace():
+                            k9 -= 1
+                        if (k9 >= 8
+                                and sql[k9 - 8:k9].upper() == "DISTINCT"
+                                and (k9 == 8
+                                     or not (sql[k9 - 9].isalnum()
+                                             or sql[k9 - 9] == "_"))):
+                            break
+                    return i
+        i += 1
+    return None
+
+
 def _alias_select_list(sql: str) -> str:
     """SQLite result-column naming: an output column without an alias is
     named by the expression text AS WRITTEN (sqlite.org/lang_select.html
@@ -323,44 +366,7 @@ def _alias_select_list(sql: str) -> str:
     spans = _literal_spans(sql)
 
     def scan_keyword(start: int, *words: str) -> int | None:
-        """First depth-0 occurrence of any of ``words`` outside literals,
-        from start.  Multiple words matter for the select-list end scan:
-        a FROM-less query can still carry WHERE/ORDER/LIMIT/UNION/... —
-        stopping only at FROM would swallow the tail clause into the last
-        select item and alias it (SELECT 1 LIMIT 2 AS `1 LIMIT 2`)."""
-        depth, i, n = 0, start, len(sql)
-        targets = [(len(w), w.upper()) for w in words]
-        while i < n:
-            if any(a <= i < b for a, b in spans):
-                i += 1
-                continue
-            c = sql[i]
-            if c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-            elif depth == 0 and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
-                for wl, wu in targets:
-                    if (sql[i:i + wl].upper() == wu
-                            and (i + wl == n
-                                 or not (sql[i + wl].isalnum() or sql[i + wl] == "_"))):
-                        if wu == "FROM":
-                            # IS [NOT] DISTINCT FROM, not a clause —
-                            # scan back over UNBOUNDED whitespace (a
-                            # fixed lookback window missed five+ spaces
-                            # between DISTINCT and FROM — ADVICE r7)
-                            k9 = i
-                            while k9 > 0 and sql[k9 - 1].isspace():
-                                k9 -= 1
-                            if (k9 >= 8
-                                    and sql[k9 - 8:k9].upper() == "DISTINCT"
-                                    and (k9 == 8
-                                         or not (sql[k9 - 9].isalnum()
-                                                 or sql[k9 - 9] == "_"))):
-                                break
-                        return i
-            i += 1
-        return None
+        return _scan_kw(sql, spans, start, *words)
 
     sel = scan_keyword(0, "SELECT")
     if sel is None:
@@ -375,6 +381,305 @@ def _alias_select_list(sql: str) -> str:
         end = len(sql)
     items = _split_top_commas(sql[start:end])
     return sql[:start] + ",".join(_alias_item(it) for it in items) + sql[end:]
+
+
+# SQLite aggregate names (core + the engine's registered stats aggs) for
+# the bare-column pass; min/max count only in their 1-argument form.
+# any_value/min_by/max_by are this pass's own emissions — recognizing
+# them keeps the pass idempotent (an already-wrapped item is never a
+# "bare" column again).
+_BARE_AGG_NAMES = re.compile(
+    r"(?<![\w.`$])(avg|count|group_concat|string_agg|min|max|sum|total|"
+    r"median|mode|stdev|stddev|stddev_samp|stddev_pop|variance|var_samp|"
+    r"var_pop|percentile|percentile_\d+|percentile_approx|listagg|"
+    r"collect_list|collect_set|bool_and|bool_or|json_group_array|"
+    r"json_group_object|approx_count_distinct|any_value|min_by|"
+    r"max_by|first|last)\s*\(", re.IGNORECASE)
+
+
+def _find_agg_calls(seg: str) -> list[tuple[str, str]]:
+    """(name, argtext) for each aggregate call in ``seg``, skipping
+    string literals, subqueries (the aggregate belongs to the inner
+    SELECT) and window invocations (`… ) OVER` — a window function does
+    not make the query an aggregate, sqlite.org/windowfunctions.html)."""
+    spans = _literal_spans(seg)
+    # subquery spans: '(' whose first token is SELECT, to its match
+    sub_spans = []
+    for m in re.finditer(r"\(\s*SELECT\b", seg, re.IGNORECASE):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        d, i = 0, m.start()
+        while i < len(seg):
+            if any(a <= i < b for a, b in spans):
+                i += 1
+                continue
+            if seg[i] == "(":
+                d += 1
+            elif seg[i] == ")":
+                d -= 1
+                if d == 0:
+                    break
+            i += 1
+        sub_spans.append((m.start(), i + 1))
+    out = []
+    for m in _BARE_AGG_NAMES.finditer(seg):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        if any(a < m.start() < b for a, b in sub_spans):
+            continue
+        # matching close paren of the call
+        d, i = 0, m.end() - 1
+        while i < len(seg):
+            if any(a <= i < b for a, b in spans):
+                i += 1
+                continue
+            if seg[i] == "(":
+                d += 1
+            elif seg[i] == ")":
+                d -= 1
+                if d == 0:
+                    break
+            i += 1
+        arg = seg[m.end():i]
+        # `… ) OVER` / `… ) FILTER (…) OVER` → window, not aggregate
+        tail = seg[i + 1:].lstrip()
+        if re.match(r"(?is)^(FILTER\s*\(.*?\)\s*)?OVER\b", tail):
+            continue
+        name = m.group(1).lower()
+        if name in ("min", "max"):
+            if len(_split_top_commas(arg)) != 1:
+                continue  # 2+-arg scalar min/max
+        out.append((name, arg.strip()))
+    return out
+
+
+def _bare_agg_columns(sql: str,
+                      schema: dict[str, str] | None = None) -> str:
+    """SQLite's bare-columns-in-aggregate-queries rule
+    (sqlite.org/lang_select.html#bareagg, reference behavior via the
+    embedded engine): `SELECT id, avg(b) FROM t` RUNS in SQLite — the
+    non-aggregate result columns take values from an input row (for a
+    query whose ONLY aggregate is a one-argument min()/max(), from a row
+    holding that extremum; otherwise from an arbitrary row).  Spark
+    raises MISSING_GROUP_BY, so wrap every non-grouped bare item:
+    `max_by(item, x)` / `min_by(item, x)` under the single-min/max rule
+    (exact SQLite semantics; ties/all-NULL are "one of the rows" in both
+    engines), `any_value(item)` otherwise (spec-faithful: SQLite
+    declares the row arbitrary).  GROUP BY terms — by text, ordinal or
+    output alias — are left untouched; compound arms process
+    independently; statements with window functions pass through (a
+    window does not make the query aggregate, and the mixed shape has
+    its own analyzer rules)."""
+    # conservative: any OVER anywhere (even in subqueries) bails —
+    # window-mixed aggregate queries are out of this rule's scope
+    if re.search(r"(?i)\bOVER\b", sql):
+        return sql
+    spans = _literal_spans(sql)
+    # split into compound arms at depth-0 UNION/INTERSECT/EXCEPT
+    bounds, pos = [0], 0
+    while True:
+        nxt = _scan_kw(sql, spans, pos, "UNION", "INTERSECT", "EXCEPT")
+        if nxt is None:
+            break
+        bounds.append(nxt)
+        pos = nxt + 5
+    bounds.append(len(sql))
+    segs = [sql[a:b] for a, b in zip(bounds, bounds[1:])]
+    cols = frozenset(schema) if schema else frozenset()
+    return "".join(_bare_agg_one(s, cols) for s in segs)
+
+
+_BARE_KEYWORDS = frozenset((
+    "case", "when", "then", "else", "end", "and", "or", "not", "in", "is",
+    "null", "like", "glob", "rlike", "regexp", "between", "escape", "cast",
+    "as", "distinct", "all", "collate", "asc", "desc", "true", "false",
+    "exists", "from", "select", "where", "by", "interval", "filter",
+))
+
+
+def _wrap_stray_cols(core: str, cols: frozenset, wrap) -> str:
+    """Wrap bare schema-column references sitting OUTSIDE aggregate-call
+    arguments / subqueries / string literals in an aggregate-containing
+    select item: `sum(b) OR c` is a legal SQLite aggregate expression
+    whose `c` takes an input-row value (the same bareagg rule), while
+    Spark demands every non-aggregate input be grouped."""
+    lits = _literal_spans(core)
+    excl = []
+
+    def close_of(op: int) -> int:
+        d, i = 0, op
+        while i < len(core):
+            if any(a <= i < b for a, b in lits):
+                i += 1
+                continue
+            if core[i] == "(":
+                d += 1
+            elif core[i] == ")":
+                d -= 1
+                if d == 0:
+                    return i
+            i += 1
+        return len(core) - 1
+
+    for m in re.finditer(r"\(\s*SELECT\b", core, re.IGNORECASE):
+        if not any(a <= m.start() < b for a, b in lits):
+            excl.append((m.start(), close_of(m.start()) + 1))
+    for m in _BARE_AGG_NAMES.finditer(core):
+        if any(a <= m.start() < b for a, b in lits):
+            continue
+        if any(a <= m.start() < b for a, b in excl):
+            continue
+        cp = close_of(m.end() - 1)
+        name = m.group(1).lower()
+        if name in ("min", "max") and len(
+                _split_top_commas(core[m.end():cp])) != 1:
+            continue  # scalar 2-arg min/max: its args are per-row refs
+        excl.append((m.start(), cp + 1))
+
+    out, last = [], 0
+    for m in re.finditer(
+            r"(?:[A-Za-z_]\w*\s*\.\s*)?(`[^`]+`|[A-Za-z_]\w*)", core):
+        s0 = m.start()
+        if (any(a <= s0 < b for a, b in lits)
+                or any(a <= s0 < b for a, b in excl)
+                or s0 < last):
+            continue
+        name = m.group(1).strip("`").lower()
+        if name in _BARE_KEYWORDS or name not in cols:
+            continue
+        rest = core[m.end():].lstrip()
+        if rest.startswith("("):
+            continue  # function call, not a column
+        if s0 > 0 and core[:s0].rstrip().endswith("."):
+            continue  # backtick-qualified ref: leave verbatim
+        out.append(core[last:s0])
+        out.append(wrap(m.group(0)))
+        last = m.end()
+    if not out:
+        return core
+    out.append(core[last:])
+    return "".join(out)
+
+
+def _bare_agg_one(seg: str, cols: frozenset) -> str:
+    spans = _literal_spans(seg)
+    sel = _scan_kw(seg, spans, 0, "SELECT")
+    if sel is None:
+        return seg
+    start = sel + len("SELECT")
+    m = re.match(r"\s+(DISTINCT|ALL)\b", seg[start:], re.IGNORECASE)
+    if m:
+        start += m.end()
+    end = _scan_kw(seg, spans, start, "FROM", "WHERE", "GROUP", "HAVING",
+                   "WINDOW", "ORDER", "LIMIT")
+    if end is None:
+        end = len(seg)
+    items = _split_top_commas(seg[start:end])
+    item_aggs = [_find_agg_calls(it) for it in items]
+    sel_aggs = [a for ia in item_aggs for a in ia]
+    if not sel_aggs:
+        # not an aggregate select list.  HAVING-only aggregates do NOT
+        # make the query aggregate — SQLite itself raises "HAVING
+        # clause on a non-aggregate query" there.
+        return seg
+    # HAVING aggregates still count toward the exactly-one-min/max rule
+    hav = _scan_kw(seg, spans, end, "HAVING")
+    hav_aggs = []
+    if hav is not None:
+        hend = _scan_kw(seg, spans, hav + 6, "ORDER", "LIMIT", "WINDOW")
+        hav_aggs = _find_agg_calls(seg[hav:hend if hend is not None
+                                       else len(seg)])
+    all_aggs = sel_aggs + hav_aggs
+    # GROUP BY terms: text-, ordinal- and alias-resolved
+    grouped: set[int] = set()
+    gpos = _scan_kw(seg, spans, end, "GROUP")
+    gterms: list[str] = []
+    if gpos is not None:
+        gby = re.match(r"(?is)GROUP\s+BY\b", seg[gpos:])
+        if gby:
+            gend = _scan_kw(seg, spans, gpos + gby.end(), "HAVING",
+                            "ORDER", "LIMIT", "WINDOW")
+            gterms = _split_top_commas(
+                seg[gpos + gby.end():gend if gend is not None else len(seg)])
+
+    def norm(t: str) -> str:
+        return " ".join(_paren_stripped(t.strip()).split()).lower()
+
+    cores, aliases = [], []
+    for it in items:
+        core = it.strip()
+        alias = None
+        am = _EXPLICIT_ALIAS.search(core)
+        if am:
+            alias = am.group(1)
+            core = core[:am.start()].strip()
+        else:
+            im = _IMPLICIT_ALIAS.match(core)
+            if im:
+                head, tail = im.group(1), im.group(3)
+                if ((tail[0] in '"`' or tail.upper() not in _NOT_ALIAS_TAIL)
+                        and head[-1] not in "+-*/%<>=|&~^(,"
+                        and not (
+                            (lw := re.search(r"([A-Za-z_]\w*)$", head))
+                            and lw.group(1).upper() in _OPEN_EXPR_WORDS)):
+                    alias, core = tail, head.strip()
+        cores.append(core)
+        aliases.append(alias)
+    nterms = {norm(t) for t in gterms}
+    for t in gterms:
+        ts = t.strip()
+        if re.fullmatch(r"\d+", ts) and 1 <= int(ts) <= len(items):
+            grouped.add(int(ts) - 1)
+    for ix, (core, alias) in enumerate(zip(cores, aliases)):
+        nm = norm(core)
+        anm = (alias or "").strip('`"').lower()
+        if nm in nterms or (anm and anm in nterms):
+            grouped.add(ix)
+    single = all_aggs[0] if (len(all_aggs) == 1
+                             and all_aggs[0][0] in ("min", "max")) else None
+
+    def wrapper(tok: str) -> str:
+        if single is not None:
+            aggname, aggarg = single
+            arg = re.sub(r"(?is)^\s*DISTINCT\b", "", aggarg).strip()
+            return f"{aggname}_by({tok}, {arg})"
+        return f"any_value({tok})"
+
+    out_items = []
+    for ix, it in enumerate(items):
+        if ix in grouped:
+            out_items.append(it)
+            continue
+        if item_aggs[ix]:
+            # aggregate-containing item: stray per-row column refs in it
+            # ride the same bareagg rule (`sum(b) OR c` — probe_columns)
+            core, alias = cores[ix], aliases[ix]
+            w = _wrap_stray_cols(core, cols, wrapper) if cols else core
+            if w == core:
+                out_items.append(it)
+            else:
+                if alias is None:
+                    alias = "`" + core.replace("`", "``") + "`"
+                pre = it[:len(it) - len(it.lstrip())]
+                out_items.append(f"{pre}{w} AS {alias} ")
+            continue
+        core, alias = cores[ix], aliases[ix]
+        if not core or core == "*" or core.endswith(".*"):
+            out_items.append(it)  # star expansion: out of scope
+            continue
+        if alias is None:
+            # bare column keeps its SQLite-derived name (the last path
+            # segment: `t.x` is named "x"); anything else was already
+            # verbatim-aliased by _alias_select_list except quote-bearing
+            # shapes, which keep their full text as the label
+            nm9 = re.search(r'(?:`([^`]+)`|"([^"]+)"|([A-Za-z_]\w*))\s*$',
+                            core)
+            label = (nm9.group(1) or nm9.group(2) or nm9.group(3)) \
+                if nm9 and _BARE_COL.match(_paren_stripped(core)) else core
+            alias = "`" + label.replace("`", "``") + "`"
+        pre = it[:len(it) - len(it.lstrip())]
+        out_items.append(f"{pre}{wrapper(core)} AS {alias} ")
+    return seg[:start] + ",".join(out_items) + seg[end:]
 
 
 def _rewrite_fn_aliases(sql: str) -> str:
@@ -684,7 +989,8 @@ _AGG_CALL = re.compile(
     r"(?<![\w.`$])(?:sum|avg|count|min|max|percentile|percentile_approx|"
     r"median|mode|stddev_samp|stddev_pop|var_samp|var_pop|listagg|"
     r"string_agg|collect_list|collect_set|bool_and|bool_or|"
-    r"approx_count_distinct|group_concat|any_value|first|last)\s*\(",
+    r"approx_count_distinct|group_concat|any_value|min_by|max_by|"
+    r"first|last)\s*\(",
     re.IGNORECASE)
 
 
@@ -965,6 +1271,9 @@ def rewrite_query_tracked(
     sql = re.sub(r"^(\s*)EXPLAIN\s+QUERY\s+PLAN\b", r"\1EXPLAIN",
                  sql, count=1, flags=re.IGNORECASE)
     sql = _alias_select_list(_rewrite_json_each(_sub_table_macros(sql)))
+    # SQLite bare-columns-in-aggregate-queries (runs on the aliased list:
+    # every wrapped item keeps its verbatim SQLite result name)
+    sql = _bare_agg_columns(sql, schema)
     parts = []
     for is_str, chunk in _split_on_strings(sql):
         if is_str:
