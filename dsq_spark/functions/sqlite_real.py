@@ -190,30 +190,38 @@ def sqlite_quote_real(v) -> str | None:
 
 _AR_ROUND = [5e-01, 5e-02, 5e-03, 5e-04, 5e-05,
              5e-06, 5e-07, 5e-08, 5e-09, 5e-10]
-_F_SPEC = re.compile(r"([-+ 0#]*)([0-9]*)(?:[.]([0-9]+))?[fF]$")
+_F_SPEC = re.compile(r"([-+ 0#!,]*)([0-9]*)(?:[.]([0-9]+))?([fFeEgG])$")
 
 
-def _fmt_float(v: float, precision: int) -> str:
-    """printf.c etFLOAT — the %f digit path: per-precision rounder with
-    the small-value 3e-16 nudge, long-double normalization, and the
-    16-significant-digit et_getdigit budget (printf('%f', 2^53) is
-    '9007199254740991.000000' in SQLite — the scaled divisions drift,
-    and the budget zero-fills past digit 16)."""
+def _fmt_real(v: float, conv: str, precision: int,
+              altform: bool = False, altform2: bool = False) -> str:
+    """printf.c etFLOAT/etEXP/etGENERIC — SQLite's own float digit path:
+    per-precision rounder (etFLOAT adds it BEFORE normalization with the
+    small-value 3e-16 nudge, etEXP/etGENERIC after), long-double
+    normalization, the et_getdigit significant-digit budget (16, or 26
+    under the '!' alternate-form-2 flag — printf('%.20e', 1/3.) is
+    '…3333333300000e-01': 16 digits then zero-fill), etGENERIC's
+    exp<-4||exp>precision switch to etEXP with trailing-zero removal
+    unless '#', and the 2-to-3-digit e±NN suffix."""
+    xtype = "f" if conv in "fF" else ("e" if conv in "eE" else "g")
     prefix = "-" if v < 0 else ""
     rv = _L(-v if v < 0 else v)
+    if xtype == "g" and precision > 0:
+        precision -= 1
     idx = precision & 0xFFF
     rounder = _L(_AR_ROUND[idx % 10])
     while idx >= 10:
         rounder = rounder * _L(1.0e-10)
         idx -= 10
-    # etFLOAT's extra nudge (printf.c): based on the binary exponent
-    import struct as _st
-    u = _st.unpack("<Q", _st.pack("<d", float(rv)))[0]
-    ex = -1023 + int((u >> 52) & 0x7FF)
-    exd3 = ex // 3 if ex >= 0 else -((-ex) // 3)  # C truncates toward 0
-    if precision + exd3 < 15:
-        rounder = rounder + rv * _L(3e-16)
-    rv = rv + rounder
+    if xtype == "f":
+        # etFLOAT's extra nudge (printf.c): based on the binary exponent
+        import struct as _st
+        u = _st.unpack("<Q", _st.pack("<d", float(rv)))[0]
+        ex = -1023 + int((u >> 52) & 0x7FF)
+        exd3 = ex // 3 if ex >= 0 else -((-ex) // 3)  # C truncates to 0
+        if precision + exd3 < 15:
+            rounder = rounder + rv * _L(3e-16)
+        rv = rv + rounder
     exp = 0
     if rv > 0:
         scale = _L(1.0)
@@ -235,7 +243,22 @@ def _fmt_float(v: float, precision: int) -> str:
             exp -= 1
         if exp > 350:
             return prefix + "Inf"
-    state = {"rv": rv, "nsd": 16}
+    if xtype != "f":
+        rv = rv + rounder
+        if rv >= _L(10.0):
+            rv = rv / _L(10.0)
+            exp += 1
+    if xtype == "g":
+        rtz = not altform
+        if exp < -4 or exp > precision:
+            xtype = "e"
+        else:
+            precision = precision - exp
+            xtype = "f"
+    else:
+        rtz = altform2
+    e2 = 0 if xtype == "e" else exp
+    state = {"rv": rv, "nsd": 16 + (10 if altform2 else 0)}
 
     def getdigit() -> str:
         if state["nsd"] <= 0:
@@ -246,7 +269,7 @@ def _fmt_float(v: float, precision: int) -> str:
         return chr(d + 48)
 
     out = []
-    e2 = exp
+    flag_dp = precision > 0 or altform or altform2
     if e2 < 0:
         out.append("0")
     else:
@@ -255,7 +278,7 @@ def _fmt_float(v: float, precision: int) -> str:
             e2 -= 1
         e2 = -1
     p = precision
-    if p > 0:
+    if flag_dp:
         out.append(".")
     e2 += 1
     while e2 < 0 and p > 0:
@@ -265,18 +288,45 @@ def _fmt_float(v: float, precision: int) -> str:
     while p > 0:
         out.append(getdigit())
         p -= 1
+    if rtz and flag_dp:
+        while out and out[-1] == "0":
+            out.pop()
+        if out and out[-1] == ".":
+            if altform2:
+                out.append("0")  # '!' keeps a forced "X.0" (printf.c)
+            else:
+                out.pop()
+    if xtype == "e":
+        out.append("E" if conv in "EG" else "e")
+        if exp < 0:
+            out.append("-")
+            exp = -exp
+        else:
+            out.append("+")
+        if exp >= 100:
+            out.append(chr(exp // 100 + 48))
+            exp %= 100
+        out.append(chr(exp // 10 + 48))
+        out.append(chr(exp % 10 + 48))
     return prefix + "".join(out)
 
 
+def _fmt_float(v: float, precision: int) -> str:
+    """Back-compat shim: the %f leg of _fmt_real."""
+    return _fmt_real(v, "f", precision)
+
+
 def sqlite_printf_float(v: float, spec: str) -> str:
-    """One %f conversion with C width/flag handling ('8.3f', '-6f',
-    '05.2f', '.0f', 'f')."""
+    """One float conversion ('%8.3f', '-6e', '05.2g', '.0f', '!.20e' …)
+    with C width/flag handling, SQLite semantics throughout."""
     m = _F_SPEC.match(spec)
-    flags, w, pr = (m.group(1), m.group(2), m.group(3)) if m         else ("", "", None)
+    flags, w, pr, conv = (m.group(1), m.group(2), m.group(3),
+                          m.group(4)) if m else ("", "", None, "f")
     prec = int(pr) if pr is not None else 6
     if math.isnan(v):
         v = 0.0
-    body = _fmt_float(v, prec)
+    body = _fmt_real(v, conv, prec, altform="#" in flags,
+                     altform2="!" in flags)
     if "+" in flags and not body.startswith("-"):
         body = "+" + body
     elif " " in flags and not body.startswith("-"):

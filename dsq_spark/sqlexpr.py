@@ -796,14 +796,19 @@ def _exact_dyn_static_cmp(dp: "_P", dk: str, op: str, sv) -> str | None:
     if sv is None or isinstance(sv, bool) or abs(sv) < 2**53:
         return None
     quad = dp.trip is not None and dp.cls is None
+    # a comparison-result lhs participates as its 0/1 INTEGER — Spark's
+    # BOOLEAN type needs the explicit cast before an int64 compare
+    # (probe_columns: `(x IN (…)) >= 9007199254740992.0` was a
+    # DATATYPE_MISMATCH engine error)
+    dtxt = f"CAST(({dp.text}) AS BIGINT)" if dk == "bool" else dp.text
     if isinstance(sv, float):
         if dk in _INTISH:
-            return _exact_int_real_cmp(dp.text, op, sv)
+            return _exact_int_real_cmp(dtxt, op, sv)
         if quad:
             return _exact_quad_static_cmp(dp.trip, op, sv)
     elif isinstance(sv, int):
         if dk == "real":
-            return _exact_real_int_cmp(dp.text, op, sv)
+            return _exact_real_int_cmp(dtxt, op, sv)
         if quad:
             return _exact_quad_static_cmp(dp.trip, op, sv)
     return None
@@ -818,10 +823,11 @@ def _exact_dyn_static_is(dp: "_P", dk: str, c) -> str | None:
     if c is None or isinstance(c, bool) or abs(c) < 2**53:
         return None
     quad = dp.trip is not None and dp.cls is None
+    dtxt = f"CAST(({dp.text}) AS BIGINT)" if dk == "bool" else dp.text
     if isinstance(c, float):
         in64 = -(2.0**63) <= c < 2.0**63
         if dk in _INTISH:
-            return (f"(({dp.text}) <=> {_int_lit(int(c))})" if in64
+            return (f"(({dtxt}) <=> {_int_lit(int(c))})" if in64
                     else _BOOL_F)
         if quad:
             nn, cond, isql, dsql = dp.trip
@@ -1399,13 +1405,22 @@ class _P:
     transparent), which decides how mixed-type comparisons coerce."""
 
     __slots__ = ("text", "s", "e", "trip", "varied", "aff", "ival",
-                 "sval", "cls")
+                 "sval", "cls", "predt")
 
     def __init__(self, text: str, s: int, e: int):
         self.text, self.s, self.e = text, s, e
         self.trip = None
         self.varied = False
         self.aff = None
+        # predicate-form alternative of a compiled IN-subquery: `text`
+        # is the null-aware CASE wrap (exact SQLite three-valued IN,
+        # correct in EVERY consuming context), `predt` the plain
+        # `x [NOT] IN (SELECT …)` that _truthify substitutes when the
+        # result provably only feeds a filter decision (WHERE/HAVING/ON/
+        # WHEN/iif-cond through AND/OR) — there NULL acts like FALSE and
+        # Spark's semi/anti-join planning is both correct and the 100 TB
+        # shape.  None everywhere else.
+        self.predt = None
         # exact python-int value of a statically-known pure-integer
         # subtree (literals and sign/+-*/fold chains over them) — the
         # carrier for SQLite's int64-overflow-promotes-to-REAL arithmetic
@@ -1450,6 +1465,7 @@ class _Rw:
             j.trip, j.varied = pieces[0].trip, pieces[0].varied
             j.aff, j.ival = pieces[0].aff, pieces[0].ival
             j.sval, j.cls = pieces[0].sval, pieces[0].cls
+            j.predt = pieces[0].predt
         return j
 
     def _tokp(self, i: int) -> _P:
@@ -1472,7 +1488,7 @@ class _Rw:
                 pieces.append(self._tokp(i))
                 i += 1
                 if i < hi and self._starts_expr(i):
-                    (p, _k), i = self.expr(i, hi, boolctx=True)
+                    (p, _k), i = self.expr(i, hi, boolctx=True, filt=True)
                     pieces.append(p)
                 continue
             if t.kind == "word" and t.low == "limit":
@@ -1566,30 +1582,40 @@ class _Rw:
                 or t.text == "(" or t.text in ("+", "-", "~"))
 
     # -- expression grammar (SQLite precedence) --------------------------
-    def expr(self, i: int, hi: int, boolctx: bool) -> tuple[tuple[_P, str], int]:
-        """OR level; returns ((piece, kind), next_index)."""
+    def expr(self, i: int, hi: int, boolctx: bool,
+             filt: bool = False) -> tuple[tuple[_P, str], int]:
+        """OR level; returns ((piece, kind), next_index).  ``filt`` marks
+        a FILTER consumption (WHERE/HAVING/ON/searched-WHEN/iif-cond):
+        there NULL acts like FALSE, so _truthify may substitute an
+        IN-subquery's plain predicate form (predt) for its null-aware
+        wrap.  AND/OR propagate filt to their operands (the operand's
+        NULL-vs-FALSE distinction is unobservable through a monotone
+        connective whose result only gates a filter); NOT kills it
+        (NOT NULL is NULL but NOT FALSE is TRUE — observable even under
+        a filter)."""
         items: list[tuple[_P, str]] = []
         seps: list[_P] = []
-        r, i = self._and(i, hi)
+        r, i = self._and(i, hi, filt)
         items.append(r)
         while i < hi and self.T[i].low == "or":
             seps.append(self._tokp(i))
-            rr, i = self._and(i + 1, hi)
+            rr, i = self._and(i + 1, hi, filt)
             items.append(rr)
         if len(items) == 1:
             p, k = items[0]
             if boolctx:
-                p2 = self._truthify(p, k)
+                p2 = self._truthify(p, k, predok=filt)
                 return (p2, "bool" if p2 is not p or k == "bool" else k), i
             return (p, k), i
         merged: list[_P] = []
         for n, (p, k) in enumerate(items):
             if n:
                 merged.append(seps[n - 1])
-            merged.append(self._truthify(p, k))
+            merged.append(self._truthify(p, k, predok=filt))
         return (self._join(merged), "bool"), i
 
-    def _and(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
+    def _and(self, i: int, hi: int,
+             filt: bool = False) -> tuple[tuple[_P, str], int]:
         items: list[tuple[_P, str]] = []
         seps: list[_P] = []
         r, i = self._not(i, hi)
@@ -1604,7 +1630,7 @@ class _Rw:
         for n, (p, k) in enumerate(items):
             if n:
                 merged.append(seps[n - 1])
-            merged.append(self._truthify(p, k))
+            merged.append(self._truthify(p, k, predok=filt))
         return (self._join(merged), "bool"), i
 
     def _not(self, i: int, hi: int) -> tuple[tuple[_P, str], int]:
@@ -1621,7 +1647,7 @@ class _Rw:
                 f"ELSE coalesce(try_cast({pre} AS DOUBLE), CAST(0 AS DOUBLE)) "
                 f"<> CAST(0 AS DOUBLE) END)")
 
-    def _truthify(self, p: _P, k: str) -> _P:
+    def _truthify(self, p: _P, k: str, predok: bool = False) -> _P:
         """SQLite truthiness: coerce to NUMERIC, compare ≠ 0 (NULL stays
         NULL).  'bool' passes through (a Spark-boolean expression is never
         double-wrapped); 'unknown' dispatches on foldable typeof() — the
@@ -1631,6 +1657,12 @@ class _Rw:
         through its UTF-8 rendering like every blob numeric conversion
         (iif(x'31', 1, 2) is 1, iif(x'', 1, 2) is 2 — probed)."""
         if k == "bool":
+            if predok and p.predt is not None:
+                # filter-consumed IN-subquery: the plain Spark predicate
+                # keeps Catalyst's hash semi/anti-join planning (the
+                # null-aware wrap is only needed where the VALUE
+                # surfaces — see _P.predt)
+                return _P(p.predt, p.s, p.e)
             return p
         if k == "null":
             return _P("CAST(NULL AS BOOLEAN)", p.s, p.e)
@@ -2191,30 +2223,41 @@ class _Rw:
                         i = j + 1
                         made_bool = True
                         continue
-                    if (len(base) == 1 and subq and first.low == "select"
-                            and (meta := self._subquery_elem_meta(i, j))
-                            is not None):
+                    if len(base) == 1 and subq:
                         # IN-SUBQUERY: unlike the list form, the
                         # subquery's result column CARRIES its affinity
                         # and the standard §4.2 rules apply between LHS
                         # and element (probed vs sqlite3 — see
                         # _subquery_elem_meta).  Both sides transform
-                        # per the mode and membership stays a Spark IN
-                        # (SELECT …): Catalyst plans a (null-aware for
-                        # NOT IN) semi/anti join on the computed keys —
-                        # hash-joinable, never a nested loop.
-                        ek, eaff, ev, ep, k2 = meta
+                        # per the mode.  The DEFAULT emission is the
+                        # null-aware CASE wrap (SQLite's exact
+                        # three-valued IN: Spark's existence join
+                        # surfaces FALSE where SQLite yields NULL on a
+                        # no-match list containing NULL — the r4-pinned
+                        # projection-context delta, CLOSED r8); the
+                        # piece also carries the plain Spark
+                        # `x [NOT] IN (SELECT …)` as `predt`, which
+                        # _truthify substitutes in filter-consumed
+                        # positions so WHERE/HAVING/ON keep Catalyst's
+                        # (null-aware for NOT IN) hash semi/anti join —
+                        # the 100 TB plan shape — instead of the wrap's
+                        # extra scalar-count subqueries.
                         lp0 = base[0]
-                        lke = _eff_cmp_kind(lk, lp0)
-                        eke = _eff_cmp_kind(ek, ep)
-                        mode = _cmp_mode(lke, lp0.aff, lp0.varied,
-                                         eke, eaff, ev)
-                        if mode != "native":
+                        neg = "NOT " if negated else ""
+                        meta = (self._subquery_elem_meta(i, j)
+                                if first.low == "select" else None)
+                        if meta is not None:
+                            ek, eaff, ev, ep, k2 = meta
+                            lke = _eff_cmp_kind(lk, lp0)
+                            eke = _eff_cmp_kind(ek, ep)
+                            mode = _cmp_mode(lke, lp0.aff, lp0.varied,
+                                             eke, eaff, ev)
                             # tokens between SELECT and the parsed select
                             # expression are the DISTINCT/ALL qualifiers
                             dist = " ".join(
                                 T[x].text for x in range(i + 2, j)
                                 if T[x].start < ep.s)
+                            dist = f"{dist} " if dist else ""
                             if mode in ("key", "class"):
                                 pr = mode == "key"
                                 lsql = (_cls_key_sql(lp0.cls, pr)
@@ -2225,20 +2268,53 @@ class _Rw:
                             elif mode == "texty_l":
                                 lsql = _texty(lp0.text, lke)
                                 esql = f"({ep.text})"
-                            else:  # texty_r
+                            elif mode == "texty_r":
                                 lsql = f"({lp0.text})"
                                 esql = _texty(ep.text, eke)
+                            else:
+                                lsql = f"({lp0.text})"
+                                esql = f"({ep.text})"
                             rest, _ = self.seq(k2, j)
                             tail = f" {rest.text}" if rest.text else ""
-                            dist = f"{dist} " if dist else ""
-                            neg = "NOT " if negated else ""
-                            expr = (f"({lsql} {neg}IN "
-                                    f"(SELECT {dist}{esql}{tail}))")
-                            pieces = [_P(expr, base[0].s, T[j].end)]
-                            lk = "bool"
-                            i = j + 1
-                            made_bool = True
-                            continue
+                            inner = f"SELECT {dist}{esql}{tail}"
+                            vfrom = (f"(SELECT {dist}{esql} AS "
+                                     f"__dsq_v{tail})")
+                        else:
+                            # VALUES/WITH-headed (or unparsed) subquery:
+                            # verbatim rebuild, element accessed through
+                            # a table-alias column list
+                            innerp, _ = self.seq(i + 1, j)
+                            inner = innerp.text
+                            lsql = f"({lp0.text})"
+                            vfrom = f"({inner}) AS __dsq_insq(__dsq_v)"
+                        cnt_all = f"(SELECT count(*) FROM {vfrom})"
+                        cnt_nn = f"(SELECT count(__dsq_v) FROM {vfrom})"
+                        pred = None
+                        if lk == "null":
+                            # statically-NULL LHS: 0 on an empty
+                            # subquery, else NULL — no membership probe
+                            # (Spark rejects the VOID/element type mix)
+                            pos_case = (f"(CASE WHEN {cnt_all} = 0 "
+                                        f"THEN false ELSE "
+                                        f"CAST(NULL AS BOOLEAN) END)")
+                        else:
+                            pos = f"({lsql} IN ({inner}))"
+                            pos_case = (
+                                f"(CASE WHEN {pos} THEN true "
+                                f"WHEN ({lp0.text}) IS NOT NULL "
+                                f"AND {cnt_all} = {cnt_nn} THEN false "
+                                f"WHEN {cnt_all} = 0 THEN false "
+                                f"ELSE CAST(NULL AS BOOLEAN) END)")
+                            pred = f"({lsql} {neg}IN ({inner}))"
+                        expr = (f"(NOT {pos_case})" if negated
+                                else pos_case)
+                        np = _P(expr, base[0].s, T[j].end)
+                        np.predt = pred
+                        pieces = [np]
+                        lk = "bool"
+                        i = j + 1
+                        made_bool = True
+                        continue
                     gp, i = self._group(i, hi)
                     pieces.append(in_tok)
                     pieces.append(gp)
@@ -3646,7 +3722,7 @@ class _Rw:
                 f"THEN CAST(({t}) AS DOUBLE) "
                 f"ELSE CAST(({t}) AS DOUBLE) END)")
 
-    _PF_SPEC = re.compile(r"%[-+ 0#]*\d*(?:[.]\d+)?([a-zA-Z%])")
+    _PF_SPEC = re.compile(r"%[-+ 0#!,]*\d*(?:[.]\d+)?([a-zA-Z%])")
 
     def _printf_call(self, parsed, start: int, end: int, j: int):
         """printf()/format() with a LITERAL format: each argument
@@ -3668,32 +3744,98 @@ class _Rw:
         if not parsed or len(parsed) < 1:
             return None
         f0, fk0 = parsed[0]
-        if fk0 != "text" or f0.sval is None or len(parsed) < 2:
+        if fk0 != "text" or f0.sval is None:
             return None
         specs = []
+
+        def _mid_parts(mid: str):
+            mm = re.fullmatch(r"([-+ 0#!,]*)([0-9]*)(?:[.]([0-9]+))?", mid)
+            if not mm:
+                return "", "", None
+            return (mm.group(1), mm.group(2),
+                    int(mm.group(3)) if mm.group(3) is not None else None)
 
         def fix(m: re.Match) -> str:
             c = m.group(1)
             if c == "%":
                 return m.group(0)
             mid = m.group(0)[1:-1]  # flags/width/precision
-            c2 = "d" if c == "i" else c
-            if c2 in ("c", "u") and "0" not in mid and "." not in mid:
-                specs.append(("~" + c2, mid))
-                return "%" + mid + "s"
-            if c2 in ("g", "G") and re.fullmatch(
-                    r"(?:[.][0-9]+)?", mid):
+            c2 = {"i": "d", "z": "s"}.get(c, c)
+            flags, w, prec = _mid_parts(mid)
+            if c2 in "fFeEgG":
+                # ALL float conversions render through the calibrated
+                # Python port of SQLite's own printf digit loop
+                # (dsq_printf_float — flags/width/precision, the '!'
+                # 26-digit budget, 'Inf' spellings; printf is cold)
+                specs.append(("~f", mid + c2))
+                return "%s"
+            if c2 in ("c", "u"):
                 specs.append(("~" + c2, mid))
                 return "%s"
-            if c2 in ("f", "F", "e", "E"):
-                # rendered inner-side so ±Inf prints SQLite's
-                # 'Inf'/'-Inf' (Java prints 'Infinity')
+            if c2 in ("q", "Q", "w"):
+                # SQL-escape conversions: precision truncates the INPUT
+                # before escaping (probed), escaping is SQL-side, width
+                # rides Java %s ('-' is its only meaningful flag)
                 specs.append(("~" + c2, mid))
-                return "%s"
-            specs.append((c2, mid))
-            return "%" + mid + c2
+                dash = "-" if "-" in flags else ""
+                return "%" + dash + w + "s"
+            if c2 == "p":
+                # SQLite renders %p as the pointer '0' for SQL values
+                specs.append(("~p", mid))
+                dash = "-" if "-" in flags else ""
+                return "%" + dash + w + "s"
+            if c2 == "n":
+                # consumed, prints nothing (Java %.0s eats the argument)
+                specs.append(("~n", mid))
+                return "%.0s"
+            if c2 == "s":
+                # Java %s rejects the 0/!/,/#/+/space flags SQLite
+                # ignores for strings
+                specs.append(("s", mid))
+                dash = "-" if "-" in flags else ""
+                pr = f".{prec}" if prec is not None else ""
+                return "%" + dash + w + pr + "s"
+            if c2 in "dxXo":
+                if prec is not None or ("0" in flags
+                                        and ("-" in flags
+                                             or "," in flags)):
+                    # C precision = minimum digits (Java rejects it on
+                    # integer conversions), and SQLite's 0-flag
+                    # zero-pads even with '-'/',' where Java errors or
+                    # groups differently — SQL-side
+                    specs.append(("~" + c2, mid))
+                    return "%s"
+                keep = "-+ 0" + ("," if c2 == "d" else "") + \
+                    ("#" if c2 in "xXo" else "")
+                fl = "".join(ch for ch in flags if ch in keep)
+                specs.append((c2, mid))
+                return "%" + fl + w + c2
+            # unknown conversion: SQLite stops emitting at the bad spec
+            # (printf('[%y]', 1) is '[') — poison the tail
+            specs.append(("!stop", mid))
+            return "\x00STOP\x00"
 
         fmt_txt = self._PF_SPEC.sub(fix, f0.text)
+        if "\x00STOP\x00" in fmt_txt:
+            cut = fmt_txt.index("\x00STOP\x00")
+            fmt_txt = fmt_txt[:cut] + "'"  # re-close the literal
+            stop_ix = next(ix for ix, s9 in enumerate(specs)
+                           if s9[0] == "!stop")
+            specs = specs[:stop_ix]
+        # a trailing lone '%' passes through verbatim in SQLite; Java
+        # rejects it — double it inside the literal
+        body9 = fmt_txt[:-1]
+        if (len(body9) - len(body9.rstrip("%"))) % 2 == 1:
+            fmt_txt = body9 + "%'"
+
+        def _space_pad(body: str, flags: str, w: str) -> str:
+            width = int(w) if w else 0
+            if not width:
+                return body
+            gap = f"repeat(' ', greatest(0, {width} - length({body})))"
+            if "-" in flags:
+                return f"concat({body}, {gap})"
+            return f"concat({gap}, {body})"
 
         def arg_sql(conv: str, mid: str, p, k) -> str:
             t = p.text
@@ -3702,93 +3844,122 @@ class _Rw:
                     return t  # our own emission re-entering
                 return (f"coalesce({self._int64_of(p, k)}, "
                         f"CAST(0 AS BIGINT))")
-            if conv in "feEgG":  # flagged %g/%G kept in the format
-                if k == "real" and t.endswith("+ CAST(0 AS DOUBLE))"):
-                    return t
-                return (f"(coalesce({self._real64_of(p, k)}, "
-                        f"CAST(0 AS DOUBLE)) + CAST(0 AS DOUBLE))")
-            if conv in ("~f", "~F"):
-                # SQLite's %f digit loop (16-significant-digit budget,
-                # long-double drift: printf('%f', 2^53) is
-                # ...991.000000) — byte-calibrated Python port
-                # (functions/sqlite_real.py::_fmt_float), Arrow-batched;
-                # printf is a cold path.  Width/flags applied in the
-                # UDF; NaN renders the 0 value (SQLite stores NaN as
-                # NULL, value_double(NULL) is 0.0); ±Inf prints
-                # 'Inf'/'-Inf'.
+            if conv == "~f":
+                # ALL float conversions ride the byte-calibrated Python
+                # port of SQLite's printf digit loop (sqlite_real.py::
+                # _fmt_real — 16-digit budget, '!' raises it to 26,
+                # etGENERIC's rtz/exp switch, 'Inf'/'-Inf', C width/
+                # flag handling; printf('%f', 2^53) is ...991.000000).
+                # Arrow-batched; printf is a cold path.  NaN renders
+                # the 0 value (SQLite stores NaN as NULL,
+                # value_double(NULL) is 0.0).
                 d = (f"(coalesce({self._real64_of(p, k)}, "
                      f"CAST(0 AS DOUBLE)) + CAST(0 AS DOUBLE))")
-                return f"dsq_printf_float({d}, '{mid}f')"
-            if conv in ("~e", "~E"):
-                d = (f"(coalesce({self._real64_of(p, k)}, "
-                     f"CAST(0 AS DOUBLE)) + CAST(0 AS DOUBLE))")
-                inner = f"format_string('%{mid}{conv[1]}', {d})"
-                return (f"(CASE WHEN isnan({d}) THEN "
-                        f"format_string('%{mid}{conv[1]}', "
-                        f"CAST(0 AS DOUBLE)) "
-                        f"WHEN ({d}) = CAST('Infinity' AS DOUBLE) "
-                        f"THEN 'Inf' "
-                        f"WHEN ({d}) = -CAST('Infinity' AS DOUBLE) "
-                        f"THEN '-Inf' ELSE {inner} END)")
-            if conv in ("~g", "~G"):
-                prec = re.search(r"[.]([0-9]+)$", mid)
-                pv = int(prec.group(1)) if prec else 6
-                d = (f"(coalesce({self._real64_of(p, k)}, "
-                     f"CAST(0 AS DOUBLE)) + CAST(0 AS DOUBLE))")
-                g = f"format_string('%.{pv}{conv[1]}', {d})"
-                r1 = (f"regexp_replace({g}, "
-                      f"'([.][0-9]*[1-9])0+([eE]|$)', '$1$2')")
-                r2 = f"regexp_replace({r1}, '[.]0*([eE]|$)', '$1')"
-                return (f"(CASE WHEN isnan({d}) THEN '0' "
-                        f"WHEN ({d}) = CAST('Infinity' AS DOUBLE) "
-                        f"THEN 'Inf' "
-                        f"WHEN ({d}) = -CAST('Infinity' AS DOUBLE) "
-                        f"THEN '-Inf' ELSE {r2} END)")
+                return f"dsq_printf_float({d}, '{mid}')"
             if conv == "~c":
                 # SQLite %c prints the FIRST CHARACTER of the
                 # argument's TEXT rendering (printf('%c', 65) is '6',
-                # 'hello' gives 'h', NULL a NUL byte — probed)
+                # 'hello' gives 'h', NULL a NUL byte — probed);
+                # precision N repeats the character max(1,N) times,
+                # width pads SPACES only (the 0 flag is ignored — all
+                # probed on sqlite3 3.40.1)
+                flags, w, prec = _mid_parts(mid)
                 tx = _sqlite_text_sql(p, k)
-                return (f"(CASE WHEN ({tx}) IS NULL OR ({tx}) = '' "
+                base = (f"(CASE WHEN ({tx}) IS NULL OR ({tx}) = '' "
                         f"THEN string(unhex('00')) "
                         f"ELSE substr({tx}, 1, 1) END)")
-            if conv == "~u":
+                if prec is not None and prec > 1:
+                    base = f"repeat({base}, {prec})"
+                return _space_pad(base, flags, w)
+            if conv in ("~u", "~d", "~x", "~X", "~o"):
+                # SQL-side integer conversion: exact unsigned-64 for %u,
+                # C "minimum digits" precision, and SQLite's OWN 0-flag
+                # semantics — printf.c etRADIX RAISES THE PRECISION to
+                # width minus sign length (so '0' zero-pads even with
+                # '-' or a precision, unlike C), and the ',' grouping is
+                # inserted into the already-zero-padded digit string
+                # ('%,012u' of 1234 is '000,000,001,234' — probed)
+                flags, w, prec = _mid_parts(mid)
+                width = int(w) if w else 0
                 v = (f"coalesce({self._int64_of(p, k)}, "
                      f"CAST(0 AS BIGINT))")
-                return (f"string(CASE WHEN {v} >= 0 "
-                        f"THEN CAST({v} AS DECIMAL(20, 0)) "
-                        f"ELSE CAST({v} AS DECIMAL(20, 0)) "
-                        f"+ 18446744073709551616BD END)")
+                if conv == "~u":
+                    dec = (f"(CASE WHEN {v} >= 0 "
+                           f"THEN CAST({v} AS DECIMAL(20, 0)) "
+                           f"ELSE CAST({v} AS DECIMAL(20, 0)) "
+                           f"+ 18446744073709551616BD END)")
+                    dig = f"string({dec})"
+                elif conv == "~d":
+                    dig = f"string(abs(CAST({v} AS DECIMAL(20, 0))))"
+                elif conv == "~o":
+                    dig = f"conv({v}, 10, 8)"
+                else:
+                    dig = f"hex({v})" if conv == "~X" else \
+                        f"lower(hex({v}))"
+                signed = conv == "~d"
+                pos = ("'+'" if "+" in flags else
+                       ("' '" if " " in flags else "''")) if signed \
+                    else "''"
+                sgn = (f"(CASE WHEN {v} < 0 THEN '-' ELSE {pos} END)"
+                       if signed else "''")
+                padto = str(prec or 0)
+                if "0" in flags and width:
+                    padto = (f"greatest({prec or 0}, {width} - "
+                             f"length({sgn}))")
+                dig = (f"concat(repeat('0', greatest(0, {padto} - "
+                       f"length({dig}))), {dig})")
+                if "," in flags and conv in ("~u", "~d"):
+                    dig = (f"regexp_replace({dig}, "
+                           f"'(\\\\d)(?=(\\\\d{{3}})+$)', '$1,')")
+                body = f"concat({sgn}, {dig})" if signed else dig
+                return _space_pad(body, flags, w)
+            if conv in ("~q", "~Q", "~w"):
+                # SQL-escape conversions (value_text semantics; NULL is
+                # '(NULL)' for q/w and bare 'NULL' for Q — probed); a
+                # precision truncates the INPUT — including the NULL
+                # spelling — BEFORE escaping ('%.2q' of NULL is '(N',
+                # of "a'b" is "a''")
+                flags, w, prec = _mid_parts(mid)
+                tx = _sqlite_text_sql(p, k)
+
+                def cut(x: str) -> str:
+                    return (f"substr({x}, 1, {prec})"
+                            if prec is not None else x)
+
+                if conv == "~w":
+                    body = cut(f"coalesce({tx}, '(NULL)')")
+                    return f'replace({body}, \'"\', \'""\')'
+                if conv == "~q":
+                    body = cut(f"coalesce({tx}, '(NULL)')")
+                    return f"replace({body}, '''', '''''')"
+                qesc = f"replace({cut(f'({tx})')}, '''', '''''')"
+                return (f"(CASE WHEN ({tx}) IS NULL "
+                        f"THEN {cut(chr(39) + 'NULL' + chr(39))} "
+                        f"ELSE concat('''', {qesc}, '''') END)")
+            if conv == "~p":
+                # SQLite %p prints value_int64 as uppercase hex
+                return (f"hex(coalesce({self._int64_of(p, k)}, "
+                        f"CAST(0 AS BIGINT)))")
+            if conv == "~n":
+                return "''"
             if conv == "s":
                 if k == "text" and t.startswith("coalesce("):
                     return t
                 return f"coalesce({_sqlite_text_sql(p, k)}, '')"
             return f"({t})"
 
+        null_p = _P("NULL", 0, 0)
         out_args = [arg_sql(cv, mid, p, k)
                     for (cv, mid), (p, k) in zip(specs, parsed[1:])]
         for idx in range(len(out_args), len(parsed) - 1):
             out_args.append(f"({parsed[1 + idx][0].text})")
-        # missing trailing arguments print as the conversion's zero
+        # missing trailing arguments print as the conversion's zero /
+        # NULL value — route each through the same coercion with a
+        # NULL argument (value_int64(NULL) is 0, value_text(NULL) '')
         for cv, _mid in specs[len(parsed) - 1:]:
-            if cv == "~c":
-                out_args.append("string(unhex('00'))")
-            elif cv in ("~u", "~g", "~G"):
-                out_args.append("'0'")
-            elif cv in ("~f", "~F"):
-                out_args.append(
-                    f"dsq_printf_float(CAST(0 AS DOUBLE), '{_mid}f')")
-            elif cv in ("~e", "~E"):
-                out_args.append(
-                    f"format_string('%{{0}}', CAST(0 AS DOUBLE))"
-                    .replace("{0}", _mid + cv[1]))
-            elif cv in "duxXo":
-                out_args.append("CAST(0 AS BIGINT)")
-            elif cv in "feEgG":
-                out_args.append("CAST(0 AS DOUBLE)")
-            else:
-                out_args.append("''")
-        expr = f"printf({fmt_txt}, " + ", ".join(out_args) + ")"
+            out_args.append(arg_sql(cv, _mid, null_p, "null"))
+        tail9 = (", " + ", ".join(out_args)) if out_args else ""
+        expr = f"printf({fmt_txt}{tail9})"
         return ((_P(expr, start, end), "text"), j + 1)
 
     def _sum_avg_call(self, fname: str, parsed, start: int, end: int,
@@ -4146,7 +4317,7 @@ class _Rw:
                         *(parsed[1] if tv9 else parsed[2]),
                         start, end), j + 1)
                 vals = parsed[1:]
-                cp = self._truthify(*parsed[0])
+                cp = self._truthify(*parsed[0], predok=True)
                 conds = [f"({cp.text})"]
             else:
                 if len(parsed) < 2:
@@ -4837,7 +5008,8 @@ class _Rw:
                 continue
             boolctx = ordinal == 0 and fname in ("iif", "if")
             a0 = k
-            (ep, ek), k = self.expr(k, j, boolctx=boolctx)
+            (ep, ek), k = self.expr(k, j, boolctx=boolctx,
+                                    filt=boolctx)
             if (ordinal == 1 and fname in _REGEXP_FNS
                     and k == a0 + 1 and T[a0].kind == "str"):
                 ep = _P(_go_regex_to_java(ep.text), ep.s, ep.e)
@@ -5001,7 +5173,8 @@ class _Rw:
         whens = []  # base-form: (cond_piece, cond_kind, value_piece|None)
         while i < hi and T[i].low == "when":
             pieces.append(self._tokp(i))
-            (cp, ck), i = self.expr(i + 1, hi, boolctx=searched)
+            (cp, ck), i = self.expr(i + 1, hi, boolctx=searched,
+                                    filt=searched)
             pieces.append(cp)
             vp, vk = None, "unknown"
             if i < hi and T[i].low == "then":

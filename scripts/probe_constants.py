@@ -144,7 +144,14 @@ def gen(r: random.Random, d: int) -> str:
         # rewrites, Inf spellings — all compiled in sqlexpr)
         lambda: ("printf('<%" + r.choice(
             ["d", "s", ".2f", "x", "i", "05d", "g", "c", "u", "e",
-             "8.3f", "-6d"]) + ">', " + gen(r, d - 1) + ")"),
+             "8.3f", "-6d",
+             # r8 batch 3: the full conversion surface — flagged/width
+             # floats through the calibrated digit loop, %c repeat/pad,
+             # %u/%d precision + SQLite 0-flag/grouping, SQL-escapes,
+             # %p/%z, 16-digit %e zero-fill
+             "5c", ".3c", "010u", ",d", ".5d", "10.3g", "!.15g",
+             ".18e", "#.0e", "q", "Q", "w", ".2q", "p", "z",
+             "08.5u"]) + ">', " + gen(r, d - 1) + ")"),
     ]
     return r.choice(forms)()
 

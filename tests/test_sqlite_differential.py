@@ -1167,11 +1167,49 @@ def test_in_subquery_affinity(engines):
         assert want == got, (w, want, got)
         rw = rewrite_query(q, SCHEMA)
         assert rewrite_query(rw, SCHEMA) == rw, w
-    # the pinned projection-context delta: SQLite NULL, Spark false
-    q = "SELECT (9 IN (SELECT c FROM td)) AS r FROM td WHERE a = 1"
-    assert [r[0] for r in con.execute(q).fetchall()] == [None]
-    assert [r["r"] for r in
-            spark.sql(rewrite_query(q, SCHEMA)).collect()] == [False]
+    # projection-context IN is null-aware since r8 (CLOSED delta: the
+    # compiled piece defaults to the three-valued CASE wrap and only
+    # filter consumption substitutes the plain Spark predicate — see
+    # sqlexpr._P.predt): SQLite NULL, engine NULL.
+    for q, want in [
+        ("SELECT (9 IN (SELECT c FROM td)) AS r FROM td WHERE a = 1",
+         [None]),
+        ("SELECT (1 IN (SELECT a FROM td)) AS r FROM td WHERE a = 1",
+         [1]),
+        ("SELECT (9 IN (SELECT a FROM td WHERE a IS NOT NULL)) AS r "
+         "FROM td WHERE a = 1", [0]),
+        ("SELECT (9 IN (SELECT a FROM td WHERE 0)) AS r "
+         "FROM td WHERE a = 1", [0]),
+        ("SELECT (NULL IN (SELECT a FROM td)) AS r FROM td WHERE a = 1",
+         [None]),
+        ("SELECT (NULL IN (SELECT a FROM td WHERE 0)) AS r "
+         "FROM td WHERE a = 1", [0]),
+        ("SELECT (9 NOT IN (SELECT c FROM td)) AS r FROM td WHERE a = 1",
+         [None]),
+        ("SELECT (2 NOT IN (SELECT a FROM td WHERE a IS NOT NULL)) AS r "
+         "FROM td WHERE a = 1", [0]),
+    ]:
+        got_sqlite = [r[0] for r in con.execute(q).fetchall()]
+        assert got_sqlite == want, (q, got_sqlite)
+        got = [r["r"] for r in
+               spark.sql(rewrite_query(q, SCHEMA)).collect()]
+        got = [None if v is None else int(v) for v in got]
+        assert got == want, (q, got)
+    # … and WHERE-context consumption through a VALUE position (the IN
+    # result feeding a comparison) is three-valued too: NULL = 0 is
+    # NULL → row excluded, where the old existence-join FALSE kept it
+    q = "SELECT a FROM td WHERE (9 IN (SELECT c FROM td)) = 0"
+    assert con.execute(q).fetchall() == []
+    assert spark.sql(rewrite_query(q, SCHEMA)).collect() == []
+    # filter consumption keeps the PLAIN Spark predicate (hash semi/anti
+    # join planning — no scalar-count probes in the emission)
+    rw = rewrite_query("SELECT a FROM td WHERE a IN (SELECT a FROM td)",
+                       SCHEMA)
+    assert "__dsq_v" not in rw
+    rw = rewrite_query(
+        "SELECT a FROM td WHERE a NOT IN (SELECT a FROM td) AND b > 0",
+        SCHEMA)
+    assert "__dsq_v" not in rw
 
 
 def test_blob_comparison_matrix(engines):
@@ -2084,3 +2122,154 @@ def test_r8_printf_conversion_matrix(engines):
     assert want == got
     rw = rewrite_query(q, SCHEMA)
     assert rewrite_query(rw, SCHEMA) == rw
+
+
+def test_r8_bare_columns_in_aggregate(engines):
+    """SQLite's bare-columns-in-aggregate-queries rule
+    (sqlite.org/lang_select.html#bareagg, reference main.go passes these
+    straight to the embedded engine): a non-aggregate result column in
+    an aggregate query RUNS — Spark's MISSING_GROUP_BY error class is
+    gone.  With exactly one min()/max() aggregate the bare columns come
+    from a row holding the extremum (compiled to min_by/max_by — exact
+    when the extremum is unique, pinned below); otherwise from an
+    arbitrary row (any_value — SQLite declares the row unspecified, so
+    those assert membership, not equality)."""
+    spark, con = engines
+
+    # deterministic: unique extrema, no GROUP BY and per-group
+    for q in [
+        "SELECT c, max(a) FROM td",
+        "SELECT c, min(a) FROM td",
+        "SELECT a, b, min(b) AS m FROM td",
+        "SELECT a, c, max(b) FROM td",
+        "SELECT c, a, max(b) FROM td GROUP BY a IS NULL ORDER BY 3",
+        "SELECT c, max(a + 1) FROM td",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
+        rw = rewrite_query(q, SCHEMA)
+        assert rewrite_query(rw, SCHEMA) == rw, q
+
+    # arbitrary-row family: must RUN, aggregate columns exact, bare
+    # values drawn from the column (SQLite: "an arbitrary row")
+    col_vals = {r[0] for r in con.execute("SELECT a FROM td")}
+    for q, agg_ix in [
+        ("SELECT a, avg(b), count(*) FROM td", (1, 2)),
+        ("SELECT a, min(c), count(b) FROM td", (1, 2)),
+        ("SELECT a, sum(a) FROM td", (1,)),
+    ]:
+        want = con.execute(q).fetchall()
+        got = [tuple(r) for r in spark.sql(rewrite_query(q, SCHEMA)).collect()]
+        assert len(got) == len(want) == 1, q
+        for ix in agg_ix:
+            assert _canon(got[0][ix]) == _canon(want[0][ix]), q
+        assert got[0][0] in col_vals, q
+
+    # stray per-row refs INSIDE an aggregate-containing item ride the
+    # same rule (`max(a) + a` evaluates a on the max row; probe_columns
+    # found the `sum('-2') OR c` MISSING_GROUP_BY error class)
+    for q in [
+        "SELECT max(a) + a FROM td",
+        "SELECT min(b) - b AS d FROM td",
+        "SELECT max(a), a + 1 FROM td",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
+        rw = rewrite_query(q, SCHEMA)
+        assert rewrite_query(rw, SCHEMA) == rw, q
+    # non-min/max: must RUN; agg part exact
+    q = "SELECT sum(b) + (a = a) FROM td"
+    want = con.execute(q).fetchall()
+    got = [tuple(r) for r in spark.sql(rewrite_query(q, SCHEMA)).collect()]
+    assert len(got) == len(want) == 1, q
+    assert _canon(got[0][0]) == _canon(want[0][0]), (q, got, want)
+
+    # grouped columns stay untouched (no any_value in the emission), and
+    # non-aggregate queries pass through byte-identical
+    rw = rewrite_query("SELECT a, count(*) FROM td GROUP BY a", SCHEMA)
+    assert "any_value" not in rw and "max_by" not in rw
+    rw = rewrite_query("SELECT a AS k, count(*) FROM td GROUP BY k", SCHEMA)
+    assert "any_value" not in rw
+    rw = rewrite_query("SELECT a, b FROM td", SCHEMA)
+    assert "any_value" not in rw
+    # a window function does not make the query aggregate
+    rw = rewrite_query("SELECT a, sum(b) OVER () FROM td", SCHEMA)
+    assert "any_value" not in rw
+    # 2-arg min/max are scalar, not aggregates
+    rw = rewrite_query("SELECT a, min(b, 2) FROM td", SCHEMA)
+    assert "any_value" not in rw
+
+
+def test_column_probe_sweep_gate(engines):
+    """The column-involved probe (scripts/probe_columns.py — the
+    dynamic-path twin of probe_constants, r8) as a suite gate: a sampled
+    sweep over scalar / WHERE / aggregate forms on the typed 10-row
+    table must finish with ZERO engine errors and ZERO value mismatches.
+    Its first full run found the bare-columns-in-aggregate error class
+    (pinned in test_r8_bare_columns_in_aggregate)."""
+    import os
+    import sqlite3 as _sq
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                    os.pardir, "scripts"))
+    import probe_columns as pcol
+
+    spark, _con2 = engines
+    con = _sq.connect(":memory:")
+    con.execute("CREATE TABLE td(id INTEGER, a INTEGER, b REAL, c TEXT)")
+    con.executemany("INSERT INTO td VALUES (?,?,?,?)",
+                    [(i,) + row for i, row in enumerate(pcol.ROWS)])
+    spark.createDataFrame(
+        [(i,) + row for i, row in enumerate(pcol.ROWS)],
+        "id long, a long, b double, c string",
+    ).coalesce(1).createOrReplaceTempView("td")
+    checked, value_mm, class_d, errors = pcol.sweep(
+        spark, con, 60, 0xC01BEEF)
+    assert checked == 60
+    assert not errors, errors[:5]
+    assert not value_mm, value_mm[:5]
+
+
+def test_r8_printf_full_conversion_matrix(engines):
+    """printf() closure of the r7-documented residuals (r8 batch 2):
+    EVERY float conversion (%e/%E/%g/%G, any flags/width/precision)
+    renders through the calibrated port of SQLite's printf digit loop
+    (16-digit budget — '%.18e' of 0.1 is '1.000000000000000000e-01',
+    NOT Java's correctly-rounded ...055e-01 — and the '!' flag's
+    26-digit budget), %c takes precision-as-repeat + space-only width,
+    %u/%d/%x/%o take C minimum-digit precision with SQLite's own
+    0-flag rule (zero-pad to width even under '-'/precision) and
+    ','-grouping of the padded digits, %q/%Q/%w SQL-escape with
+    input-side precision truncation and the '(NULL)'/'NULL' spellings,
+    %p prints value_int64 as uppercase hex, %z is %s, an UNKNOWN
+    conversion stops output at the bad spec ('[%y more]' prints '['),
+    and a trailing lone '%' passes through.  All probed on sqlite3."""
+    spark, con = engines
+    exprs = []
+    for sp in ["%5c", "%-5c", "%.3c", "%5.3c", "%05c",
+               "%10u", "%-10u", "%010u", "%.5u", "%,u", "%08.5u",
+               "%10.3g", "%-10.3g", "%010.3g", "%#.3g", "%!.15g",
+               "%.0g", "%#g", "%.17g",
+               "%.20e", "%.18e", "%20.3e", "%#.0e", "%!.20e", "%.20E",
+               "%012.2e", "%.20f", "%!.6f", "%!,15.2f",
+               "%q", "%Q", "%w", "%10q", "%.2q", "%-6Q",
+               "%.5d", "%8.4d", "%+.3d", "%08.5d", "%-08d", "%,08d",
+               "%.3x", "%.3o", "%,d", "%z", "%p"]:
+        for arg in ["'ab'", "-42", "0.1", "b", "c", "NULL",
+                    "9007199254740992.0"]:
+            exprs.append(f"printf('[{sp}]', {arg})")
+    exprs += ["printf('[%y more]', 1)", "printf('abc%', 1)",
+              "printf('[%n]!', 'x')", "printf('[%S]tail', 'ab')",
+              "printf('%q')", "printf('%Q')", "printf('%w')",
+              "printf('%c')", "printf('%u')", "printf('%.3e')",
+              "printf('%g')", "printf('[%.1q]', NULL)",
+              "printf('[%.2Q]', NULL)", "printf('[%,.8u]', 1234)",
+              "printf('[%,012u]', 1234)", "printf('[%,.8d]', -1234)"]
+    for i0 in range(0, len(exprs), 60):
+        chunk = exprs[i0:i0 + 60]
+        q = ("SELECT " + ", ".join(f"{e} AS r{i}"
+                                   for i, e in enumerate(chunk))
+             + " FROM td LIMIT 1")
+        want, got = _run(spark, con, q)
+        assert want == got, (i0, chunk[:3])
