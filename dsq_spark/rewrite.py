@@ -494,6 +494,9 @@ _BARE_KEYWORDS = frozenset((
     "null", "like", "glob", "rlike", "regexp", "between", "escape", "cast",
     "as", "distinct", "all", "collate", "asc", "desc", "true", "false",
     "exists", "from", "select", "where", "by", "interval", "filter",
+    "nulls", "first", "last", "limit", "offset", "group", "order",
+    "having", "window", "union", "intersect", "except", "nocase",
+    "binary", "rtrim",
 ))
 
 
@@ -627,7 +630,29 @@ def _bare_agg_one(seg: str, cols: frozenset) -> str:
         aliases.append(alias)
     nterms = {norm(t) for t in gterms}
     for t in gterms:
+        # ordinal terms: SQLite resolves positions through parentheses
+        # and unary signs ((2), +2 are position 2) but not arithmetic
         ts = t.strip()
+        while True:
+            if ts.startswith("(") and ts.endswith(")"):
+                inner = ts[1:-1].strip()
+                d9 = 0
+                ok9 = True
+                for ch in inner:
+                    if ch == "(":
+                        d9 += 1
+                    elif ch == ")":
+                        d9 -= 1
+                        if d9 < 0:
+                            ok9 = False
+                            break
+                if ok9 and d9 == 0:
+                    ts = inner
+                    continue
+            if ts[:1] == "+":
+                ts = ts[1:].lstrip()
+                continue
+            break
         if re.fullmatch(r"\d+", ts) and 1 <= int(ts) <= len(items):
             grouped.add(int(ts) - 1)
     for ix, (core, alias) in enumerate(zip(cores, aliases)):
@@ -679,7 +704,49 @@ def _bare_agg_one(seg: str, cols: frozenset) -> str:
             alias = "`" + label.replace("`", "``") + "`"
         pre = it[:len(it) - len(it.lstrip())]
         out_items.append(f"{pre}{wrapper(core)} AS {alias} ")
-    return seg[:start] + ",".join(out_items) + seg[end:]
+    # bare columns in HAVING and ORDER BY ride the same rule (SQLite:
+    # `SELECT count(*) FROM t HAVING a > 0` and `SELECT max(a) FROM t
+    # ORDER BY c` both run — arbitrary/extremum row).  A bare key that
+    # names a select-item ALIAS resolves to the output column in both
+    # engines and must stay verbatim.
+    out_names = set()
+    for core, alias in zip(cores, aliases):
+        if alias:
+            out_names.add(alias.strip('`"').lower())
+        elif _BARE_COL.match(_paren_stripped(core)):
+            nm9 = re.search(r'(?:`([^`]+)`|"([^"]+)"|([A-Za-z_]\w*))\s*$',
+                            core)
+            if nm9:
+                out_names.add(
+                    (nm9.group(1) or nm9.group(2) or nm9.group(3)).lower())
+    tcols = frozenset(c for c in cols if c not in out_names)
+    splices: list[tuple[int, int, str]] = []
+    if cols and hav is not None:
+        hend2 = _scan_kw(seg, spans, hav + 6, "ORDER", "LIMIT", "WINDOW")
+        h0, h1 = hav + 6, hend2 if hend2 is not None else len(seg)
+        w9 = _wrap_stray_cols(seg[h0:h1], tcols, wrapper)
+        if w9 != seg[h0:h1]:
+            splices.append((h0, h1, w9))
+    opos = _scan_kw(seg, spans, end, "ORDER")
+    if cols and opos is not None:
+        oby = re.match(r"(?is)ORDER\s+BY\b", seg[opos:])
+        if oby:
+            oend = _scan_kw(seg, spans, opos + oby.end(), "LIMIT", "WINDOW")
+            o0 = opos + oby.end()
+            o1 = oend if oend is not None else len(seg)
+            w9 = _wrap_stray_cols(seg[o0:o1], tcols, wrapper)
+            if w9 != seg[o0:o1]:
+                splices.append((o0, o1, w9))
+    tail = seg[end:]
+    if splices:
+        parts9, cur = [], end
+        for s0, s1, txt in sorted(splices):
+            parts9.append(seg[cur:s0])
+            parts9.append(txt)
+            cur = s1
+        parts9.append(seg[cur:])
+        tail = "".join(parts9)
+    return seg[:start] + ",".join(out_items) + tail
 
 
 def _rewrite_fn_aliases(sql: str) -> str:
@@ -1066,6 +1133,50 @@ def _inline_calls(sql: str, name: str, ptypes, body: str) -> str:
         pos = m.start() + len(repl)
 
 
+def _sort_needs_inline(sql: str) -> bool:
+    """True when a SQL temporary function sits inside an ORDER BY
+    clause (top-level, subquery or window OVER — Spark 4.1 rejects SQL
+    UDFs in Sort outright: UNSUPPORTED_SQL_UDF_USAGE "Using SQL
+    function `dsq_real_text` in Sort is not supported", found by the r8
+    ORDER BY probe: `… ORDER BY date(col)` died).  The same inlining
+    that makes aggregate-mixed statements analyzable fixes Sort, so
+    this only widens the trigger; statements whose ORDER BY keys are
+    UDF-free keep their exact bytes (the swap to pandas twins is a
+    measured slowdown on datetime-heavy projections — r6 BENCH_NOTES)."""
+    if not re.search(r"(?i)\bORDER\s+BY\b", sql):
+        return False
+    from dsq_spark.functions import INLINE_UDFS
+
+    names = list(INLINE_UDFS) + ["dsq_real_text", "glob_regex"]
+    rx = re.compile(r"(?<![\w.`$])(?:" +
+                    "|".join(re.escape(n) for n in names) + r")\s*\(",
+                    re.IGNORECASE)
+    spans = _skip_spans(sql)
+    for m in re.finditer(r"(?i)\bORDER\s+BY\b", sql):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        i, depth, n = m.end(), 0, len(sql)
+        while i < n:
+            if any(a <= i < b for a, b in spans):
+                i += 1
+                continue
+            ch = sql[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break  # closes the enclosing subquery / OVER
+                depth -= 1
+            elif (depth == 0 and ch in "LlWw"
+                  and not (sql[i - 1].isalnum() or sql[i - 1] == "_")
+                  and re.match(r"(?i)(LIMIT|WINDOW)\b", sql[i:])):
+                break
+            i += 1
+        if rx.search(sql[m.end():i]):
+            return True
+    return False
+
+
 def _inline_agg_safe(sql: str) -> str:
     """Make an AGGREGATE-containing statement safe for Spark 4.1's SQL
     analyzer: the SQL-function extraction rewrites a projection that
@@ -1083,7 +1194,7 @@ def _inline_agg_safe(sql: str) -> str:
     spellings) inline textually, transitively (datetime wrappers call
     best_effort_ts), with a size cap as a runaway guard.  Statements
     with no aggregate keep their exact bytes and plans."""
-    if not _AGG_CALL.search(sql):
+    if not _AGG_CALL.search(sql) and not _sort_needs_inline(sql):
         return sql
     from dsq_spark.functions import INLINE_UDFS, strict_json_active
 

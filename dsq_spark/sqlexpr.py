@@ -1203,6 +1203,19 @@ def _typed_key_null_sql(t: str, k: str = "unknown",
             f"ELSE {body} END)")
 
 
+def _balanced(s: str) -> bool:
+    """Paren-balance check for peeling redundant outer parens."""
+    d = 0
+    for ch in s:
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+            if d < 0:
+                return False
+    return d == 0
+
+
 def _cls_key_sql(cls, parse: bool, null_rank0: bool = False) -> str:
     """Comparison key of a TEXT-rendered branch construct, built from
     its per-arm class structure: each arm keys with ITS OWN static kind
@@ -1482,9 +1495,11 @@ class _Rw:
             s = T[i - 1].end if i > 0 else 0
             return _P("", s, s), i
         pieces: list[_P] = []
+        in_groupby = False
         while i < hi:
             t = T[i]
             if t.kind == "word" and t.low in _CLAUSE_BOOL:
+                in_groupby = False
                 pieces.append(self._tokp(i))
                 i += 1
                 if i < hi and self._starts_expr(i):
@@ -1503,8 +1518,24 @@ class _Rw:
                 pieces.append(self._tokp(i + 1))
                 i = self._order_keys(i + 2, hi, pieces)
                 continue
+            if (t.kind == "word" and t.low == "group"
+                    and i + 1 < hi and T[i + 1].low == "by"):
+                in_groupby = True
+                pieces.append(self._tokp(i))
+                pieces.append(self._tokp(i + 1))
+                i += 2
+                continue
+            if t.kind == "word" and t.low in (
+                    "having", "window", "limit", "union", "intersect",
+                    "except", "select", "from", "where", "order"):
+                in_groupby = False
             if self._starts_expr(i):
                 (p, _k), i = self.expr(i, hi, boolctx=False)
+                if in_groupby:
+                    # Spark resolves any integer Literal in GROUP BY as
+                    # an ordinal; SQLite only a BARE one (GROUP BY (1+1)
+                    # is a constant single group — probed r8)
+                    p = self._ordinal_guard(p)
                 pieces.append(p)
                 continue
             pieces.append(self._tokp(i))
@@ -1525,6 +1556,17 @@ class _Rw:
             (p, _k), i = self.expr(i, hi, boolctx=False)
             if p.varied:
                 p = _P(_typed_key_sql(p.text), p.s, p.e)
+            elif p.cls is not None:
+                # class-mixed branch key: SQLite orders by PER-ROW
+                # storage class (numeric < TEXT < BLOB), not by the
+                # branch's TEXT-rendering surface — the rank-struct key
+                # built from the arm classes reproduces it (r8 ORDER BY
+                # probe: iif(cond, a = b, lower(c)) put text-keyed rows
+                # first)
+                p = _P(_cls_key_sql(p.cls, parse=False, null_rank0=True),
+                       p.s, p.e)
+            else:
+                p = self._ordinal_guard(p)
             pieces.append(p)
             while i < hi and T[i].kind == "word" and \
                     T[i].low in ("asc", "desc", "nulls", "first", "last"):
@@ -1536,6 +1578,43 @@ class _Rw:
                 continue
             break
         return i
+
+    def _ordinal_guard(self, p: _P) -> _P:
+        """An ORDER BY / GROUP BY term whose COMPILED text is an integer
+        literal must agree with SQLite on POSITIONAL-vs-CONSTANT: SQLite
+        treats an integer literal as an ordinal THROUGH parentheses and
+        unary signs (`(2)`, `((2))`, `+2` are position 2; `(-1)` is an
+        out-of-range error) but NOT through arithmetic (`1+1` / `2+0`
+        are constant no-op keys / single-group terms — all probed).
+        Spark resolves any folded integer Literal as a position, so a
+        constant-in-SQLite term that folds to an integer (`~min(2,
+        0.0)` → -1 was ORDER_BY_POS_OUT_OF_RANGE) emits a CAST to stay
+        an expression, while a SQLite-positional spelling normalizes to
+        the bare literal Spark's ordinal resolution recognizes."""
+        def peel(t: str) -> str:
+            # parens and unary +/- are ordinal-transparent in SQLite
+            t = t.strip()
+            while True:
+                if (t.startswith("(") and t.endswith(")")
+                        and _balanced(t[1:-1])):
+                    t = t[1:-1].strip()
+                elif t[:1] in "+-":
+                    t = t[1:].lstrip()
+                else:
+                    return t
+
+        t = p.text.strip()
+        while (t.startswith("(") and t.endswith(")")
+               and _balanced(t[1:-1])):
+            t = t[1:-1].strip()
+        if not re.fullmatch(r"[-+]?\d+", t):
+            return p  # not an integer-literal key
+        if re.fullmatch(r"\d+", peel(self.sql[p.s:p.e])):
+            # SQLite-positional spelling ((2), +2, bare 2, (-1) …):
+            # emit the bare literal so Spark resolves the same position
+            # (an out-of-range one errors in both engines)
+            return _P(t, p.s, p.e)
+        return _P(f"(CAST({t} AS BIGINT))", p.s, p.e)
 
     def _limit_clause(self, i: int, hi: int):
         """SQLite LIMIT spellings Spark lacks (literal operands only):

@@ -107,10 +107,17 @@ def sweep(spark, con, n: int, seed: int):
                     sq = f"SELECT ({expr}) AS r FROM td"
                 else:
                     sq = f"SELECT id, ({expr}) AS r FROM td ORDER BY id"
-            elif form < 0.8:
+            elif form < 0.75:
                 if has_agg:
                     continue  # aggregates are not WHERE material
                 sq = f"SELECT id FROM td WHERE ({expr}) ORDER BY id"
+            elif form < 0.88:
+                if has_agg:
+                    continue
+                # cross-class ORDER BY of a computed key (id tiebreak
+                # makes the full order deterministic); found the Spark
+                # 4.1 SQL-UDF-in-Sort rejection (r8)
+                sq = f"SELECT id FROM td ORDER BY ({expr}), id"
             else:
                 agg = r.choice(AGGS)
                 sq = f"SELECT {agg}(({expr})) AS r FROM td"

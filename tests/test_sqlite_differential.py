@@ -2224,8 +2224,14 @@ def test_column_probe_sweep_gate(engines):
         [(i,) + row for i, row in enumerate(pcol.ROWS)],
         "id long, a long, b double, c string",
     ).coalesce(1).createOrReplaceTempView("td")
-    checked, value_mm, class_d, errors = pcol.sweep(
-        spark, con, 60, 0xC01BEEF)
+    try:
+        checked, value_mm, class_d, errors = pcol.sweep(
+            spark, con, 60, 0xC01BEEF)
+    finally:
+        # restore the module fixture's td view — the probe rows would
+        # otherwise leak into every later test on this Spark session
+        spark.createDataFrame(ROWS, "a long, b double, c string") \
+            .createOrReplaceTempView("td")
     assert checked == 60
     assert not errors, errors[:5]
     assert not value_mm, value_mm[:5]
@@ -2273,3 +2279,104 @@ def test_r8_printf_full_conversion_matrix(engines):
              + " FROM td LIMIT 1")
         want, got = _run(spark, con, q)
         assert want == got, (i0, chunk[:3])
+
+
+def test_r8_bare_columns_having_orderby(engines):
+    """Bare columns in HAVING and ORDER BY of aggregate queries ride the
+    same bareagg rule (both RUN in SQLite): deterministic under the
+    single-min/max rule, any_value otherwise; a bare ORDER BY key that
+    names a select-item alias resolves to the output column and stays
+    verbatim."""
+    spark, con = engines
+    for q in [
+        "SELECT max(a) FROM td ORDER BY c",
+        "SELECT a, c, max(b) FROM td GROUP BY a IS NULL ORDER BY b",
+        "SELECT b AS k, count(*) AS n FROM td GROUP BY b ORDER BY k",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
+        rw = rewrite_query(q, SCHEMA)
+        assert rewrite_query(rw, SCHEMA) == rw, q
+    # arbitrary-row family: must RUN with the right row count.
+    # (Residual: a NEW aggregate in ORDER BY cannot resolve through a
+    # HAVING clause in Spark 4.1's analyzer — the HAVING+stray-ORDER-BY
+    # combo keeps its error; each clause alone works.)
+    for q in [
+        "SELECT count(*) FROM td HAVING a IS NOT NULL",
+        "SELECT a, count(*) FROM td GROUP BY a HAVING b IS NOT NULL",
+        "SELECT a, count(*) AS n FROM td GROUP BY a ORDER BY b, a",
+    ]:
+        want = con.execute(q).fetchall()
+        got = spark.sql(rewrite_query(q, SCHEMA)).collect()
+        assert len(got) == len(want), q
+
+
+def test_r8_sql_udf_in_sort_inlines(engines):
+    """Spark 4.1 rejects SQL temporary functions inside Sort
+    (UNSUPPORTED_SQL_UDF_USAGE — found by the r8 ORDER BY probe:
+    `… ORDER BY date(col)` died).  rewrite._sort_needs_inline widens
+    the aggregate-safe inlining trigger to statements whose ORDER BY
+    keys (top-level or window OVER) touch a SQL UDF; UDF-free sorts
+    keep their exact bytes."""
+    spark, con = engines
+    for q in [
+        "SELECT a, c FROM td ORDER BY date('2024-01-0' || "
+        "(1 + abs(a) % 9)), a",
+        "SELECT a FROM td ORDER BY CAST(b AS TEXT), a",
+        "SELECT a, row_number() OVER (ORDER BY CAST(b AS TEXT)) AS rn "
+        "FROM td WHERE b IS NOT NULL",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
+    # UDF-free ORDER BY keeps its exact bytes (no pandas-twin swap)
+    rw = rewrite_query("SELECT a, dsq_real_text(b) AS t FROM td "
+                       "ORDER BY a", SCHEMA)
+    assert "dsq_real_text_agg" not in rw
+    rw = rewrite_query("SELECT a FROM td ORDER BY b, c", SCHEMA)
+    assert "_agg(" not in rw
+
+
+def test_r8_orderby_class_and_ordinals(engines):
+    """ORDER BY parity closures from the r8 column probe's ORDER BY
+    form: (1) a class-mixed branch key orders by SQLite's PER-ROW
+    storage class (numeric < TEXT < BLOB) via the rank-struct key, not
+    by its TEXT-rendering surface; (2) an integer-literal key that was
+    NOT written as a bare unsigned integer is a CONSTANT in SQLite but
+    an ordinal in Spark — `(2)`, `1+1` and folded expressions like
+    `~min(2, 0.0)` (= -1, was ORDER_BY_POS_OUT_OF_RANGE) now emit a
+    CAST so they stay constant; bare `ORDER BY 2` / `GROUP BY 1`
+    remain positional in both engines."""
+    spark, con = engines
+    for q in [
+        "SELECT a FROM td ORDER BY (iif(length(a), '-2' IS NOT -0.5, "
+        "lower(c))), a",
+        "SELECT a FROM td ORDER BY iif(a > 2, c, b), a",
+        "SELECT a FROM td ORDER BY (~min(2, 0.0)), a",
+        "SELECT a, c FROM td ORDER BY (2), a",
+        "SELECT a, c FROM td ORDER BY 1+1, a, c",
+        "SELECT a, c FROM td ORDER BY 2, 1",
+        "SELECT a, count(*) AS n FROM td GROUP BY (1+1)",
+        "SELECT a, count(*) AS n FROM td GROUP BY a ORDER BY 2 DESC, 1",
+        "SELECT a FROM td ORDER BY CASE WHEN a > 2 THEN a ELSE c END, a",
+        # positional THROUGH parens/unary sign (SQLite rule; normalized
+        # to the bare literal for Spark's ordinal resolution)
+        "SELECT a, c FROM td ORDER BY (2), a",
+        "SELECT a, c FROM td ORDER BY +2, 1",
+        "SELECT n, c9 FROM (SELECT count(*) AS n, c AS c9 FROM td "
+        "GROUP BY (2)) ORDER BY 2, 1",
+    ]:
+        # _run sorts rows (order-insensitive) — ORDER BY parity needs
+        # the ORDERED row lists compared as-is
+        want = [tuple(_canon(v) for v in row)
+                for row in con.execute(q).fetchall()]
+        rw = rewrite_query(q, SCHEMA)
+        got = [tuple(_canon(v) for v in row)
+               for row in spark.sql(rw).collect()]
+        assert want == got, q
+        assert rewrite_query(rw, SCHEMA) == rw, q
+    # an out-of-range ordinal spelling errors in BOTH engines
+    q = "SELECT a, c FROM td ORDER BY (-1)"
+    with pytest.raises(sqlite3.OperationalError):
+        con.execute(q).fetchall()
+    with pytest.raises(Exception):
+        spark.sql(rewrite_query(q, SCHEMA)).collect()
