@@ -519,18 +519,35 @@ def _frac_seconds(e: str) -> str:
     return f"CAST(date_format({e}, 'ss.SSSSSS') AS DOUBLE)"
 
 
+def _bind_once(e: str, body) -> str:
+    """Evaluate ``e`` exactly ONCE and let ``body`` reference it many
+    times: a single-element transform() binds it to a lambda variable.
+    Without this, every modifier layer that reads year/month/day/… of
+    its input DUPLICATES the whole input tree — a 3-modifier chain like
+    datetime(d, '-2 months', '-2 months', '-2 months') emitted 5.4 MB
+    of SQL and OOM'd the ANTLR parser (r8).  The lambda name is keyed
+    by nesting depth, so emissions are deterministic and nested binders
+    never collide."""
+    v = f"__dsq_b{e.count('__dsq_b')}"
+    return f"element_at(transform(array({e}), {v} -> {body(v)}), 1)"
+
+
 def _add_months_expr(e: str, months: int, extra_days: float) -> str:
     """SQLite month arithmetic: bump the month NUMBER then let day overflow
     normalize forward (2001-01-31 +1 month = 2001-03-03), which Spark's
     clamping add_months cannot express. Rebuild from the 1st of the target
     month plus (day-1) days and the time of day."""
-    tot = f"(year({e}) * 12 + month({e}) - 1 + {months})"
-    y2 = f"CAST(floor({tot} / 12.0d) AS INT)"
-    m2 = f"CAST(pmod({tot}, 12) + 1 AS INT)"
-    out = (
-        f"(CAST(make_date({y2}, {m2}, 1) AS TIMESTAMP) + "
-        f"make_dt_interval(day({e}) - 1, hour({e}), minute({e}), {_frac_seconds(e)}))"
-    )
+    def step(x: str) -> str:
+        tot = f"(year({x}) * 12 + month({x}) - 1 + {months})"
+        y2 = f"CAST(floor({tot} / 12.0d) AS INT)"
+        m2 = f"CAST(pmod({tot}, 12) + 1 AS INT)"
+        return (
+            f"(CAST(make_date({y2}, {m2}, 1) AS TIMESTAMP) + "
+            f"make_dt_interval(day({x}) - 1, hour({x}), minute({x}), "
+            f"{_frac_seconds(x)}))"
+        )
+
+    out = _bind_once(e, step)
     if extra_days:
         out = f"({out} + make_dt_interval(0, 0, 0, CAST({extra_days * 86400.0!r} AS DOUBLE)))"
     return out
@@ -558,9 +575,12 @@ def _apply_modifier(e: str, raw: str) -> str:
         return f"date_trunc('{m.group(1).upper()}', {e})"
     m = _MOD_WEEKDAY.match(t)
     if m:
-        # advance to the next date with weekday N (Sunday=0), no-op if already
-        return (f"({e} + make_dt_interval("
-                f"CAST(pmod({m.group(1)} + 1 - dayofweek({e}), 7) AS INT), 0, 0, 0))")
+        # advance to the next date with weekday N (Sunday=0), no-op if
+        # already (bound once: the input tree appears twice otherwise)
+        n9 = m.group(1)
+        return _bind_once(e, lambda x: (
+            f"({x} + make_dt_interval("
+            f"CAST(pmod({n9} + 1 - dayofweek({x}), 7) AS INT), 0, 0, 0))"))
     if t == "localtime":
         return f"from_utc_timestamp({e}, current_timezone())"
     if t == "utc":

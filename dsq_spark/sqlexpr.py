@@ -1496,6 +1496,7 @@ class _Rw:
             return _P("", s, s), i
         pieces: list[_P] = []
         in_groupby = False
+        gb_pos = 0
         while i < hi:
             t = T[i]
             if t.kind == "word" and t.low in _CLAUSE_BOOL:
@@ -1521,6 +1522,7 @@ class _Rw:
             if (t.kind == "word" and t.low == "group"
                     and i + 1 < hi and T[i + 1].low == "by"):
                 in_groupby = True
+                gb_pos = t.start
                 pieces.append(self._tokp(i))
                 pieces.append(self._tokp(i + 1))
                 i += 2
@@ -1532,10 +1534,24 @@ class _Rw:
             if self._starts_expr(i):
                 (p, _k), i = self.expr(i, hi, boolctx=False)
                 if in_groupby:
-                    # Spark resolves any integer Literal in GROUP BY as
-                    # an ordinal; SQLite only a BARE one (GROUP BY (1+1)
-                    # is a constant single group — probed r8)
-                    p = self._ordinal_guard(p)
+                    if p.cls is not None and (
+                            " ".join(self.sql[p.s:p.e].split()).lower()
+                            not in " ".join(
+                                self.sql[:gb_pos].split()).lower()):
+                        # class-mixed branch GROUP BY key: SQLite groups
+                        # by per-row STORAGE CLASS + value — the TEXT
+                        # surface collides '1' TEXT with 1 INTEGER
+                        # (probed r8: 4 groups vs 2).  Key-substitute
+                        # only when the term isn't ALSO a select item
+                        # (there the select expression must stay the
+                        # grouping expression).
+                        p = _P(_cls_key_sql(p.cls, parse=False,
+                                            null_rank0=True), p.s, p.e)
+                    else:
+                        # Spark resolves any integer Literal in GROUP BY
+                        # as an ordinal; SQLite only a BARE one (GROUP BY
+                        # (1+1) is a constant single group — probed r8)
+                        p = self._ordinal_guard(p)
                 pieces.append(p)
                 continue
             pieces.append(self._tokp(i))
@@ -4486,6 +4502,21 @@ class _Rw:
             return None
         if fname == "nullif" and len(parsed) == 2:
             (ap, ak), (bp, bk) = parsed
+            if ak == "null":
+                # nullif(NULL, y) is NULL for every y; Spark's native
+                # desugar compares the VOID lhs against y's type
+                # (DATATYPE_MISMATCH on a BLOB y — r8 probe seed)
+                return ((_P("CAST(NULL AS BIGINT)", start, end),
+                         "null"), j + 1)
+            if bk == "null":
+                # nullif(x, NULL): x = NULL is never true — x verbatim
+                # (tags ride along: quads/class structures/static values
+                # keep folding through the transparent wrapper)
+                np = _P(f"({ap.text})", start, end)
+                np.trip, np.cls = ap.trip, ap.cls
+                np.ival, np.sval = ap.ival, ap.sval
+                np.varied = ap.varied
+                return ((np, ak), j + 1)
             av, bv = _static_num_val(ap, ak), _static_num_val(bp, bk)
             if av is not None and bv is not None:
                 # exact static fold: int-vs-real pairs past 2^53 compare
@@ -5073,11 +5104,14 @@ class _Rw:
         kinds: list[str] = []
         k = i + 1
         ordinal = 0
+        saw_distinct = False
         while k < j:
             t = T[k]
             if t.low in ("distinct", "all") or t.text == ",":
                 if t.text == ",":
                     ordinal += 1
+                if t.low == "distinct":
+                    saw_distinct = True
                 pieces.append(self._tokp(k))
                 k += 1
                 continue
@@ -5089,6 +5123,16 @@ class _Rw:
             a0 = k
             (ep, ek), k = self.expr(k, j, boolctx=boolctx,
                                     filt=boolctx)
+            if (saw_distinct and fname == "count"
+                    and ep.cls is not None):
+                # count(DISTINCT class-mixed-branch): SQLite counts
+                # distinct (storage class, value) pairs — the TEXT
+                # surface collides '1' TEXT with 1 INTEGER (probed r8).
+                # The null-propagating class key keeps count's
+                # NULL-skipping exact.
+                ep = _P(_cls_key_sql(ep.cls, parse=False,
+                                     null_rank0=False), ep.s, ep.e)
+                ek = "unknown"
             if (ordinal == 1 and fname in _REGEXP_FNS
                     and k == a0 + 1 and T[a0].kind == "str"):
                 ep = _P(_go_regex_to_java(ep.text), ep.s, ep.e)

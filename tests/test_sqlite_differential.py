@@ -2380,3 +2380,54 @@ def test_r8_orderby_class_and_ordinals(engines):
         con.execute(q).fetchall()
     with pytest.raises(Exception):
         spark.sql(rewrite_query(q, SCHEMA)).collect()
+
+
+def test_r8_class_mixed_grouping(engines):
+    """GROUP BY / count(DISTINCT) over a class-mixed branch groups by
+    SQLite's per-row (storage class, value) pair — the TEXT-rendering
+    surface collided '1' TEXT with 1 INTEGER (r8 grouping probe: 2
+    groups where SQLite has 4).  The GROUP BY term key-substitutes only
+    when the term is not also a select item (there the select
+    expression must remain the grouping expression — that shape keeps
+    the documented surface delta)."""
+    spark, con = engines
+    for q in [
+        # td rows include a=1 alongside c='1'-class text renderings via
+        # computed arms: iif over id-like predicates on the module table
+        "SELECT count(DISTINCT (CASE WHEN b > 0 THEN c ELSE a END)) "
+        "AS n FROM td",
+        "SELECT count(*) AS n FROM td "
+        "GROUP BY (CASE WHEN b > 0 THEN c ELSE a END) ORDER BY n",
+        "SELECT count(DISTINCT (CASE WHEN a > 2 THEN a ELSE b END)) "
+        "AS n FROM td",
+        "SELECT count(*) AS n FROM td GROUP BY iif(a > 0, c, b) "
+        "ORDER BY n",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
+        rw = rewrite_query(q, SCHEMA)
+        assert rewrite_query(rw, SCHEMA) == rw, q
+
+
+def test_r8_nullif_null_arms(engines):
+    """nullif with a statically-NULL arm (r8 probe seed 6061):
+    nullif(NULL, y) is NULL for EVERY y — Spark's native desugar
+    compared the VOID lhs against y's type and raised
+    DATATYPE_MISMATCH on a BLOB y; nullif(x, NULL) is x verbatim (the
+    comparison is never true) with x's static tags intact, so
+    typeof/hex/arithmetic consumers keep folding exactly."""
+    spark, con = engines
+    exprs = [
+        "nullif(NULL / NULL, CAST(0.1 AS BLOB))",
+        "nullif(NULL, 5)", "nullif(NULL, 'x')", "nullif(NULL, b)",
+        "nullif('a', NULL)", "nullif(2.5, NULL) + 1",
+        "typeof(nullif(3, NULL))",
+        "hex(nullif(9007199254740993, NULL))",
+        "nullif(a, NULL)", "nullif(c, NULL)",
+    ]
+    sels = ", ".join(f"{e} AS r{i}" for i, e in enumerate(exprs))
+    q = f"SELECT {sels} FROM td"
+    want, got = _run(spark, con, q)
+    assert want == got
+    rw = rewrite_query(q, SCHEMA)
+    assert rewrite_query(rw, SCHEMA) == rw
