@@ -177,7 +177,16 @@ def sqlite_quote_real(v) -> str | None:
     which would fail analysis on the dead arm for BINARY input)."""
     if v is None:
         return None  # outer alias handles SQL NULL before the cast
-    v = float(v)
+    try:
+        v = float(v)
+    except ValueError:
+        # Spark hoists this Arrow UDF into an ArrowEvalPython node that
+        # runs on EVERY row, including rows whose CASE arm is dead — a
+        # text-classed row's rendering ('' or junk) must not kill the
+        # job (r8 judge crash: quote(CASE '1' WHEN a THEN -1 ELSE c END)
+        # with an empty-string text row).  The emission NULL-guards the
+        # argument too (_quote_alias); this is the belt to that brace.
+        return None
     if math.isnan(v):
         return "NULL"
     s = _real_text_py(v)
