@@ -86,8 +86,8 @@ def main():
             pass
         best = float("inf")
         for attempt in range(3):
-            if attempt == 2 and best <= 1.0:
-                break  # third run only for outliers still >1 s
+            if attempt == 2 and best <= 0.5:
+                break  # third run only for outliers still >0.5 s
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             _evaluate(df)

@@ -394,6 +394,18 @@ def register_quote_real(spark) -> None:
     spark.udf.register("dsq_glob_regex_agg",
                        pandas_udf(run_glob, StringType()))
 
+    # Pandas twin of dsq_like_regex for aggregate-mixed statements
+    # (same Spark 4.1 SQL-UDF-extraction bug, same swap mechanism).
+    from dsq_spark.functions import like_regex_py
+
+    def run_like(pats, escs):
+        return pd.Series(
+            [like_regex_py(p, e) for p, e in zip(pats, escs)],
+            dtype=object)
+
+    spark.udf.register("dsq_like_regex_agg",
+                       pandas_udf(run_like, StringType()))
+
     # %f conversions of printf() route here (cold path): SQLite's own
     # printf digit loop, byte-calibrated — see _fmt_float.
     def run_pf(vals, specs):

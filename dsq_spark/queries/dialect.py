@@ -451,3 +451,94 @@ def dialect_bare_aggregate(spark, sf_dir):
         "FROM dsq_bareagg_ord "
         "GROUP BY o_orderpriority "
         "ORDER BY o_orderpriority")
+
+
+@register(
+    "dialect_windowed_aggregates",
+    oracle="""
+WITH w9 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(regexp_extract(o_orderpriority, '^[0-9]+') AS BIGINT) AS pri
+  FROM orders WHERE o_orderkey < 500
+)
+SELECT o_orderkey,
+       CAST(sum(pri) OVER w AS BIGINT) AS run_sum,
+       round(CAST(sum(pri) OVER w AS DOUBLE), 4) AS run_total,
+       round(avg(CAST(pri AS DOUBLE)) OVER w, 4) AS run_avg,
+       string_agg(o_orderstatus, '|') OVER w AS run_status
+FROM w9
+WINDOW w AS (ORDER BY o_orderkey)
+ORDER BY o_orderkey
+""",
+    doc=(
+        "Aggregates as WINDOW functions over a text-ingested column "
+        "(r8 verdict #1, the round's headline): SQLite 3.39 allows any "
+        "aggregate under OVER, coercing every text value through its "
+        "numeric prefix ('5-LOW' contributes 5) — sum()/avg() OVER "
+        "clone the coercion quad per inner aggregate, and "
+        "total()/group_concat() thread the clause onto the aggregate "
+        "inside their scalar wrappers (they were hard MISSING_GROUP_BY "
+        "errors).  The CAST pins run_sum's INTEGER class (all prefixes "
+        "are int-spelled), matching DuckDB's BIGINT.  Scale: one scan, "
+        "ONE Window node — Spark plans all four same-spec window "
+        "functions together; the running frame is the default RANGE "
+        "UNBOUNDED PRECEDING in both engines."
+    ),
+)
+def dialect_windowed_aggregates(spark, sf_dir):
+    return _run_rewritten(
+        spark, sf_dir, "dsq_winagg_ord", "orders",
+        "SELECT o_orderkey, "
+        "CAST(sum(o_orderpriority) OVER "
+        "(ORDER BY o_orderkey) AS INTEGER) AS run_sum, "
+        "round(total(o_orderpriority) OVER "
+        "(ORDER BY o_orderkey), 4) AS run_total, "
+        "round(avg(o_orderpriority) OVER "
+        "(ORDER BY o_orderkey), 4) AS run_avg, "
+        "group_concat(o_orderstatus, '|') OVER "
+        "(ORDER BY o_orderkey) AS run_status "
+        "FROM dsq_winagg_ord WHERE o_orderkey < 500 "
+        "ORDER BY o_orderkey")
+
+
+@register(
+    "dialect_compound_class",
+    oracle="""
+WITH a9 AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v,
+                   1 AS r9, CAST(o_custkey AS DOUBLE) AS n9
+            FROM orders WHERE o_orderkey < 300),
+     b9 AS (SELECT DISTINCT o_orderstatus AS v, 2 AS r9, 0.0 AS n9
+            FROM orders WHERE o_orderkey < 300),
+     c9 AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v, 2 AS r9,
+                   0.0 AS n9
+            FROM orders WHERE o_orderkey < 100)
+SELECT v FROM (
+  SELECT DISTINCT v, r9, n9 FROM (
+    SELECT * FROM a9 UNION ALL SELECT * FROM b9 UNION ALL
+    SELECT * FROM c9)
+) ORDER BY r9, n9, v
+""",
+    doc=(
+        "Compound set operators compare by STORAGE CLASS (r8 verdict "
+        "#2): an INTEGER customer key and the TEXT spelling of the "
+        "same digits are DIFFERENT rows under SQLite's UNION "
+        "(select.html §compound — no affinity applies across arms), "
+        "while Spark's native union coerces the arms and merges them.  "
+        "The engine dedups on the cross-class key struct and surfaces "
+        "each value's own rendering; the DuckDB oracle spells the "
+        "class separation explicitly (rank 1 numeric / rank 2 text).  "
+        "Scale: the rewrite is UNION ALL + one hash aggregate on the "
+        "key — the same shuffle a native UNION DISTINCT costs; no "
+        "extra pass."
+    ),
+)
+def dialect_compound_class(spark, sf_dir):
+    return _run_rewritten(
+        spark, sf_dir, "dsq_cc_ord", "orders",
+        "SELECT o_custkey AS v FROM dsq_cc_ord WHERE o_orderkey < 300 "
+        "UNION "
+        "SELECT o_orderstatus FROM dsq_cc_ord WHERE o_orderkey < 300 "
+        "UNION "
+        "SELECT CAST(o_custkey AS TEXT) FROM dsq_cc_ord "
+        "WHERE o_orderkey < 100 "
+        "ORDER BY v")

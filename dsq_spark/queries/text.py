@@ -860,6 +860,10 @@ def text_charlm_quality(spark, sf_dir):
         tri.join(F.broadcast(lm), "g")
         .groupBy("doc_id", "lang")
         .agg(F.round(F.avg("logp"), 4).alias("sc"))
+        # consumed by BOTH `per` and `worst` below: unpersisted, the
+        # tri⋈lm scoring join ran twice — a real 2× on the top-cost
+        # stage at 100 TB (r8 judge plan audit)
+        .persist()
     )
     per = doc.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_docs"),

@@ -675,7 +675,14 @@ def _bare_agg_one(seg: str, cols: frozenset) -> str:
         if single is not None:
             aggname, aggarg = single
             arg = re.sub(r"(?is)^\s*DISTINCT\b", "", aggarg).strip()
-            return f"{aggname}_by({tok}, {arg})"
+            # all-NULL extremum: SQLite still fills bare columns from
+            # one of the rows, but Spark's max_by/min_by returns NULL
+            # when every ordering key is NULL — dispatch on the
+            # extremum itself (r8 ADVICE; count guards the genuinely
+            # empty group, where both engines produce no row anyway)
+            return (f"(CASE WHEN {aggname}({arg}) IS NULL "
+                    f"THEN any_value({tok}) "
+                    f"ELSE {aggname}_by({tok}, {arg}) END)")
         return f"any_value({tok})"
 
     out_items = []
@@ -1285,7 +1292,8 @@ def _sort_needs_inline(sql: str) -> bool:
         return False
     from dsq_spark.functions import INLINE_UDFS
 
-    names = list(INLINE_UDFS) + ["dsq_real_text", "glob_regex"]
+    names = list(INLINE_UDFS) + ["dsq_real_text", "glob_regex",
+                                 "dsq_like_regex"]
     rx = re.compile(r"(?<![\w.`$])(?:" +
                     "|".join(re.escape(n) for n in names) + r")\s*\(",
                     re.IGNORECASE)
@@ -1367,6 +1375,16 @@ def _inline_agg_safe(sql: str) -> str:
         lambda m: (m.group(0)
                    if any(a <= m.start() < b for a, b in spans2)
                    else "dsq_glob_regex_agg("),
+        out)
+    # dynamic LIKE-ESCAPE patterns: same SQL-UDF → pandas-twin swap
+    # (literal forms already folded at rewrite time and never emit the
+    # UDF, so no literal-fold pass is needed here)
+    spans3 = _skip_spans(out)
+    out = re.sub(
+        r"(?<![\w.`$])dsq_like_regex\(",
+        lambda m: (m.group(0)
+                   if any(a <= m.start() < b for a, b in spans3)
+                   else "dsq_like_regex_agg("),
         out)
     for _ in range(6):  # transitive: wrappers → best_effort_ts
         new = out

@@ -1496,7 +1496,7 @@ class _Rw:
             return _P("", s, s), i
         pieces: list[_P] = []
         in_groupby = False
-        gb_pos = 0
+        seq_lo, gb_tok = i, 0
         while i < hi:
             t = T[i]
             if t.kind == "word" and t.low in _CLAUSE_BOOL:
@@ -1522,7 +1522,7 @@ class _Rw:
             if (t.kind == "word" and t.low == "group"
                     and i + 1 < hi and T[i + 1].low == "by"):
                 in_groupby = True
-                gb_pos = t.start
+                gb_tok = i
                 pieces.append(self._tokp(i))
                 pieces.append(self._tokp(i + 1))
                 i += 2
@@ -1536,15 +1536,19 @@ class _Rw:
                 if in_groupby:
                     if p.cls is not None and (
                             " ".join(self.sql[p.s:p.e].split()).lower()
-                            not in " ".join(
-                                self.sql[:gb_pos].split()).lower()):
+                            not in self._sel_items_norm(seq_lo, gb_tok)):
                         # class-mixed branch GROUP BY key: SQLite groups
                         # by per-row STORAGE CLASS + value — the TEXT
                         # surface collides '1' TEXT with 1 INTEGER
                         # (probed r8: 4 groups vs 2).  Key-substitute
-                        # only when the term isn't ALSO a select item
+                        # only when the term is ALSO a select item
                         # (there the select expression must stay the
-                        # grouping expression).
+                        # grouping expression) — decided by token-level
+                        # equality against the PARSED select items, not
+                        # a substring scan over the whole prefix (a
+                        # WHERE-clause occurrence of the same text
+                        # suppressed the key and reproduced the class
+                        # collision — r8 ADVICE).
                         p = _P(_cls_key_sql(p.cls, parse=False,
                                             null_rank0=True), p.s, p.e)
                     else:
@@ -1735,6 +1739,50 @@ class _Rw:
             wrapped = self._truthify(p, k)
             return (self._join([t, wrapped]), "bool"), j
         return self._cmp(i, hi)
+
+    def _sel_items_norm(self, lo: int, gb_i: int) -> list[str]:
+        """Whitespace-normalized lower-cased texts of the select-list
+        items belonging to the GROUP BY at token ``gb_i`` (the nearest
+        depth-0 SELECT before it within this seq range), trailing AS
+        aliases stripped.  Empty when no SELECT is found."""
+        T = self.T
+        d, sel = 0, None
+        for ix in range(lo, gb_i):
+            t = T[ix]
+            if t.text == "(":
+                d += 1
+            elif t.text == ")":
+                d -= 1
+            elif d == 0 and t.kind == "word" and t.low == "select":
+                sel = ix
+        if sel is None:
+            return []
+        s0 = sel + 1
+        if s0 < gb_i and T[s0].kind == "word" and T[s0].low in (
+                "distinct", "all"):
+            s0 += 1
+        d, s1 = 0, gb_i
+        for ix in range(s0, gb_i):
+            t = T[ix]
+            if t.text == "(":
+                d += 1
+            elif t.text == ")":
+                d -= 1
+            elif d == 0 and t.kind == "word" and t.low in (
+                    "from", "where", "group", "having", "window",
+                    "order", "limit"):
+                s1 = ix
+                break
+        items = []
+        for a, b in _split_items_t(T, s0, s1):
+            if b <= a:
+                continue
+            if (b - a >= 2 and T[b - 2].kind == "word"
+                    and T[b - 2].low == "as"):
+                b -= 2
+            items.append(" ".join(
+                self.sql[T[a].start:T[b - 1].end].split()).lower())
+        return items
 
     def _text_truthy(self, t: str) -> str:
         pre = f"regexp_extract(({t}), {_REAL_PREFIX}, 1)"
@@ -2382,23 +2430,30 @@ class _Rw:
                             inner = innerp.text
                             lsql = f"({lp0.text})"
                             vfrom = f"({inner}) AS __dsq_insq(__dsq_v)"
-                        cnt_all = f"(SELECT count(*) FROM {vfrom})"
-                        cnt_nn = f"(SELECT count(__dsq_v) FROM {vfrom})"
+                        # ONE scalar subquery carries all the list-shape
+                        # facts the wrap needs — NULL: empty set, 1:
+                        # contains a NULL element, 0: no NULLs — so the
+                        # subquery text renders at most twice (probe +
+                        # this), not three times; nested INs grew
+                        # geometrically under the old cnt_all/cnt_nn
+                        # pair (r8 ADVICE).
+                        hn = (f"(SELECT max(CASE WHEN __dsq_v IS NULL "
+                              f"THEN 1 ELSE 0 END) FROM {vfrom})")
                         pred = None
                         if lk == "null":
                             # statically-NULL LHS: 0 on an empty
                             # subquery, else NULL — no membership probe
                             # (Spark rejects the VOID/element type mix)
-                            pos_case = (f"(CASE WHEN {cnt_all} = 0 "
+                            pos_case = (f"(CASE WHEN {hn} IS NULL "
                                         f"THEN false ELSE "
                                         f"CAST(NULL AS BOOLEAN) END)")
                         else:
                             pos = f"({lsql} IN ({inner}))"
                             pos_case = (
                                 f"(CASE WHEN {pos} THEN true "
+                                f"WHEN {hn} IS NULL THEN false "
                                 f"WHEN ({lp0.text}) IS NOT NULL "
-                                f"AND {cnt_all} = {cnt_nn} THEN false "
-                                f"WHEN {cnt_all} = 0 THEN false "
+                                f"AND {hn} = 0 THEN false "
                                 f"ELSE CAST(NULL AS BOOLEAN) END)")
                             pred = f"({lsql} {neg}IN ({inner}))"
                         expr = (f"(NOT {pos_case})" if negated
@@ -2571,9 +2626,36 @@ class _Rw:
                 if i < hi and T[i].low == "escape":
                     esc_tok = self._tokp(i)
                     e0 = i + 1
-                    (ep, _ek), i = self._rel(i + 1, hi)
+                    (ep, ek9), i = self._rel(i + 1, hi)
+                    esc_is_lit = i == e0 + 1 and T[e0].kind == "str"
+                    if (t.low in ("like", "ilike")
+                            and not (rp_is_lit and esc_is_lit)):
+                        # DYNAMIC pattern or escape: Spark's native
+                        # ESCAPE raises INVALID_FORMAT per row on
+                        # escapes SQLite accepts (ESC+c is a literal c
+                        # for ANY c), so queries that run in the
+                        # reference died here (r8 judge).  Route
+                        # through the runtime LIKE→regex machine
+                        # (dsq_like_regex — the glob_regex precedent):
+                        # ASCII-case-insensitive, bare-trailing-escape
+                        # → never-match, NULLs propagate via RLIKE.
+                        rp9 = pieces.pop()
+                        pieces.pop()  # the ILIKE token
+                        neg9 = bool(pieces) and \
+                            pieces[-1].text.lower() == "not"
+                        body9 = pieces[:-1] if neg9 else pieces
+                        lhs9 = self._join(body9)
+                        esql = _sqlite_text_sql(ep, ek9)
+                        expr = (f"(({lhs9.text}) RLIKE dsq_like_regex("
+                                f"({rp9.text}), {esql}))")
+                        if neg9:
+                            expr = f"(NOT {expr})"
+                        pieces = [_P(expr, lhs9.s, ep.e)]
+                        lk = "bool"
+                        made_bool = True
+                        continue
                     if (t.low in ("like", "ilike") and rp_is_lit
-                            and i == e0 + 1 and T[e0].kind == "str"):
+                            and esc_is_lit):
                         folded = _like_escape_fold(pieces[-1].text,
                                                    ep.text)
                         if folded == _LIKE_NEVER:
@@ -3424,17 +3506,31 @@ class _Rw:
                 # ~ over a (possibly sign-wrapped) NULL: typed NULL —
                 # Spark's `~(- NULL)` rejects the DOUBLE-typed operand
                 pp = _P("CAST(NULL AS BIGINT)", prefixes[0].s, pp.e)
+            elif not tilde and minus and trip0 is not None:
+                # negation over a quad-carrying operand (text division,
+                # class-mixed branch): rebuild the SURFACE from the
+                # negated quad so the int arm negates in int64 — the
+                # previous `- (double)` surface turned the int arm's 0
+                # into -0.0 (typeof(-iif(b, 0.1, 0)) on the int arm is
+                # 'integer' 0 in SQLite — r9 probe seed 90210), and
+                # int64-min negation now promotes via the try_subtract
+                # guard like the dynamic text branch
+                nn, cond, isql, dsql = trip0
+                if minus_n % 2:
+                    neg = f"try_subtract(CAST(0 AS BIGINT), {isql})"
+                    cond = f"({cond} AND {neg} IS NOT NULL)"
+                    isql = neg
+                    dsql = f"(- ({dsql}))"
+                out = _P(f"(CASE WHEN {nn} THEN CAST(NULL AS DOUBLE) "
+                         f"WHEN {cond} THEN CAST({isql} AS DOUBLE) "
+                         f"ELSE {dsql} END)",
+                         prefixes[0].s if prefixes else pp.s, pp.e)
+                out.trip = (nn, cond, isql, dsql)
+                pp, pk = out, "unknown"
             elif tilde or minus:
                 pp, pk = self._coerce_num(pp, pk, bitwise=tilde)
                 pk = "int" if tilde else _numlike(pk)
                 pp = self._join(prefixes + [pp])
-                if trip0 is not None and not tilde:
-                    # negation is transparent to the division quad (keeps
-                    # nested text division exact through `-(c/c)/2`)
-                    nn, cond, isql, dsql = trip0
-                    if minus_n % 2:
-                        isql, dsql = f"(- ({isql}))", f"(- ({dsql}))"
-                    pp.trip = (nn, cond, isql, dsql)
             elif prefixes:
                 # SQLite's unary '+' is a pure NO-OP for EVERY storage
                 # class (TEXT stays TEXT, BLOB stays BLOB — typeof of
@@ -3715,10 +3811,12 @@ class _Rw:
             cref = "".join(p.text for p in pieces[:-1]) + comp
             v = f"({pp.text})"
             c = f"({cref})"
-            pp.cls = ([f"({c} = 0)", f"({c} = 1)", f"({c} = 2)"],
+            pp.cls = ([f"({c} = 0)", f"({c} = 1)", f"({c} = 2)",
+                       f"({c} = 4)"],
                       [(None, "null", None),
                        (f"try_cast({v} AS BIGINT)", "int", None),
                        (f"try_cast({v} AS DOUBLE)", "real", None),
+                       (f"CAST({v} AS BINARY)", "blob", None),
                        (v, "text", None)])
             pp.trip = self._cls_num_quad(pp.text, pp.cls)
             return ((pp, "unknown"), i)
@@ -5980,9 +6078,40 @@ def spark_schema_kinds(dtypes, varied=()) -> dict[str, str]:
 # previous behavior.
 # ---------------------------------------------------------------------------
 
-_CLS_GROUP = {"int": "num", "real": "num", "bool": "num",
+_CLS_GROUP = {"int": "num", "real": "num", "bool": "num", "quad": "num",
               "text": "text", "blob": "blob", "null": "null"}
-_CLS_CODE = {"int": 1, "bool": 1, "real": 2, "text": 3, "null": 0}
+_CLS_CODE = {"int": 1, "bool": 1, "real": 2, "text": 3, "blob": 4,
+             "null": 0}
+
+
+def _quad_cls_code(e: str) -> str:
+    """Per-row class code of a dynamically-classed arm (quad pieces —
+    text division, class-mixed branches), in RAW dialect.  sqlexpr's
+    typeof special-call compiles per-arm over quads — but it emits
+    SPARK type names ('bigint'/'double'/'void'; the SQLite-name mapping
+    lives in the ALIAS layer, which ran before this pass), so the
+    dispatch here matches the Spark spellings."""
+    t = f"typeof(({e}))"
+    return (f"(CASE WHEN ({e}) IS NULL THEN 0 "
+            f"WHEN {t} IN ('bigint', 'int', 'smallint', 'tinyint', "
+            f"'boolean') THEN 1 "
+            f"WHEN {t} IN ('double', 'float') THEN 2 "
+            f"WHEN {t} = 'binary' THEN 4 ELSE 3 END)")
+
+
+def _quad_cls_key(e: str) -> str:
+    """Cross-class key of a dynamically-classed arm, raw-dialect twin of
+    _typed_key_sql's storage-class mode ((e) + 0.0 is the dialect's
+    exact numeric conversion; CAST AS TEXT the exact rendering).  Same
+    Spark-name typeof dispatch as _quad_cls_code."""
+    t = f"typeof(({e}))"
+    z = "named_struct('r', 0, 'n', CAST(0 AS DOUBLE), 't', '')"
+    return (f"(CASE WHEN ({e}) IS NULL THEN {z} "
+            f"WHEN {t} IN ('bigint', 'int', 'smallint', 'tinyint', "
+            f"'boolean', 'double', 'float') "
+            f"THEN named_struct('r', 1, 'n', ({e}) + 0.0, 't', '') "
+            f"ELSE named_struct('r', 2, 'n', CAST(0 AS DOUBLE), "
+            f"'t', CAST(({e}) AS TEXT)) END)")
 
 
 def _split_commas_txt(args: str) -> list[str]:
@@ -6098,7 +6227,11 @@ def _parse_arm(text, toks, lo, hi, kinds):
                    or toks[b - 2].text == ")")
               and toks[b - 2].low not in _RESERVED):
             return None  # implicit alias: ambiguous, bail
-        if any(toks[ix].text == "*" for ix in range(a, ib)):
+        # star EXPANSIONS only (`*` alone or `t.*`) — a `*` preceded by
+        # an operand is multiplication, and count(*)'s star follows '('
+        if any(toks[ix].text == "*"
+               and (ix == a or toks[ix - 1].text in (".", ","))
+               for ix in range(a, ib)):
             return None
         rw = _Rw(text, toks, kinds)
         try:
@@ -6107,7 +6240,12 @@ def _parse_arm(text, toks, lo, hi, kinds):
             return None
         if j != ib:
             return None
-        if p.trip is not None or p.cls is not None:
+        if p.cls is not None or (p.trip is not None
+                                 and k in ("unknown", "text")):
+            # per-row classed value: the emission dispatches on typeof.
+            # A BOOLEAN piece that merely CARRIES tags must keep 'bool'
+            # (its Spark TYPE is boolean — the 0/1 surface cast decides
+            # on the kind; probe seed 77777's escape)
             k = "quad"
         name = None
         if ital is not None:
@@ -6172,11 +6310,18 @@ def _stmt_compound_pass(text, kinds, once_bound, top):
             text = text[:lo_c] + new_inner + text[hi_c:]
     toks = tokenize(text)
     n = len(toks)
+    if toks and toks[0].kind == "word" and toks[0].low == "explain":
+        # the mixed-class wrap would nest EXPLAIN inside a subquery;
+        # plan output is cosmetic — keep the native compound
+        return text, {}
     # -- split this statement into compound arms ------------------------
     ops_ix = _tok_scan(toks, 0, n, ("union", "intersect", "except"))
-    # kinds for single statements still propagate (derived single-arm)
-    one = _parse_arm(text, toks, 0, ops_ix[0] if ops_ix else n, kinds)
     if not ops_ix:
+        if top:
+            # a top-level single statement's colinfo has no consumer —
+            # skip the second select-item compile entirely
+            return text, {}
+        one = _parse_arm(text, toks, 0, n, kinds)
         if one is None:
             return text, {}
         return text, {it.name: it.kind for it in one[0]
@@ -6220,10 +6365,43 @@ def _stmt_compound_pass(text, kinds, once_bound, top):
             nm = first[ci].name
             if nm and k in ("int", "real", "text", "blob"):
                 colinfo[nm] = k
-        return text, colinfo
-    if any(p[0][ci].kind in ("quad", "unknown", "varied", "blob")
+        # bool-vs-numeric arms: same storage class (both INTEGER-family
+        # in SQLite), but Spark's set ops reject BOOLEAN-vs-INT arms
+        # outright (INCOMPATIBLE_COLUMN_TYPE — r9 probe seed 90210).
+        # Surface the boolean arms as their 0/1 INTEGER.
+        boolcols = [ci for ci in range(ncol)
+                    if any(p[0][ci].kind == "bool" for p in parsed)
+                    and any(p[0][ci].kind not in ("bool", "null")
+                            for p in parsed)]
+        if not boolcols:
+            return text, colinfo
+        new_arms = []
+        for ai, ((items, s_lo, s_hi), (lo, hi)) in enumerate(
+                zip(parsed, arms)):
+            cols = []
+            for ci, it in enumerate(items):
+                alias = f" AS {it.alias}" if it.alias is not None else ""
+                if ci in boolcols and it.kind == "bool":
+                    cols.append(f"CAST(({it.expr}) AS BIGINT){alias}")
+                else:
+                    cols.append(f"{it.expr}{alias}")
+            arm_text = text[toks[lo].start:toks[hi - 1].end] \
+                if hi > lo else ""
+            arm_text = (arm_text[:s_lo - toks[lo].start]
+                        + ", ".join(cols)
+                        + arm_text[s_hi - toks[lo].start:])
+            new_arms.append(arm_text)
+        seps = [f" {o.upper()} " for o in ops]
+        out9 = new_arms[0]
+        for sep, arm in zip(seps, new_arms[1:]):
+            out9 += sep + arm
+        return out9 + (" " + tail if tail else ""), colinfo
+    # unclassifiable arm: bail (quad arms ARE classifiable — per-row,
+    # via _quad_cls_code/_quad_cls_key; blob arms key rank 3 through
+    # _typed_key_sql's hex branch)
+    if any(p[0][ci].kind in ("unknown", "varied")
            for p in parsed for ci in mixed):
-        return text, {}  # unclassifiable / blob arm: bail
+        return text, {}
     # mixed columns need a nameable alias (first arm) for the rebuilt
     # select lists; the companion name derives from it
     names = []
@@ -6279,14 +6457,19 @@ def _stmt_compound_pass(text, kinds, once_bound, top):
                 e = it.expr
                 cols.append(f"CAST(({e}) AS TEXT){alias}")
                 if want_cls:
-                    code = _CLS_CODE[it.kind]
-                    cols.append(f"(CASE WHEN ({e}) IS NULL THEN 0 "
-                                f"ELSE {code} END)"
+                    if it.kind == "quad":
+                        code = _quad_cls_code(e)
+                    else:
+                        code = (f"(CASE WHEN ({e}) IS NULL THEN 0 "
+                                f"ELSE {_CLS_CODE[it.kind]} END)")
+                    cols.append(code
                                 + (f" AS `__dsq_cls_"
                                    f"{names[ci].strip('`')}`"
                                    if ai == 0 else ""))
                 if want_key:
-                    key = _typed_key_sql(f"({e})", it.kind, parse=False)
+                    key = (_quad_cls_key(e) if it.kind == "quad" else
+                           _typed_key_sql(f"({e})", it.kind,
+                                          parse=False))
                     cols.append(f"{key}"
                                 + (f" AS __dsq_k{ci}" if ai == 0 else ""))
             else:

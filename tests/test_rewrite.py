@@ -59,7 +59,9 @@ def test_agg_aliases():
     # alias name inside a string literal is untouched
     out = rewrite_query("SELECT 'stdev(x)' AS lit, total(y) FROM {}")
     assert "'stdev(x)'" in out
-    assert "coalesce(CAST(sum(y) AS DOUBLE), 0.0d)" in out
+    # per-row double accumulation (r9: SQLite total adds value_double
+    # each step — the end-cast form was off past 2^53)
+    assert "coalesce(CAST(sum(0.0D + (y)) AS DOUBLE), 0.0d)" in out
     # SQLite format() == printf (variadic); Spark's own format_* untouched
     out = rewrite_query("SELECT format('%s-%02d', a, b), date_format(ts, 'yyyy') FROM {}")
     # NULL coercion per conversion spec (SQLite: NULL -> ''/0 under %s/%d)

@@ -2431,3 +2431,343 @@ def test_r8_nullif_null_arms(engines):
     assert want == got
     rw = rewrite_query(q, SCHEMA)
     assert rewrite_query(rw, SCHEMA) == rw
+
+
+# --------------------------------------------------------------------------
+# r9: the r8 verdict's six defect families, pinned (judge repros verbatim
+# plus the surrounding matrices — see VERDICT r8 "What's wrong" #1-#5).
+# --------------------------------------------------------------------------
+
+WROWS = [(1, "5kg"), (2, "x"), (3, "3"), (4, None), (5, " 2.5e1 "), (6, "")]
+WSCHEMA = {"id": "int", "t": "text"}
+
+
+@pytest.fixture(scope="module")
+def engines_w(engines):
+    """The judge's windowed-aggregate table: an all-TEXT ingest column
+    with junk, int-spelled, real-spelled, NULL and empty values."""
+    spark, con = engines
+    con.execute("CREATE TABLE IF NOT EXISTS tw(id INTEGER, t TEXT)")
+    con.execute("DELETE FROM tw")
+    con.executemany("INSERT INTO tw VALUES (?,?)", WROWS)
+    spark.createDataFrame(WROWS, "id long, t string") \
+        .createOrReplaceTempView("tw")
+    yield spark, con
+
+
+def _run_w(spark, con, q, ordered=False):
+    want = [tuple(_canon(v) for v in row) for row in con.execute(q)]
+    got = [tuple(_canon(v) for v in row)
+           for row in spark.sql(rewrite_query(q, WSCHEMA)).collect()]
+    if ordered:
+        return want, got
+    return sorted(want), sorted(got)
+
+
+def test_r9_windowed_dynamic_aggregates(engines_w):
+    """Aggregates as window functions over an all-TEXT column (r8
+    verdict #1): sum()/avg() OVER apply SQLite's numeric-prefix
+    coercion per frame; total()/group_concat() OVER thread the clause
+    onto the inner aggregate (they were hard MISSING_GROUP_BY
+    errors)."""
+    spark, con = engines_w
+    for q in [
+        "SELECT id, sum(t) OVER (ORDER BY id) AS s FROM tw",
+        "SELECT id, avg(t) OVER (ORDER BY id) AS s FROM tw",
+        "SELECT id, total(t) OVER (ORDER BY id) AS s FROM tw",
+        "SELECT id, group_concat(t, '|') OVER (ORDER BY id) AS s FROM tw",
+        "SELECT id, group_concat(t) OVER (ORDER BY id) AS s FROM tw",
+        "SELECT id, total(t) OVER (PARTITION BY t IS NULL) AS s FROM tw",
+        "SELECT id, sum(t) OVER "
+        "(ORDER BY id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s "
+        "FROM tw",
+        "SELECT sum(t) AS s, total(t) AS u, group_concat(t, '|') AS g "
+        "FROM tw",
+    ]:
+        want, got = _run_w(spark, con, q)
+        assert want == got, q
+        rw = rewrite_query(q, WSCHEMA)
+        assert rewrite_query(rw, WSCHEMA) == rw, q
+
+
+def test_r9_filter_clause_matrix(engines_w):
+    """FILTER (WHERE …) on aggregates (r8 ADVICE high + verdict #1):
+    plain FILTER stays native for plain aggregates, folds to a CASE
+    argument for the coercion/wrapping family and for every windowed
+    form (Spark lacks windowed FILTER); bare-column wrapping must not
+    touch FILTER predicates."""
+    spark, con = engines_w
+    for q in [
+        "SELECT sum(id) FILTER (WHERE id > 2) AS s FROM tw",
+        "SELECT count(*) FILTER (WHERE t <> '') AS n FROM tw",
+        "SELECT t, count(*) FILTER (WHERE id > 1) AS n FROM tw GROUP BY t",
+        "SELECT sum(t) FILTER (WHERE id > 1) AS s FROM tw",
+        "SELECT avg(t) FILTER (WHERE id IN (1, 3, 5)) AS s FROM tw",
+        "SELECT total(t) FILTER (WHERE id > 1) AS s FROM tw",
+        "SELECT group_concat(t, '|') FILTER (WHERE id > 2) AS g FROM tw",
+        "SELECT id, sum(id) FILTER (WHERE id > 1) OVER (ORDER BY id) "
+        "AS s FROM tw",
+        "SELECT id, total(t) FILTER (WHERE id > 1) OVER (ORDER BY id) "
+        "AS s FROM tw",
+        "SELECT id, count(*) FILTER (WHERE t <> '') OVER (ORDER BY id) "
+        "AS n FROM tw",
+    ]:
+        want, got = _run_w(spark, con, q)
+        assert want == got, q
+        rw = rewrite_query(q, WSCHEMA)
+        assert rewrite_query(rw, WSCHEMA) == rw, q
+
+
+def test_r9_quote_class_mixed_no_crash(engines):
+    """quote() of a class-mixed dynamic branch (r8 verdict #3): Spark
+    hoists the Arrow UDF into a node that runs on EVERY row, so a dead
+    text-arm row ('' on td) fed its rendering into the float parse and
+    crashed the executor.  Both ends are fixed: the argument is
+    NULL-guarded and the UDF swallows unparseable input."""
+    spark, con = engines
+    for q in [
+        "SELECT a, quote(CASE '1' WHEN a THEN -1 ELSE c END) AS q FROM td",
+        "SELECT quote(CASE WHEN a > 0 THEN b ELSE c END) AS q FROM td",
+        "SELECT quote(c) AS q, quote(b) AS r, quote(a) AS s FROM td",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
+
+
+def test_r9_compound_storage_classes(engines):
+    """UNION/INTERSECT/EXCEPT compare by STORAGE CLASS (r8 verdict #2):
+    `SELECT 1 UNION SELECT '1'` is TWO rows, the mirrors likewise;
+    UNION keeps the LAST duplicate (probed: 1.0 UNION 1 is INTEGER 1),
+    INTERSECT the left operand's; ORDER BY over mixed compound output
+    sorts numerics before text."""
+    spark, con = engines
+    for q in [
+        "SELECT 1 AS v UNION SELECT '1'",
+        "SELECT '1' AS v EXCEPT SELECT 1",
+        "SELECT 1 AS v INTERSECT SELECT '1'",
+        "SELECT 1.0 AS v UNION SELECT 1 UNION SELECT '1'",
+        "SELECT 3 AS v INTERSECT SELECT 3.0",
+        "SELECT a AS v FROM td UNION SELECT c FROM td",
+        "SELECT c AS v FROM td EXCEPT SELECT a FROM td",
+        "SELECT a AS v FROM td INTERSECT SELECT c FROM td",
+        "SELECT a AS v, c AS w FROM td UNION SELECT c, c FROM td",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
+    # mixed-class compound ORDER BY: numerics sort before text
+    for q in [
+        "SELECT a AS v FROM td UNION SELECT c FROM td ORDER BY v",
+        "SELECT a AS v FROM td UNION ALL SELECT c FROM td ORDER BY v, 1",
+        "SELECT 2 AS v UNION SELECT 'x' UNION SELECT 1.5 ORDER BY v DESC",
+    ]:
+        want = [tuple(_canon(v) for v in r) for r in con.execute(q)]
+        got = [tuple(_canon(v) for v in r)
+               for r in spark.sql(rewrite_query(q, SCHEMA)).collect()]
+        assert want == got, q
+
+
+def test_r9_derived_table_kinds(engines):
+    """Static kinds propagate through derived tables (r8 verdict #3b):
+    sum()/avg() coercion and min()/max() class ordering fire on
+    subquery-derived columns, including class-mixed UNION ALL arms."""
+    spark, con = engines
+    for q in [
+        "SELECT sum(v) AS s FROM (SELECT '5kg' AS v UNION ALL "
+        "SELECT 2 UNION ALL SELECT 'x')",
+        "SELECT min(v) AS m FROM (SELECT 20 AS v UNION ALL "
+        "SELECT '9' UNION ALL SELECT 100)",
+        "SELECT max(v) AS m FROM (SELECT 20 AS v UNION ALL "
+        "SELECT '9' UNION ALL SELECT 100)",
+        "SELECT sum(v) AS s FROM (SELECT c AS v FROM td)",
+        "SELECT avg(v) AS s FROM (SELECT c AS v FROM td "
+        "UNION ALL SELECT a FROM td)",
+        "SELECT count(v) AS n, min(v) AS m FROM "
+        "(SELECT a AS v FROM td UNION ALL SELECT c FROM td)",
+        "SELECT typeof(v) AS t, count(*) AS n FROM "
+        "(SELECT 1 AS v UNION ALL SELECT 'x' UNION ALL SELECT 2.5) "
+        "GROUP BY typeof(v) ORDER BY t",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
+
+
+def test_r9_case_base_exact_boundaries(engines):
+    """CASE-base equality with a dynamic minmax-quad base against a
+    static numeric past 2^53 (r8 verdict #4, fresh seed 55577): routes
+    through the same exact int-float compare as plain `=` instead of
+    promoting both sides to double."""
+    spark, con = engines
+    for q in [
+        "SELECT CASE min('abc', 9223372036854775807) "
+        "WHEN 9223372036854775808.0 THEN 'eq' ELSE 'ne' END AS r",
+        "SELECT CASE min('abc', 9007199254740993) "
+        "WHEN 9007199254740992.0 THEN 'eq' ELSE 'ne' END AS r",
+        "SELECT CASE min('abc', 9007199254740993) "
+        "WHEN 9007199254740993 THEN 'eq' ELSE 'ne' END AS r",
+        "SELECT CASE 9007199254740992.0 "
+        "WHEN max('zz', 9007199254740993) THEN 'eq' ELSE 'ne' END AS r",
+        "SELECT CASE min('abc', 9223372036854775807) "
+        "WHEN 9223372036854775808.0 THEN 'a' WHEN 9223372036854775807 "
+        "THEN 'b' ELSE 'c' END AS r",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
+
+
+def test_r9_dynamic_like_escape(engines):
+    """Dynamic (non-literal) LIKE patterns with ESCAPE (r8 verdict #5):
+    Spark's native ESCAPE raises INVALID_FORMAT on escapes SQLite
+    accepts — computed patterns route through the runtime LIKE→regex
+    machine (dsq_like_regex)."""
+    spark, con = engines
+    for q in [
+        "SELECT a FROM td WHERE 'a!b' LIKE ('a' || upper(c) || '!b') "
+        "ESCAPE '!'",
+        "SELECT 'x!%y' LIKE ('x!' || c) ESCAPE '!' AS r FROM td",
+        "SELECT c LIKE (c || '%') ESCAPE '!' AS r FROM td",
+        "SELECT c NOT LIKE ('%' || c) ESCAPE '@' AS r FROM td",
+        "SELECT 'A_B' LIKE lower(c) ESCAPE '_' AS r FROM td",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
+
+
+def test_r9_like_regex_py_mirror(engines):
+    """like_regex_py is byte-equal to the dsq_like_regex SQL machine
+    (the pandas twin must agree with the JVM path on every input)."""
+    spark, _con = engines
+    from dsq_spark.functions import like_regex_py
+
+    pats = ["a!b", "a!%b", "%x_", "!!", "!", "", "a!", "%%", "!_!%",
+            "λ!μ", "a'b", "[x]", "a\\b", "!a!b!c", "_!__"]
+    escs = ["!", "\\", "%", "_", "x"]
+    rows = [(p, e) for p in pats for e in escs]
+    df = spark.createDataFrame(rows, "p string, e string")
+    df.createOrReplaceTempView("lp")
+    got = {(r.p, r.e): r.rx
+           for r in spark.sql(
+               "SELECT p, e, dsq_like_regex(p, e) AS rx FROM lp"
+           ).collect()}
+    for (p, e), rx in got.items():
+        assert rx == like_regex_py(p, e), (p, e, rx, like_regex_py(p, e))
+
+
+def test_r9_bareagg_allnull_extremum(engines):
+    """Single-min/max bare-column rule when the extremum argument is
+    NULL on every row (r8 ADVICE low): SQLite still fills bare columns
+    from one of the rows; max_by alone would return NULL."""
+    spark, con = engines
+    con.execute("CREATE TABLE IF NOT EXISTS tn(a INTEGER, c TEXT)")
+    con.execute("DELETE FROM tn")
+    con.executemany("INSERT INTO tn VALUES (?,?)",
+                    [(None, "x"), (None, "y")])
+    spark.createDataFrame([(None, "x"), (None, "y")],
+                          "a long, c string").createOrReplaceTempView("tn")
+    sch = {"a": "int", "c": "text"}
+    for q in ["SELECT c, max(a) AS m FROM tn",
+              "SELECT c, min(a) AS m FROM tn"]:
+        want = con.execute(q).fetchall()
+        got = [tuple(r) for r in spark.sql(rewrite_query(q, sch)).collect()]
+        # "one of the rows" is unspecified: check shape, not which row
+        assert len(got) == len(want) == 1, q
+        assert got[0][1] is None and got[0][0] in ("x", "y"), q
+    # empty group: no such fill (both engines emit the NULL row)
+    q = "SELECT c, max(a) AS m FROM tn WHERE a > 99"
+    want = con.execute(q).fetchall()
+    got = [tuple(r) for r in spark.sql(rewrite_query(q, sch)).collect()]
+    assert want == got, q
+
+
+def test_r9_groupby_clskey_not_suppressed_by_where(engines):
+    """GROUP BY class-key substitution decides 'term is also a select
+    item' from the parsed select items, not a substring scan (r8
+    ADVICE medium: a WHERE-clause occurrence of the same text
+    suppressed the key and reproduced the class collision)."""
+    spark, con = engines
+    for q in [
+        "SELECT count(*) AS n FROM td WHERE iif(a>0,c,b) IS NOT NULL "
+        "GROUP BY iif(a>0,c,b)",
+        "SELECT count(*) AS n FROM td WHERE iif(a>0,c,a) IS NOT NULL "
+        "GROUP BY iif(a>0,c,a) ORDER BY n",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
+
+
+def test_r9_probe_seed_90210_finds(engines):
+    """The widened column-probe grammar's fresh finds (seed 90210),
+    pinned: (a) negation over a quad-carrying operand surfaces per
+    class — the old `- (double)` surface turned the int arm's 0 into
+    -0.0; (b) BOOLEAN-vs-numeric compound arms surface the boolean as
+    its 0/1 INTEGER (Spark's set ops reject the type mix SQLite never
+    has); (c) quad arms in class-mixed compounds key per their RUNTIME
+    class instead of bailing to Spark's coerced union."""
+    spark, con = engines
+    for q in [
+        "SELECT a, (-+CASE WHEN b THEN 0.1 ELSE 0 END) AS v FROM td "
+        "ORDER BY a",
+        "SELECT a, (- - CASE WHEN b THEN 0.1 ELSE 0 END) AS v FROM td "
+        "ORDER BY a",
+        "SELECT a, typeof(-iif(b, 0.1, 0)) AS v FROM td ORDER BY a",
+        "SELECT (a > 1) AS v FROM td UNION SELECT a FROM td",
+        "SELECT (a > 1) AS v FROM td EXCEPT SELECT a FROM td",
+        "SELECT (c / c) AS v FROM td UNION SELECT c FROM td",
+        "SELECT (a / 2) AS v FROM td INTERSECT SELECT c FROM td",
+        "SELECT (-+CASE WHEN b THEN 0.1 ELSE 0 END) AS v FROM td "
+        "UNION SELECT c FROM td",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
+
+
+def test_r9_probe_batch2_finds(engines):
+    """Second widened-probe batch (seeds 13579/24680/77777/55577),
+    pinned: (a) group_concat with zero non-null inputs (empty frame /
+    all-false FILTER / all-NULL group) is NULL, not ''; (b) a `*` in an
+    item is only a star EXPANSION when it starts the item or follows
+    '.' — multiplication and count(*) no longer disable the compound
+    pass; (c) a BOOLEAN-typed comparison item keeps kind 'bool' even
+    when it carries class tags, so the 0/1 surface cast fires; (d) blob
+    arms in class-mixed compounds key rank 3 instead of bailing into
+    Spark's INCOMPATIBLE_COLUMN_TYPE."""
+    spark, con = engines
+    for q in [
+        "SELECT group_concat(c) AS g FROM td WHERE 0",
+        "SELECT group_concat(b) AS g FROM td WHERE b IS NULL",
+        "SELECT a, group_concat(c, '|') FILTER (WHERE 0) "
+        "OVER (ORDER BY a) AS g FROM td ORDER BY a",
+        "SELECT (length(c) * 2 = 6) AS v FROM td "
+        "UNION ALL SELECT a FROM td",
+        "SELECT count(*) AS v FROM td UNION SELECT c FROM td",
+        # (a * 2), not (b * 2): an INTEGRAL real arm surfaces its exact
+        # '2.0'-style rendering where the sqlite3 fetch canonicalizes
+        # REAL 2.0 to '2' — the documented select-surface class family
+        "SELECT (a * 2) AS v FROM td UNION SELECT c FROM td",
+        "SELECT (CAST(2.5 AS BLOB)) AS v FROM td "
+        "INTERSECT SELECT c FROM td",
+        # blob arms participate via the set-op KEY only (a blob in the
+        # OUTPUT would hit the harness's bytes-vs-rendering canon, not
+        # an engine delta): blob 'foo' ≠ TEXT 'foo', so EXCEPT keeps
+        # every text row
+        "SELECT c AS v FROM td WHERE c IS NOT NULL "
+        "EXCEPT SELECT x'666f6f'",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
+
+
+def test_r9_total_double_accumulation(engines):
+    """total() accumulates value_double PER ROW (func.c sumStep's
+    approx path) — an exact integer sum cast to DOUBLE at the end is
+    off by the accumulated rounding past 2^53 (r9 probe seed 77777:
+    total over ten copies of 2^53+1 is 10 × 9007199254740992.0)."""
+    spark, con = engines
+    for q in [
+        "SELECT total(9007199254740993) AS r FROM td",
+        "SELECT total(a + 9007199254740993) AS r FROM td",
+        "SELECT total('9007199254740993') AS r FROM td",
+        "SELECT typeof(total(1)) AS r",
+        "SELECT total(2) || 'x' AS r",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
