@@ -232,7 +232,7 @@ _GLOB_REGEX_UDF = (
     "RETURN aggregate(filter(split(p, ''), ch -> ch <> ''), "
     + _glob_acc("''", 0, "false", "''", "''", "false")
     + ", (a, c) -> " + _GLOB_STEP
-    + ", a -> CASE WHEN a.st <> 0 THEN '(?!)' ELSE concat('(?s)^', a.r, '$') END)"
+    + ", a -> CASE WHEN a.st <> 0 THEN '(?!)' ELSE concat('(?s)\\\\A', a.r, '\\\\z') END)"
 ).replace("GLOBESC_PRIOR", _g_esc("a.prior")).replace("GLOBESC_C", _g_esc("c"))
 
 
@@ -264,7 +264,7 @@ _LIKE_REGEX_UDF = (
     "WHEN c = '_' THEN named_struct('r', concat(a.r, '.'), 'p', false) "
     "ELSE named_struct('r', concat(a.r, LIKEESC_C), 'p', false) END, "
     "a -> CASE WHEN a.p THEN '(?!)' "
-    "ELSE concat('(?is)^', a.r, '$') END) END"
+    "ELSE concat('(?is)\\\\A', a.r, '\\\\z') END) END"
 ).replace("LIKEESC_C", _g_esc("c"))
 
 
@@ -292,7 +292,7 @@ def like_regex_py(pat, esc):
             r += "."
         else:
             r += lit(c)
-    return "(?!)" if pending else f"(?is)^{r}$"
+    return "(?!)" if pending else f"(?is)\\A{r}\\z"
 
 
 def glob_regex_py(pat: str) -> str:
@@ -349,7 +349,7 @@ def glob_regex_py(pat: str) -> str:
             prior, dash = "", False
     if st != 0:
         return "(?!)"  # unclosed '[': the whole pattern never matches
-    return "(?s)^" + r + "$"
+    return "(?s)\\A" + r + "\\z"
 
 
 def _trim_g(s: str) -> str:
