@@ -937,6 +937,22 @@ _BARE_NUM_LIT = __import__("re").compile(
     r"[-+(\s]*\d+(?:\.\d*)?(?:[eE][+-]?\d+)?[)\s]*")
 
 
+def _total_alias(parts: list[str]) -> str:
+    """SQLite total(x) / total(DISTINCT x): always REAL, 0.0 on empty.
+    The DISTINCT form dedups before the per-row double accumulation;
+    sum(DISTINCT 0.0 + x) dedups the COERCED double — two distinct
+    originals with equal nonzero prefixes ('5kg' vs '5x') collapse
+    where SQLite keeps both (documented in PARITY.md; the sum()/avg()
+    DISTINCT forms dedup true originals via the sqlexpr machinery)."""
+    import re as _re
+    a = ", ".join(p.strip() for p in parts)
+    m = _re.match(r"(?is)^DISTINCT\s+(.*)$", a)
+    if m:
+        return (f"coalesce(CAST(sum(DISTINCT 0.0 + ({m.group(1)})) "
+                f"AS DOUBLE), 0.0d)")
+    return f"coalesce(CAST(sum(0.0 + ({a})) AS DOUBLE), 0.0d)"
+
+
 def _group_concat_alias(parts: list[str], over: str = "") -> str:
     """SQLite group_concat(x[, sep]) / group_concat(DISTINCT x).
 
@@ -1326,7 +1342,7 @@ AGG_ALIASES = {
     # exact integer sum cast at the end was off by the accumulated
     # rounding (r9 probe seed 77777); the dialect's `+` applies the
     # same numeric-prefix coercion to text/blob rows.
-    "total": "coalesce(CAST(sum(0.0 + ({args})) AS DOUBLE), 0.0d)",
+    "total": _total_alias,
     # SQLite max/min are the aggregate with 1 arg, scalar greatest/least
     # with 2+ — dispatch on call-site arity
     "max": _minmax_alias("max", "greatest"),
