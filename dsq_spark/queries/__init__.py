@@ -40,22 +40,101 @@ from dsq_spark.queries import streaming_q  # noqa: F401,E402
 
 # The driver's correctness harness checks only the FIRST 50 registry entries,
 # so registration order decides which queries get a hard driver-verified row.
-# Round 9 rotation (r8 VERDICT action #7, exactly the plan the r8 registry
-# comment recorded): the window is (a) the SIXTEEN r6-verified rows the r8
-# rotation deferred (q21_sole_returner + q2_min_cost_supplier … limit_offset
-# — their last hard row is r6, none may go a third round), (b) TWO new rows
-# pinning this round's fixes — dialect_windowed_aggregates (sum/avg/total/
-# group_concat as window functions over a text-ingested column, the r8
-# verdict's headline error class) and dialect_compound_class (UNION by
-# storage class across mixed-kind arms) — then (c) thirty-two of the fifty
-# r7-verified rows in queue order.  The remaining eighteen r7-verified rows
-# (text_gopher_rules … window_running_sum) head the round-10 queue, followed
-# by the fifty r8-verified rows; every registered query, in-window or not,
-# stays green in the identical local oracle suite
-# (tests/test_queries_oracle.py + scripts/verify_contract.py, both with
-# ANSI-on legs mirroring the driver's session config).
+# Round 10 rotation (r9 VERDICT action #10, exactly the plan the r9 registry
+# comment recorded): the window is (a) the EIGHTEEN r7-verified rows the r9
+# rotation deferred (text_gopher_rules … window_running_sum — their last hard
+# row is r7), (b) FOUR new rows pinning this round's fixes —
+# dialect_cte_kinds (kind tracking through CTE bodies, the r9 verdict's
+# top-ranked hole), dialect_distinct_aggregates (sum/avg/total DISTINCT over
+# dynamic classes), dialect_groups_frame (GROUPS/EXCLUDE frames through the
+# SQL path — hard ParseExceptions before r10), and dialect_values_chain
+# (mixed-class VALUES + left-associative mixed-operator compound chains) —
+# then (c) twenty-eight of the fifty r8-verified rows in queue order.  The
+# remaining r8 rows head the round-11 queue, followed by the fifty
+# r9-verified rows; every registered query, in-window or not, stays green in
+# the identical local oracle suite (tests/test_queries_oracle.py +
+# scripts/verify_contract.py, both with ANSI-on legs mirroring the driver's
+# session config).
 _PRIORITY = [
-    # (a) r6-verified rows deferred by r8 — sixteen, mandatory
+    # (a) r7-verified rows deferred by r9 — eighteen, mandatory
+    "text_gopher_rules",
+    "baseline_groupby",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "join_outer_coverage",
+    "join_right_full",
+    "join_semi_anti",
+    "set_operations",
+    "cte_scalar_subquery",
+    "recursive_cte_series",
+    "agg_stats",
+    "agg_having_distinct",
+    "case_cast_coalesce",
+    "date_functions",
+    "regexp_functions",
+    "string_functions",
+    "window_running_sum",
+    # (b) NEW rows pinning the r10 fixes (CTE kind tracking; DISTINCT
+    # dynamic aggregates; GROUPS/EXCLUDE frames; VALUES + mixed chains)
+    "dialect_cte_kinds",
+    "dialect_distinct_aggregates",
+    "dialect_groups_frame",
+    "dialect_values_chain",
+    # (c) twenty-eight of the fifty r8-verified rows, queue order
+    "window_topn_per_group",
+    "window_exclude_frame",
+    "sessionize_events",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_semantic",
+    "doc_tfidf_keywords",
+    "pipeline_curation",
+    "sim_ivf_incremental",
+    "sim_ivfpq_topk",
+    "sim_pq_topk",
+    "text_bpe_token_counts",
+    "text_charlm_quality",
+    "text_chunk_documents",
+    "text_quality_scores",
+    "dialect_numeric_char_hex",
+    "dialect_bare_aggregate",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "join_cross_theta",
+    "agg_rollup",
+    "agg_group_concat",
+    "hash_functions",
+    "julianday_functions",
+    "window_range_frame",
+    "window_groups_frame",
+    "dedup_simhash",
+    "sim_pq_recall",
+    # --- everything below is PAST the 50-row window this round ---
+    # r8-verified remainder (FRONT of the r11 queue)
+    "sim_ivf_kmeans_recall",
+    "text_token_stats",
+    "text_langid_heuristic",
+    "text_fingerprint",
+    "text_remove_dup_spans",
+    "sample_hash_split",
+    "text_dup_ngram_fraction",
+    "sim_topk_bruteforce",
+    "sim_lsh_buckets",
+    "sim_ivf_topk",
+    "sim_cosine_neardup",
+    "sim_neardup_components",
+    "sim_ivf_recall",
+    "sim_ivf_multiprobe",
+    "pipeline_quality_mix",
+    "json_each_props",
+    "json1_mutators",
+    "streaming_window_counts",
+    "dialect_cast_affinity",
+    "dialect_int_division",
+    "dialect_truthiness",
+    "dialect_bitwise_shifts",
+    # r9-verified rows (freshest), window again after the above
     "q21_sole_returner",
     "q2_min_cost_supplier",
     "asof_join_events",
@@ -72,11 +151,8 @@ _PRIORITY = [
     "text_pii_scrub",
     "mm_image_meta",
     "limit_offset",
-    # (b) NEW rows pinning the r9 fixes (windowed dynamic aggregates;
-    # compound set-operator storage classes)
     "dialect_windowed_aggregates",
     "dialect_compound_class",
-    # (c) thirty-two of the fifty r7-verified rows, queue order
     "q4_priority_exists",
     "q7_volume_shipping",
     "q8_market_share",
@@ -109,78 +185,6 @@ _PRIORITY = [
     "pack_token_shards",
     "sample_stratified",
     "window_distribution",
-    # --- everything below is PAST the 50-row window this round ---
-    # r7-verified, deferred to round 10 (FRONT of the r10 queue): the
-    # remaining eighteen of the r7 batch
-    "text_gopher_rules",
-    "baseline_groupby",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q10_returned_items",
-    "join_outer_coverage",
-    "join_right_full",
-    "join_semi_anti",
-    "set_operations",
-    "cte_scalar_subquery",
-    "recursive_cte_series",
-    "agg_stats",
-    "agg_having_distinct",
-    "case_cast_coalesce",
-    "date_functions",
-    "regexp_functions",
-    "string_functions",
-    "window_running_sum",
-    # r8-verified (freshest rows), window again after the above
-    "window_topn_per_group",
-    "window_exclude_frame",
-    "sessionize_events",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_semantic",
-    "doc_tfidf_keywords",
-    "pipeline_curation",
-    "sim_ivf_incremental",
-    "sim_ivfpq_topk",
-    "sim_pq_topk",
-    "text_bpe_token_counts",
-    "text_charlm_quality",
-    "text_chunk_documents",
-    "text_quality_scores",
-    "dialect_numeric_char_hex",
-    "dialect_bare_aggregate",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "join_cross_theta",
-    "agg_rollup",
-    "agg_group_concat",
-    "hash_functions",
-    "julianday_functions",
-    "window_range_frame",
-    "window_groups_frame",
-    "dedup_simhash",
-    "sim_pq_recall",
-    "sim_ivf_kmeans_recall",
-    "text_token_stats",
-    "text_langid_heuristic",
-    "text_fingerprint",
-    "text_remove_dup_spans",
-    "sample_hash_split",
-    "text_dup_ngram_fraction",
-    "sim_topk_bruteforce",
-    "sim_lsh_buckets",
-    "sim_ivf_topk",
-    "sim_cosine_neardup",
-    "sim_neardup_components",
-    "sim_ivf_recall",
-    "sim_ivf_multiprobe",
-    "pipeline_quality_mix",
-    "json_each_props",
-    "json1_mutators",
-    "streaming_window_counts",
-    "dialect_cast_affinity",
-    "dialect_int_division",
-    "dialect_truthiness",
-    "dialect_bitwise_shifts",
 ]
 _MODULE_ORDER = ["tpch_extra", "multimodal_q", "datetime_q", "dedup", "core", "text", "similarity"]
 

