@@ -5959,6 +5959,16 @@ class _Rw:
             return ((aff_p(self._cast_real(ep.text, ek), "real"), "real"),
                     j + 1)
         if tname == "text":
+            if ek == "real" and (lv9 := _lit_value(ep.text)) is not None:
+                # static real literal: fold the %!.15g rendering at
+                # compile time — the dsq_real_text UDF otherwise drags a
+                # whole ArrowEvalPython node into the plan for a
+                # CONSTANT ('2.5' in a VALUES arm — r10 plan gate)
+                r9 = _real_text_py(float(lv9))
+                if r9 is not None:
+                    sp9 = _P(f"'{r9}'", *span)
+                    sp9.sval, sp9.aff = r9, "text"
+                    return ((sp9, "text"), j + 1)
             return ((aff_p(self._cast_text(ep.text, ek), "text"), "text"),
                     j + 1)
         if tname == "blob":

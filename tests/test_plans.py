@@ -459,3 +459,36 @@ def test_json_mutator_simple_shape_no_python(spark, sf_dir):
         os.environ.pop("DSQ_JSON_FAST", None)
     default = plan_of("SELECT json_set(j, '$.b', 1) AS r FROM jfast_t")
     assert "EvalPython" in default
+
+
+def test_r10_dialect_rows_stay_jvm_side(spark, sf_dir):
+    """The four r10 driver rows (CTE kind tracking, DISTINCT dynamic
+    aggregates, GROUPS/EXCLUDE frames, VALUES + mixed chains) compile to
+    pure-JVM plans: no Python evaluation nodes, no cartesian products —
+    the coercion quads, collect_set folds and frame recombinations are
+    all native expressions."""
+    for name in ("dialect_cte_kinds", "dialect_distinct_aggregates",
+                 "dialect_groups_frame", "dialect_values_chain"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert n_nodes(plan, "CartesianProduct") == 0, name
+
+
+def test_r10_groups_frame_window_count(spark, sf_dir):
+    """The GROUPS/EXCLUDE rewrite adds rank columns that share the user
+    windows' partition/order, so the whole query plans into a bounded
+    number of Window operators (one per distinct ordering — the rank
+    prepass, the dr-RANGE frames, the rn-ROWS frames), not one per
+    emitted piece."""
+    plan = plan_of(spark, sf_dir, "dialect_groups_frame")
+    assert n_nodes(plan, "Window") <= 4, plan[:2000]
+    assert n_nodes(plan, "Exchange") <= 3
+
+
+def test_r10_distinct_aggregates_single_aggregate(spark, sf_dir):
+    """sum/avg/total/count DISTINCT over one column fold into a single
+    aggregation (collect_set + expression folds — no per-aggregate
+    re-shuffle, no expand for multiple distinct sets)."""
+    plan = plan_of(spark, sf_dir, "dialect_distinct_aggregates")
+    assert n_nodes(plan, "Exchange") <= 2, plan[:2000]
