@@ -2407,7 +2407,16 @@ class _Rw:
                                         if lp0.cls is not None else
                                         _typed_key_null_sql(lp0.text,
                                                             lke, pr))
-                                esql = _typed_key_null_sql(ep.text, eke, pr)
+                                # a mix-kinded element (class-mixed
+                                # compound column) keys per its cls
+                                # companion — the surface-string
+                                # dispatch would rank a numeric-looking
+                                # TEXT arm as rank-1 numeric ('1' IN
+                                # (1 UNION '1') was 0; r10 hunt)
+                                esql = (_cls_key_sql(ep.cls, pr)
+                                        if ep.cls is not None else
+                                        _typed_key_null_sql(ep.text,
+                                                            eke, pr))
                             elif mode == "texty_l":
                                 lsql = _texty(lp0.text, lke)
                                 esql = f"({ep.text})"
@@ -6724,12 +6733,27 @@ def _fr_emit(fname, args, sp):
         sp2.excl = None
         return _fr_emit(fname, args, sp2)
     unit_rows = sp.ftype == "rows"
-    if not unit_rows and sp.b1[0] == "prec" and sp.ftype == "range":
-        return None  # value-offset RANGE with EXCLUDE: inexpressible
-    if not unit_rows and sp.b2[0] == "foll" and sp.ftype == "range":
-        return None
-    pieces, negs, self_term = [], [], False
-    if unit_rows:
+    pieces, negs, self_term, self_neg = [], [], False, False
+    if (not unit_rows and sp.ftype == "range"
+            and (sp.b1[0] == "prec" or sp.b2[0] == "foll")):
+        # value-offset RANGE frame with EXCLUDE: keep the NATIVE frame
+        # (Spark supports numeric range offsets on the user's order
+        # key) and SUBTRACT the excluded slice — the peer group is
+        # exactly RANGE BETWEEN CURRENT ROW AND CURRENT ROW on the same
+        # key, the current row its own value.  Subtraction only:
+        # min/max stay out of scope here (documented residual).
+        if fl not in ("count", "sum", "avg"):
+            return None
+        frame = (f"RANGE BETWEEN {_fr_render(sp.b1)} AND "
+                 f"{_fr_render(sp.b2)}")
+        pieces.append(f"OVER ({base_part}ORDER BY {sp.o_txt} {frame})")
+        if gexcl in ("group", "ties"):
+            negs.append(f"OVER ({base_part}ORDER BY {sp.o_txt} RANGE "
+                        f"BETWEEN CURRENT ROW AND CURRENT ROW)")
+            self_term = gexcl == "ties"
+        else:
+            self_neg = True
+    elif unit_rows:
         oc = f"__dsq_rn{sp.k}"
         if gexcl == "current row":
             if sp.b1 != ("cur", None):
@@ -6738,14 +6762,17 @@ def _fr_emit(fname, args, sp):
             if sp.b2 != ("cur", None):
                 pieces.append(over(oc, f"ROWS BETWEEN 1 FOLLOWING AND "
                                        f"{_fr_render(sp.b2)}"))
-        else:  # group / ties over a ROWS frame: the cumulative shape only
-            if sp.b1 != ("ub_p", None) or sp.b2 != ("cur", None):
-                return None
-            pieces.append(over(oc, "ROWS BETWEEN UNBOUNDED PRECEDING "
-                                   "AND CURRENT ROW"))
+        else:  # group / ties over a ROWS frame: peers∩frame is a
+            # RANGE on the (unique, integer) row number within the
+            # peer-group partition — the same ROW offsets become VALUE
+            # offsets on rn, so any frame bounds work (r10 hunt: the
+            # cumulative-only gate left EXCLUDE TIES/GROUP over bounded
+            # ROWS frames as hard ParseExceptions)
+            pieces.append(over(oc, f"ROWS BETWEEN {_fr_render(sp.b1)} "
+                                   f"AND {_fr_render(sp.b2)}"))
             negs.append(f"OVER ({part}__dsq_dr{sp.k} ORDER BY {oc} "
-                        f"ROWS BETWEEN UNBOUNDED PRECEDING AND "
-                        f"CURRENT ROW)")
+                        f"RANGE BETWEEN {_fr_render(sp.b1)} AND "
+                        f"{_fr_render(sp.b2)})")
             self_term = gexcl == "ties"
     else:
         oc = f"__dsq_dr{sp.k}"
@@ -6766,13 +6793,15 @@ def _fr_emit(fname, args, sp):
         elif gexcl == "ties":
             self_term = True
     star = args.strip() == "*"
+    self_cnt = ("1" if star else
+                f"(CASE WHEN ({args}) IS NULL THEN 0 ELSE 1 END)")
     if fl == "count":
         terms = [f"count({args}) {p}" for p in pieces]
         terms += [f"- count({args}) {n}" for n in negs]
         if self_term:
-            terms.append("1" if star else
-                         f"(CASE WHEN ({args}) IS NULL THEN 0 "
-                         f"ELSE 1 END)")
+            terms.append(self_cnt)
+        if self_neg:
+            terms.append(f"- {self_cnt}")
         body = " + ".join(terms).replace("+ -", "- ") if terms else "0"
         return f"({body})"
     if star:
@@ -6781,26 +6810,38 @@ def _fr_emit(fname, args, sp):
         cnts = [f"count({args}) {p}" for p in pieces]
         cnts += [f"- count({args}) {n}" for n in negs]
         if self_term:
-            cnts.append(f"(CASE WHEN ({args}) IS NULL THEN 0 "
-                        f"ELSE 1 END)")
+            cnts.append(self_cnt)
+        if self_neg:
+            cnts.append(f"- {self_cnt}")
         cnt = ("(" + " + ".join(cnts).replace("+ -", "- ") + ")") \
             if cnts else "0"
         if fl == "sum":
             vals = [f"coalesce(sum({args}) {p}, 0)" for p in pieces]
             vals += [f"- coalesce(sum({args}) {n}, 0)" for n in negs]
+            self_val = (f"(CASE WHEN ({args}) IS NULL THEN 0 "
+                        f"ELSE ({args}) END)")
             if self_term:
-                vals.append(f"(CASE WHEN ({args}) IS NULL THEN 0 "
-                            f"ELSE ({args}) END)")
+                vals.append(self_val)
+            if self_neg:
+                vals.append(f"- {self_val}")
             val = ("(" + " + ".join(vals).replace("+ -", "- ") + ")") \
                 if vals else "NULL"
             return f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {val} END)"
-        vals = [f"coalesce(sum(0.0 + ({args})) {p}, 0.0)"
-                for p in pieces]
-        vals += [f"- coalesce(sum(0.0 + ({args})) {n}, 0.0)"
-                 for n in negs]
+        # CAST(… AS REAL), not `0.0 + …`: these emissions re-enter the
+        # dialect compiler AFTER the real-literal D-suffix pass ran, so
+        # a bare 0.0 would reach Spark as DECIMAL(1,1) and drag the
+        # whole average into decimal arithmetic (6-digit scale) on
+        # integer arguments
+        vals = [f"coalesce(sum(CAST(({args}) AS REAL)) {p}, "
+                f"CAST(0 AS REAL))" for p in pieces]
+        vals += [f"- coalesce(sum(CAST(({args}) AS REAL)) {n}, "
+                 f"CAST(0 AS REAL))" for n in negs]
+        self_val = (f"(CASE WHEN ({args}) IS NULL THEN CAST(0 AS REAL) "
+                    f"ELSE CAST(({args}) AS REAL) END)")
         if self_term:
-            vals.append(f"(CASE WHEN ({args}) IS NULL THEN 0.0 "
-                        f"ELSE 0.0 + ({args}) END)")
+            vals.append(self_val)
+        if self_neg:
+            vals.append(f"- {self_val}")
         val = ("(" + " + ".join(vals).replace("+ -", "- ") + ")") \
             if vals else "NULL"
         return f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {val} / {cnt} END)"
@@ -6846,6 +6887,46 @@ def _frames_stmt(text):
             text = text[:lo_c] + inner + text[hi_c:]
     toks = tokenize(text)
     n = len(toks)
+    # named WINDOW clause: Spark parses `WINDOW w AS (…)` but rejects
+    # GROUPS/EXCLUDE inside the named spec, and this pass's statement
+    # parser bails on the clause — inline each simple `OVER w`
+    # reference with its spec, drop the clause, and reprocess (r10
+    # hunt: a GROUPS frame in a named window was a hard ParseException)
+    wix = [ix for ix in _tok_scan(toks, 0, n, ("window",))
+           if ix + 2 < n and toks[ix + 1].kind in ("word", "bt")
+           and toks[ix + 2].low == "as"]
+    if wix:
+        w0 = wix[0]
+        defs, j = {}, w0 + 1
+        while (j + 2 < n and toks[j].kind in ("word", "bt")
+               and toks[j + 1].low == "as" and toks[j + 2].text == "("):
+            close = _match_paren_t(toks, j + 2, n)
+            if close is None:
+                raise _Unsupported("window clause paren")
+            spec = text[toks[j + 2].end:toks[close].start]
+            defs[toks[j].low] = spec
+            j = close + 1
+            if j < n and toks[j].text == ",":
+                j += 1
+                continue
+            break
+        if not defs:
+            raise _Unsupported("window clause shape")
+        for spec in defs.values():
+            st = tokenize(spec)
+            if st and st[0].kind == "word" and st[0].low in defs:
+                raise _Unsupported("window base reference")
+        edits = [(toks[w0].start, toks[j - 1].end, "")]
+        for ix in range(n):
+            if (toks[ix].kind == "word" and toks[ix].low == "over"
+                    and ix + 1 < n and toks[ix + 1].kind in ("word", "bt")
+                    and toks[ix + 1].low in defs
+                    and not (w0 <= ix < j)):
+                edits.append((toks[ix + 1].start, toks[ix + 1].end,
+                              f"({defs[toks[ix + 1].low]})"))
+        for lo_e, hi_e, rep in sorted(edits, reverse=True):
+            text = text[:lo_e] + rep + text[hi_e:]
+        return _frames_stmt(text)
     # this statement's inline OVER specs — at ANY expression depth
     # (a window call inside CAST(… AS INTEGER) sits one paren deep);
     # nested SELECTs were already recursed and spliced above, so any
@@ -7046,6 +7127,133 @@ def _companion_colinfo(items):
     return out
 
 
+def _distinct_mix_rewrite(text, toks, kinds, top, no_cls):
+    """`SELECT DISTINCT …` whose select list carries class-mixed values
+    (a mix-kinded compound-derived column, or a per-row classed quad):
+    SQLite dedups on VALUES with storage-class equality — 1 and '1' stay
+    distinct rows, 1 and 1.0 collapse — while Spark's DISTINCT over the
+    TEXT surface collapses renderings AND an ORDER BY on the mix column
+    references its class companion, which the DISTINCT projection hides
+    (UNRESOLVED_COLUMN — r10 hunt).  Rewrites to GROUP BY on the
+    storage-class key struct, surfacing one arbitrary row per group
+    (SQLite keeps first arrival — order-dependent there too; same
+    'arbitrary row' family as bare columns in aggregates).  Returns
+    (new_text, colinfo) or None when out of scope."""
+    n = len(toks)
+    sels = _tok_scan(toks, 0, n, ("select",))
+    if not sels:
+        return None
+    si = sels[0]
+    if not (si + 1 < n and toks[si + 1].kind == "word"
+            and toks[si + 1].low == "distinct"):
+        return None
+    if _tok_scan(toks, si, n, ("group", "having", "window", "union",
+                               "intersect", "except")):
+        return None
+    fr = _tok_scan(toks, si, n, ("from",))
+    if not fr:
+        return None
+    pa = _parse_arm(text, toks, si, n, kinds)
+    if pa is None:
+        return None
+    items, _s_lo, _s_hi = pa
+    names = []
+    for it in items:
+        out_nm = (it.alias.strip("`").lower() if it.alias is not None
+                  else it.name)
+        if not out_nm or not re.fullmatch(r"\w+", out_nm):
+            return None
+        names.append(out_nm)
+    if len(set(names)) != len(names):
+        return None
+    keyed, comps = {}, {}
+    for ci, it in enumerate(items):
+        k = kinds.get(it.name) if it.name else None
+        if (k and k.startswith("mix:")
+                and re.fullmatch(r"[`\w.]+", it.expr.strip())):
+            pre = it.expr.strip()
+            pre = pre[:pre.rfind(".") + 1] if "." in pre else ""
+            comp_ref = f"{pre}{k[4:]}"
+            v, c = f"({it.expr})", f"({comp_ref})"
+            cls = ([f"({c} = 0)", f"({c} = 1)", f"({c} = 2)",
+                    f"({c} = 4)"],
+                   [(None, "null", None),
+                    (f"try_cast({v} AS BIGINT)", "int", None),
+                    (f"try_cast({v} AS DOUBLE)", "real", None),
+                    (f"CAST({v} AS BINARY)", "blob", None),
+                    (v, "text", None)])
+            keyed[ci] = _cls_key_sql(cls, parse=False, null_rank0=True)
+            comps[ci] = comp_ref
+        elif it.kind == "quad":
+            keyed[ci] = _quad_cls_key(it.expr)
+    if not keyed:
+        return None
+    tail_hits = _tok_scan(toks, fr[0], n, ("order", "limit"))
+    t_ix = tail_hits[0] if tail_hits else n
+    from_txt = text[toks[fr[0]].start:toks[t_ix - 1].end]
+    tail = text[toks[t_ix].start:] if t_ix < n else ""
+    inner_cols = []
+    for ci, it in enumerate(items):
+        inner_cols.append(f"{it.expr} AS {names[ci]}")
+        if ci in comps:
+            inner_cols.append(f"{comps[ci]} AS `__dsq_cls_{names[ci]}`")
+        if ci in keyed:
+            inner_cols.append(f"{keyed[ci]} AS __dsq_dk{ci}")
+    inner = f"SELECT {', '.join(inner_cols)} {from_txt}"
+    tail_order = tail_limit = ""
+    if tail:
+        tm = re.match(r"(?is)^\s*ORDER\s+BY\s+(.*?)(\bLIMIT\b.*)?$",
+                      tail, re.DOTALL)
+        if tm:
+            terms = []
+            for term in _split_commas_txt(tm.group(1)):
+                tt = term.strip()
+                dm = re.match(r"(?is)^(.*?)\s+(ASC|DESC)\s*$", tt,
+                              re.DOTALL)
+                core9, sfx = ((dm.group(1), " " + dm.group(2)) if dm
+                              else (tt, ""))
+                ci = None
+                if re.fullmatch(r"\d+", core9):
+                    cj = int(core9) - 1
+                    if 0 <= cj < len(items):
+                        ci = cj
+                else:
+                    b9 = core9.strip().strip("`").lower()
+                    for cj, nm in enumerate(names):
+                        if nm == b9:
+                            ci = cj
+                            break
+                terms.append(f"__dsq_dk{ci}{sfx}"
+                             if ci is not None and ci in keyed else tt)
+            tail_order = " ORDER BY " + ", ".join(terms)
+            tail_limit = " " + tm.group(2).strip() if tm.group(2) else ""
+        else:
+            tail_limit = " " + tail.strip()
+    g_sel, g_by = [], []
+    for ci in range(len(items)):
+        if ci in keyed:
+            g_sel.append(f"any_value({names[ci]}) AS {names[ci]}")
+            if ci in comps:
+                g_sel.append(f"any_value(`__dsq_cls_{names[ci]}`) "
+                             f"AS `__dsq_cls_{names[ci]}`")
+            g_sel.append(f"__dsq_dk{ci}")
+            g_by.append(f"__dsq_dk{ci}")
+        else:
+            g_sel.append(names[ci])
+            g_by.append(names[ci])
+    grouped = (f"SELECT {', '.join(g_sel)} FROM ({inner}) "
+               f"GROUP BY {', '.join(g_by)}")
+    proj = list(names)
+    colinfo = {}
+    if not top and not no_cls:
+        for ci in comps:
+            proj.append(f"`__dsq_cls_{names[ci]}`")
+            colinfo[names[ci]] = f"mix:__dsq_cls_{names[ci]}"
+    prefix = text[:toks[si].start]
+    return (f"{prefix}SELECT {', '.join(proj)} FROM ({grouped})"
+            f"{tail_order}{tail_limit}", colinfo)
+
+
 def _stmt_compound_pass(text, kinds, once_bound, top, schema_cols,
                         no_cls=False):
     """Process one SELECT statement body (CTE bodies and derived tables
@@ -7111,13 +7319,30 @@ def _stmt_compound_pass(text, kinds, once_bound, top, schema_cols,
             text = text[:lo_c] + new_inner + text[hi_c:]
     toks = tokenize(text)
     n = len(toks)
+
+    def _demote_mix():
+        """A compound statement whose output does NOT re-project class
+        companions must not leave region-registered mix: kinds behind —
+        the tail ORDER BY (or any outer consumer) would synthesize
+        `__dsq_cls_*` references the compound's projection hides
+        (UNRESOLVED_COLUMN — r10 probe gate seed 0xC01BEEF).  Demoting
+        to 'unknown' falls back to the typeof() dispatch: soft class
+        deltas instead of a hard analysis error."""
+        for nm9 in region_mix:
+            if kinds.get(nm9, "").startswith("mix:"):
+                kinds[nm9] = "unknown"
+
     if toks and toks[0].kind == "word" and toks[0].low == "explain":
         # the mixed-class wrap would nest EXPLAIN inside a subquery;
         # plan output is cosmetic — keep the native compound
+        _demote_mix()
         return text, {}
     # -- split this statement into compound arms ------------------------
     ops_ix = _tok_scan(toks, 0, n, ("union", "intersect", "except"))
     if not ops_ix:
+        dq = _distinct_mix_rewrite(text, toks, kinds, top, no_cls)
+        if dq is not None:
+            return dq
         if top:
             # a top-level single statement's colinfo has no consumer —
             # skip the second select-item compile entirely
@@ -7188,6 +7413,7 @@ def _stmt_compound_pass(text, kinds, once_bound, top, schema_cols,
     for lo, hi in arms:
         pa = _parse_arm(text, toks, lo, hi, kinds)
         if pa is None:
+            _demote_mix()
             return text, {}
         parsed.append(pa)
     already = _companion_colinfo(parsed[0][0])
@@ -7199,12 +7425,14 @@ def _stmt_compound_pass(text, kinds, once_bound, top, schema_cols,
         # What's missing #4).  Fold the longest same-operator prefix
         # into a derived table and recurse on the shorter chain.
         if toks[0].kind == "word" and toks[0].low == "with":
+            _demote_mix()
             return text, {}  # the WITH list scopes over ALL arms
         k = next(i9 for i9, o in enumerate(ops) if o != ops[0])
         names = []
         for it in parsed[0][0]:
             nm = it.alias if it.alias is not None else it.name
             if not nm:
+                _demote_mix()
                 return text, {}
             names.append(nm)
         seg = text[toks[arms[0][0]].start:toks[arms[k][1] - 1].end]
@@ -7215,6 +7443,7 @@ def _stmt_compound_pass(text, kinds, once_bound, top, schema_cols,
     op = ops[0]
     ncol = len(parsed[0][0])
     if any(len(p[0]) != ncol for p in parsed):
+        _demote_mix()
         return text, {}
     col_kinds = [_union_kind([p[0][ci].kind for p in parsed])
                  for ci in range(ncol)]
@@ -7230,10 +7459,19 @@ def _stmt_compound_pass(text, kinds, once_bound, top, schema_cols,
     for ci, k in enumerate(col_kinds):
         if k == "num-mix":
             col_kinds[ci] = "mixed" if dedup9 else "real"
+        elif k == "quad" and dedup9:
+            # every arm per-row classed (all-quad column, e.g. a
+            # mix-kinded reference INTERSECT a class-mixed branch):
+            # same-kind union said "no mix", but dedup must still
+            # compare per-row storage classes — and the tail ORDER BY
+            # must map to the key, not to a companion the compound's
+            # projection hides (r10 probe gate seed 0xC01BEEF)
+            col_kinds[ci] = "mixed"
     mixed = [ci for ci, k in enumerate(col_kinds) if k == "mixed"]
     colinfo = {}
     first = parsed[0][0]
     if not mixed:
+        _demote_mix()
         for ci, k in enumerate(col_kinds):
             nm = first[ci].name
             if nm and k in ("int", "real", "text", "blob"):
@@ -7274,6 +7512,7 @@ def _stmt_compound_pass(text, kinds, once_bound, top, schema_cols,
     # _typed_key_sql's hex branch)
     if any(p[0][ci].kind in ("unknown", "varied")
            for p in parsed for ci in mixed):
+        _demote_mix()
         return text, {}
     # mixed columns need a nameable alias (first arm) for the rebuilt
     # select lists; the companion name derives from it.  A bare column
@@ -7288,6 +7527,7 @@ def _stmt_compound_pass(text, kinds, once_bound, top, schema_cols,
         if ci in mixed and (al is None
                             or not re.fullmatch(r"\w+|`\w+`",
                                                 al.strip())):
+            _demote_mix()
             return text, {}
         names.append(al if al is not None else f"`__dsq_v{ci}`")
     dedup = op != "union all"

@@ -2985,3 +2985,152 @@ def test_r10_class_through_window_value_fns(engines):
     ]:
         want, got = _run(spark, con, q)
         assert want == got, q
+
+
+def test_r10_in_subquery_mix_elements(engines):
+    """IN over a class-mixed compound subquery keys each element per its
+    class companion — the surface-string dispatch ranked the TEXT arm
+    '1' as rank-1 numeric, so `'1' IN (1 UNION '1')` was 0 (r10 hunt)."""
+    spark, con = engines
+    for q in [
+        "SELECT '1' IN (SELECT v FROM "
+        "(SELECT 1 AS v UNION SELECT '1')) AS r",
+        "SELECT 1 IN (SELECT v FROM "
+        "(SELECT 1 AS v UNION SELECT '1')) AS r",
+        "SELECT 2 IN (SELECT v FROM "
+        "(SELECT 1 AS v UNION SELECT '1')) AS r",
+        "SELECT '2' IN (SELECT v FROM "
+        "(SELECT 1 AS v UNION SELECT '1')) AS r",
+        "SELECT 1 NOT IN (SELECT v FROM "
+        "(SELECT 1 AS v UNION SELECT '1')) AS r",
+        "SELECT '1.0' IN (SELECT v FROM "
+        "(SELECT 1 AS v UNION SELECT '1')) AS r",
+        "SELECT 1.0 IN (SELECT v FROM "
+        "(SELECT 1 AS v UNION SELECT '1')) AS r",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
+
+
+def test_r10_distinct_over_mixed_classes(engines):
+    """SELECT DISTINCT over class-mixed values dedups on SQLite value
+    equality — 1 and '1' stay distinct rows, 1 and 1.0 collapse — and
+    an ORDER BY on the mix column resolves (the DISTINCT projection hid
+    the class companion: UNRESOLVED_COLUMN — r10 hunt)."""
+    spark, con = engines
+    for q in [
+        "SELECT DISTINCT v FROM (SELECT 1 AS v UNION ALL SELECT '1' "
+        "UNION ALL SELECT 1) ORDER BY v",
+        "SELECT count(*) AS n FROM (SELECT DISTINCT v FROM "
+        "(SELECT 1 AS v UNION ALL SELECT '1' UNION ALL SELECT 1.0))",
+        "SELECT DISTINCT v, typeof(v) AS k FROM "
+        "(SELECT 1 AS v UNION ALL SELECT '1') ORDER BY v",
+        "SELECT DISTINCT v FROM (SELECT 2.5 AS v UNION ALL "
+        "SELECT '2.5' UNION ALL SELECT 2.5) ORDER BY 1",
+        "WITH u AS (SELECT 1 AS v UNION ALL SELECT '1') "
+        "SELECT DISTINCT v FROM u ORDER BY v LIMIT 1",
+        "SELECT sum(v) AS s FROM (SELECT DISTINCT v FROM "
+        "(SELECT 1 AS v UNION ALL SELECT '1' UNION ALL SELECT 1))",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
+
+
+def test_r10_distinct_quad_dedup(engines_w):
+    """SELECT DISTINCT over a dynamically-classed quad (text division)
+    groups on the per-row storage-class key."""
+    spark, con = engines_w
+    for q in [
+        "SELECT DISTINCT t/2 AS h FROM tw ORDER BY h",
+        "SELECT count(*) AS n FROM (SELECT DISTINCT t || '' AS h "
+        "FROM tw)",
+    ]:
+        want, got = _run_w(spark, con, q)
+        assert want == got, q
+
+
+def test_r10_exclude_general_frames(engines):
+    """EXCLUDE TIES/GROUP over bounded ROWS frames (peers∩frame via a
+    RANGE on the unique row number inside the peer-group partition) and
+    EXCLUDE over value-offset RANGE frames (native frame minus the
+    peer-group slice) — both were hard ParseExceptions (r10 hunt)."""
+    spark, con = engines
+    for q in [
+        "SELECT a, sum(a) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING "
+        "AND 1 FOLLOWING EXCLUDE TIES) AS s FROM td",
+        "SELECT a, sum(a) OVER (ORDER BY a ROWS BETWEEN 2 PRECEDING "
+        "AND 1 FOLLOWING EXCLUDE GROUP) AS s FROM td",
+        "SELECT b, count(b) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS s FROM td",
+        "SELECT a, avg(a) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING "
+        "AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS s FROM td",
+        "SELECT a, count(*) OVER (ORDER BY a RANGE BETWEEN 1 PRECEDING "
+        "AND 1 FOLLOWING EXCLUDE GROUP) AS s FROM td",
+        "SELECT a, sum(a) OVER (ORDER BY a RANGE BETWEEN 2 PRECEDING "
+        "AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS s FROM td",
+        "SELECT b, sum(b) OVER (ORDER BY b RANGE BETWEEN 1 PRECEDING "
+        "AND 1 FOLLOWING EXCLUDE TIES) AS s FROM td",
+        "SELECT a, avg(b) OVER (ORDER BY a RANGE BETWEEN 3 PRECEDING "
+        "AND CURRENT ROW EXCLUDE GROUP) AS s FROM td",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
+
+
+def test_r10_named_window_frames(engines):
+    """Named WINDOW clauses whose specs carry GROUPS frames or EXCLUDE
+    clauses inline into their OVER references before the frames rewrite
+    (a GROUPS frame in a named window was a hard ParseException)."""
+    spark, con = engines
+    for q in [
+        "SELECT a, sum(a) OVER w AS s FROM td WINDOW w AS "
+        "(ORDER BY a GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW)",
+        "SELECT a, sum(a) OVER w AS s, count(*) OVER w AS n FROM td "
+        "WINDOW w AS (ORDER BY a ROWS BETWEEN 1 PRECEDING AND "
+        "1 FOLLOWING EXCLUDE CURRENT ROW)",
+        "SELECT a, sum(a) OVER w1 AS s, avg(a) OVER w2 AS m FROM td "
+        "WINDOW w1 AS (ORDER BY a GROUPS BETWEEN 1 PRECEDING AND "
+        "CURRENT ROW), w2 AS (ORDER BY a ROWS BETWEEN 1 PRECEDING AND "
+        "1 FOLLOWING EXCLUDE TIES)",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
+
+
+def test_r10_exclude_dynamic_args(engines_w):
+    """The generalized EXCLUDE recombinations keep the dynamic-argument
+    coercion (all-TEXT CSV columns sum through their numeric prefix)."""
+    spark, con = engines_w
+    for q in [
+        "SELECT id, sum(t) OVER (ORDER BY id ROWS BETWEEN 2 PRECEDING "
+        "AND CURRENT ROW EXCLUDE GROUP) AS s FROM tw",
+        "SELECT id, sum(t) OVER w AS s FROM tw WINDOW w AS (ORDER BY "
+        "id GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES)",
+        "SELECT id, avg(t) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING "
+        "AND 1 FOLLOWING EXCLUDE GROUP) AS s FROM tw",
+    ]:
+        want, got = _run_w(spark, con, q)
+        assert want == got, q
+
+
+def test_r10_all_quad_compound_dedup(engines):
+    """Dedup set ops over an ALL-quad column (a mix-kinded reference
+    INTERSECT/UNION a class-mixed branch): same-kind union said 'no
+    mix', keeping the native set op — per-row classes were lost AND the
+    tail ORDER BY emitted a companion reference the compound projection
+    hides (UNRESOLVED_COLUMN — probe gate seed 0xC01BEEF)."""
+    spark, con = engines
+    for q in [
+        "SELECT v FROM (SELECT 1 AS v UNION SELECT '1') INTERSECT "
+        "SELECT CASE WHEN a > 100 THEN c ELSE 1 END FROM td ORDER BY v",
+        "SELECT v FROM (SELECT 1 AS v UNION SELECT '1') UNION "
+        "SELECT CASE WHEN a > 2 THEN c ELSE a END FROM td ORDER BY v",
+        "SELECT v FROM (SELECT 1 AS v UNION SELECT '1') EXCEPT "
+        "SELECT CASE WHEN a > 100 THEN c ELSE 1 END FROM td ORDER BY v",
+        # UNION ALL keeps the surface path: the mix kind demotes so the
+        # ORDER BY resolves (class-order delta documented, no error)
+        "SELECT count(*) AS n FROM (SELECT v FROM (SELECT 1 AS v UNION "
+        "SELECT '1') UNION ALL SELECT 2.5 FROM td)",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
