@@ -81,7 +81,14 @@ _PRIORITY = [
     "dialect_distinct_aggregates",
     "dialect_groups_frame",
     "dialect_values_chain",
-    # (c) twenty-eight of the fifty r8-verified rows, queue order
+    # (b2) r10 hunt-fix rows added mid-round: SELECT DISTINCT over
+    # class-mixed values (GROUP BY on the storage-class key) and
+    # EXCLUDE over value-offset RANGE frames + named WINDOW clauses
+    "dialect_distinct_class",
+    "dialect_exclude_frames",
+    # (c) twenty-six of the fifty r8-verified rows, queue order
+    # (dedup_simhash and sim_pq_recall moved just past the window to
+    # make room for the two b2 rows; both stay in the local suite)
     "window_topn_per_group",
     "window_exclude_frame",
     "sessionize_events",

@@ -692,3 +692,96 @@ def dialect_values_chain(spark, sf_dir):
         "UNION VALUES ('F'), (1), (2.5) "
         "EXCEPT SELECT 1 "
         "ORDER BY v")
+
+
+@register(
+    "dialect_distinct_class",
+    oracle="""
+WITH i9 AS (SELECT DISTINCT o_custkey AS ck FROM orders
+            WHERE o_orderkey < 200),
+     t9 AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v FROM orders
+            WHERE o_orderkey < 100)
+SELECT v FROM (
+  SELECT CAST(ck AS VARCHAR) AS v, 1 AS r9, CAST(ck AS DOUBLE) AS n9
+  FROM i9
+  UNION ALL
+  SELECT v, 2 AS r9, 0.0 AS n9 FROM t9
+) ORDER BY r9, n9, v
+""",
+    doc=(
+        "SELECT DISTINCT over class-mixed values (r10 hunt): SQLite "
+        "dedups on VALUES with storage-class equality — the INTEGER "
+        "customer key and the TEXT spelling of the same digits are "
+        "DIFFERENT rows — and ORDER BY on the mix column sorts "
+        "numerics before text.  Spark's DISTINCT over the TEXT "
+        "surface collapsed the classes AND the ORDER BY died "
+        "UNRESOLVED_COLUMN (the projection hid the class companion); "
+        "the engine now rewrites DISTINCT to GROUP BY on the "
+        "storage-class key struct.  The DuckDB oracle spells the "
+        "class separation explicitly.  Scale: one hash aggregate on "
+        "the key — identical shuffle count to a native DISTINCT."
+    ),
+)
+def dialect_distinct_class(spark, sf_dir):
+    return _run_rewritten(
+        spark, sf_dir, "dsq_dcl_ord", "orders",
+        "SELECT DISTINCT v FROM ("
+        "SELECT o_custkey AS v FROM dsq_dcl_ord WHERE o_orderkey < 200 "
+        "UNION ALL "
+        "SELECT CAST(o_custkey AS TEXT) FROM dsq_dcl_ord "
+        "WHERE o_orderkey < 100 "
+        "UNION ALL "
+        "SELECT o_custkey FROM dsq_dcl_ord WHERE o_orderkey < 100"
+        ") ORDER BY v")
+
+
+@register(
+    "dialect_exclude_frames",
+    oracle="""
+SELECT o_orderkey AS k,
+       round(sum(o_totalprice) OVER w1, 2) AS s1,
+       CAST(count(*) OVER (ORDER BY o_custkey RANGE BETWEEN 50 PRECEDING
+            AND 50 FOLLOWING EXCLUDE GROUP) AS BIGINT) AS n2,
+       round(sum(o_totalprice) OVER (ORDER BY o_custkey RANGE BETWEEN
+            100 PRECEDING AND CURRENT ROW EXCLUDE TIES), 2) AS s3,
+       floor(avg(o_totalprice) OVER (ORDER BY o_custkey RANGE BETWEEN
+            50 PRECEDING AND 50 FOLLOWING EXCLUDE CURRENT ROW)
+            * 100 + 0.5001) / 100 AS a4
+FROM orders
+WHERE o_orderkey < 600
+WINDOW w1 AS (ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND
+              2 FOLLOWING EXCLUDE CURRENT ROW)
+ORDER BY k
+""",
+    doc=(
+        "EXCLUDE clauses over value-offset RANGE frames and named "
+        "WINDOW clauses (r10 hunt — both were hard ParseExceptions): "
+        "the frames pass keeps the NATIVE numeric-offset RANGE frame "
+        "and subtracts the excluded slice (the peer group is RANGE "
+        "BETWEEN CURRENT ROW AND CURRENT ROW on the same key; TIES "
+        "adds the current row back, CURRENT ROW subtracts only it), "
+        "and named windows inline into their OVER references.  "
+        "Value-based RANGE frames stay deterministic under duplicate "
+        "order keys, so the DuckDB oracle runs its own native EXCLUDE "
+        "forms.  Scale: every emitted window shares the user's "
+        "partition/order spec — one Window node per distinct ordering, "
+        "no rank prepass for the subtraction path."
+    ),
+)
+def dialect_exclude_frames(spark, sf_dir):
+    return _run_rewritten(
+        spark, sf_dir, "dsq_xf_ord", "orders",
+        "SELECT o_orderkey AS k, "
+        "round(sum(o_totalprice) OVER w1, 2) AS s1, "
+        "count(*) OVER (ORDER BY o_custkey RANGE BETWEEN 50 PRECEDING "
+        "AND 50 FOLLOWING EXCLUDE GROUP) AS n2, "
+        "round(sum(o_totalprice) OVER (ORDER BY o_custkey RANGE "
+        "BETWEEN 100 PRECEDING AND CURRENT ROW EXCLUDE TIES), 2) "
+        "AS s3, "
+        "floor(avg(o_totalprice) OVER (ORDER BY o_custkey RANGE "
+        "BETWEEN 50 PRECEDING AND 50 FOLLOWING EXCLUDE CURRENT ROW) "
+        "* 100 + 0.5001) / 100 AS a4 "
+        "FROM dsq_xf_ord WHERE o_orderkey < 600 "
+        "WINDOW w1 AS (ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING "
+        "AND 2 FOLLOWING EXCLUDE CURRENT ROW) "
+        "ORDER BY k")

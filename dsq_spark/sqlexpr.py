@@ -7017,12 +7017,6 @@ def _frames_stmt(text):
         if key not in keys:
             keys[key] = len(keys) + 1
         sp.k = keys[key]
-    rank_cols = []
-    for (p, o), k in keys.items():
-        ospec = (f"PARTITION BY {p} ORDER BY {o}" if p
-                 else f"ORDER BY {o}")
-        rank_cols.append(f"row_number() OVER ({ospec}) AS __dsq_rn{k}")
-        rank_cols.append(f"dense_rank() OVER ({ospec}) AS __dsq_dr{k}")
     # rebuild the select list right-to-left
     sel_txt = text[toks[sel_lo].start:toks[sel_hi - 1].end]
     base = toks[sel_lo].start
@@ -7035,10 +7029,25 @@ def _frames_stmt(text):
             raise _Unsupported("frame emit")
         sel_txt = (sel_txt[:toks[fn_ix].start - base] + emit
                    + sel_txt[toks[ov_close].end - base:])
+    # one rn/dr pair per distinct (partition, order) spec — but ONLY the
+    # rank columns the emissions actually reference: the value-offset
+    # RANGE subtraction path works off the user's own order key, and an
+    # unused rank column would cost a whole extra Window node
+    rank_cols = []
+    for (p, o), k in keys.items():
+        ospec = (f"PARTITION BY {p} ORDER BY {o}" if p
+                 else f"ORDER BY {o}")
+        if f"__dsq_rn{k}" in sel_txt:
+            rank_cols.append(f"row_number() OVER ({ospec}) "
+                             f"AS __dsq_rn{k}")
+        if f"__dsq_dr{k}" in sel_txt:
+            rank_cols.append(f"dense_rank() OVER ({ospec}) "
+                             f"AS __dsq_dr{k}")
     prefix = text[:toks[sel_ix].start]
     distinct_kw = ("DISTINCT " if toks[sel_ix + 1].kind == "word"
                    and toks[sel_ix + 1].low == "distinct" else "")
-    inner = (f"SELECT *, {', '.join(rank_cols)} FROM {from_txt}"
+    rank_sel = (", " + ", ".join(rank_cols)) if rank_cols else ""
+    inner = (f"SELECT *{rank_sel} FROM {from_txt}"
              f"{' ' + where_txt if where_txt else ''}")
     return (f"{prefix}SELECT {distinct_kw}{sel_txt} FROM ({inner})"
             f"{' ' + tail_txt if tail_txt else ''}")

@@ -492,3 +492,31 @@ def test_r10_distinct_aggregates_single_aggregate(spark, sf_dir):
     re-shuffle, no expand for multiple distinct sets)."""
     plan = plan_of(spark, sf_dir, "dialect_distinct_aggregates")
     assert n_nodes(plan, "Exchange") <= 2, plan[:2000]
+
+
+def test_r10_hunt_rows_stay_jvm_side(spark, sf_dir):
+    """The two hunt-fix driver rows (DISTINCT over class-mixed values,
+    EXCLUDE over value-offset RANGE frames + named windows) compile to
+    pure-JVM plans."""
+    for name in ("dialect_distinct_class", "dialect_exclude_frames"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert n_nodes(plan, "CartesianProduct") == 0, name
+
+
+def test_r10_exclude_frames_window_count(spark, sf_dir):
+    """The subtraction path works off the user's own order keys: no rank
+    prepass for the RANGE windows (the rn pair exists only for the named
+    ROWS window), so the whole query plans into one Window node per
+    distinct ordering — not one per emitted piece."""
+    plan = plan_of(spark, sf_dir, "dialect_exclude_frames")
+    assert n_nodes(plan, "Window") <= 4, plan[:2000]
+    assert n_nodes(plan, "Exchange") <= 3
+
+
+def test_r10_distinct_class_single_aggregate(spark, sf_dir):
+    """DISTINCT-over-mix rewrites to ONE hash aggregate on the class
+    key — the same shuffle count a native DISTINCT costs."""
+    plan = plan_of(spark, sf_dir, "dialect_distinct_class")
+    assert n_nodes(plan, "Exchange") <= 4, plan[:2000]
