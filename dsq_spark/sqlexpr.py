@@ -1668,6 +1668,14 @@ class _Rw:
             text = (f"OFFSET {off}" if cnt2.startswith("-")
                     else f"LIMIT {cnt2} OFFSET {off}")
             return _P(text, T[i].start, T[j2 - 1].end), j2
+        if j < hi and T[j].kind == "word" and T[j].low == "offset":
+            second = lit_num(j + 1)
+            if second is not None and second[0].startswith("-"):
+                # SQLite treats a negative OFFSET as 0 (Spark raises
+                # INVALID_LIMIT_LIKE_EXPRESSION) — drop the clause
+                off_j = second[1]
+                keep = "" if cnt.startswith("-") else f"LIMIT {cnt}"
+                return _P(keep, T[i].start, T[off_j - 1].end), off_j
         if cnt.startswith("-"):
             return _P("", T[i].start, T[j - 1].end), j
         return None, i
@@ -6485,6 +6493,38 @@ def _union_kind(ks):
     return "mixed"
 
 
+def _indexed_pass(text: str) -> str:
+    """Strip SQLite's `INDEXED BY <name>` / `NOT INDEXED` table
+    qualifiers (lang_indexedby.html) — pure query-planner hints the
+    reference forwards to SQLite; Spark has no equivalent syntax and
+    hard-rejects them.  Only sequences following a table reference (a
+    word/backtick name or a closing paren) are touched."""
+    low = text.lower()
+    if "indexed" not in low:
+        return text
+    toks = tokenize(text)
+    n = len(toks)
+    spans = []
+    for ix in range(n):
+        t = toks[ix]
+        if t.kind != "word" or t.low != "indexed":
+            continue
+        if (ix > 0 and toks[ix - 1].kind == "word"
+                and toks[ix - 1].low == "not"
+                and ix > 1 and (toks[ix - 2].kind in ("word", "bt")
+                                or toks[ix - 2].text == ")")):
+            spans.append((toks[ix - 1].start, t.end))
+        elif (ix + 2 < n and toks[ix + 1].kind == "word"
+                and toks[ix + 1].low == "by"
+                and toks[ix + 2].kind in ("word", "bt")
+                and ix > 0 and (toks[ix - 1].kind in ("word", "bt")
+                                or toks[ix - 1].text == ")")):
+            spans.append((t.start, toks[ix + 2].end))
+    for lo, hi in reversed(spans):
+        text = text[:lo] + text[hi:]
+    return text
+
+
 def _values_pass(text: str) -> str:
     """SQLite `VALUES (…), (…)` lists → `SELECT … AS column1, … UNION
     ALL SELECT …` (wrapped in a derived table when multi-row, so a
@@ -7710,7 +7750,7 @@ def rewrite_semantics(sql: str, schema: dict[str, str] | None = None) -> str:
         toks = tokenize(sql)
         if not toks:
             return sql
-        new_sql = _frames_pass(_values_pass(sql))
+        new_sql = _frames_pass(_values_pass(_indexed_pass(sql)))
         if new_sql != sql:
             sql = new_sql
             toks = tokenize(sql)

@@ -3134,3 +3134,48 @@ def test_r10_all_quad_compound_dedup(engines):
     ]:
         want, got = _run(spark, con, q)
         assert want == got, q
+
+
+def test_r10_limit_offset_negatives_and_indexed(engines):
+    """SQLite planner-hint and limit quirks: a negative OFFSET means 0
+    (Spark raises INVALID_LIMIT_LIKE_EXPRESSION), LIMIT -n means
+    unlimited, and `INDEXED BY` / `NOT INDEXED` table qualifiers are
+    pure planner hints to strip (Spark hard-rejects the syntax)."""
+    spark, con = engines
+    con.execute("CREATE INDEX IF NOT EXISTS dsq_idx_a ON td(a)")
+    for q in [
+        "SELECT a FROM td WHERE a IS NOT NULL ORDER BY a LIMIT 3 "
+        "OFFSET -1",
+        "SELECT a FROM td WHERE a IS NOT NULL ORDER BY a LIMIT -1 "
+        "OFFSET -2",
+        "SELECT count(*) AS n FROM td NOT INDEXED",
+        "SELECT count(*) AS n FROM td INDEXED BY dsq_idx_a WHERE a > 0",
+        "SELECT a, c FROM td x1 NOT INDEXED WHERE a = 1",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
+
+
+def test_r10_collate_grouping_and_frames_extras(engines):
+    """Shapes verified by the second r10 hunt battery: COLLATE NOCASE
+    in GROUP BY / DISTINCT aggregates / WHERE, value functions over
+    GROUPS frames, FILTER composed with GROUPS/EXCLUDE frames, and
+    min/max GROUPS pieces."""
+    spark, con = engines
+    for q in [
+        "SELECT count(*) AS n FROM td GROUP BY c COLLATE NOCASE "
+        "ORDER BY n",
+        "SELECT count(DISTINCT c COLLATE NOCASE) AS n FROM td",
+        "SELECT c FROM td WHERE c = 'foo' COLLATE NOCASE ORDER BY c",
+        "SELECT a, first_value(b) OVER (ORDER BY a GROUPS BETWEEN 1 "
+        "PRECEDING AND CURRENT ROW) AS f FROM td",
+        "SELECT a, sum(a) FILTER (WHERE a > 0) OVER (ORDER BY a ROWS "
+        "BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS s "
+        "FROM td",
+        "SELECT a, min(b) OVER (ORDER BY a GROUPS BETWEEN 1 PRECEDING "
+        "AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS s FROM td",
+        "SELECT a, max(a) OVER (ORDER BY a GROUPS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS s FROM td",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
