@@ -6493,6 +6493,76 @@ def _union_kind(ks):
     return "mixed"
 
 
+_UNORDERED_PEERS = ("rank", "dense_rank", "percent_rank", "cume_dist")
+_UNORDERED_POS = ("row_number", "ntile", "lag", "lead")
+
+
+def _unordered_window_pass(text: str) -> str:
+    """SQLite allows ranking/positional window functions with NO ORDER
+    BY in the spec (lang_window.html: every row is a peer for the rank
+    family, row numbering is arbitrary); Spark hard-rejects them
+    (`requires window to be ordered`).  Inject the matching dummy
+    ordering: a constant for the rank family (all rows peers — rank()
+    OVER () is 1 everywhere, exactly SQLite), monotonically increasing
+    ids for positional functions (arbitrary-but-valid order, the same
+    contract SQLite gives).  Specs that already order, named-window
+    references, and plain aggregates (Spark accepts them unordered)
+    are untouched."""
+    low = text.lower()
+    if "over" not in low:
+        return text
+    names = _UNORDERED_PEERS + _UNORDERED_POS
+    if not any(f in low for f in names):
+        return text
+    toks = tokenize(text)
+    n = len(toks)
+    edits = []
+    for ix in range(n - 1):
+        t = toks[ix]
+        if t.kind != "word" or t.low not in names \
+                or toks[ix + 1].text != "(":
+            continue
+        close = _match_paren_t(toks, ix + 1, n)
+        if close is None or close + 2 >= n:
+            continue
+        if not (toks[close + 1].kind == "word"
+                and toks[close + 1].low == "over"
+                and toks[close + 2].text == "("):
+            continue
+        sp_open = close + 2
+        sp_close = _match_paren_t(toks, sp_open, n)
+        if sp_close is None:
+            continue
+        d = 0
+        has_order, frame_ix = False, None
+        for k in range(sp_open + 1, sp_close):
+            if toks[k].text == "(":
+                d += 1
+            elif toks[k].text == ")":
+                d -= 1
+            elif d == 0 and toks[k].kind == "word":
+                if toks[k].low == "order":
+                    has_order = True
+                    break
+                if toks[k].low in ("rows", "range", "groups") \
+                        and frame_ix is None:
+                    frame_ix = k
+        if has_order:
+            continue
+        dummy = ("ORDER BY 1" if t.low in _UNORDERED_PEERS
+                 else "ORDER BY monotonically_increasing_id()")
+        if frame_ix is not None:
+            edits.append((toks[frame_ix].start, f"{dummy} "))
+        else:
+            at = (toks[sp_close - 1].end if sp_close > sp_open + 1
+                  else toks[sp_open].end)
+            edits.append((at, (" " if sp_close > sp_open + 1 else "")
+                          + dummy))
+    for pos, ins in sorted(edits, reverse=True):
+        text = text[:pos] + ins + text[pos:]
+    return text
+
+
 def _indexed_pass(text: str) -> str:
     """Strip SQLite's `INDEXED BY <name>` / `NOT INDEXED` table
     qualifiers (lang_indexedby.html) — pure query-planner hints the
@@ -6782,7 +6852,7 @@ def _fr_emit(fname, args, sp):
         # exactly RANGE BETWEEN CURRENT ROW AND CURRENT ROW on the same
         # key, the current row its own value.  Subtraction only:
         # min/max stay out of scope here (documented residual).
-        if fl not in ("count", "sum", "avg"):
+        if fl not in ("count", "sum", "avg", "total"):
             return None
         frame = (f"RANGE BETWEEN {_fr_render(sp.b1)} AND "
                  f"{_fr_render(sp.b2)}")
@@ -6885,6 +6955,22 @@ def _fr_emit(fname, args, sp):
         val = ("(" + " + ".join(vals).replace("+ -", "- ") + ")") \
             if vals else "NULL"
         return f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {val} / {cnt} END)"
+    if fl == "total":
+        # SQLite total(): per-value REAL coercion, 0.0 over an empty
+        # (or fully-excluded) frame — no count guard needed
+        vals = [f"coalesce(sum(CAST(({args}) AS REAL)) {p}, "
+                f"CAST(0 AS REAL))" for p in pieces]
+        vals += [f"- coalesce(sum(CAST(({args}) AS REAL)) {n}, "
+                 f"CAST(0 AS REAL))" for n in negs]
+        self_val = (f"(CASE WHEN ({args}) IS NULL THEN CAST(0 AS REAL) "
+                    f"ELSE CAST(({args}) AS REAL) END)")
+        if self_term:
+            vals.append(self_val)
+        if self_neg:
+            vals.append(f"- {self_val}")
+        if not vals:
+            return "CAST(0 AS REAL)"
+        return "(" + " + ".join(vals).replace("+ -", "- ") + ")"
     if fl in ("min", "max") and not negs:
         # the n-ary scalar combiner is least/greatest (the min/max
         # aliases expanded before this pass ran); SQLite's scalar min is
@@ -7750,7 +7836,7 @@ def rewrite_semantics(sql: str, schema: dict[str, str] | None = None) -> str:
         toks = tokenize(sql)
         if not toks:
             return sql
-        new_sql = _frames_pass(_values_pass(_indexed_pass(sql)))
+        new_sql = _frames_pass(_values_pass(_indexed_pass(_unordered_window_pass(sql))))
         if new_sql != sql:
             sql = new_sql
             toks = tokenize(sql)

@@ -3179,3 +3179,41 @@ def test_r10_collate_grouping_and_frames_extras(engines):
     ]:
         want, got = _run(spark, con, q)
         assert want == got, q
+
+
+def test_r10_total_with_exclude_frames(engines):
+    """total() composes with EXCLUDE recombination on every frame type
+    (0.0 over an empty or fully-excluded frame, per-value REAL
+    coercion) — it was a hard ParseException."""
+    spark, con = engines
+    for q in [
+        "SELECT a, total(b) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING "
+        "AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS s FROM td",
+        "SELECT a, total(a) OVER (ORDER BY a ROWS BETWEEN 2 PRECEDING "
+        "AND 1 FOLLOWING EXCLUDE GROUP) AS s FROM td",
+        "SELECT a, total(a) OVER (ORDER BY a RANGE BETWEEN 2 PRECEDING "
+        "AND 1 FOLLOWING EXCLUDE TIES) AS s FROM td",
+        "SELECT a, total(b) OVER (ORDER BY a GROUPS BETWEEN 1 "
+        "PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS s FROM td",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
+
+
+def test_r10_unordered_window_specs(engines):
+    """Ranking/positional window functions with NO ORDER BY in the spec
+    (legal SQLite — every row a peer for the rank family, arbitrary row
+    numbering) were Spark 'requires window to be ordered' errors; the
+    rewrite injects the matching dummy ordering."""
+    spark, con = engines
+    for q in [
+        "SELECT a, rank() OVER () AS r FROM td",
+        "SELECT a, dense_rank() OVER () AS r FROM td",
+        "SELECT a, percent_rank() OVER () AS r FROM td",
+        "SELECT a, cume_dist() OVER () AS r FROM td",
+        "SELECT count(*) AS n FROM (SELECT row_number() OVER () AS r "
+        "FROM td) WHERE r BETWEEN 1 AND 10",
+        "SELECT a, rank() OVER (PARTITION BY a > 2) AS r FROM td",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
