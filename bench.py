@@ -50,13 +50,14 @@ def main():
     os.dup2(2, 1)
     sys.stdout = os.fdopen(os.dup(2), "w")
 
-    # Warm-cache discipline (mirrors the reference's hyperfine warm runs,
-    # whose whole SQLite file sits in the OS page cache): persist the hot
-    # tables once — 20+ events queries otherwise re-pay the same scan +
-    # ts-normalization projection every run, and the TPC-H family re-scans
-    # lineitem/orders per query.  Opt-in env so correctness/plan-gate runs
-    # (and any 100 TB deployment) keep the plain streaming scan.
-    os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "events,orders,lineitem")
+    # r10 methodology fix: the r3-r9 bench set SPARK_GRAFT_CACHE_TABLES=
+    # events,orders,lineitem here, persisting the hot base tables so every
+    # query after the first measured cached scans.  The optimization-round
+    # rules treat caching base tables outside a query's own timed region
+    # as gaming, so the default is GONE — every timed run now computes
+    # from the parquet inputs (OPTIMIZATION_r10.md records both baselines;
+    # the env knob still exists in queries/base.py for explicit
+    # experiments, but nothing sets it).
 
     from dsq_spark.session import get_spark
     import dsq_spark.queries as Q

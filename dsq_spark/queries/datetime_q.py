@@ -14,7 +14,7 @@ isodow arithmetic)."""
 
 from __future__ import annotations
 
-from dsq_spark.queries.base import register, t
+from dsq_spark.queries.base import rebalance, register, t
 
 
 def _sqlite_sql(spark, sql: str):
@@ -47,7 +47,11 @@ GROUP BY 1
         "the shared parse probe), and the aggregate consumes plain strings.",
 )
 def date_modifier_functions(spark, sf_dir):
-    t(spark, sf_dir, "orders").createOrReplaceTempView("dsq_dt_orders")
+    # r10: rebalance before the view — the single-row-group bench file
+    # scans as ONE task, serializing the five compiled datetime chains
+    # onto one core (measured 4.8 → 1.7 s; no-op at scale, see base.py).
+    rebalance(t(spark, sf_dir, "orders")).createOrReplaceTempView(
+        "dsq_dt_orders")
     return _sqlite_sql(spark, """
 SELECT month_start,
        count(*) AS n_orders,
@@ -81,7 +85,8 @@ GROUP BY 1
         "three compiled strftime chains share one codegen'd projection.",
 )
 def strftime_code_coverage(spark, sf_dir):
-    t(spark, sf_dir, "events").createOrReplaceTempView("dsq_dt_events")
+    rebalance(t(spark, sf_dir, "events")).createOrReplaceTempView(
+        "dsq_dt_events")
     return _sqlite_sql(spark, """
 SELECT ymd,
        min(codes) AS min_codes,
@@ -122,7 +127,8 @@ GROUP BY 1
     ),
 )
 def julianday_functions(spark, sf_dir):
-    t(spark, sf_dir, "orders").createOrReplaceTempView("dsq_jd_orders")
+    rebalance(t(spark, sf_dir, "orders")).createOrReplaceTempView(
+        "dsq_jd_orders")
     return _sqlite_sql(spark, """
 SELECT month_start,
        round(min(jd), 6) AS min_jd,

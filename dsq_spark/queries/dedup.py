@@ -171,10 +171,16 @@ def dedup_minhash_lsh(spark, sf_dir):
     # corpus and spill cleanly.
     sh = shingle_stream(spark, sf_dir).persist()
     hashed = sh.select("doc_id", F.expr(H_SPARK).alias("h"))
+    # r10 (guide §2.4): the per-doc shingle COUNT rides the minhash
+    # aggregate (one extra count per group) instead of a separate
+    # groupBy over the stream — one less corpus pass and one less
+    # doc_id shuffle; h is never NULL, so count(*) here equals the old
+    # count over sh exactly.
     mh = hashed.groupBy("doc_id").agg(
         *[F.min((F.lit(A[j]) * F.col("h") + F.lit(B[j])) % F.lit(P)).alias(f"mh{j}")
-          for j in range(N_HASHES)]
-    )
+          for j in range(N_HASHES)],
+        F.count("*").alias("n"),
+    ).persist()  # feeds the band explode AND both size lookups
     sig_arr = F.array(*[
         F.md5(F.concat_ws("_", f"mh{3 * tb}", f"mh{3 * tb + 1}", f"mh{3 * tb + 2}"))
         for tb in range(N_BANDS)
@@ -187,7 +193,7 @@ def dedup_minhash_lsh(spark, sf_dir):
         a.join(b, (a.band_idx == b.band_idx_b) & (a.sig == b.sig_b) & (a.doc_a < b.doc_b))
         .select("doc_a", "doc_b").distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = mh.select("doc_id", "n")
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("s_b"))
     inter = (
@@ -390,10 +396,13 @@ WHERE coalesce(i.i, 0) * 1.0 / (za.n + zb.n - coalesce(i.i, 0)) >= 0.5
 def dedup_incremental_lsh(spark, sf_dir):
     sh = shingle_stream(spark, sf_dir).persist()
     hashed = sh.select("doc_id", F.expr(H_SPARK).alias("h"))
+    # r10: shingle count rides the minhash aggregate (see
+    # dedup_minhash_lsh) — one less corpus pass + doc_id shuffle.
     mh = hashed.groupBy("doc_id").agg(
         *[F.min((F.lit(A[j]) * F.col("h") + F.lit(B[j])) % F.lit(P)).alias(f"mh{j}")
-          for j in range(N_HASHES)]
-    )
+          for j in range(N_HASHES)],
+        F.count("*").alias("n"),
+    ).persist()  # feeds the band explode AND both size lookups
     sig_arr = F.array(*[
         F.md5(F.concat_ws("_", f"mh{3 * tb}", f"mh{3 * tb + 1}", f"mh{3 * tb + 2}"))
         for tb in range(N_BANDS)
@@ -409,7 +418,7 @@ def dedup_incremental_lsh(spark, sf_dir):
                    & (new_b.sig == old_b.sig_o))
         .select("doc_new", "doc_old").distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = mh.select("doc_id", "n")
     sa = sh.select(F.col("doc_id").alias("doc_new"), F.col("s").alias("s_a"))
     sb = sh.select(F.col("doc_id").alias("doc_old2"), F.col("s").alias("s_b"))
     inter = (
@@ -467,16 +476,26 @@ GROUP BY source
     ),
 )
 def text_contamination_check(spark, sf_dir):
+    # r10 optimization (guide §2.4): n and k come from ONE pass over the
+    # corpus — a LEFT broadcast join against the (distinct-keyed, so
+    # row-preserving) eval set marks hits, and a single doc_id aggregate
+    # counts total and hit shingles together.  Before: two aggregations
+    # (two scans of the persisted stream, two doc_id shuffles) plus a
+    # tot⋈hit join; after: one scan, one shuffle, no join.  k=0 docs are
+    # count(__hit)=0 rows of the same aggregate, so the old
+    # coalesce(k, 0) left-join semantics are preserved exactly.
     sh = shingle_stream(spark, sf_dir).persist()
-    eval_sh = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    eval_sh = (sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+               .withColumn("__hit", F.lit(1)))
     corpus = sh.filter(F.col("doc_id") % 97 != 0)
-    tot = corpus.groupBy("doc_id").agg(F.count("*").alias("n"))
-    hit = (corpus.join(F.broadcast(eval_sh), "s")
-           .groupBy("doc_id").agg(F.count("*").alias("k")))
+    per_doc = (
+        corpus.join(F.broadcast(eval_sh), "s", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.count("__hit").alias("k"))
+    )
     d = t(spark, sf_dir, "documents").select("doc_id", "source")
-    frac = (tot.join(hit, "doc_id", "left").join(d, "doc_id")
-            .select("source",
-                    (F.coalesce(F.col("k"), F.lit(0)) * 1.0 / F.col("n")).alias("f")))
+    frac = (per_doc.join(d, "doc_id")
+            .select("source", (F.col("k") * 1.0 / F.col("n")).alias("f")))
     return frac.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.when(F.col("f") >= 0.5, 1).otherwise(0)).cast("long").alias("n_contaminated"),

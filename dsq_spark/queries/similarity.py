@@ -990,7 +990,11 @@ def _pq_parts(spark, sf_dir):
     c0 = vs.filter(F.col("vec_id") < _PQ_K).select(
         "sub", F.col("vec_id").cast("int").alias("code"), F.col("svd").alias("cd"))
     a1 = _pq_assign(vs, c0)
-    u1 = _pq_codebook(a1, F.round(F.avg("x"), 6))
+    # r10: the trained codebook (M*K = 128 rows) is broadcast onto BOTH
+    # the encode pass and the query-side LUT — unpersisted, each
+    # broadcast re-ran the whole training subtree (assign + two
+    # aggregations over the persisted subvector stream).  guide §5.
+    u1 = _pq_codebook(a1, F.round(F.avg("x"), 6)).persist()
     enc = _pq_assign(vs, u1).select("vec_id", "sub", "code")
     qs = vs.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), "sub", F.col("svd").alias("q_svd"))
@@ -1190,6 +1194,12 @@ def sim_ivfpq_topk(spark, sf_dir):
         F.col("vec_id").alias("cluster"), F.col("vd").alias("cd"))
     for _ in range(2):
         cent = _km_update(_km_assign(v, cent))
+    # r10: the refined centroids (8 rows) feed TWO consumers below (asg
+    # and the residual join) — unpersisted, each broadcast re-runs the
+    # whole 2-iteration Lloyd chain (2 corpus passes + 2 shuffles each).
+    # Persisting the 8-row result runs the chain once (guide §5 persist
+    # rule: reused AND expensive to recompute).
+    cent = cent.persist()
     asg = _km_assign(v, cent)
     res = asg.join(F.broadcast(cent), "cluster").select(
         "vec_id", "cluster",
@@ -1210,7 +1220,9 @@ def sim_ivfpq_topk(spark, sf_dir):
     # bit-deterministic cross-engine — unlike round(avg, 6) over grid-aligned
     # residuals, whose means land EXACTLY on 6dp half-way points (measured: 7
     # of 1024 codebook elements flipped between engines before this change)
-    pu1 = _pq_codebook(pa1, F.floor(F.avg("x") + 0.5).cast("long"))
+    # r10: persisted for the same two-consumer reason as _pq_parts' u1
+    # (encode pass + query-side LUT) — see guide §5.
+    pu1 = _pq_codebook(pa1, F.floor(F.avg("x") + 0.5).cast("long")).persist()
     enc = _pq_assign(rs, pu1, carry=("cluster",), d2expr=_PQ_D2I).select(
         "vec_id", "cluster", "sub", "code")
     qs = rs.filter(F.col("vec_id") < 5).select(
@@ -1302,6 +1314,12 @@ def sim_ivf_incremental(spark, sf_dir):
         F.col("vec_id").alias("cluster"), F.col("vd").alias("cd"))
     for _ in range(2):
         cent = _km_update(_km_assign(idx, cent))
+    # r10: the frozen index centroids (10 rows) are broadcast onto BOTH
+    # the index scan (inrm) and the arriving batch (bnrm) — unpersisted,
+    # each broadcast re-ran the full 2-iteration Lloyd training chain.
+    # One persist = one training pass, matching the operator's own
+    # "index is trained ONCE" contract (guide §5).
+    cent = cent.persist()
     nrm_expr = F.sqrt(F.expr(
         "aggregate(zip_with(vd, vd, (x, y) -> x * y), "
         "CAST(0.0 AS DOUBLE), (a, p) -> a + p)"))

@@ -347,26 +347,43 @@ GROUP BY lang
     ),
 )
 def text_dup_ngram_fraction(spark, sf_dir):
-    d = (
+    # r10 optimizations (guide §2.3 — shuffle keys, not payloads):
+    #   * the multiplicity key is xxhash64 of the gram, hashed in codegen
+    #     AFTER the explode, so the two gram-keyed exchanges (multiplicity
+    #     agg + join-back) carry 8-byte keys instead of ~70-byte word
+    #     10-gram strings, and the persisted stream shrinks the same 8x;
+    #     a collision would need two distinct grams sharing a 64-bit hash
+    #     (p ≈ n²/2⁶⁵ ≈ 1e-7 at sf0.1) — results verified identical
+    #     against the string-keyed DuckDB oracle at sf0.01/sf0.1.
+    #   * n_grams is size(toks)-9 by construction (every doc contributes
+    #     exactly that many grams), so the join-back only carries grams
+    #     that ARE duplicated (nd > 1): the second exchange ships the dup
+    #     subset, not the whole corpus, and the old full inner join +
+    #     per-doc count disappears.
+    grams = (
         t(spark, sf_dir, "documents")
         .withColumn("toks", F.expr(TOKENS))
         .filter(F.size("toks") >= 10)
-    )
-    grams = d.select(
-        "doc_id", "lang",
-        F.explode(
-            F.expr("transform(sequence(1, size(toks) - 9), "
-                   "i -> array_join(slice(toks, i, 10), ' '))")
-        ).alias("g"),
-    ).persist()  # consumed by the multiplicity agg AND the join-back
-    mult = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
-    per_doc = (
-        grams.join(mult, "g")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_dup"),
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, size(toks) - 9), "
+                       "i -> array_join(slice(toks, i, 10), ' '))")
+            ).alias("g"),
         )
+        .select("doc_id", F.xxhash64("g").alias("gh"))
+        .persist()  # one tokenize pass feeds multiplicity, counts, dups
+    )
+    dup = (grams.groupBy("gh").agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") > 1).select("gh"))
+    dup_per_doc = (grams.join(dup, "gh", "left_semi")
+                   .groupBy("doc_id").agg(F.count("*").alias("n_dup")))
+    counts = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    roster = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    per_doc = (
+        counts.join(dup_per_doc, "doc_id", "left").join(roster, "doc_id")
+        .select("doc_id", "lang", "n_grams",
+                F.coalesce("n_dup", F.lit(0)).alias("n_dup"))
     )
     frac = F.col("n_dup") * 1.0 / F.col("n_grams")
     return per_doc.groupBy("lang").agg(
@@ -1013,19 +1030,26 @@ def text_remove_dup_spans(spark, sf_dir):
     # docs under 10 tokens produce no grams (and are filtered BEFORE the
     # sequence: Spark's sequence(1, 0) is the DESCENDING [1, 0], and
     # slice(t, 0, ..) throws — DuckDB's range(1, 1) is just empty)
+    # r10 optimization (guide §2.3 — shuffle keys, not payloads): the
+    # multiplicity key is xxhash64 of the 10-gram, hashed in codegen
+    # after the explode, so the two gram-keyed exchanges carry 8-byte
+    # keys instead of ~70-byte strings (collision odds ≈ n²/2⁶⁵;
+    # verified value-identical against the string-keyed DuckDB oracle,
+    # whose md5-of-rebuilt-document check would catch a single flipped
+    # token at sf0.01/sf0.1).
     grams = d.filter(F.size("t") >= 10).select(
         "doc_id",
         F.explode(F.expr(
             "transform(sequence(1, size(t) - 9), "
             "i -> struct(i AS i, array_join(slice(t, i, 10), ' ') AS g))"
         )).alias("z"),
-    ).select("doc_id", "z.i", "z.g")
-    mult = (grams.groupBy("g")
+    ).select("doc_id", "z.i", F.xxhash64("z.g").alias("gh"))
+    mult = (grams.groupBy("gh")
             .agg(F.countDistinct("doc_id").alias("nd"))
             .filter(F.col("nd") > 1)
-            .select("g"))
+            .select("gh"))
     covered = (
-        grams.join(mult, "g", "left_semi")
+        grams.join(mult, "gh", "left_semi")
         .select("doc_id", F.explode(F.expr("sequence(i, i + 9)")).alias("p"))
         .distinct()
     )

@@ -430,7 +430,14 @@ GROUP BY 1, 2
         "part filter (fixed 10.0 stand-in for missing partsupp supplycost).",
 )
 def q9_product_profit(spark, sf_dir):
-    l, o = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
+    from dsq_spark.queries.base import rebalance
+
+    # r10: the single-row-group bench file scans as ONE task, so the
+    # four broadcast joins + decimal partial aggregation all ran on one
+    # core of 32; round-robin rebalance (no-op at scale) spreads the
+    # probe side.  Aggregate values are unchanged: the profit sums are
+    # DECIMAL (order-exact), grouping is partition-invariant.
+    l, o = rebalance(t(spark, sf_dir, "lineitem")), t(spark, sf_dir, "orders")
     s, n, p = (t(spark, sf_dir, "supplier"), t(spark, sf_dir, "nation"),
                t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%")))
     # Decimal accumulation: the per-group sums reach ~1e7 where double
@@ -727,7 +734,12 @@ GROUP BY s_name
         "broadcastable per-order digest).",
 )
 def q21_sole_returner(spark, sf_dir):
-    l = t(spark, sf_dir, "lineitem")
+    from dsq_spark.queries.base import rebalance
+
+    # r10: single-task scan → rebalance so the per-order digest's
+    # two-phase distinct aggregation and the R-filtered probe side run
+    # on all cores (no-op at scale; see base.rebalance).
+    l = rebalance(t(spark, sf_dir, "lineitem"))
     per_order = l.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct(
@@ -860,11 +872,13 @@ GROUP BY l_returnflag, component
 """,
     doc=(
         "UNPIVOT (wide->long melt, the inverse of pivot_event_types): the "
-        "three lineitem charge columns fold into (component, value) rows "
-        "via Spark's native unpivot operator, then aggregate per flag and "
-        "component. The melt is a map-side Expand node — rows triple but "
-        "no shuffle is added beyond the final rollup, so it scales as a "
-        "single pass."
+        "three lineitem charge columns aggregate per flag in ONE scan "
+        "(decimal-exact sums, 6dp-rounded means), and the 3-row-per-flag "
+        "RESULT melts into (component, total, mean) rows — the r10 "
+        "optimization round moved the melt above the aggregate so the "
+        "Expand triples 9 aggregated rows, not 6M lineitem rows "
+        "(identical values: decimal sums are order-exact and the means "
+        "keep the same rounding discipline)."
     ),
 )
 def unpivot_charge_components(spark, sf_dir):
@@ -874,12 +888,25 @@ def unpivot_charge_components(spark, sf_dir):
         F.col("l_discount").alias("discount"),
         F.col("l_tax").alias("tax"),
     )
-    # DuckDB SUM(DOUBLE) vs Spark: sum in decimal then cast, so the 2dp
-    # rounding boundary cannot wobble with addition order
-    longf = l.unpivot(
-        ["l_returnflag"], ["extendedprice", "discount", "tax"],
-        "component", "value")
-    return longf.groupBy("l_returnflag", "component").agg(
-        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias("total"),
-        F.round(F.avg("value"), 6).alias("mean"),
-    )
+    # r10 optimization (guide §2.3 "aggregate before you shuffle"): the
+    # unpivot Expand tripled lineitem (6M → 18M rows at sf0.1) BEFORE the
+    # aggregation; aggregating the three columns per flag first (one scan,
+    # 3 sums + 3 avgs per group, same map-side partial aggregation) and
+    # melting the 3-rows-per-flag RESULT computes the identical values —
+    # decimal sums are order-exact, and avg keeps the same 6dp rounding
+    # discipline the melt relied on.  Plan: Expand over 3 aggregated rows
+    # per flag instead of over every lineitem row.
+    agg = l.groupBy("l_returnflag").agg(*[
+        x for c in ("extendedprice", "discount", "tax") for x in (
+            F.round(F.sum(F.col(c).cast("decimal(18,6)")).cast("double"), 2)
+            .alias(f"t_{c}"),
+            F.round(F.avg(c), 6).alias(f"m_{c}"),
+        )
+    ])
+    return agg.select(
+        "l_returnflag",
+        F.expr("explode(array("
+               "named_struct('component', 'extendedprice', 'total', t_extendedprice, 'mean', m_extendedprice), "
+               "named_struct('component', 'discount', 'total', t_discount, 'mean', m_discount), "
+               "named_struct('component', 'tax', 'total', t_tax, 'mean', m_tax)))").alias("z"),
+    ).select("l_returnflag", "z.component", "z.total", "z.mean")

@@ -1473,6 +1473,199 @@ def _rewrite_like(sql: str) -> str:
     return "".join(out)
 
 
+_FROM_TABLE = re.compile(r"\s*(`[^`]+`|[A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)?)")
+_INNER_STAR = re.compile(r"(?is)^\(\s*SELECT\s+\*")
+_TAIL_KW = re.compile(r"(?is)^\s*(WHERE|ORDER|LIMIT|OFFSET)\b|^\s*$")
+# a hoist candidate must be a pure per-row scalar over FROM columns:
+# moving an aggregate/window/subquery into the FROM projection would
+# change (or break) its meaning, so any such token disqualifies it
+_HOIST_UNSAFE = re.compile(
+    r"(?i)\b(?:sum|avg|count|min|max|total|first|last|collect_list|"
+    r"collect_set|group_concat|string_agg|percentile\w*|stddev\w*|"
+    r"median|mode|row_number|rank|dense_rank|ntile|lead|lag|nth_value|"
+    r"first_value|last_value|any_value|min_by|max_by)\s*\(|\bover\s*\(|"
+    r"\(\s*select\b")
+
+
+def _PER_ROW_SAFE(c: str) -> bool:
+    return _HOIST_UNSAFE.search(c) is None
+
+
+_TAIL_KW_NOWHERE = re.compile(r"(?is)^\s*(ORDER|LIMIT|OFFSET)\b|^\s*$")
+_WIN_HEAD = re.compile(r"(?i)\b(sum|count|avg|min|max)\s*\(")
+_OVER_GAP = re.compile(r"(?i)^\s*OVER\s*\(")
+
+
+def _balance_close(text: str, i: int) -> int | None:
+    """Index of the ')' closing the '(' at ``i`` (quote-aware: parens
+    inside single-quoted literals don't count)."""
+    d, j, n = 0, i, len(text)
+    while j < n:
+        c = text[j]
+        if c == "'":
+            j += 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+        elif c == "(":
+            d += 1
+        elif c == ")":
+            d -= 1
+            if d == 0:
+                return j
+        j += 1
+    return None
+
+
+def _window_calls(text: str) -> list[str]:
+    """Full `agg(args) OVER (spec)` substrings of ``text`` (balanced-paren
+    scan; nested window calls cannot occur — Spark rejects them)."""
+    out = []
+    for m in _WIN_HEAD.finditer(text):
+        i = text.find("(", m.end() - 1)
+        j = _balance_close(text, i)
+        if j is None:
+            continue
+        g = _OVER_GAP.match(text[j + 1:])
+        if not g:
+            continue
+        k = _balance_close(text, j + g.end())
+        if k is not None:
+            out.append(text[m.start():k + 1])
+    return out
+
+
+def _hoist_per_row(sql: str, cands: list[str]) -> str:
+    """Project repeated per-row coercion chains once under the FROM clause.
+
+    The dialect compiler's windowed dynamic aggregates clone a ~400-char
+    per-row coercion chain into every inner window aggregate (and the
+    frames pass multiplies that per recombination piece): a single
+    GROUPS/EXCLUDE query over a text column emitted 26 KB of SQL whose
+    Catalyst ANALYSIS alone cost 6-28 s and whose codegen risked janino's
+    64 KB method limit (r9 VERDICT What's-wrong #7).  The compiler
+    registers each chain (sqlexpr.take_pending_hoists); this pass rewrites
+
+        SELECT …chain…chain… FROM src …chain…
+      → SELECT …__dsq_h1…__dsq_h1… FROM (SELECT *, chain AS __dsq_h1
+                                          FROM src) …__dsq_h1…
+
+    strictly when that is a pure renaming: single top-level SELECT, one
+    FROM source (a bare table or the frames pass's own `(SELECT *, …)`
+    derived table), no star select item (the added column must not leak
+    through `*` — ADVICE r9 #1), no GROUP BY / compound operator, and no
+    nested subquery outside the FROM source (a chain inside one would
+    turn into a correlated outer reference).  Every guard fails open to
+    the unhoisted SQL, which is what ran before this pass existed."""
+    cands = [c for c in dict.fromkeys(cands)
+             if len(c) >= 80 and _PER_ROW_SAFE(c)]
+    if not cands or "__dsq_h" in sql:
+        return sql
+    spans = _skip_spans(sql)
+    lead = len(sql) - len(sql.lstrip())
+    if sql[lead:lead + 7].upper() not in ("SELECT ", "SELECT\n", "SELECT\t"):
+        return sql
+    if _scan_kw(sql, spans, lead + 6, "UNION", "INTERSECT", "EXCEPT",
+                "GROUP", "LATERAL", "JOIN", "WINDOW") is not None:
+        return sql
+    f_ix = _scan_kw(sql, spans, lead + 6, "FROM")
+    if f_ix is None:
+        return sql
+    # star select item at depth 0 of the select list?
+    depth = 0
+    prev = ""
+    for i in range(lead + 6, f_ix):
+        if any(a <= i < b for a, b in spans):
+            continue
+        ch = sql[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "*" and depth == 0:
+            if prev in ("", ",", "."):
+                return sql
+            w = re.search(r"([A-Za-z_]\w*)\s*$", sql[lead + 6:i])
+            if w and w.group(1).upper() in ("DISTINCT", "ALL"):
+                return sql
+        if not ch.isspace():
+            prev = ch
+    # FROM source: `(SELECT * …)` derived table or a bare table reference
+    j = f_ix + 4
+    while j < len(sql) and sql[j].isspace():
+        j += 1
+    if j >= len(sql):
+        return sql
+    if sql[j] == "(":
+        d, k = 0, j
+        while k < len(sql):
+            if any(a <= k < b for a, b in spans):
+                k += 1
+                continue
+            if sql[k] == "(":
+                d += 1
+            elif sql[k] == ")":
+                d -= 1
+                if d == 0:
+                    break
+            k += 1
+        if d != 0:
+            return sql
+        src_lo, src_hi = j, k + 1
+        if not _INNER_STAR.match(sql[src_lo:src_hi]):
+            return sql
+    else:
+        m = _FROM_TABLE.match(sql, j - 1)
+        if not m:
+            return sql
+        src_lo, src_hi = j, m.end()
+    if not _TAIL_KW.match(sql[src_hi:]):
+        return sql  # alias / comma join / anything unexpected after src
+    pre, src, post = sql[:src_lo], sql[src_lo:src_hi], sql[src_hi:]
+    if re.search(r"\(\s*select\b", pre + post, re.IGNORECASE):
+        return sql  # nested subquery outside the FROM source
+    names: dict[str, str] = {}
+    for c in sorted(cands, key=len, reverse=True):
+        if pre.count(c) + post.count(c) < 2:
+            continue
+        name = f"__dsq_h{len(names) + 1}"
+        pre, post = pre.replace(c, name), post.replace(c, name)
+        names[name] = c
+    if names:
+        proj = ", ".join(f"{c} AS {n}" for n, c in names.items())
+        if src.startswith("("):
+            ins = _INNER_STAR.match(src).end()
+            src = f"{src[:ins]}, {proj}{src[ins:]}"
+        else:
+            src = f"(SELECT *, {proj} FROM {src})"
+    # second layer: repeated WINDOW RESULTS (the CAST-saturation and
+    # frame-recombination consumers mention the same `agg(x) OVER (spec)`
+    # 4-6 times each).  A window value is a per-row function of the FROM
+    # rows, so with no outer WHERE (rows identical) it can compute once
+    # in a wrapping derived table.  Only same-text occurrences merge —
+    # Spark already plans them as one window expression; this just stops
+    # the analyzer/codegen from re-walking the clone subtrees.
+    if _TAIL_KW_NOWHERE.match(post):
+        wins: dict[str, str] = {}
+        for c in sorted(set(_window_calls(pre) + _window_calls(post)),
+                        key=len, reverse=True):
+            if pre.count(c) + post.count(c) < 2 or "(select" in c.lower():
+                continue
+            name = f"__dsq_w{len(wins) + 1}"
+            pre, post = pre.replace(c, name), post.replace(c, name)
+            wins[name] = c
+        if wins:
+            wproj = ", ".join(f"{c} AS {n}" for n, c in wins.items())
+            src = f"(SELECT *, {wproj} FROM {src})"
+    if not names and "__dsq_w" not in src:
+        return sql
+    return pre + src + post
+
+
 def rewrite_query(sql: str, schema: dict[str, str] | None = None) -> str:
     """Full dsq-dialect → Spark SQL rewrite (string literals untouched).
 
@@ -1563,9 +1756,12 @@ def rewrite_query_tracked(
     # typing.  Every pass is idempotent (property-tested): the D suffix
     # blocks real-literal re-matching, and sqlexpr's generated forms
     # contain no bare '/', SQLite CAST names, or bare-numeric booleans.
-    from dsq_spark.sqlexpr import rewrite_semantics
+    from dsq_spark.sqlexpr import rewrite_semantics, take_pending_hoists
 
     out = rewrite_semantics(out, schema)
+    # tree-size control: project repeated per-row coercion chains once
+    # under the FROM clause (see _hoist_per_row; guards fail open)
+    out = _hoist_per_row(out, take_pending_hoists())
     # LAST: aggregate-mixed statements must not reach the analyzer with
     # SQL temporary functions in them (Spark 4.1 extraction bug — see
     # _inline_agg_safe); runs after sqlexpr so every alias/compiler

@@ -1303,17 +1303,21 @@ def _int_prefix_bigint(t: str) -> str:
     int64 saturation on overflow (pinned vs sqlite3 in
     tests/test_sqlite_differential.py)."""
     pre = f"regexp_extract(({t}), {_INT_PREFIX}, 1)"
-    return (f"(CASE WHEN ({t}) IS NULL THEN CAST(NULL AS BIGINT) "
-            f"ELSE {_prefix_int_chain(pre)} END)")
+    out = (f"(CASE WHEN ({t}) IS NULL THEN CAST(NULL AS BIGINT) "
+           f"ELSE {_prefix_int_chain(pre)} END)")
+    _register_hoist(out)
+    return out
 
 
 def _real_prefix_double(t: str) -> str:
     """SQLite CAST(text AS REAL): longest real prefix, 0.0 if none
     ('3.9e2x' → 390.0, '1e' → 1.0, 'inf' → 0.0 — pinned vs sqlite3)."""
     pre = f"regexp_extract(({t}), {_REAL_PREFIX}, 1)"
-    return (f"(CASE WHEN ({t}) IS NULL THEN CAST(NULL AS DOUBLE) "
-            f"ELSE coalesce(try_cast({pre} AS DOUBLE), CAST(0 AS DOUBLE)) "
-            f"END)")
+    out = (f"(CASE WHEN ({t}) IS NULL THEN CAST(NULL AS DOUBLE) "
+           f"ELSE coalesce(try_cast({pre} AS DOUBLE), CAST(0 AS DOUBLE)) "
+           f"END)")
+    _register_hoist(out)
+    return out
 
 
 def _div_operand(p: "_P", k: str) -> tuple[str, str, str, str]:
@@ -1342,10 +1346,12 @@ def _div_operand(p: "_P", k: str) -> tuple[str, str, str, str]:
     if k in ("text", "blob"):
         src = f"({t})" if k == "text" else f"string(({t}))"
         pre = f"regexp_extract({src}, {_REAL_PREFIX}, 1)"
-        return (null,
-                _int_spelled(pre),
-                _prefix_int_chain(pre),
-                f"coalesce(try_cast({pre} AS DOUBLE), CAST(0 AS DOUBLE))")
+        parts = (null,
+                 _int_spelled(pre),
+                 _prefix_int_chain(pre),
+                 f"coalesce(try_cast({pre} AS DOUBLE), CAST(0 AS DOUBLE))")
+        _register_hoist(*parts[1:])
+        return parts
     pre = f"regexp_extract(string(({t})), {_REAL_PREFIX}, 1)"
     is_int = (f"(CASE WHEN typeof({t}) IN {_TYPEOF_INTS} THEN true "
               f"WHEN typeof({t}) = 'string' THEN {_int_spelled(pre)} "
@@ -1356,6 +1362,7 @@ def _div_operand(p: "_P", k: str) -> tuple[str, str, str, str]:
     as_d = (f"(CASE WHEN typeof({t}) = 'string' THEN "
             f"coalesce(try_cast({pre} AS DOUBLE), CAST(0 AS DOUBLE)) "
             f"ELSE CAST(({t}) AS DOUBLE) END)")
+    _register_hoist(is_int, as_i, as_d)
     return null, is_int, as_i, as_d
 
 
@@ -4395,13 +4402,21 @@ class _Rw:
             d0 = _real_prefix_double(f"string(({p0.text}))")
         dv = f"(CASE WHEN {nn0} THEN CAST(NULL AS DOUBLE) ELSE {d0} END)"
         if fname == "avg":
+            if ov:
+                _register_hoist(dv)
             return ((_P(f"avg({dv}){ov}", start, end), "real"), nxt)
         iv = (f"(CASE WHEN {nn0} OR NOT {ic0} "
               f"THEN CAST(NULL AS BIGINT) ELSE {i640} END)")
+        junk = f"(CASE WHEN NOT ({nn0}) AND NOT {ic0} THEN 1 END)"
         isum, rsum = f"sum({iv}){ov}", f"sum({dv}){ov}"
         nn = f"(count({dv}){ov} = 0)"
-        cond = (f"(count(CASE WHEN NOT ({nn0}) AND NOT {ic0} "
-                f"THEN 1 END){ov} = 0)")
+        cond = f"(count({junk}){ov} = 0)"
+        if ov:
+            # per-row chains cloned per inner window aggregate — hand
+            # them to rewrite._hoist_per_row so the emission references
+            # one derived-table column instead (tree-size control; see
+            # _PENDING_HOISTS)
+            _register_hoist(dv, iv, junk)
         out = _P(f"(CASE WHEN {nn} THEN CAST(NULL AS DOUBLE) "
                  f"WHEN {cond} THEN CAST({isum} AS DOUBLE) "
                  f"ELSE {rsum} END)", start, end)
@@ -6813,10 +6828,37 @@ def _fr_in_frame(sp):
         sp.b2[0] in ("ub_f", "foll", "cur")
 
 
-def _fr_emit(fname, args, sp):
+def _fr_arg_kind(args, kinds):
+    """Static storage kind of a frame-call argument when it is a single
+    (possibly parenthesized) column reference — None otherwise.  Lets the
+    piece emissions below use class-matched zero literals: a REAL column's
+    `coalesce(sum(x) OVER …, 0)` with an INTEGER 0 makes the piece value
+    int-or-real per row, which drags the whole recombination through the
+    dynamic-class quad machinery downstream (measured: the r10
+    dialect_exclude_frames emission was 23.8 KB / 144 window calls before
+    this, 10× analyzer/codegen cost for zero semantic difference — the
+    result class is statically REAL either way)."""
+    if not kinds:
+        return None
+    try:
+        at = [t for t in tokenize(args) if t.text not in ("(", ")")]
+    except Exception:
+        return None
+    if len(at) != 1 or at[0].kind not in ("word", "bt"):
+        return None
+    return kinds.get(at[0].low)
+
+
+def _fr_emit(fname, args, sp, kinds=None):
     """Combination emission (sqlite-dialect source) for one affected
     window call; None when unsupported (caller leaves the query)."""
     fl = fname.lower()
+    ak = _fr_arg_kind(args, kinds)
+    # class-matched empty-piece literal: INTEGER 0 for int args (SQLite
+    # sum(int) is INTEGER), REAL 0 for real args (sum(real) is REAL) —
+    # anything else keeps the int 0 + quad recombination (text/blob args
+    # are per-row classed; the quad is the semantics there)
+    zlit = "CAST(0 AS REAL)" if ak == "real" else "0"
     part = f"PARTITION BY {sp.p_txt}, " if sp.p_txt else "PARTITION BY "
     base_part = f"PARTITION BY {sp.p_txt} " if sp.p_txt else ""
 
@@ -6841,7 +6883,7 @@ def _fr_emit(fname, args, sp):
         for s in _FrSpec.__slots__:
             setattr(sp2, s, getattr(sp, s))
         sp2.excl = None
-        return _fr_emit(fname, args, sp2)
+        return _fr_emit(fname, args, sp2, kinds)
     unit_rows = sp.ftype == "rows"
     pieces, negs, self_term, self_neg = [], [], False, False
     if (not unit_rows and sp.ftype == "range"
@@ -6926,9 +6968,9 @@ def _fr_emit(fname, args, sp):
         cnt = ("(" + " + ".join(cnts).replace("+ -", "- ") + ")") \
             if cnts else "0"
         if fl == "sum":
-            vals = [f"coalesce(sum({args}) {p}, 0)" for p in pieces]
-            vals += [f"- coalesce(sum({args}) {n}, 0)" for n in negs]
-            self_val = (f"(CASE WHEN ({args}) IS NULL THEN 0 "
+            vals = [f"coalesce(sum({args}) {p}, {zlit})" for p in pieces]
+            vals += [f"- coalesce(sum({args}) {n}, {zlit})" for n in negs]
+            self_val = (f"(CASE WHEN ({args}) IS NULL THEN {zlit} "
                         f"ELSE ({args}) END)")
             if self_term:
                 vals.append(self_val)
@@ -6990,11 +7032,18 @@ def _fr_emit(fname, args, sp):
     return None
 
 
-def _frames_stmt(text):
+def _frames_stmt(text, kinds=None):
     """One recursion level of the GROUPS/EXCLUDE pass: rewrite nested
     parenthesized SELECTs first, then this statement's own window
     calls."""
     toks = tokenize(text)
+    if kinds:
+        # same discipline as rewrite_semantics: an AS-bound name can
+        # shadow a schema column of a different kind — those names must
+        # not take the typed-zero fast path in _fr_emit
+        shadowed = _alias_shadowed(toks)
+        if shadowed:
+            kinds = {k: v for k, v in kinds.items() if k not in shadowed}
     # nested selects (derived tables, CTE bodies, scalar subqueries)
     spans, ix = [], 0
     while ix < len(toks) - 1:
@@ -7008,7 +7057,7 @@ def _frames_stmt(text):
             continue
         ix += 1
     for lo_c, hi_c in reversed(spans):
-        inner = _frames_stmt(text[lo_c:hi_c])
+        inner = _frames_stmt(text[lo_c:hi_c], kinds)
         if inner != text[lo_c:hi_c]:
             text = text[:lo_c] + inner + text[hi_c:]
     toks = tokenize(text)
@@ -7052,7 +7101,7 @@ def _frames_stmt(text):
                               f"({defs[toks[ix + 1].low]})"))
         for lo_e, hi_e, rep in sorted(edits, reverse=True):
             text = text[:lo_e] + rep + text[hi_e:]
-        return _frames_stmt(text)
+        return _frames_stmt(text, kinds)
     # this statement's inline OVER specs — at ANY expression depth
     # (a window call inside CAST(… AS INTEGER) sits one paren deep);
     # nested SELECTs were already recursed and spliced above, so any
@@ -7150,7 +7199,7 @@ def _frames_stmt(text):
             calls, key=lambda c: -c[0]):
         fname = toks[fn_ix].text
         args = text[toks[a_open].end:toks[a_close].start]
-        emit = _fr_emit(fname, args, sp)
+        emit = _fr_emit(fname, args, sp, kinds)
         if emit is None:
             raise _Unsupported("frame emit")
         sel_txt = (sel_txt[:toks[fn_ix].start - base] + emit
@@ -7179,7 +7228,7 @@ def _frames_stmt(text):
             f"{' ' + tail_txt if tail_txt else ''}")
 
 
-def _frames_pass(text: str) -> str:
+def _frames_pass(text: str, kinds=None) -> str:
     """Entry: rewrite GROUPS frames / EXCLUDE clauses to native Spark
     window frames; unchanged text when none are present or the shape is
     out of scope (the query then errors exactly as before)."""
@@ -7187,7 +7236,7 @@ def _frames_pass(text: str) -> str:
     if "exclude" not in low and "groups" not in low:
         return text
     try:
-        return _frames_stmt(text)
+        return _frames_stmt(text, kinds)
     except _Unsupported:
         return text
     except Exception:
@@ -7825,6 +7874,34 @@ def _alias_shadowed(toks: list[Tok]) -> set[str]:
     return names
 
 
+# --- per-row hoist registry (tree-size control) ----------------------------
+# The windowed dynamic-aggregate emissions clone a ~400-char per-row
+# coercion chain into every inner aggregate (4-6 copies per user call, more
+# under the frames pass's piece recombination).  The copies are
+# semantically one per-row value, so the compiler registers each chain
+# here and rewrite.py's _hoist_per_row pass projects it ONCE in a derived
+# table under the FROM clause — the emission then references a short
+# generated column name.  Measured on the r10 dialect_groups_frame row:
+# 26.1 KB emitted SQL → ~7 KB, Catalyst analysis 6-28 s → well under 1 s
+# (analysis cost is superlinear in tree size), and janino codegen stays
+# inside its 64 KB method limit (BENCH_NOTES §24's watch item).
+_PENDING_HOISTS: list[str] = []
+
+
+def _register_hoist(*exprs: str) -> None:
+    for e in exprs:
+        if len(e) >= 80:
+            _PENDING_HOISTS.append(e)
+
+
+def take_pending_hoists() -> list[str]:
+    """Drain the per-statement hoist candidates (called once per
+    rewrite_query, after rewrite_semantics)."""
+    out = list(dict.fromkeys(_PENDING_HOISTS))
+    _PENDING_HOISTS.clear()
+    return out
+
+
 def rewrite_semantics(sql: str, schema: dict[str, str] | None = None) -> str:
     """Entry point: apply SQLite division/CAST/truthiness semantics.
 
@@ -7832,11 +7909,14 @@ def rewrite_semantics(sql: str, schema: dict[str, str] | None = None) -> str:
     literal kinds are settled).  On any parse surprise the original SQL is
     returned unchanged — never worse than the previous behavior — unless
     DSQ_SQLEXPR_STRICT is set (tests set it to surface parser gaps)."""
+    _PENDING_HOISTS.clear()  # stale candidates from a failed prior call
     try:
         toks = tokenize(sql)
         if not toks:
             return sql
-        new_sql = _frames_pass(_values_pass(_indexed_pass(_unordered_window_pass(sql))))
+        new_sql = _frames_pass(
+            _values_pass(_indexed_pass(_unordered_window_pass(sql))),
+            schema)
         if new_sql != sql:
             sql = new_sql
             toks = tokenize(sql)

@@ -1,0 +1,68 @@
+"""Emit the OPTIMIZATION_r10.md per-query checklist table: every registered
+query with its baseline (inherited tree, no cache) and after-round bench
+seconds.  Usage:
+
+    python scripts/r10_checklist.py BASELINE.json AFTER.json
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TOUCHED = {
+    "dialect_groups_frame": "frames typed-zero + hoist passes (Hotspot #1) + rebalance",
+    "dialect_exclude_frames": "frames typed-zero literals (23.8 KB → 2.0 KB emission) + rebalance",
+    "dialect_windowed_aggregates": "per-row chain hoisting + rebalance",
+    "date_modifier_functions": "rebalance (single-task scan → all cores)",
+    "julianday_functions": "rebalance",
+    "strftime_code_coverage": "rebalance",
+    "unpivot_charge_components": "aggregate-then-melt (Expand over 9 rows, not 6M)",
+    "text_contamination_check": "one-pass left-broadcast join (was 2 aggs + join)",
+    "text_dup_ngram_fraction": "xxhash64 gram keys; dup-only join-back; n_grams from count agg",
+    "text_remove_dup_spans": "xxhash64 gram keys for both gram exchanges",
+    "dedup_minhash_lsh": "sizes ride the minhash agg; mh persisted",
+    "dedup_incremental_lsh": "sizes ride the minhash agg; mh persisted",
+    "sim_ivfpq_topk": "cent + pu1 persisted (Lloyd/codebook chains run once)",
+    "sim_ivf_incremental": "cent persisted (training chain runs once)",
+    "sim_pq_topk": "u1 codebook persisted",
+    "sim_pq_recall": "u1 codebook persisted (shared _pq_parts)",
+    "agg_approx_quantile": "rebalance (both percentile states built on one core)",
+    "q9_product_profit": "rebalance lineitem probe side",
+    "q10_returned_items": "rebalance filtered lineitem probe side",
+    "q21_sole_returner": "rebalance lineitem",
+}
+REBALANCED_DIALECT = "rebalance via _run_rewritten (single-task scan → all cores)"
+
+
+def main():
+    base = json.load(open(sys.argv[1]))["queries"]
+    after = json.load(open(sys.argv[2]))["queries"]
+    import dsq_spark.queries as Q
+
+    rows = []
+    for name in sorted(Q.REGISTRY):
+        if not Q.REGISTRY[name].bench:
+            note = TOUCHED.get(name, "correctness-only (not benched)")
+            rows.append((name, None, None, note))
+            continue
+        b, a = base.get(name), after.get(name)
+        note = TOUCHED.get(name)
+        if note is None and name.startswith("dialect_"):
+            note = REBALANCED_DIALECT
+        if note is None:
+            note = "examined; left alone (see prose)"
+        rows.append((name, b, a, note))
+    print("| query | baseline s | after s | change |")
+    print("|---|---|---|---|")
+    for name, b, a, note in rows:
+        bs = f"{b:.2f}" if b is not None else "—"
+        as_ = f"{a:.2f}" if a is not None else "—"
+        print(f"| {name} | {bs} | {as_} | {note} |")
+    tb = sum(v for _, v, _, _ in rows if v is not None)
+    ta = sum(v for _, _, v, _ in rows if v is not None)
+    print(f"\ntotals: baseline {tb:.1f} s, after {ta:.1f} s")
+
+
+if __name__ == "__main__":
+    main()

@@ -478,11 +478,16 @@ def test_r10_dialect_rows_stay_jvm_side(spark, sf_dir):
 def test_r10_groups_frame_window_count(spark, sf_dir):
     """The GROUPS/EXCLUDE rewrite adds rank columns that share the user
     windows' partition/order, so the whole query plans into a bounded
-    number of Window operators (one per distinct ordering — the rank
-    prepass, the dr-RANGE frames, the rn-ROWS frames), not one per
-    emitted piece."""
+    number of Window operators (one per distinct ordering per derived
+    layer — the rank prepass, the hoisted window-result layer the r10
+    optimization round added, the outer recombination), not one per
+    emitted piece.  The hoist layer costs one extra Window + one
+    single-partition Exchange over the same rows and buys a 5x smaller
+    analyzed tree (26 KB -> 4.9 KB — OPTIMIZATION_r10.md Hotspot #1);
+    the bound still catches per-piece window explosions (12 OVERs in the
+    emission must NOT mean 12 Window operators)."""
     plan = plan_of(spark, sf_dir, "dialect_groups_frame")
-    assert n_nodes(plan, "Window") <= 4, plan[:2000]
+    assert n_nodes(plan, "Window") <= 6, plan[:2000]
     assert n_nodes(plan, "Exchange") <= 3
 
 
@@ -491,7 +496,11 @@ def test_r10_distinct_aggregates_single_aggregate(spark, sf_dir):
     aggregation (collect_set + expression folds — no per-aggregate
     re-shuffle, no expand for multiple distinct sets)."""
     plan = plan_of(spark, sf_dir, "dialect_distinct_aggregates")
-    assert n_nodes(plan, "Exchange") <= 2, plan[:2000]
+    # <=3: +1 for the r10 rebalance round-robin exchange (it carries only
+    # the filter-surviving rows — the WHERE pushes through Repartition
+    # into the scan; see dialect._run_rewritten).  The bound still
+    # catches per-aggregate re-shuffles / multi-distinct Expand plans.
+    assert n_nodes(plan, "Exchange") <= 3, plan[:2000]
 
 
 def test_r10_hunt_rows_stay_jvm_side(spark, sf_dir):
@@ -519,4 +528,5 @@ def test_r10_distinct_class_single_aggregate(spark, sf_dir):
     """DISTINCT-over-mix rewrites to ONE hash aggregate on the class
     key — the same shuffle count a native DISTINCT costs."""
     plan = plan_of(spark, sf_dir, "dialect_distinct_class")
-    assert n_nodes(plan, "Exchange") <= 4, plan[:2000]
+    # <=5: +1 for the r10 rebalance exchange (see _run_rewritten)
+    assert n_nodes(plan, "Exchange") <= 5, plan[:2000]

@@ -258,3 +258,46 @@ def test_go_regex_translation_matrix(spark):
     rows = spark.sql(rewrite_query(
         "SELECT regexp_extract(s, '(?P<num>[0-9]+)', 1) AS n FROM rx_t")).collect()
     assert sorted(r["n"] for r in rows) == ["", "12"]
+
+
+def test_hoist_per_row_guards_and_mechanics():
+    """r10 _hoist_per_row: repeated per-row chains project once into the
+    FROM derived table; every guard fails open to the input SQL."""
+    from dsq_spark.rewrite import _hoist_per_row
+
+    chain = ("(CASE WHEN ((t) IS NULL) THEN CAST(NULL AS DOUBLE) ELSE "
+             "coalesce(try_cast(regexp_extract((t), '^x', 1) AS DOUBLE), "
+             "CAST(0 AS DOUBLE)) END)")
+    assert len(chain) >= 80
+    sql = (f"SELECT id, sum({chain}) OVER (ORDER BY id) AS a, "
+           f"avg({chain}) OVER (ORDER BY id) AS b FROM tw ORDER BY id")
+    out = _hoist_per_row(sql, [chain])
+    assert out != sql
+    assert out.count(chain) == 1  # projected once, in the derived table
+    assert "FROM (SELECT *, " in out and "__dsq_h1" in out
+    # window-result layer: the repeated window value computes once too
+    # (no WHERE, so the row set is identical)
+    sql2 = (f"SELECT id, CAST(sum({chain}) OVER (ORDER BY id) AS DOUBLE) "
+            f"AS a, sum({chain}) OVER (ORDER BY id) AS b FROM tw")
+    out2 = _hoist_per_row(sql2, [chain])
+    assert "__dsq_w1" in out2
+    # guards: star item, GROUP BY, compound, join, subquery outside FROM
+    for bad in [
+        f"SELECT *, sum({chain}) OVER (ORDER BY id) AS a, "
+        f"avg({chain}) OVER (ORDER BY id) AS b FROM tw",
+        f"SELECT sum({chain}) AS a, min({chain}) AS b FROM tw GROUP BY id",
+        f"SELECT {chain} AS a, {chain} AS b FROM tw UNION SELECT 1, 2",
+        f"SELECT {chain} AS a, {chain} AS b FROM tw JOIN t2 ON tw.id = t2.id",
+        f"SELECT {chain} AS a, (SELECT max({chain}) FROM tw) AS b FROM tw",
+    ]:
+        assert _hoist_per_row(bad, [chain]) == bad
+    # candidates carrying aggregates/windows/subqueries never hoist
+    aggc = "sum(" + chain + ")" + " " * 0
+    assert _hoist_per_row(
+        f"SELECT {aggc} AS a, {aggc} AS b FROM tw", [aggc]) == \
+        f"SELECT {aggc} AS a, {aggc} AS b FROM tw"
+    # WHERE present: per-row chains still hoist, window results do not
+    sql3 = (f"SELECT id, sum({chain}) OVER (ORDER BY id) AS a, "
+            f"avg({chain}) OVER (ORDER BY id) AS b FROM tw WHERE id > 1")
+    out3 = _hoist_per_row(sql3, [chain])
+    assert "__dsq_h1" in out3 and "__dsq_w" not in out3

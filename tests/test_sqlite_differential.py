@@ -3217,3 +3217,51 @@ def test_r10_unordered_window_specs(engines):
     ]:
         want, got = _run(spark, con, q)
         assert want == got, q
+
+
+def test_r10_frames_typed_real_piece_class(engines):
+    """r10 optimization-round regression net: the frames recombination's
+    empty-piece literal is class-matched to a REAL column argument
+    (CAST(0 AS REAL) instead of INTEGER 0), which keeps the piece sums
+    statically one class and out of the quad machinery — values AND the
+    result's storage class must still match SQLite exactly."""
+    spark, con = engines
+    for q in [
+        "SELECT a, sum(b) OVER (ORDER BY a ROWS BETWEEN 2 PRECEDING AND "
+        "2 FOLLOWING EXCLUDE CURRENT ROW) AS s FROM td",
+        "SELECT a, typeof(sum(b) OVER (ORDER BY a ROWS BETWEEN 2 "
+        "PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW)) AS k FROM td",
+        "SELECT a, round(sum(b) OVER (ORDER BY b RANGE BETWEEN 1 "
+        "PRECEDING AND CURRENT ROW EXCLUDE TIES), 6) AS s FROM td",
+        "SELECT a, round(avg(b) OVER (ORDER BY a ROWS BETWEEN 1 "
+        "PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW), 6) AS s FROM td",
+        # alias shadowing a REAL schema column must NOT take the typed
+        # fast path (the aliased value here is TEXT-classed per row)
+        "SELECT b, sum(b) OVER (ORDER BY id ROWS BETWEEN 2 PRECEDING "
+        "AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS s FROM "
+        "(SELECT a AS id, c AS b FROM td)",
+    ]:
+        want, got = _run(spark, con, q)
+        assert want == got, q
+
+
+def test_r10_hoisted_emissions_still_exact(engines_w):
+    """r10 per-row/window-result hoisting (rewrite._hoist_per_row): the
+    windowed dynamic-aggregate emissions now project their coercion
+    chains once in a FROM derived table — values must stay byte-exact
+    vs sqlite3, including through CAST saturation (the shape whose
+    clones the window-result layer removes)."""
+    spark, con = engines_w
+    for q in [
+        "SELECT id, CAST(sum(t) OVER (ORDER BY id) AS INTEGER) AS s "
+        "FROM tw ORDER BY id",
+        "SELECT id, sum(t) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS s FROM tw",
+        "SELECT id, avg(t) OVER (ORDER BY id GROUPS BETWEEN 1 PRECEDING "
+        "AND CURRENT ROW) AS s FROM tw",
+        # WHERE present: per-row chains hoist, window results must NOT
+        # (the row set feeding the window differs from the FROM output)
+        "SELECT id, sum(t) OVER (ORDER BY id) AS s FROM tw WHERE id > 1",
+    ]:
+        want, got = _run_w(spark, con, q)
+        assert want == got, q
