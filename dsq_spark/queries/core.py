@@ -1065,14 +1065,11 @@ GROUP BY l_returnflag
     ),
 )
 def agg_approx_quantile(spark, sf_dir):
-    from dsq_spark.queries.base import rebalance
-
-    # r10: the single-row-group bench file scans as ONE task, so both
-    # percentile states (KLL sketch + exact sort-based) built on one
-    # core of 32; rebalance spreads the build (no-op at scale — guard in
-    # base.py).  The sketch's 1/10000-rank error bound is preserved
-    # under partition merge, far inside the pinned 2% gate.
-    li = rebalance(t(spark, sf_dir, "lineitem"))
+    # r10: tried rebalance() on the single-task lineitem scan; the
+    # round-robin exchange measured SLOWER (1.42 -> 1.70 s in-suite) —
+    # the exact-percentile state is a sort-based agg that shuffles on
+    # l_returnflag anyway, so the exchange only added bytes.  Plain scan.
+    li = t(spark, sf_dir, "lineitem")
     rel = F.abs(F.col("approx") - F.col("exact")) / F.col("exact")
     return (
         li.groupBy("l_returnflag")

@@ -25,7 +25,7 @@ from __future__ import annotations
 from dsq_spark.queries.base import rebalance, register, t
 
 
-def _run_rewritten(spark, sf_dir, view, table, sql):
+def _run_rewritten(spark, sf_dir, view, table, sql, spread=False):
     from dsq_spark.functions import register_all
     from dsq_spark.rewrite import rewrite_query
     from dsq_spark.sqlexpr import spark_schema_kinds
@@ -61,14 +61,19 @@ def _run_rewritten(spark, sf_dir, view, table, sql):
         pass  # conf not runtime-settable on this build: rely on neutrality
     try:
         # r10: single-file bench tables scan as ONE task (1 parquet row
-        # group), serializing the dialect rows' per-row compiled chains
-        # (regex quads, datetime probes) onto one core of 32 — measured
-        # 4.8 → 1.7 s on the datetime-modifier shape.  rebalance() is the
-        # same guarded no-op-at-scale used for documents/embeddings
-        # (base.py): a 100 TB table already has >> cores partitions.
-        # Filters in the rewritten SQL still push through the round-robin
+        # group), serializing per-row compiled chains onto one core of 32.
+        # rebalance() (guarded no-op at scale, base.py) fixes that — but
+        # the round-robin exchange itself costs ~0.3-0.5 s at sf0.1, so it
+        # is OPT-IN (spread=True) only for rows whose per-row work measured
+        # heavier than the shuffle (scalar_minmax's 5-way class-dispatch
+        # chains: 2.8 -> 0.7 s in-suite).  Cheap rows (int_division,
+        # truthiness, ...) measured 2-3x SLOWER with the blanket exchange
+        # (dialect_int_division 0.22 -> 0.70 in-suite), so they keep the
+        # plain scan.  Filters in the rewritten SQL still push through the
         # exchange into the scan (PushDownPredicates handles Repartition).
-        df = rebalance(t(spark, sf_dir, table))
+        df = t(spark, sf_dir, table)
+        if spread:
+            df = rebalance(df)
         df.createOrReplaceTempView(view)
         return spark.sql(rewrite_query(sql, spark_schema_kinds(df.dtypes)))
     finally:
@@ -262,7 +267,10 @@ def dialect_scalar_minmax(spark, sf_dir):
         "CASE WHEN o_orderkey % 2 = 0 THEN abs(~NULL) "
         "ELSE o_orderkey >= 50 END AS bool_null_arm, "
         "substr(iif(o_orderkey % 2 = 0, x'', 'ab'), 1, 1) AS blob_sub "
-        "FROM dsq_mm_ord ORDER BY o_orderkey LIMIT 2000")
+        "FROM dsq_mm_ord ORDER BY o_orderkey LIMIT 2000",
+        # 5-way class-dispatch render chains per row: the heaviest per-row
+        # work in the dialect family — rebalance measured 2.8 -> 0.7 s.
+        spread=True)
 
 
 @register(

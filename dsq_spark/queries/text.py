@@ -355,11 +355,13 @@ def text_dup_ngram_fraction(spark, sf_dir):
     #     a collision would need two distinct grams sharing a 64-bit hash
     #     (p ≈ n²/2⁶⁵ ≈ 1e-7 at sf0.1) — results verified identical
     #     against the string-keyed DuckDB oracle at sf0.01/sf0.1.
-    #   * n_grams is size(toks)-9 by construction (every doc contributes
-    #     exactly that many grams), so the join-back only carries grams
-    #     that ARE duplicated (nd > 1): the second exchange ships the dup
-    #     subset, not the whole corpus, and the old full inner join +
-    #     per-doc count disappears.
+    #   * the duplicated-gram set (nd > 1) is tiny next to the corpus, so
+    #     AQE broadcasts it and the join-back never re-shuffles the gram
+    #     stream; n_grams and n_dup come from ONE doc_id aggregate over
+    #     that left join (count(*) / count(dup-marker)) — the first cut of
+    #     this optimization split them into two aggregates + two joins,
+    #     which measured SLOWER at sf0.1 (1.13 -> 1.40 s) than the single
+    #     combined pass restored here.
     grams = (
         t(spark, sf_dir, "documents")
         .withColumn("toks", F.expr(TOKENS))
@@ -375,15 +377,13 @@ def text_dup_ngram_fraction(spark, sf_dir):
         .persist()  # one tokenize pass feeds multiplicity, counts, dups
     )
     dup = (grams.groupBy("gh").agg(F.countDistinct("doc_id").alias("nd"))
-           .filter(F.col("nd") > 1).select("gh"))
-    dup_per_doc = (grams.join(dup, "gh", "left_semi")
-                   .groupBy("doc_id").agg(F.count("*").alias("n_dup")))
-    counts = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+           .filter(F.col("nd") > 1).select("gh", F.lit(1).alias("dup")))
     roster = t(spark, sf_dir, "documents").select("doc_id", "lang")
     per_doc = (
-        counts.join(dup_per_doc, "doc_id", "left").join(roster, "doc_id")
-        .select("doc_id", "lang", "n_grams",
-                F.coalesce("n_dup", F.lit(0)).alias("n_dup"))
+        grams.join(dup, "gh", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.count("dup").alias("n_dup"))
+        .join(roster, "doc_id")
     )
     frac = F.col("n_dup") * 1.0 / F.col("n_grams")
     return per_doc.groupBy("lang").agg(

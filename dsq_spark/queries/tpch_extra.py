@@ -430,14 +430,12 @@ GROUP BY 1, 2
         "part filter (fixed 10.0 stand-in for missing partsupp supplycost).",
 )
 def q9_product_profit(spark, sf_dir):
-    from dsq_spark.queries.base import rebalance
-
-    # r10: the single-row-group bench file scans as ONE task, so the
-    # four broadcast joins + decimal partial aggregation all ran on one
-    # core of 32; round-robin rebalance (no-op at scale) spreads the
-    # probe side.  Aggregate values are unchanged: the profit sums are
-    # DECIMAL (order-exact), grouping is partition-invariant.
-    l, o = rebalance(t(spark, sf_dir, "lineitem")), t(spark, sf_dir, "orders")
+    # r10: tried rebalance() on the single-task lineitem scan here; the
+    # round-robin exchange measured SLOWER than the 1-task broadcast-join
+    # chain it parallelized (0.80 -> 1.32 s in-suite, both after-runs
+    # agree) — the per-row work (4 hash probes + a decimal mult) is too
+    # cheap to pay a full shuffle for.  Kept the plain scan.
+    l, o = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
     s, n, p = (t(spark, sf_dir, "supplier"), t(spark, sf_dir, "nation"),
                t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%")))
     # Decimal accumulation: the per-group sums reach ~1e7 where double
@@ -734,12 +732,12 @@ GROUP BY s_name
         "broadcastable per-order digest).",
 )
 def q21_sole_returner(spark, sf_dir):
-    from dsq_spark.queries.base import rebalance
-
-    # r10: single-task scan → rebalance so the per-order digest's
-    # two-phase distinct aggregation and the R-filtered probe side run
-    # on all cores (no-op at scale; see base.rebalance).
-    l = rebalance(t(spark, sf_dir, "lineitem"))
+    # r10: tried rebalance() on the single-task lineitem scan; the extra
+    # round-robin exchange measured SLOWER (1.34 -> 2.14 s in-suite) —
+    # the countDistinct digest already shuffles on l_orderkey, so the
+    # partial-agg parallelism it bought was cheaper than the added
+    # full-width exchange.  Kept the plain scan.
+    l = t(spark, sf_dir, "lineitem")
     per_order = l.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct(

@@ -6,10 +6,12 @@ and prescribed the isolation protocol (one query per JVM, warm session,
 min-of-3) to separate real plan regressions from suite-position noise
 (GC/codegen-cache pressure from 90+ queries sharing one JVM).  Usage:
 
-    python scripts/bench_isolated.py <query_name> [sf_dir]
+    python scripts/bench_isolated.py <query_name>[,<query_name>...] [sf_dir]
 
-Prints one JSON line {"query": name, "sec": best}.  Drive it per-query from
-a shell loop so every measurement gets its own JVM.
+Prints one JSON line {"query": name, "sec": best} per query.  Drive it
+per-query from a shell loop so every measurement gets its own JVM, or pass
+a comma-separated list to amortize the session start across a small A/B
+set (r10: still far less suite-position noise than the 121-query bench).
 """
 
 from __future__ import annotations
@@ -34,18 +36,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    fn = Q.REGISTRY[name].fn
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
+    for qname in name.split(","):
+        fn = Q.REGISTRY[qname].fn
         try:
-            df.write.format("noop").mode("overwrite").save()
+            spark._jvm.System.gc()
         except Exception:
-            from pyspark.sql import functions as F
-            df.select([F.count(c) for c in df.columns]).collect()
-        best = min(best, time.perf_counter() - t0)
-    print(json.dumps({"query": name, "sec": round(best, 4)}))
+            pass
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            try:
+                df.write.format("noop").mode("overwrite").save()
+            except Exception:
+                from pyspark.sql import functions as F
+                df.select([F.count(c) for c in df.columns]).collect()
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({"query": qname, "sec": round(best, 4)}), flush=True)
 
 
 if __name__ == "__main__":
