@@ -89,6 +89,20 @@ def main():
         for attempt in range(3):
             if attempt == 2 and best <= 0.5:
                 break  # third run only for outliers still >0.5 s
+            # r10 measurement fix (guide §1.4, declared in
+            # OPTIMIZATION_r10.md): drop every persisted intermediate
+            # BEFORE the timer starts.  Spark's CacheManager matches
+            # canonicalized plans, so attempt 2 of a query that persists
+            # an intermediate (LSH candidates, PQ codebooks, ...) would
+            # otherwise hit attempt 1's cache and min-of-N would report
+            # the cached-intermediate time — cross-run result reuse, not
+            # the query's real cost.  Also stops dead persisted blocks
+            # from 121 queries x 3 attempts accumulating in the block
+            # manager.  The clear itself is outside the timed region.
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             _evaluate(df)

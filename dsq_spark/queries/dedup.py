@@ -192,10 +192,23 @@ def dedup_minhash_lsh(spark, sf_dir):
     cand = (
         a.join(b, (a.band_idx == b.band_idx_b) & (a.sig == b.sig_b) & (a.doc_a < b.doc_b))
         .select("doc_a", "doc_b").distinct()
+        .persist()  # 4 consumers: two semi-prunes, inter, final join
     )
     sizes = mh.select("doc_id", "n")
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("s_b"))
+    # r10 (guide §3 — pre-filter the big side with a semi-join): only
+    # candidate docs' shingles can contribute to the intersection count,
+    # so prune BOTH shingle streams to the candidate id sets before the
+    # (doc, shingle)-keyed verify join.  The id sets are tiny (bounded by
+    # the LSH collision count), broadcast as map-side semi-joins, and the
+    # pruned streams are small enough for AQE to broadcast the verify
+    # join itself — the full-corpus composite-key exchange disappears.
+    # Row-preservation: a semi-join only drops rows the inner join below
+    # could never match, so `i` is unchanged.
+    sa = (sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+          .join(cand.select("doc_a").distinct(), "doc_a", "left_semi"))
+    sb = (sh.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("s_b"))
+          .join(cand.select(F.col("doc_b").alias("doc_b2")).distinct(),
+                "doc_b2", "left_semi"))
     inter = (
         cand.join(sa, "doc_a")
         .join(sb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("s_a") == F.col("s_b")))
@@ -417,10 +430,17 @@ def dedup_incremental_lsh(spark, sf_dir):
         new_b.join(old_b, (new_b.band_idx == old_b.band_idx_o)
                    & (new_b.sig == old_b.sig_o))
         .select("doc_new", "doc_old").distinct()
+        .persist()  # 4 consumers: two semi-prunes, inter, final join
     )
     sizes = mh.select("doc_id", "n")
-    sa = sh.select(F.col("doc_id").alias("doc_new"), F.col("s").alias("s_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_old2"), F.col("s").alias("s_b"))
+    # r10 (guide §3): semi-join prune both shingle streams to candidate
+    # ids before the verify join — see dedup_minhash_lsh for the full
+    # argument (identical results; the big composite-key exchange goes).
+    sa = (sh.select(F.col("doc_id").alias("doc_new"), F.col("s").alias("s_a"))
+          .join(cand.select("doc_new").distinct(), "doc_new", "left_semi"))
+    sb = (sh.select(F.col("doc_id").alias("doc_old2"), F.col("s").alias("s_b"))
+          .join(cand.select(F.col("doc_old").alias("doc_old2")).distinct(),
+                "doc_old2", "left_semi"))
     inter = (
         cand.join(sa, "doc_new")
         .join(sb, (F.col("doc_old") == F.col("doc_old2")) & (F.col("s_a") == F.col("s_b")))

@@ -324,9 +324,19 @@ def _scan_kw(sql: str, spans, start: int, *words: str,
     depth, i = 0, start
     n = len(sql) if end is None else end
     targets = [(len(w), w.upper()) for w in words]
+    # spans come from _literal_spans/_skip_spans: sorted, non-overlapping —
+    # walk them with a monotone pointer and jump whole spans (the per-char
+    # `any(a <= i < b ...)` membership test was O(len(sql)*len(spans)); on a
+    # 30 KB dialect emission with ~900 literal spans that alone cost >1 s of
+    # driver time per rewrite)
+    si, nspan = 0, len(spans)
+    while si < nspan and spans[si][1] <= start:
+        si += 1
     while i < n:
-        if any(a <= i < b for a, b in spans):
-            i += 1
+        while si < nspan and spans[si][1] <= i:
+            si += 1
+        if si < nspan and spans[si][0] <= i:
+            i = spans[si][1]
             continue
         c = sql[i]
         if c == "(":
@@ -1578,8 +1588,13 @@ def _hoist_per_row(sql: str, cands: list[str]) -> str:
     # star select item at depth 0 of the select list?
     depth = 0
     prev = ""
-    for i in range(lead + 6, f_ix):
-        if any(a <= i < b for a, b in spans):
+    si, nspan = 0, len(spans)
+    i = lead + 6
+    while i < f_ix:
+        while si < nspan and spans[si][1] <= i:
+            si += 1
+        if si < nspan and spans[si][0] <= i:
+            i = spans[si][1]
             continue
         ch = sql[i]
         if ch == "(":
@@ -1594,6 +1609,7 @@ def _hoist_per_row(sql: str, cands: list[str]) -> str:
                 return sql
         if not ch.isspace():
             prev = ch
+        i += 1
     # FROM source: `(SELECT * …)` derived table or a bare table reference
     j = f_ix + 4
     while j < len(sql) and sql[j].isspace():
@@ -1602,9 +1618,12 @@ def _hoist_per_row(sql: str, cands: list[str]) -> str:
         return sql
     if sql[j] == "(":
         d, k = 0, j
+        sk, nspan = 0, len(spans)
         while k < len(sql):
-            if any(a <= k < b for a, b in spans):
-                k += 1
+            while sk < nspan and spans[sk][1] <= k:
+                sk += 1
+            if sk < nspan and spans[sk][0] <= k:
+                k = spans[sk][1]
                 continue
             if sql[k] == "(":
                 d += 1
