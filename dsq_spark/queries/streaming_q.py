@@ -36,6 +36,14 @@ from dsq_spark.streaming.ops import (
 # and a half-up rounding could push a boundary event into the next window.
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
+# r10 (guide §4/§6 — ship only the columns the computation needs): the
+# replay JSONL used to carry every events column; event_id and the props
+# JSON blob are dead weight for tumbling_window_agg (ts, user_id for the
+# HLL sketch, event_type, value), roughly doubling both the one-time
+# write and EVERY trigger's parse.  The pruned column set is shared with
+# scripts/bench_streaming_scale.py so source schemas stay in sync.
+_REPLAY_COLS = ["ts", "user_id", "event_type", "value"]
+
 # One replay dir per (application, sf_dir) — multiple driver calls reuse
 # it.  Keyed on applicationId, NOT id(spark): a stopped session's id() can
 # be reused by a new SparkSession and alias a stale dir (ADVICE r3).  The
@@ -64,7 +72,12 @@ def _replay_dir(spark, sf_dir: str) -> str:
     path = tempfile.mkdtemp(prefix="dsq_stream_replay_")
     (
         t(spark, sf_dir, "events")
-        .coalesce(4)  # >1 file so AvailableNow exercises multiple triggers
+        .select(*_REPLAY_COLS)
+        # >1 file so AvailableNow exercises multiple triggers.  repartition,
+        # NOT coalesce: the bench parquet is one row group -> one partition,
+        # and coalesce(4) can only shrink, so it silently produced ONE file
+        # (single trigger, single-task JSON parse) — r10 measurement.
+        .repartition(4)
         .write.mode("overwrite").option("timestampFormat", _TS_FMT).json(path)
     )
     _REPLAY_MEMO[key] = path
@@ -96,7 +109,7 @@ GROUP BY 1, 2
 def streaming_window_counts(spark, sf_dir):
     src = (
         spark.readStream.schema(
-            t(spark, sf_dir, "events").schema
+            t(spark, sf_dir, "events").select(*_REPLAY_COLS).schema
         )
         .option("maxFilesPerTrigger", 2)
         .option("timestampFormat", _TS_FMT)

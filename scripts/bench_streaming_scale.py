@@ -43,11 +43,11 @@ def run_once(spark, sf_dir: str):
     import uuid
 
     from dsq_spark.queries.base import t
-    from dsq_spark.queries.streaming_q import _TS_FMT, _replay_dir
+    from dsq_spark.queries.streaming_q import _REPLAY_COLS, _TS_FMT, _replay_dir
     from dsq_spark.streaming.ops import run_stream_to_memory, tumbling_window_agg
 
     replay = _replay_dir(spark, sf_dir)  # memoized: built once per scale
-    schema = t(spark, sf_dir, "events").schema
+    schema = t(spark, sf_dir, "events").select(*_REPLAY_COLS).schema
     t0 = time.monotonic()
     src = (
         spark.readStream.schema(schema)
