@@ -11,28 +11,31 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TOUCHED = {
-    "dialect_groups_frame": "frames typed-zero + hoist passes (Hotspot #1) + rebalance",
-    "dialect_exclude_frames": "frames typed-zero literals (23.8 KB → 2.0 KB emission) + rebalance",
-    "dialect_windowed_aggregates": "per-row chain hoisting + rebalance",
+    "dialect_groups_frame": "frames typed-zero + hoist passes (Hotspot #1)",
+    "dialect_exclude_frames": "frames typed-zero literals (23.8 KB → 2.0 KB emission)",
+    "dialect_windowed_aggregates": "per-row chain hoisting",
+    "dialect_scalar_minmax": "rebalance/spread=True (5-way render chains per row; 2.8 → 0.7 s)",
     "date_modifier_functions": "rebalance (single-task scan → all cores)",
     "julianday_functions": "rebalance",
     "strftime_code_coverage": "rebalance",
     "unpivot_charge_components": "aggregate-then-melt (Expand over 9 rows, not 6M)",
     "text_contamination_check": "one-pass left-broadcast join (was 2 aggs + join)",
-    "text_dup_ngram_fraction": "xxhash64 gram keys; dup-only join-back; n_grams from count agg",
+    "text_dup_ngram_fraction": "xxhash64 gram keys; one left join + one doc agg",
     "text_remove_dup_spans": "xxhash64 gram keys for both gram exchanges",
-    "dedup_minhash_lsh": "sizes ride the minhash agg; mh persisted",
-    "dedup_incremental_lsh": "sizes ride the minhash agg; mh persisted",
+    "dedup_minhash_lsh": "sizes ride minhash agg; mh+cand persisted; semi-join prune (4.3 → 1.8 s)",
+    "dedup_incremental_lsh": "same; semi-join prune bounds old-corpus verify exchange at scale",
     "sim_ivfpq_topk": "cent + pu1 persisted (Lloyd/codebook chains run once)",
     "sim_ivf_incremental": "cent persisted (training chain runs once)",
     "sim_pq_topk": "u1 codebook persisted",
     "sim_pq_recall": "u1 codebook persisted (shared _pq_parts)",
-    "agg_approx_quantile": "rebalance (both percentile states built on one core)",
-    "q9_product_profit": "rebalance lineitem probe side",
-    "q10_returned_items": "rebalance filtered lineitem probe side",
-    "q21_sole_returner": "rebalance lineitem",
+    "streaming_window_counts": "replay pruned to 4 cols + repartition(4): real 2-trigger replay (4.2 → 3.1 s)",
+    "agg_approx_quantile": "rebalance tried + REVERTED (exchange > win; sort-agg shuffles anyway)",
+    "q9_product_profit": "rebalance tried + REVERTED (broadcast probes cheaper than exchange)",
+    "q10_returned_items": "rebalance filtered lineitem probe side (KEPT: 1.14 → 0.92)",
+    "q21_sole_returner": "rebalance tried + REVERTED (distinct digest shuffles on l_orderkey anyway)",
 }
-REBALANCED_DIALECT = "rebalance via _run_rewritten (single-task scan → all cores)"
+REBALANCED_DIALECT = ("examined; rebalance tried + REVERTED (exchange cost > per-row win; "
+                      "spread= stays opt-in)")
 
 
 def main():
