@@ -620,46 +620,73 @@ GROUP BY cluster
 """
 
 
-def _km_assign(v, cent):
-    """Lloyd assignment: broadcast the k centroids onto the corpus scan,
-    keep each vector's nearest (L2, cluster-id tiebreak).
+def _km_literal(cents):
+    """SQL literal array<struct<cluster:bigint, cd:array<double>>> from
+    driver-side centroids.  repr() emits the shortest round-tripping decimal,
+    so parsing the literal reproduces each double bit-for-bit."""
+    items = ", ".join(
+        "named_struct('cluster', CAST({} AS BIGINT), 'cd', array({}))".format(
+            c, ", ".join(repr(x) + "D" for x in cd))
+        for c, cd in cents)
+    return f"array({items})"
 
-    min_by over a (d2, cluster) struct instead of a rank window: the hash
-    aggregate gets a map-side partial combine, so the exchange carries one
-    row per vector instead of k sorted candidate rows — k-fold less shuffle
-    on every Lloyd round. Same argmin (tiebreak included), same values."""
-    d2 = ("aggregate(zip_with(vd, cd, (x, y) -> (x - y) * (x - y)), "
+
+def _km_assign_lit(v, cents, keep_cd=False):
+    """Exchange-free Lloyd assignment: nearest centroid by L2 with the
+    (d2, cluster) tiebreak, as a PURE MAP over the corpus scan.
+
+    The centroids are a constant-folded literal array, so the per-row argmin
+    is array_min over (d2, cluster[, cd]) structs — struct ordering compares
+    d2 first, then cluster, exactly the min_by tiebreak the broadcast-join
+    formulation used.  No crossJoin row expansion, no per-vector shuffle: at
+    any corpus scale the assignment pipelines inside the scan stage (r10
+    follow-up; guide §2.1 'remove the shuffle outright')."""
+    d2 = ("aggregate(zip_with(vd, c.cd, (x, y) -> (x - y) * (x - y)), "
           "CAST(0.0 AS DOUBLE), (a, p) -> a + p)")
-    d = v.crossJoin(F.broadcast(cent)).withColumn("d2", F.expr(d2))
-    return (
-        d.groupBy("vec_id")
-        .agg(F.min_by(F.struct("cluster", "vd", "d2"), F.struct("d2", "cluster")).alias("m"))
-        .select("vec_id", F.col("m.vd").alias("vd"),
-                F.col("m.cluster").alias("cluster"), F.col("m.d2").alias("d2"))
-    )
+    tail = ", c.cd AS cd" if keep_cd else ""
+    m = (f"array_min(transform({_km_literal(cents)}, "
+         f"c -> struct({d2} AS d2, c.cluster AS cluster{tail})))")
+    out = ["vec_id", "vd", F.col("m.cluster").alias("cluster"),
+           F.col("m.d2").alias("d2")]
+    if keep_cd:
+        out.append(F.col("m.cd").alias("cd"))
+    return v.withColumn("m", F.expr(m)).select(*out)
 
 
-def _km_update(a):
-    """Lloyd update: per-(cluster, dim) mean, rounded to 6dp (cross-engine
-    FP summation order must not leak into the next argmin)."""
-    return (
-        a.select("cluster", F.posexplode("vd").alias("i", "x"))
-        .groupBy("cluster", "i").agg(F.round(F.avg("x"), 6).alias("c"))
-        .groupBy("cluster")
-        .agg(F.expr("transform(array_sort(collect_list(struct(i, c))), "
-                    "s -> s.c)").alias("cd"))
-    )
+def _km_train(v, init_bound, iters=2):
+    """Lloyd with a per-iteration driver round-trip of the k centroids
+    (k·dim doubles — bounded at ANY corpus scale; the MLlib KMeans shape).
+
+    All arithmetic stays in Spark expressions: the init is the literal
+    first-k corpus vectors, each update is the same posexplode +
+    per-(cluster, dim) round(avg, 6) aggregate the chained formulation ran —
+    only the final array assembly (sort by dim index) moves to the driver,
+    on the collected 6dp-rounded values.  Chaining the rounds instead built
+    one plan with 3 exchanges per iteration that re-ran inside every
+    broadcast of the result (guide §5)."""
+    cents = sorted(
+        (r["vec_id"], list(r["vd"]))
+        for r in v.filter(F.col("vec_id") < init_bound)
+                  .select("vec_id", "vd").collect())
+    for _ in range(iters):
+        rows = (
+            _km_assign_lit(v, cents)
+            .select("cluster", F.posexplode("vd").alias("i", "x"))
+            .groupBy("cluster", "i").agg(F.round(F.avg("x"), 6).alias("c"))
+            .collect())
+        by_c = {}
+        for r in rows:
+            by_c.setdefault(r["cluster"], []).append((r["i"], r["c"]))
+        cents = sorted((c, [x for _, x in sorted(dims)])
+                       for c, dims in by_c.items())
+    return cents
 
 
 def _km_refined(spark, sf_dir, iters=2):
     """(persisted corpus vectors, centroids after `iters` Lloyd rounds)."""
     e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
     v = e.select("vec_id", F.expr(VD).alias("vd")).persist()
-    cent = v.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cluster"), F.col("vd").alias("cd"))
-    for _ in range(iters):
-        cent = _km_update(_km_assign(v, cent))
-    return v, cent
+    return v, _km_train(v, 8, iters)
 
 
 
@@ -679,8 +706,8 @@ def _km_refined(spark, sf_dir, iters=2):
     ),
 )
 def sim_kmeans_refine(spark, sf_dir):
-    v, cent = _km_refined(spark, sf_dir)
-    final = _km_assign(v, cent)
+    v, cents = _km_refined(spark, sf_dir)
+    final = _km_assign_lit(v, cents)
     return final.groupBy("cluster").agg(
         F.count("*").alias("n_members"),
         F.round(F.sqrt(F.avg("d2")), 6).alias("rms_dist"),
@@ -736,8 +763,8 @@ _IVFK_SQL = _DK_SQL[:_DK_SQL.rindex("SELECT cluster,")].rstrip() + _IVFK_TOPK_TA
 def sim_ivf_kmeans_topk(spark, sf_dir):
     from pyspark.sql.window import Window
 
-    v, cent = _km_refined(spark, sf_dir)
-    asg = _km_assign(v, cent).select("vec_id", "vd", "cluster")
+    v, cents = _km_refined(spark, sf_dir)
+    asg = _km_assign_lit(v, cents).select("vec_id", "vd", "cluster")
     nrm = asg.withColumn(
         "nrm",
         F.sqrt(F.expr("aggregate(zip_with(vd, vd, (x, y) -> x * y), "
@@ -803,8 +830,8 @@ _IVFK_RECALL_SQL = (
 def sim_ivf_kmeans_recall(spark, sf_dir):
     from pyspark.sql.window import Window
 
-    v, cent = _km_refined(spark, sf_dir)
-    asg = _km_assign(v, cent).select("vec_id", "vd", "cluster")
+    v, cents = _km_refined(spark, sf_dir)
+    asg = _km_assign_lit(v, cents).select("vec_id", "vd", "cluster")
     nrm = asg.withColumn(
         "nrm",
         F.sqrt(F.expr("aggregate(zip_with(vd, vd, (x, y) -> x * y), "
@@ -938,42 +965,68 @@ SELECT CAST(count(DISTINCT b.q_id) AS BIGINT) AS n_queries,
 FROM brute b LEFT JOIN pqk p ON p.q_id = b.q_id AND p.vec_id = b.vec_id
 """
 
-_PQ_D2 = ("aggregate(zip_with(svd, cd, (x, y) -> (x - y) * (x - y)), "
-          "CAST(0.0 AS DOUBLE), (a, p) -> a + p)")
+def _pq_literal(cb, int_cd=False):
+    """SQL literal map<int, array<struct<code:int, cd:array<…>>>> from a
+    driver-side codebook [(sub, code, [vals])]: one map entry per subspace,
+    so the per-row argmin only scans that subspace's K codes.  Doubles emit
+    via repr() (shortest round-tripping decimal → bit-exact); the residual
+    path's codebooks are exact BIGINTs."""
+    by_sub = {}
+    for sub, code, cd in cb:
+        by_sub.setdefault(sub, []).append((code, cd))
+    fmt = (lambda x: f"{int(x)}L") if int_cd else (lambda x: repr(x) + "D")
+    entries = []
+    for sub in sorted(by_sub):
+        items = ", ".join(
+            "named_struct('code', CAST({} AS INT), 'cd', array({}))".format(
+                code, ", ".join(fmt(x) for x in cd))
+            for code, cd in sorted(by_sub[sub]))
+        entries.append(f"CAST({sub} AS INT), array({items})")
+    return "map(" + ", ".join(entries) + ")"
 
 
-def _pq_assign(vs, cb, carry=(), d2expr=None):
-    """Nearest codebook entry per (vector, subspace): broadcast the M*K-row
-    codebook onto the subvector stream, keep the argmin (d2, code tiebreak).
-
-    min_by over a (d2, code) struct instead of a rank window: hash aggregation
-    gets a map-side partial combine, so the shuffle carries one row per
-    (vector, subspace) instead of K sorted candidate rows — 16x less exchange
-    volume on the encode path, which at 100 TB is the dominant stage.
-    `carry` names vec-level columns to pass through (e.g. the IVF cell);
-    `d2expr` overrides the distance (integer variant for the residual path)."""
-    d = vs.join(F.broadcast(cb), "sub").withColumn("d2", F.expr(d2expr or _PQ_D2))
-    m = F.min_by(F.struct("code", "svd", "d2", *carry), F.struct("d2", "code"))
-    return (
-        d.groupBy("vec_id", "sub").agg(m.alias("m"))
-        .select("vec_id", "sub", F.col("m.svd").alias("svd"),
-                F.col("m.code").alias("code"), F.col("m.d2").alias("d2"),
-                *[F.col(f"m.{c}").alias(c) for c in carry])
-    )
+def _pq_d2(cd_ref, int_math=False):
+    """Per-subvector squared distance against a codebook entry, accumulated
+    left-to-right (double for raw subvectors, exact BIGINT for residuals)."""
+    zero = "CAST(0 AS BIGINT)" if int_math else "CAST(0.0 AS DOUBLE)"
+    return (f"aggregate(zip_with(svd, {cd_ref}, (x, y) -> (x - y) * (x - y)), "
+            f"{zero}, (a, p) -> a + p)")
 
 
-def _pq_codebook(a, mean_col):
-    """Rebuild a (sub, code) codebook from an assignment: per-(sub, code, dim)
-    mean under the CALLER'S rounding rule, re-assembled in dim order. The
-    rounding rule is load-bearing (plain PQ rounds to 6dp; the residual path
-    must use exact-integer floor(avg + 0.5) — see sim_ivfpq_topk), so it is
-    an explicit parameter rather than something each copy gets right by hand."""
-    return (
-        a.select("sub", "code", F.posexplode("svd").alias("i", "x"))
+def _pq_assign_lit(vs, cb, carry=(), int_math=False):
+    """Nearest codebook entry per (vector, subspace) as a PURE MAP: argmin
+    over the sub's K literal codes via array_min on (d2, code) structs — the
+    same (d2, code) tiebreak the min_by formulation used, with no broadcast
+    join and no per-subvector exchange on the encode path (guide §2.1)."""
+    m = (f"array_min(transform(element_at({_pq_literal(cb, int_math)}, sub), "
+         f"c -> struct({_pq_d2('c.cd', int_math)} AS d2, c.code AS code)))")
+    return vs.withColumn("m", F.expr(m)).select(
+        "vec_id", "sub", "svd", F.col("m.code").alias("code"),
+        F.col("m.d2").alias("d2"), *carry)
+
+
+def _pq_train(vs, mean_col, int_math=False):
+    """One PQ Lloyd round with a driver round-trip of the codebook
+    (M·K·(dim/M) values — bounded at any corpus scale).  Init is the literal
+    first-K subvectors; the update is the same per-(sub, code, dim) mean
+    aggregate the chained formulation ran, under the CALLER'S rounding rule
+    (load-bearing: plain PQ rounds to 6dp, the residual path uses
+    exact-integer floor(avg + 0.5) — see sim_ivfpq_topk); only the array
+    assembly (sort by dim index) moves to the driver."""
+    c0 = sorted(
+        (r["sub"], int(r["vec_id"]), list(r["svd"]))
+        for r in vs.filter(F.col("vec_id") < _PQ_K)
+                   .select("vec_id", "sub", "svd").collect())
+    rows = (
+        _pq_assign_lit(vs, c0, int_math=int_math)
+        .select("sub", "code", F.posexplode("svd").alias("i", "x"))
         .groupBy("sub", "code", "i").agg(mean_col.alias("c"))
-        .groupBy("sub", "code")
-        .agg(F.expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)").alias("cd"))
-    )
+        .collect())
+    by_sc = {}
+    for r in rows:
+        by_sc.setdefault((r["sub"], r["code"]), []).append((r["i"], r["c"]))
+    return sorted((s, c, [x for _, x in sorted(dims)])
+                  for (s, c), dims in by_sc.items())
 
 
 def _pq_parts(spark, sf_dir):
@@ -987,20 +1040,21 @@ def _pq_parts(spark, sf_dir):
                 F.expr("slice(vd, sub * 8 + 1, 8)").alias("svd"))
         .persist()  # feeds train, encode, and the query-side LUT
     )
-    c0 = vs.filter(F.col("vec_id") < _PQ_K).select(
-        "sub", F.col("vec_id").cast("int").alias("code"), F.col("svd").alias("cd"))
-    a1 = _pq_assign(vs, c0)
-    # r10: the trained codebook (M*K = 128 rows) is broadcast onto BOTH
-    # the encode pass and the query-side LUT — unpersisted, each
-    # broadcast re-ran the whole training subtree (assign + two
-    # aggregations over the persisted subvector stream).  guide §5.
-    u1 = _pq_codebook(a1, F.round(F.avg("x"), 6)).persist()
-    enc = _pq_assign(vs, u1).select("vec_id", "sub", "code")
+    # r10 follow-up: the trained codebook (M*K = 128 rows) round-trips the
+    # driver, so the encode pass and the query-side LUT are pure maps over
+    # the subvector stream — no training-subtree re-run per consumer, no
+    # per-subvector argmin exchange (guide §2.1/§5).
+    u1 = _pq_train(vs, F.round(F.avg("x"), 6))
+    u1_lit = _pq_literal(u1)
+    enc = _pq_assign_lit(vs, u1).select("vec_id", "sub", "code")
     qs = vs.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), "sub", F.col("svd").alias("q_svd"))
-    lut = qs.join(F.broadcast(u1), "sub").select(
-        "q_id", "sub", "code",
-        F.expr("CAST(round(aggregate(zip_with(q_svd, cd, (x, y) -> (x - y) * (x - y)), "
+    lut = qs.select(
+        "q_id", "sub", "q_svd",
+        F.expr(f"explode(element_at({u1_lit}, sub))").alias("c")
+    ).select(
+        "q_id", "sub", F.col("c.code").alias("code"),
+        F.expr("CAST(round(aggregate(zip_with(q_svd, c.cd, (x, y) -> (x - y) * (x - y)), "
                f"CAST(0.0 AS DOUBLE), (a, p) -> a + p) * {_PQ_SCALE}) AS BIGINT)").alias("d2u"))
     adc = (
         enc.join(F.broadcast(lut), ["sub", "code"])
@@ -1161,11 +1215,6 @@ SELECT q_id, vec_id,
 FROM ranked WHERE rnk <= 10
 """
 
-# integer-unit variant of _PQ_D2 for the residual path (exact BIGINT math)
-_PQ_D2I = ("aggregate(zip_with(svd, cd, (x, y) -> (x - y) * (x - y)), "
-           "CAST(0 AS BIGINT), (a, p) -> a + p)")
-
-
 @register(
     "sim_ivfpq_topk",
     oracle=_IVFPQ_SQL,
@@ -1190,18 +1239,14 @@ _PQ_D2I = ("aggregate(zip_with(svd, cd, (x, y) -> (x - y) * (x - y)), "
 def sim_ivfpq_topk(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     v = e.select("vec_id", F.expr(VD).alias("vd")).persist()
-    cent = v.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cluster"), F.col("vd").alias("cd"))
-    for _ in range(2):
-        cent = _km_update(_km_assign(v, cent))
-    # r10: the refined centroids (8 rows) feed TWO consumers below (asg
-    # and the residual join) — unpersisted, each broadcast re-runs the
-    # whole 2-iteration Lloyd chain (2 corpus passes + 2 shuffles each).
-    # Persisting the 8-row result runs the chain once (guide §5 persist
-    # rule: reused AND expensive to recompute).
-    cent = cent.persist()
-    asg = _km_assign(v, cent)
-    res = asg.join(F.broadcast(cent), "cluster").select(
+    # r10 follow-up: coarse centroids round-trip the driver per Lloyd round
+    # (8·dim doubles, bounded at any corpus scale), so the assignment AND
+    # the residual subtraction are pure maps over the corpus scan — the
+    # old chained form re-ran the training subtree inside every broadcast
+    # and shuffled once per vector for the argmin (guide §2.1/§5).
+    cents = _km_train(v, 8)
+    asg = _km_assign_lit(v, cents, keep_cd=True)
+    res = asg.select(
         "vec_id", "cluster",
         F.expr("zip_with(vd, cd, (x, y) -> "
                f"CAST(round((x - y) * {_PQ_SCALE}) AS BIGINT))").alias("rv"))
@@ -1212,25 +1257,27 @@ def sim_ivfpq_topk(spark, sf_dir):
                 F.expr("slice(rv, sub * 8 + 1, 8)").alias("svd"))
         .persist()  # feeds train, encode, and the query-side LUT
     )
-    pc0 = rs.filter(F.col("vec_id") < _PQ_K).select(
-        "sub", F.col("vec_id").cast("int").alias("code"), F.col("svd").alias("cd"))
-    pa1 = _pq_assign(rs, pc0, d2expr=_PQ_D2I)
     # codebook means in integer micro-units via floor(avg + 0.5): the sums
     # stay exact in doubles (members * 2e6 << 2^53), so the rule is
     # bit-deterministic cross-engine — unlike round(avg, 6) over grid-aligned
     # residuals, whose means land EXACTLY on 6dp half-way points (measured: 7
-    # of 1024 codebook elements flipped between engines before this change)
-    # r10: persisted for the same two-consumer reason as _pq_parts' u1
-    # (encode pass + query-side LUT) — see guide §5.
-    pu1 = _pq_codebook(pa1, F.floor(F.avg("x") + 0.5).cast("long")).persist()
-    enc = _pq_assign(rs, pu1, carry=("cluster",), d2expr=_PQ_D2I).select(
+    # of 1024 codebook elements flipped between engines before this change).
+    # r10 follow-up: the residual codebook round-trips the driver (M*K = 128
+    # bounded rows of exact BIGINTs), so the encode pass and the query-side
+    # LUT are pure maps over the residual stream (guide §2.1/§5).
+    pu1 = _pq_train(rs, F.floor(F.avg("x") + 0.5).cast("long"), int_math=True)
+    pu1_lit = _pq_literal(pu1, int_cd=True)
+    enc = _pq_assign_lit(rs, pu1, carry=("cluster",), int_math=True).select(
         "vec_id", "cluster", "sub", "code")
     qs = rs.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("cluster").alias("q_cluster"),
         "sub", F.col("svd").alias("q_svd"))
-    lut = qs.join(F.broadcast(pu1), "sub").select(
-        "q_id", "q_cluster", "sub", "code",
-        F.expr("aggregate(zip_with(q_svd, cd, (x, y) -> (x - y) * (x - y)), "
+    lut = qs.select(
+        "q_id", "q_cluster", "sub", "q_svd",
+        F.expr(f"explode(element_at({pu1_lit}, sub))").alias("c"),
+    ).select(
+        "q_id", "q_cluster", "sub", F.col("c.code").alias("code"),
+        F.expr("aggregate(zip_with(q_svd, c.cd, (x, y) -> (x - y) * (x - y)), "
                "CAST(0 AS BIGINT), (a, p) -> a + p)").alias("d2u"))
     adc = (
         enc.join(F.broadcast(lut), ["sub", "code"])
@@ -1310,22 +1357,18 @@ def sim_ivf_incremental(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     v = e.select("vec_id", F.expr(VD).alias("vd"))
     idx = v.filter(F.col("vec_id") % 5 != 0).persist()
-    cent = idx.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("cluster"), F.col("vd").alias("cd"))
-    for _ in range(2):
-        cent = _km_update(_km_assign(idx, cent))
-    # r10: the frozen index centroids (10 rows) are broadcast onto BOTH
-    # the index scan (inrm) and the arriving batch (bnrm) — unpersisted,
-    # each broadcast re-ran the full 2-iteration Lloyd training chain.
-    # One persist = one training pass, matching the operator's own
-    # "index is trained ONCE" contract (guide §5).
-    cent = cent.persist()
+    # r10 follow-up: the frozen index centroids round-trip the driver per
+    # Lloyd round (k·dim doubles — bounded at any index size), so both the
+    # index scan (inrm) and the arriving batch (bnrm) assign against a
+    # constant-folded literal with NO exchange and NO re-run of the
+    # training chain (guide §2.1/§5).
+    cents = _km_train(idx, 10)
     nrm_expr = F.sqrt(F.expr(
         "aggregate(zip_with(vd, vd, (x, y) -> x * y), "
         "CAST(0.0 AS DOUBLE), (a, p) -> a + p)"))
-    inrm = _km_assign(idx, cent).withColumn("nrm", nrm_expr)
+    inrm = _km_assign_lit(idx, cents).withColumn("nrm", nrm_expr)
     bat = v.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 50))
-    bnrm = _km_assign(bat, cent).withColumn("nrm", nrm_expr).select(
+    bnrm = _km_assign_lit(bat, cents).withColumn("nrm", nrm_expr).select(
         F.col("vec_id").alias("q_id"), F.col("vd").alias("q_vd"),
         F.col("cluster").alias("q_cluster"), F.col("nrm").alias("q_nrm"))
     dot = ("aggregate(zip_with(q_vd, vd, (x, y) -> x * y), "
@@ -1399,9 +1442,9 @@ _SEMDEDUP_SQL = _DK_SQL[:_DK_SQL.rindex("SELECT cluster,")].rstrip() + _SEMDEDUP
     ),
 )
 def dedup_semantic(spark, sf_dir):
-    v, cent = _km_refined(spark, sf_dir)
+    v, cents = _km_refined(spark, sf_dir)
     nrm = (
-        _km_assign(v, cent)
+        _km_assign_lit(v, cents)
         .select("vec_id", "vd", "cluster")
         .withColumn(
             "nrm",

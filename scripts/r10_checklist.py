@@ -22,12 +22,16 @@ TOUCHED = {
     "text_contamination_check": "one-pass left-broadcast join (was 2 aggs + join)",
     "text_dup_ngram_fraction": "xxhash64 gram keys; one left join + one doc agg",
     "text_remove_dup_spans": "xxhash64 gram keys for both gram exchanges",
+    "sim_kmeans_refine": "Lloyd driver round-trip + map-side assign (4.30 -> 1.76)",
+    "sim_ivf_kmeans_topk": "Lloyd driver round-trip + map-side assign (4.02 -> 1.61)",
+    "sim_ivf_kmeans_recall": "Lloyd driver round-trip + map-side assign (3.41 -> 2.22)",
+    "dedup_semantic": "Lloyd driver round-trip + map-side assign (3.34 -> 2.48)",
     "dedup_minhash_lsh": "sizes ride minhash agg; mh+cand persisted; semi-join prune (4.3 → 1.8 s)",
     "dedup_incremental_lsh": "same; semi-join prune bounds old-corpus verify exchange at scale",
-    "sim_ivfpq_topk": "cent + pu1 persisted (Lloyd/codebook chains run once)",
-    "sim_ivf_incremental": "cent persisted (training chain runs once)",
-    "sim_pq_topk": "u1 codebook persisted",
-    "sim_pq_recall": "u1 codebook persisted (shared _pq_parts)",
+    "sim_ivfpq_topk": "coarse cents + residual codebook driver round-trip; encode/LUT pure maps (4.60 -> 2.69)",
+    "sim_ivf_incremental": "frozen centroids driver round-trip; index+batch assign map-side (2.72 -> 1.55)",
+    "sim_pq_topk": "codebook driver round-trip; encode/LUT pure maps (2.58 -> 2.06)",
+    "sim_pq_recall": "same literal-codebook _pq_parts (not benched)",
     "streaming_window_counts": "replay pruned to 4 cols + repartition(4): real 2-trigger replay (4.2 → 3.1 s)",
     "agg_approx_quantile": "rebalance tried + REVERTED (exchange > win; sort-agg shuffles anyway)",
     "q9_product_profit": "rebalance tried + REVERTED (broadcast probes cheaper than exchange)",

@@ -243,16 +243,18 @@ def test_gopher_rules_single_scan(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
-def test_pq_broadcast_codebook_and_mapside_argmin(spark, sf_dir):
-    """sim_pq_topk: the codebook and ADC lookup table must broadcast onto
-    the corpus stream (they are M*K=128 and Q*M*K=640 rows at any corpus
-    scale), and the per-(vector, subspace) code assignment must be a hash
-    aggregate with a map-side partial (min_by), NOT a rank window — a sort
-    window shuffles K candidate rows per subvector instead of one."""
+def test_pq_encode_is_map_side_only(spark, sf_dir):
+    """sim_pq_topk: the trained codebook round-trips the driver (M*K = 128
+    bounded rows), so the encode argmin is a pure map over the subvector
+    stream (array_min over the sub's literal codes) — NO exchange and NO
+    join keyed per subvector; the only join left is the broadcast of the
+    Q*M*K ADC lookup table, and the only shuffle-producing aggregate is the
+    per-(query, vector) ADC sum."""
     plan = plan_of(spark, sf_dir, "sim_pq_topk")
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "min_by" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    # the old per-(vector, subspace) argmin shuffle must stay gone
+    assert "hashpartitioning(vec_id" not in plan
     # the only rank window is the final per-query top-k (WindowGroupLimit
     # partial/final nodes are the top-k pushdown — desirable, not counted)
     assert n_nodes(plan, r"Window(?!GroupLimit)") == 1
@@ -268,13 +270,15 @@ def test_charlm_broadcasts_lm_table(spark, sf_dir):
 
 
 def test_ivfpq_all_broadcast_no_smj(spark, sf_dir):
-    """sim_ivfpq_topk: every join in the composition (coarse centroids,
-    residual join-back, PQ codebook, ADC LUT) is against a side that stays
-    constant-size at any corpus scale, so the plan must contain NO
-    sort-merge join and keep the map-side min_by argmins."""
+    """sim_ivfpq_topk: the coarse centroids and residual PQ codebook are
+    driver round-tripped constants (8 and M*K = 128 bounded rows), so cell
+    assignment, residual subtraction and code assignment are all pure maps
+    — no join, no exchange, for any of them; the only join left is the
+    broadcast ADC LUT, so the plan must contain NO sort-merge join and NO
+    per-(vector, subspace) argmin shuffle."""
     plan = plan_of(spark, sf_dir, "sim_ivfpq_topk")
     assert "SortMergeJoin" not in plan
-    assert "min_by" in plan
+    assert "hashpartitioning(vec_id" not in plan
 
 
 def test_chunking_is_map_side_only(spark, sf_dir):
