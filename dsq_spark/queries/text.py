@@ -376,8 +376,13 @@ def text_dup_ngram_fraction(spark, sf_dir):
         .select("doc_id", F.xxhash64("g").alias("gh"))
         .persist()  # one tokenize pass feeds multiplicity, counts, dups
     )
-    dup = (grams.groupBy("gh").agg(F.countDistinct("doc_id").alias("nd"))
-           .filter(F.col("nd") > 1).select("gh", F.lit(1).alias("dup")))
+    # "appears in >1 doc" needs only min(doc_id) != max(doc_id), not a
+    # countDistinct: one ordinary hash aggregate with a map-side partial
+    # instead of the distinct-aggregate's two-round exchange (guide §2.3)
+    dup = (grams.groupBy("gh")
+           .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+           .filter(F.col("mn") != F.col("mx"))
+           .select("gh", F.lit(1).alias("dup")))
     roster = t(spark, sf_dir, "documents").select("doc_id", "lang")
     per_doc = (
         grams.join(dup, "gh", "left")
@@ -1025,8 +1030,6 @@ def text_remove_dup_spans(spark, sf_dir):
         .select("doc_id", F.expr(TOKENS).alias("t"))
         .persist()  # feeds pos, grams, and the final doc-level join
     )
-    pos = d.select("doc_id", F.posexplode("t").alias("p0", "tok")).select(
-        "doc_id", (F.col("p0") + 1).alias("p"), "tok")
     # docs under 10 tokens produce no grams (and are filtered BEFORE the
     # sequence: Spark's sequence(1, 0) is the DESCENDING [1, 0], and
     # slice(t, 0, ..) throws — DuckDB's range(1, 1) is just empty)
@@ -1043,29 +1046,40 @@ def text_remove_dup_spans(spark, sf_dir):
             "transform(sequence(1, size(t) - 9), "
             "i -> struct(i AS i, array_join(slice(t, i, 10), ' ') AS g))"
         )).alias("z"),
-    ).select("doc_id", "z.i", F.xxhash64("z.g").alias("gh"))
+    ).select("doc_id", "z.i", F.xxhash64("z.g").alias("gh")).persist()
+    # "in ANOTHER document" needs only min(doc_id) != max(doc_id), not a
+    # countDistinct: one ordinary hash aggregate with a map-side partial
+    # instead of the distinct-aggregate's (gh, doc_id)-keyed exchange
+    # (r10 follow-up, guide §2.3).
     mult = (grams.groupBy("gh")
-            .agg(F.countDistinct("doc_id").alias("nd"))
-            .filter(F.col("nd") > 1)
+            .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+            .filter(F.col("mn") != F.col("mx"))
             .select("gh"))
-    covered = (
+    # r10 follow-up (guide §2.2 — shuffle fewer bytes): covered positions
+    # aggregate to ONE array per doc (collect_set dedups, so no separate
+    # DISTINCT exchange), and the document is rebuilt map-side with
+    # array_except(sequence(1, n), cov) — order-preserving and hash-set
+    # backed, so each doc costs O(n + |covered|).  This replaces the old
+    # token-stream anti-join + collect_list(struct(p, tok)) re-sort, whose
+    # exchanges carried every surviving token through two shuffles.
+    cov = (
         grams.join(mult, "gh", "left_semi")
         .select("doc_id", F.explode(F.expr("sequence(i, i + 9)")).alias("p"))
-        .distinct()
+        .groupBy("doc_id").agg(F.collect_set("p").alias("cov"))
     )
-    kept = pos.join(covered, ["doc_id", "p"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.array_join(
-            F.expr("transform(array_sort(collect_list(struct(p, tok))), s -> s.tok)"),
-            " ").alias("cleaned"),
-    )
+    # sequence(1, 0) is the DESCENDING [1, 0] (see the gram guard above),
+    # so empty docs take the typed-empty branch
+    kept = ("array_except("
+            "IF(size(t) >= 1, sequence(1, size(t)), CAST(array() AS array<int>)), "
+            "coalesce(cov, CAST(array() AS array<int>)))")
     return (
-        d.join(rebuilt, "doc_id", "left")
+        d.join(cov, "doc_id", "left")
+        .withColumn("kp", F.expr(kept))
         .select(
             "doc_id",
             F.size("t").cast("long").alias("n_tokens"),
-            (F.size("t") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
-            F.md5(F.coalesce("cleaned", F.lit(""))).alias("cleaned_md5"),
+            (F.size("t") - F.size("kp")).cast("long").alias("n_removed"),
+            F.md5(F.array_join(
+                F.expr("transform(kp, p -> element_at(t, p))"), " ")).alias("cleaned_md5"),
         )
     )
