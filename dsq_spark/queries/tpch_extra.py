@@ -737,24 +737,36 @@ def q21_sole_returner(spark, sf_dir):
     # the countDistinct digest already shuffles on l_orderkey, so the
     # partial-agg parallelism it bought was cheaper than the added
     # full-width exchange.  Kept the plain scan.
+    # r10 (second pass): the two countDistinct's forced an Expand x2 over
+    # every lineitem row (two-round distinct agg), and numwait re-scanned
+    # lineitem (l1 = the R rows) to join back against qualifying orders.
+    # A (l_orderkey, l_suppkey) pair aggregate carries everything both
+    # passes needed: n_supp = count of pairs, n_ret_supp = pairs with any
+    # R row, and — because a qualifying order has EXACTLY ONE returning
+    # supplier (n_ret_supp == 1) — that supplier's key and its R-row count
+    # ride the same aggregate (max/sum over the when-guarded pair).  One
+    # lineitem scan, no Expand, no lineitem-sized join (guide §2.3, §3).
     l = t(spark, sf_dir, "lineitem")
-    per_order = l.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret_supp"),
-    ).filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
+    pairs = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("cnt_r"))
+    per_order = (
+        pairs.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.count(F.when(F.col("cnt_r") > 0, 1)).alias("n_ret_supp"),
+            F.max(F.when(F.col("cnt_r") > 0, F.col("l_suppkey"))).alias("ret_supp"),
+            F.sum(F.when(F.col("cnt_r") > 0, F.col("cnt_r"))).alias("ret_rows"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
+    )
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = t(spark, sf_dir, "supplier")
-    l1 = l.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
     return (
-        l1.join(per_order.select("l_orderkey").withColumnRenamed(
-            "l_orderkey", "po_orderkey"),
-            F.col("l_orderkey") == F.col("po_orderkey"), "inner")
-        .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_order.join(o.select("o_orderkey"),
+                       F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("ret_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("ret_rows").cast("long").alias("numwait"))
     )
 
 

@@ -534,3 +534,14 @@ def test_r10_distinct_class_single_aggregate(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dialect_distinct_class")
     # <=5: +1 for the r10 rebalance exchange (see _run_rewritten)
     assert n_nodes(plan, "Exchange") <= 5, plan[:2000]
+
+
+def test_r10_q21_single_scan_no_expand(spark, sf_dir):
+    """q21's pair-level aggregate replaces BOTH the two-countDistinct
+    Expand plan and the second lineitem scan (the R-rows join-back):
+    one lineitem scan, no Expand, and the supplier lookup stays a
+    broadcast."""
+    plan = plan_of(spark, sf_dir, "q21_sole_returner")
+    assert n_nodes(plan, "Expand") == 0, plan[:2000]
+    assert plan.count("lineitem.parquet") == 1, plan[:2000]
+    assert "BroadcastHashJoin" in plan
