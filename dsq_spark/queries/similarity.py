@@ -620,13 +620,28 @@ GROUP BY cluster
 """
 
 
+def _fmt_double_lit(x) -> str:
+    """One double as a Spark SQL literal.  repr() emits the shortest
+    round-tripping decimal so parsing reproduces the bits exactly; NaN and
+    +/-Infinity have no numeric-literal spelling (repr gives 'nan'/'inf',
+    which the SQL parser rejects — ADVICE r10 #3), so they emit as casts,
+    which Spark folds to the exact special value."""
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
+
+
 def _km_literal(cents):
     """SQL literal array<struct<cluster:bigint, cd:array<double>>> from
     driver-side centroids.  repr() emits the shortest round-tripping decimal,
     so parsing the literal reproduces each double bit-for-bit."""
     items = ", ".join(
         "named_struct('cluster', CAST({} AS BIGINT), 'cd', array({}))".format(
-            c, ", ".join(repr(x) + "D" for x in cd))
+            c, ", ".join(_fmt_double_lit(x) for x in cd))
         for c, cd in cents)
     return f"array({items})"
 
@@ -974,7 +989,7 @@ def _pq_literal(cb, int_cd=False):
     by_sub = {}
     for sub, code, cd in cb:
         by_sub.setdefault(sub, []).append((code, cd))
-    fmt = (lambda x: f"{int(x)}L") if int_cd else (lambda x: repr(x) + "D")
+    fmt = (lambda x: f"{int(x)}L") if int_cd else _fmt_double_lit
     entries = []
     for sub in sorted(by_sub):
         items = ", ".join(

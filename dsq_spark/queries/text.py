@@ -355,6 +355,12 @@ def text_dup_ngram_fraction(spark, sf_dir):
     #     a collision would need two distinct grams sharing a 64-bit hash
     #     (p ≈ n²/2⁶⁵ ≈ 1e-7 at sf0.1) — results verified identical
     #     against the string-keyed DuckDB oracle at sf0.01/sf0.1.
+    #     SCALE BOUND (ADVICE r10 #2): the birthday bound crosses ~1% at
+    #     ~6e8 distinct grams and approaches certainty at a 100 TB corpus;
+    #     a production deployment widens the key to 128 bits (struct of two
+    #     differently-seeded xxhash64 calls — same plan shape, 16-byte key)
+    #     before the gram count nears 1e9.  The 64-bit key is the bench-SF
+    #     configuration, kept because the oracle pins these exact values.
     #   * the duplicated-gram set (nd > 1) is tiny next to the corpus, so
     #     AQE broadcasts it and the join-back never re-shuffles the gram
     #     stream; n_grams and n_dup come from ONE doc_id aggregate over
@@ -1039,7 +1045,11 @@ def text_remove_dup_spans(spark, sf_dir):
     # keys instead of ~70-byte strings (collision odds ≈ n²/2⁶⁵;
     # verified value-identical against the string-keyed DuckDB oracle,
     # whose md5-of-rebuilt-document check would catch a single flipped
-    # token at sf0.01/sf0.1).
+    # token at sf0.01/sf0.1).  SCALE BOUND (ADVICE r10 #2): at a 100 TB
+    # corpus the 64-bit birthday bound is no longer negligible — widen to
+    # a 128-bit key (two differently-seeded xxhash64s in one struct, same
+    # plan shape) before ~1e9 distinct grams; 64-bit is the bench-SF
+    # configuration because the oracle pins these exact values.
     grams = d.filter(F.size("t") >= 10).select(
         "doc_id",
         F.explode(F.expr(

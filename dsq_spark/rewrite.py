@@ -1549,6 +1549,43 @@ def _window_calls(text: str) -> list[str]:
     return out
 
 
+def _find_unquoted(text: str, needle: str) -> list[int]:
+    """Start offsets of ``needle`` in ``text`` whose first character lies
+    OUTSIDE single-quoted literals and backticked identifiers.  A
+    compiler-emitted chain colliding with the inside of a user string
+    literal is implausible (chains are >= 80 chars of SQL) but replacing
+    into one would corrupt the literal — so the hoist pass only ever
+    rewrites occurrences that start in plain SQL text (r10 VERDICT #7)."""
+    spans = _skip_spans(text)
+    out, i, si, nspan = [], 0, 0, len(spans)
+    while True:
+        j = text.find(needle, i)
+        if j == -1:
+            return out
+        while si < nspan and spans[si][1] <= j:
+            si += 1
+        if si < nspan and spans[si][0] <= j:
+            i = spans[si][1]  # starts inside a literal/backtick span: skip it
+            continue
+        out.append(j)
+        i = j + len(needle)
+
+
+def _replace_unquoted(text: str, needle: str, repl: str) -> str:
+    """Replace every occurrence of ``needle`` that starts outside literal
+    spans (see _find_unquoted) with ``repl``."""
+    hits = _find_unquoted(text, needle)
+    if not hits:
+        return text
+    parts, prev = [], 0
+    for j in hits:
+        parts.append(text[prev:j])
+        parts.append(repl)
+        prev = j + len(needle)
+    parts.append(text[prev:])
+    return "".join(parts)
+
+
 def _hoist_per_row(sql: str, cands: list[str]) -> str:
     """Project repeated per-row coercion chains once under the FROM clause.
 
@@ -1637,11 +1674,19 @@ def _hoist_per_row(sql: str, cands: list[str]) -> str:
         src_lo, src_hi = j, k + 1
         if not _INNER_STAR.match(sql[src_lo:src_hi]):
             return sql
-    else:
+    src_alias = ""
+    if sql[j] != "(":
         m = _FROM_TABLE.match(sql, j - 1)
         if not m:
             return sql
         src_lo, src_hi = j, m.end()
+        # Wrapping a bare table in a derived table removes its name from
+        # scope, so qualified refs (tw.id) outside the hoisted chains would
+        # stop resolving (ADVICE r10 #1).  Re-alias the wrapper with the
+        # table's bare name — the last dot segment, exactly the qualifier
+        # Spark exposes for a bare table reference.
+        ref = sql[src_lo:src_hi].strip()
+        src_alias = ref if ref.startswith("`") else ref.split(".")[-1].strip()
     if not _TAIL_KW.match(sql[src_hi:]):
         return sql  # alias / comma join / anything unexpected after src
     pre, src, post = sql[:src_lo], sql[src_lo:src_hi], sql[src_hi:]
@@ -1649,10 +1694,11 @@ def _hoist_per_row(sql: str, cands: list[str]) -> str:
         return sql  # nested subquery outside the FROM source
     names: dict[str, str] = {}
     for c in sorted(cands, key=len, reverse=True):
-        if pre.count(c) + post.count(c) < 2:
+        if len(_find_unquoted(pre, c)) + len(_find_unquoted(post, c)) < 2:
             continue
         name = f"__dsq_h{len(names) + 1}"
-        pre, post = pre.replace(c, name), post.replace(c, name)
+        pre = _replace_unquoted(pre, c, name)
+        post = _replace_unquoted(post, c, name)
         names[name] = c
     if names:
         proj = ", ".join(f"{c} AS {n}" for n, c in names.items())
@@ -1660,7 +1706,7 @@ def _hoist_per_row(sql: str, cands: list[str]) -> str:
             ins = _INNER_STAR.match(src).end()
             src = f"{src[:ins]}, {proj}{src[ins:]}"
         else:
-            src = f"(SELECT *, {proj} FROM {src})"
+            src = f"(SELECT *, {proj} FROM {src}) AS {src_alias}"
     # second layer: repeated WINDOW RESULTS (the CAST-saturation and
     # frame-recombination consumers mention the same `agg(x) OVER (spec)`
     # 4-6 times each).  A window value is a per-row function of the FROM
@@ -1672,14 +1718,17 @@ def _hoist_per_row(sql: str, cands: list[str]) -> str:
         wins: dict[str, str] = {}
         for c in sorted(set(_window_calls(pre) + _window_calls(post)),
                         key=len, reverse=True):
-            if pre.count(c) + post.count(c) < 2 or "(select" in c.lower():
+            if (len(_find_unquoted(pre, c)) + len(_find_unquoted(post, c)) < 2
+                    or "(select" in c.lower()):
                 continue
             name = f"__dsq_w{len(wins) + 1}"
-            pre, post = pre.replace(c, name), post.replace(c, name)
+            pre = _replace_unquoted(pre, c, name)
+            post = _replace_unquoted(post, c, name)
             wins[name] = c
         if wins:
             wproj = ", ".join(f"{c} AS {n}" for n, c in wins.items())
-            src = f"(SELECT *, {wproj} FROM {src})"
+            tail_alias = f" AS {src_alias}" if src_alias else ""
+            src = f"(SELECT *, {wproj} FROM {src}){tail_alias}"
     if not names and "__dsq_w" not in src:
         return sql
     return pre + src + post
@@ -1727,6 +1776,39 @@ def _remember_output(out: str, schema: dict[str, str] | None) -> None:
     _RECENT_OUTPUTS.move_to_end(key)
     while len(_RECENT_OUTPUTS) > _RECENT_OUTPUTS_MAX:
         _RECENT_OUTPUTS.popitem(last=False)
+
+
+# Hard circuit breaker on the rewritten-SQL emission (r9 VERDICT #7 /
+# r10 VERDICT #4).  The dialect compiler's dynamic-typing machinery can
+# multiply coercion chains combinatorially; the hoist pass bounds the
+# common shapes (26 KB -> 4.9 KB measured) but FAILS OPEN on guarded
+# shapes, and an unbounded emission is a driver-side analysis stall
+# (6-28 s measured at 26 KB, minutes under load) or a janino 64 KB codegen
+# fallback at scale.  Better a clear, immediate error than a silent
+# multi-minute stall.  Caps are env-tunable; the defaults sit ~2x above
+# the largest legitimate pre-hoist emission ever observed (26,100 chars /
+# 144 OVERs) so no previously-working query trips them.
+_MAX_EMISSION_CHARS = int(os.environ.get("DSQ_SPARK_MAX_EMISSION_CHARS",
+                                         "65536"))
+_MAX_EMISSION_OVERS = int(os.environ.get("DSQ_SPARK_MAX_EMISSION_OVERS",
+                                         "256"))
+_OVER_RE = re.compile(r"(?i)\bOVER\s*\(")
+
+
+def _check_emission_size(out: str) -> None:
+    if len(out) > _MAX_EMISSION_CHARS:
+        raise ValueError(
+            f"rewritten SQL emission is {len(out)} chars "
+            f"(cap {_MAX_EMISSION_CHARS}); this query's dynamic-typing "
+            "expansion is too large to analyze safely — simplify the "
+            "expression or raise DSQ_SPARK_MAX_EMISSION_CHARS")
+    n_over = len(_OVER_RE.findall(out))
+    if n_over > _MAX_EMISSION_OVERS:
+        raise ValueError(
+            f"rewritten SQL emission contains {n_over} window calls "
+            f"(cap {_MAX_EMISSION_OVERS}); this query's dynamic-typing "
+            "expansion is too large to analyze safely — simplify the "
+            "expression or raise DSQ_SPARK_MAX_EMISSION_OVERS")
 
 
 def rewrite_query_tracked(
@@ -1781,6 +1863,7 @@ def rewrite_query_tracked(
     # tree-size control: project repeated per-row coercion chains once
     # under the FROM clause (see _hoist_per_row; guards fail open)
     out = _hoist_per_row(out, take_pending_hoists())
+    _check_emission_size(out)
     # LAST: aggregate-mixed statements must not reach the analyzer with
     # SQL temporary functions in them (Spark 4.1 extraction bug — see
     # _inline_agg_safe); runs after sqlexpr so every alias/compiler

@@ -7885,6 +7885,16 @@ def _alias_shadowed(toks: list[Tok]) -> set[str]:
 # 26.1 KB emitted SQL → ~7 KB, Catalyst analysis 6-28 s → well under 1 s
 # (analysis cost is superlinear in tree size), and janino codegen stays
 # inside its 64 KB method limit (BENCH_NOTES §24's watch item).
+#
+# SINGLE-THREADED CONTRACT (ADVICE r10 #4): this registry is module-global
+# mutable state, cleared at rewrite_semantics entry and drained by
+# rewrite.rewrite_query_tracked immediately after.  Concurrent rewrites on
+# different threads would cross-contaminate candidates; every current
+# caller (CLI, REPL, query registry, tests) rewrites on one thread.  A
+# caller that invokes rewrite_semantics directly without draining leaks
+# candidates into the next statement's hoist pass — harmless in effect
+# (hoisting only ever rewrites chains that actually occur >= 2x in the
+# next statement) but drain via take_pending_hoists() to keep it clean.
 _PENDING_HOISTS: list[str] = []
 
 

@@ -301,3 +301,70 @@ def test_hoist_per_row_guards_and_mechanics():
             f"avg({chain}) OVER (ORDER BY id) AS b FROM tw WHERE id > 1")
     out3 = _hoist_per_row(sql3, [chain])
     assert "__dsq_h1" in out3 and "__dsq_w" not in out3
+
+
+def test_hoist_bare_table_wrapper_keeps_alias(spark):
+    """ADVICE r10 #1: wrapping a bare FROM table must re-alias the wrapper
+    with the table's bare name so qualified refs (tw.id) keep resolving."""
+    from dsq_spark.rewrite import _hoist_per_row
+
+    chain = ("(CASE WHEN ((t) IS NULL) THEN CAST(NULL AS DOUBLE) ELSE "
+             "coalesce(try_cast(regexp_extract((t), '^x([0-9]+)', 1) AS DOUBLE), "
+             "CAST(0 AS DOUBLE)) END)")
+    sql = (f"SELECT tw.id, sum({chain}) OVER (ORDER BY tw.id) AS a, "
+           f"avg({chain}) OVER (ORDER BY tw.id) AS b FROM tw ORDER BY tw.id")
+    out = _hoist_per_row(sql, [chain])
+    assert out != sql and ") AS tw" in out
+    # live differential: the hoisted form must analyze AND return the same
+    # rows as the unhoisted form on this Spark build
+    spark.createDataFrame(
+        [(1, "x1"), (2, None), (3, "x3")], "id int, t string"
+    ).createOrReplaceTempView("tw")
+    try:
+        got = [tuple(r) for r in spark.sql(out).collect()]
+        want = [tuple(r) for r in spark.sql(sql).collect()]
+        assert got == want
+    finally:
+        spark.catalog.dropTempView("tw")
+    # window-layer wrap over a bare table keeps the alias too
+    sql2 = (f"SELECT tw.id, CAST(sum({chain}) OVER (ORDER BY tw.id) AS DOUBLE)"
+            f" AS a, sum({chain}) OVER (ORDER BY tw.id) AS b FROM tw")
+    out2 = _hoist_per_row(sql2, [chain])
+    assert "__dsq_w1" in out2 and out2.count(") AS tw") >= 1
+
+
+def test_hoist_replace_skips_literal_spans():
+    """r10 VERDICT #7: a candidate chain colliding with the inside of a
+    string literal must not be rewritten there."""
+    from dsq_spark.rewrite import _hoist_per_row
+
+    chain = ("(CASE WHEN ((t) IS NULL) THEN CAST(NULL AS DOUBLE) ELSE "
+             "coalesce(try_cast(regexp_extract((t), '^x', 1) AS DOUBLE), "
+             "CAST(0 AS DOUBLE)) END)")
+    # two real occurrences + one inside a string literal
+    sql = (f"SELECT {chain} AS a, {chain} AS b, '{chain}' AS lit FROM tw")
+    out = _hoist_per_row(sql, [chain])
+    assert f"'{chain}'" in out          # the literal is untouched
+    assert out.count(chain) == 2        # literal + the single projection
+
+
+def test_emission_size_circuit_breaker(monkeypatch):
+    """r10 VERDICT #4: a pathological emission trips a clear error instead
+    of a multi-minute Catalyst analysis stall."""
+    import pytest
+
+    import dsq_spark.rewrite as rw
+
+    monkeypatch.setattr(rw, "_MAX_EMISSION_CHARS", 200)
+    with pytest.raises(ValueError, match="emission is .* chars"):
+        rw.rewrite_query("SELECT " + ", ".join(
+            f"length('pad-{i}-padpadpad')" for i in range(40)) + " FROM tw")
+    monkeypatch.setattr(rw, "_MAX_EMISSION_CHARS", 65536)
+    monkeypatch.setattr(rw, "_MAX_EMISSION_OVERS", 3)
+    with pytest.raises(ValueError, match="window calls"):
+        rw.rewrite_query(
+            "SELECT " + ", ".join(
+                f"sum(x) OVER (ORDER BY id ROWS BETWEEN {i} PRECEDING AND "
+                "CURRENT ROW)" for i in range(1, 6)) + " FROM tw")
+    # normal emissions pass untouched
+    assert "length" in rw.rewrite_query("SELECT length(t) FROM tw")
