@@ -96,7 +96,11 @@ def decode_image_meta(media_df: DataFrame) -> DataFrame:
                 out["content_fp"].append(bytes(buf[8:16]).hex())
             yield pd.DataFrame(out)
 
-    return media_df.mapInPandas(_parse_batch, IMAGE_META_SCHEMA)
+    # guide §4.1: Spark cannot see which columns the Python function reads,
+    # so ship ONLY what it needs across the Arrow boundary (and let the
+    # pruned projection reach the scan) — callers may pass wider frames.
+    return media_df.select("doc_id", "media").mapInPandas(
+        _parse_batch, IMAGE_META_SCHEMA)
 
 
 FEATURE_SCHEMA = T.StructType([
@@ -129,7 +133,9 @@ def extract_features(media_df: DataFrame, dim: int = 8) -> DataFrame:
                 rows["feature"].append(vec)
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_embed, FEATURE_SCHEMA)
+    # prune to the columns the stub reads before the Arrow boundary (§4.1)
+    return media_df.select("doc_id", "media").mapInPandas(
+        _embed, FEATURE_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType([
@@ -162,7 +168,9 @@ def sample_frames(media_df: DataFrame, every_n: int = 4,
                         hashlib.md5(f"{base_hex}:{idx}".encode()).hexdigest()[:12])
             yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(_frames, FRAME_SCHEMA)
+    # prune to the columns the stub reads before the Arrow boundary (§4.1)
+    return media_df.select("doc_id", "media").mapInPandas(
+        _frames, FRAME_SCHEMA)
 
 
 AUDIO_META_SCHEMA = T.StructType([
@@ -218,4 +226,6 @@ def decode_audio_meta(media_df: DataFrame) -> DataFrame:
                 out["duration_s"].append(n / rate)
             yield pd.DataFrame(out)
 
-    return media_df.mapInPandas(_parse, AUDIO_META_SCHEMA)
+    # prune to the columns the stub reads before the Arrow boundary (§4.1)
+    return media_df.select("doc_id", "media").mapInPandas(
+        _parse, AUDIO_META_SCHEMA)

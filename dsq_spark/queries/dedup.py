@@ -281,6 +281,52 @@ SIMHASH_BITS = 48
 SIMHASH_CHUNKS = 6  # 6 × 8-bit chunks: any-equal-chunk ⊇ hamming ≤ 5
 
 
+def _simhash_sig(hashed):
+    """(doc_id, simhash) from a (doc_id, h) 64-bit shingle-hash stream.
+
+    r11 (r10 VERDICT #7, guide §2.3 — narrower aggregation state): the
+    48 per-bit ±1 vote sums fold into 12 PACKED sums of 4 x 16-bit bit
+    counters per long (per row: shift/mask/shift, branch-free), plus one
+    shared count(*).  Equivalence is exact integer arithmetic: the old
+    vote v_b = sum(±1) = 2*c_b - n where c_b counts set bits, so
+    v_b > 0  <=>  2*c_b > n — same md5-derived signatures bit-for-bit
+    (verified: identical 234 pairs at sf0.1; isolated paired A/B
+    2.28 -> 1.19 s).  SCALE BOUND: a 16-bit counter overflows at 65536
+    shingles in ONE document; assert_true fails the query LOUDLY there
+    instead of corrupting signatures (a >65k-word document is where a
+    production deployment widens the fields to 5 x 12-bit longs or
+    splits documents upstream)."""
+    pack, field = 4, 16
+    aggs = [F.count("*").alias("n")]
+    for j in range(SIMHASH_BITS // pack):
+        terms = " + ".join(
+            f"(shiftleft(shiftright(h, {j * pack + i}) & 1, {field * i}))"
+            for i in range(pack))
+        aggs.append(F.sum(F.expr(terms)).alias(f"p{j}"))
+    votes = hashed.groupBy("doc_id").agg(*aggs)
+    sig_terms = []
+    for j in range(SIMHASH_BITS // pack):
+        for i in range(pack):
+            b = j * pack + i
+            c = f"(shiftright(p{j}, {field * i}) & 65535)"
+            sig_terms.append(
+                f"CASE WHEN 2 * {c} > n THEN CAST({1 << b} AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END")
+    # guard form matters: `if(assert IS NULL, sig, sig)` is pruned by
+    # SimplifyConditionals (if(p, x, x) -> x) and never evaluates the
+    # assert; folding the passing assert's NULL into the sum as +0 keeps
+    # it in the evaluated tree (unit-tested to raise at 70k rows/doc)
+    guard = ("coalesce(CAST(assert_true(n < 65536, "
+             "'dedup_simhash packed-vote overflow: a document has >= 65536 "
+             "shingles; widen the packed counter fields') AS BIGINT), "
+             "CAST(0 AS BIGINT))")
+    sig_sql = " + ".join(sig_terms)
+    return votes.select(
+        "doc_id",
+        F.expr(f"({sig_sql}) + {guard}").alias("simhash"),
+    )
+
+
 @register(
     "dedup_simhash",
     oracle=f"""
@@ -327,17 +373,9 @@ def dedup_simhash(spark, sf_dir):
     hashed = sh.select(
         "doc_id", F.expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("h")
     )
-    votes = hashed.groupBy("doc_id").agg(
-        *[F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"v{b}")
-          for b in range(SIMHASH_BITS)]
-    )
-    sig_expr = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig_expr = term if sig_expr is None else sig_expr + term
     # one row per doc; persisted because the chunk self-join would otherwise
-    # re-run the shingle→explode→48-sum aggregate for each side.
-    sig = votes.select("doc_id", sig_expr.alias("simhash")).persist()
+    # re-run the shingle→explode→packed-sum aggregate for each side.
+    sig = _simhash_sig(hashed).persist()
     keyed = sig.select(
         "doc_id", "simhash", F.explode(F.expr(f"sequence(0, {SIMHASH_CHUNKS - 1})")).alias("k")
     ).select(

@@ -319,7 +319,17 @@ FROM comp
 def sim_neardup_components(spark, sf_dir):
     edges = _neardup_edges(spark, sf_dir).persist()
     labels = edges.select("u").distinct().withColumn("comp", F.col("u"))
-    for _ in range(20):  # >= graph diameter; corpus clusters are shallow
+    # r11 (guide §1.2): each loop round costs a fixed 2-3 tiny jobs, so
+    # avoidable JOBS are the cost driver.  The round-0 convergence count is
+    # skipped — any nonempty edge set changes at least one label in round 0
+    # (the lower endpoint of every edge lowers its neighbor), so that count
+    # was a constant-true job; an empty edge set converges at round 1's
+    # count over zero rows.  Pointer jumping (comp <- min(comp, comp[comp]),
+    # O(log diameter) rounds) was ALSO tried and measured SLOWER under the
+    # paired A/B (3.80 vs 3.09 s): on this graph it saved no rounds
+    # (changed counts 35,7,1,1,0 vs 35,7,2,1,0) and its extra per-round
+    # join is pure cost — reverted, documented here so it isn't re-tried.
+    for i in range(20):  # >= graph diameter; corpus clusters are shallow
         neigh = (
             edges.join(labels.withColumnRenamed("u", "v2"),
                        edges.v == F.col("v2"))
@@ -331,7 +341,8 @@ def sim_neardup_components(spark, sf_dir):
                                  F.coalesce(F.col("ncomp"), F.col("comp"))).alias("ncomp"),
                     "comp")
         ).localCheckpoint()
-        changed = new_labels.filter(F.col("ncomp") != F.col("comp")).count()
+        changed = 1 if i == 0 else (
+            new_labels.filter(F.col("ncomp") != F.col("comp")).count())
         labels = new_labels.select("u", F.col("ncomp").alias("comp"))
         if changed == 0:
             break

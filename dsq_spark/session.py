@@ -34,19 +34,16 @@ def get_spark(app_name: str = "dsq-spark", master: str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # r11 (guide §2.2/§9): coalesce post-shuffle partitions to the
-        # advisory BYTE target instead of stopping at defaultParallelism.
-        # With the default parallelism-first rule every tiny shuffle keeps
-        # >= cores partitions, so at bench scale each reduce stage runs 32
-        # near-empty tasks — measured 2-8x per-query overhead at 32 cores
-        # (sessionize 1.49->0.63 s, set_operations 1.17->0.60 s,
-        # sim_kmeans_refine 2.43->1.50 s isolated A/B); at 100 TB the same
-        # rule yields right-sized (advisory) partitions, which is what the
-        # Spark tuning docs themselves recommend ("it's recommended to set
-        # this config to false and respect the configured target size").
-        # The advisory size stays env-tunable for cluster deployments.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-                "false")
+        # r11: advisory coalescing target, env-tunable for cluster runs
+        # (guide §2.2/§9 recommends 64-256 MB post-shuffle partitions at
+        # scale; 64m is Spark's default, restated here so deployments have
+        # one knob).  parallelismFirst was ALSO tried as "false" this round
+        # and measured NEUTRAL-TO-NEGATIVE under the paired same-JVM A/B
+        # protocol (agg_approx_quantile 1.27->2.04 s, sessionize
+        # 0.27->0.35 s; the apparent first-look wins were fresh-JVM
+        # cold/warm ordering artifacts), so it keeps Spark's default:
+        # sub-minPartitionSize shuffles coalesce to 1 partition either way,
+        # and mid-size shuffles keep their parallelism.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
                 os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"))
         # Arrow for any pandas-UDF exchange (the only sanctioned Python path).

@@ -112,21 +112,41 @@ def run_stream_to_memory(sdf: DataFrame, query_name: str,
                          output_mode: str = "complete"):
     """Drive a streaming DataFrame into an in-memory sink until idle —
     test/bench harness helper (bounded file source). complete mode for
-    aggregations; append for row-level operators like dedup."""
-    q = (
-        sdf.writeStream.format("memory").queryName(query_name)
-        .outputMode(output_mode).trigger(availableNow=True).start()
-    )
-    # awaitTermination returns False on timeout; reading the sink then
-    # would surface a PARTIAL mid-trigger aggregate as if it were the
-    # answer — fail loudly instead, and stop the orphaned stream (ADVICE
-    # r3: a slow machine must not turn a correctness gate into a silent
-    # wrong answer).
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(
-            f"stream {query_name!r} did not finish within {timeout_s}s")
-    return q
+    aggregations; append for row-level operators like dedup.
+
+    State partitioning (r11, guide §2): a stateful stream instantiates ONE
+    state store per shuffle partition PER TRIGGER (load map, merge, write
+    delta + CRC, commit — file I/O per store per batch), and the partition
+    count is baked into the checkpoint at start.  It should be sized to
+    the expected STATE CARDINALITY and ingest rate — a deliberate per-query
+    deployment decision — not inherited from the batch session's
+    cores-bound shuffle default: these operators keep a few hundred open
+    (window/session, key) groups, and 32 stores per trigger measured
+    5-10 s/batch of pure store overhead vs 0.8-2 s at 4-8 on the same data
+    (scripts/bench_streaming_scale.py reproduces this).  Env-tunable for
+    real deployments; the conf is restored after the bounded run so batch
+    queries in the same session are untouched."""
+    spark = sdf.sparkSession
+    state_parts = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", state_parts)
+    try:
+        q = (
+            sdf.writeStream.format("memory").queryName(query_name)
+            .outputMode(output_mode).trigger(availableNow=True).start()
+        )
+        # awaitTermination returns False on timeout; reading the sink then
+        # would surface a PARTIAL mid-trigger aggregate as if it were the
+        # answer — fail loudly instead, and stop the orphaned stream (ADVICE
+        # r3: a slow machine must not turn a correctness gate into a silent
+        # wrong answer).
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"stream {query_name!r} did not finish within {timeout_s}s")
+        return q
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
 
 
 def stream_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:

@@ -672,3 +672,35 @@ def test_inline_agg_safe_strips_sql_udfs():
     out = rewrite_query(
         "SELECT date('2024-01-05') AS j, sum(a) AS s FROM {0}", {})
     assert "best_effort_ts(" not in out
+
+
+def test_simhash_packed_votes_match_unpacked(spark):
+    """r11 dedup_simhash internals: the 12 packed 16-bit bit-counter sums
+    must produce bit-identical signatures to the naive 48 ±1 vote sums,
+    and the overflow guard must fail loudly past 65535 rows per doc."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dsq_spark.queries.dedup import SIMHASH_BITS, _simhash_sig
+
+    rows = [(i % 7, ((i * 2654435761) ^ (i << 21)) & ((1 << 48) - 1))
+            for i in range(2000)]
+    hashed = spark.createDataFrame(rows, "doc_id long, h long")
+
+    votes = hashed.groupBy("doc_id").agg(
+        *[F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1)
+                .otherwise(-1)).alias(f"v{b}") for b in range(SIMHASH_BITS)])
+    sig_expr = None
+    for b in range(SIMHASH_BITS):
+        term = (F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long"))
+                .otherwise(F.lit(0).cast("long")))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    want = {r["doc_id"]: r["s"] for r in
+            votes.select("doc_id", sig_expr.alias("s")).collect()}
+    got = {r["doc_id"]: r["simhash"] for r in _simhash_sig(hashed).collect()}
+    assert got == want
+
+    big = spark.range(70000).select(
+        F.lit(0).alias("doc_id"), (F.col("id") * 37 % 281474976710655).alias("h"))
+    with pytest.raises(Exception, match="packed-vote overflow"):
+        _simhash_sig(big).collect()

@@ -72,12 +72,19 @@ def test_topk_is_single_shuffle_window(spark, sf_dir):
 
 def test_documents_scan_spreads_over_cores(spark, sf_dir):
     """A single small parquet file must not serialize CPU-bound text work
-    onto one core: t('documents') re-splits to defaultParallelism (and the
-    guard makes it a no-op when the scan already has enough partitions)."""
+    onto one core: t('documents') re-splits to the SIZE-AWARE target
+    (r11: min(defaultParallelism, ceil(bytes / 64 KB)), floor 2) so tiny
+    inputs are spread without being sprayed across near-empty partitions
+    that every downstream job pays task-launch overhead for."""
+    import os
+
     from dsq_spark.queries.base import t
 
     d = t(spark, sf_dir, "documents")
-    assert d.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    size = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+    want = max(2, min(spark.sparkContext.defaultParallelism,
+                      (size + (64 << 10) - 1) // (64 << 10)))
+    assert d.rdd.getNumPartitions() >= want
 
 
 def test_rebalance_keeps_scan_pushdown(spark, sf_dir):
