@@ -1785,11 +1785,15 @@ def _remember_output(out: str, schema: dict[str, str] | None) -> None:
 # shapes, and an unbounded emission is a driver-side analysis stall
 # (6-28 s measured at 26 KB, minutes under load) or a janino 64 KB codegen
 # fallback at scale.  Better a clear, immediate error than a silent
-# multi-minute stall.  Caps are env-tunable; the defaults sit ~2x above
-# the largest legitimate pre-hoist emission ever observed (26,100 chars /
-# 144 OVERs) so no previously-working query trips them.
+# multi-minute stall.  Caps are env-tunable.  The OVER-count cap is the
+# real detector of the r9/r10 pathology (analysis cost is superlinear in
+# WINDOW-expression count: the 26 KB bombs carried 72-144 OVERs); plain
+# WIDTH is benign — wide flat SELECT lists analyze linearly, and the
+# differential matrix tests legitimately emit 60-expression statements of
+# 80 KB+ — so the char cap sits at 256 KB (a true runaway, ~10x the worst
+# pathological emission observed) and the OVER cap at 256 (~2x).
 _MAX_EMISSION_CHARS = int(os.environ.get("DSQ_SPARK_MAX_EMISSION_CHARS",
-                                         "65536"))
+                                         "262144"))
 _MAX_EMISSION_OVERS = int(os.environ.get("DSQ_SPARK_MAX_EMISSION_OVERS",
                                          "256"))
 _OVER_RE = re.compile(r"(?i)\bOVER\s*\(")
